@@ -1,0 +1,88 @@
+"""Engine-wide configuration (thresholds mirror reference config.yaml:4-25).
+
+Every constant that shapes the *semantics* of an operator lives here so the
+pytest goldens and the distributed stages can never drift apart.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+# --- entity-index sentinels (reference impl/util/transformer.py:5-8) ---
+NEW_ENTITY = -1
+NO_ENTITY = -2
+
+# --- Cat2Ax (reference config.yaml: cat2ax.pattern_confidence = 0.05) ---
+CAT2AX_PATTERN_CONF = 0.05
+
+# --- linking / clustering thresholds (reference entity_disambiguation/__init__.py:69) ---
+MENTION_MENTION_THRESHOLD = 0.8
+MENTION_ENTITY_THRESHOLD = 0.95
+PATH_THRESHOLD = 0.75
+
+# --- listing parsing guards (reference page_parser.py:256-258, 393-395, 411) ---
+MIN_ENUM_ENTRIES = 3
+MIN_TABLE_ROWS = 3
+MIN_TABLE_COLS = 2
+MAX_TABLE_COLS = 100
+
+# --- surface-form handling ---
+# labels shorter than this or numeric are never subject-entity labels
+# (reference impl/subject_entity/mention_detection/__init__.py:111-112)
+MIN_LABEL_LEN = 3
+# unknown labels occurring more often than this are dropped
+# (reference impl/wikipedia/__init__.py:59-67)
+MAX_UNKNOWN_LABEL_FREQ = 50
+
+# --- meta sections dropped during parsing (reference page_parser.py:86-91) ---
+META_SECTIONS = frozenset({
+    'see also', 'external links', 'references', 'notes', 'sources',
+    'external sources', 'general sources', 'bibliography',
+    'notes and references', 'citations', 'references and footnotes',
+    'references and links', 'maps', 'further reading',
+})
+
+# --- functional predicate heuristic (reference impl/dbpedia/heuristics.py:163-184) ---
+FUNCTIONAL_PRED_THRESHOLD = 0.95
+
+# --- domain/range heuristic thresholds (reference heuristics.py:38-62) ---
+DOMAIN_THRESHOLD = 0.96
+RANGE_THRESHOLD = 0.77
+
+# --- skew handling ---
+# groupby keys whose observed count exceeds this get salted into
+# HOT_KEY_SALT_BUCKETS sub-keys, aggregated two-phase (SURVEY.md §4 skew row)
+HOT_KEY_THRESHOLD = 100_000
+HOT_KEY_SALT_BUCKETS = 32
+
+# --- dedup defaults ---
+MINHASH_NUM_PERM = 64
+MINHASH_BANDS = 16          # 16 bands x 4 rows
+MINHASH_SHINGLE_SIZE = 3    # word shingles
+SIMHASH_BITS = 64
+SIMHASH_HAMMING_THRESHOLD = 3
+NGRAM_JACCARD_THRESHOLD = 0.8
+EMBEDDING_DUP_COSINE = 0.95
+
+# --- batching defaults (tuned single-node; hold at cluster scale because they
+#     are per-task quantities, not per-dataset) ---
+PARSE_BATCH_SIZE = 256        # html pages per parse batch (heavy rows)
+TOKEN_BATCH_SIZE = 4096       # token/mention-level batches
+AGG_BATCH_SIZE = 65536        # lightweight relational batches
+OUTPUT_PARTITIONS = 16        # hash(subj) partitions of the triple sink
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Bag of knobs a pipeline invocation can override."""
+    min_enum_entries: int = MIN_ENUM_ENTRIES
+    min_table_rows: int = MIN_TABLE_ROWS
+    pattern_conf: float = CAT2AX_PATTERN_CONF
+    me_threshold: float = MENTION_ENTITY_THRESHOLD
+    mm_threshold: float = MENTION_MENTION_THRESHOLD
+    path_threshold: float = PATH_THRESHOLD
+    output_partitions: int = OUTPUT_PARTITIONS
+
+
+DEFAULT_CONFIG = EngineConfig()

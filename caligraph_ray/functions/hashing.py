@@ -1,0 +1,120 @@
+"""Deterministic hashing primitives: stable ids, MinHash, SimHash, fingerprints.
+
+Everything here is seed-fixed and process-independent (no PYTHONHASHSEED
+dependence) so that distributed runs are reproducible — the engine's
+universal-entity-key analogue of the reference's integer ``idx``
+(impl/util/rdf.py:70-103).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, List
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_MAX64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def stable_hash64(text: str) -> int:
+    """Deterministic 63-bit non-negative hash of a string (blake2b-based)."""
+    return int.from_bytes(hashlib.blake2b(text.encode('utf-8'), digest_size=8).digest(), 'big') >> 1
+
+
+def stable_hash64_array(texts) -> np.ndarray:
+    """Vectorized-over-rows stable_hash64 (hashlib per row; cheap vs. parse cost)."""
+    return np.fromiter((stable_hash64(t) for t in texts), dtype=np.int64, count=len(texts))
+
+
+def md5_hex(text: str) -> str:
+    return hashlib.md5(text.encode('utf-8')).hexdigest()
+
+
+def _minhash_params(num_perm: int, seed: int = 7):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+class MinHasher:
+    """Word-shingle MinHash with banding for LSH (SURVEY.md dedup additions).
+
+    Stateless w.r.t. data; instantiate once per actor (permutation params
+    computed in __init__, reused per batch).
+    """
+
+    def __init__(self, num_perm: int = 64, shingle_size: int = 3, bands: int = 16, seed: int = 7):
+        assert num_perm % bands == 0
+        self.num_perm = num_perm
+        self.shingle_size = shingle_size
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _minhash_params(num_perm, seed)
+
+    def shingles(self, tokens: List[str]) -> np.ndarray:
+        k = self.shingle_size
+        if len(tokens) < k:
+            joined = [' '.join(tokens)] if tokens else ['']
+        else:
+            joined = [' '.join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+        return np.unique(np.array([stable_hash64(s) for s in joined], dtype=np.uint64))
+
+    def signature(self, tokens: List[str]) -> np.ndarray:
+        sh = self.shingles(tokens)
+        if len(sh) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        # (num_perm, n_shingles) universal hashing, min per permutation
+        vals = (np.outer(self.a, sh) + self.b[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1)
+
+    def band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """One stable hash per band → LSH bucket keys."""
+        out = np.empty(self.bands, dtype=np.int64)
+        r = self.rows_per_band
+        for i in range(self.bands):
+            h = hashlib.blake2b(sig[i * r:(i + 1) * r].tobytes(), digest_size=8)
+            out[i] = int.from_bytes(h.digest(), 'big') >> 1
+        return out
+
+    @staticmethod
+    def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float(np.mean(sig_a == sig_b))
+
+
+def simhash64(tokens: Iterable[str]) -> int:
+    """64-bit SimHash over token hashes (near-dup by hamming distance)."""
+    acc = np.zeros(64, dtype=np.int64)
+    n = 0
+    for t in tokens:
+        h = stable_hash64(t) | (1 << 62)  # keep 63 informative bits
+        bits = (h >> np.arange(64)) & 1
+        acc += 2 * bits - 1
+        n += 1
+    if n == 0:
+        return 0
+    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count('1')
+
+
+def rolling_fingerprint(text: str, window: int = 16, keep: int = 8) -> List[int]:
+    """Winnowing-style document fingerprint: the `keep` smallest of the
+    rolling-window hashes (deterministic, order-free)."""
+    if not text:
+        return []
+    n = len(text)
+    if n <= window:
+        return [stable_hash64(text)]
+    hashes = sorted({stable_hash64(text[i:i + window]) for i in range(0, n - window + 1)})
+    return hashes[:keep]
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)

@@ -1,0 +1,160 @@
+"""Scalar string functions (reference impl/util/string.py, impl/util/nlp.py).
+
+All functions are pure and deterministic. The vectorized variants (suffix
+``_array``) operate on pyarrow arrays / numpy object arrays and are the ones
+used inside ``map_batches`` hot paths; the scalar variants define the
+semantics and back the pytest goldens.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# token = word chars or a single non-space symbol (deterministic stand-in for
+# the reference's spaCy tokenizer, impl/util/spacy/__init__.py)
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+# by-phrase: trailing " by <words>" organisational suffix
+# (deterministic stand-in for the spaCy BY_PHRASE tagger,
+#  reference impl/util/spacy/components.py:77-117 / nlp.py:129-140)
+_BY_PHRASE_RE = re.compile(r"\s+by\s+\w[\w\s,-]*$", re.IGNORECASE)
+
+_NON_ALNUM_RE = re.compile(r"[^A-Za-z0-9 ]+")
+_NUMERIC_RE = re.compile(r"^\d+([.,]\d+)*$")
+
+# canonical-label cleanup regexes (reference impl/util/nlp.py:89-101, same order)
+_CANONICAL_RES = [
+    re.compile(r"\s*/[A-Za-z]+:\s*[A-Za-z](\s*[-–]\s*[A-Za-z])?$"),
+    re.compile(r"\s+\([^()]+[-–][^()]+\)$"),
+    re.compile(r"\s+\([A-Z]\)$"),
+    re.compile(r"\s*[-:,–]\s*[A-Z][a-z]*\s?[-–]\s?[A-Z][a-z]*$"),
+    re.compile(r"\s*[-:–]\s*([A-Z],\s*)*[A-Z]$"),
+    re.compile(r"\s*/([A-Z],\s*)*[A-Z]$"),
+    re.compile(r"\s+([A-Z],\s*)+[A-Z]$"),
+    re.compile(r"\s*:\s*..?\s*[-–]\s*..?$"),
+]
+
+_BRACKET_PATTERNS = {
+    '(': re.compile(r"\s*\([^()]*\)\s*"),
+    '[': re.compile(r"\s*\[[^\[\]]*\]\s*"),
+    '<': re.compile(r"\s*\<[^>]*\>+\s*"),
+}
+
+
+def capitalize(text: str) -> str:
+    """First char upper, rest untouched (reference string.py:4-5)."""
+    return text[0].upper() + text[1:] if len(text) > 1 else text.upper()
+
+
+def regularize_spaces(text: str) -> str:
+    """Collapse any whitespace runs to single spaces (reference string.py:8-9)."""
+    return ' '.join(text.split())
+
+
+def normalize_separators(text: str) -> str:
+    return text.replace('-', '_')
+
+
+def make_alphanumeric(text: str) -> str:
+    """Strip non-alphanumerics; keep original if result ≤ 2 chars (reference string.py:32-34)."""
+    text_alphanum = _NON_ALNUM_RE.sub('', text)
+    return text_alphanum if len(text_alphanum) > 2 else text
+
+
+def transfer_word_casing(source_word: str, target_word: str) -> str:
+    """Apply source word's per-char casing onto target (reference string.py:16-25)."""
+    out = []
+    for idx, c in enumerate(target_word):
+        if idx >= len(source_word):
+            out.append(c)
+        elif source_word[idx].isupper():
+            out.append(c.upper())
+        else:
+            out.append(c.lower())
+    return ''.join(out)
+
+
+def remove_bracket_content(text: str, bracket_type: str = '(', substitute: str = ' ') -> str:
+    """Remove bracketed content (reference nlp.py:76-86)."""
+    return _BRACKET_PATTERNS[bracket_type].sub(substitute, text)
+
+
+def remove_by_phrase(text: str) -> str:
+    """Drop a trailing organisational by-phrase: 'People by country' -> 'People'.
+
+    Deterministic regex stand-in for the reference's spaCy-based
+    remove_by_phrase (nlp.py:129-140).
+    """
+    return _BY_PHRASE_RE.sub('', text)
+
+
+def get_canonical_label(text: str) -> str:
+    """Strip Wikipedia organisational suffixes (reference nlp.py:89-101)."""
+    text = remove_by_phrase(text)
+    for rx in _CANONICAL_RES:
+        text = rx.sub('', text)
+    return regularize_spaces(text).rstrip(',')
+
+
+def normalize_surface(text: str) -> str:
+    """Canonical key for surface-form grouping: lower + space-collapse + alnum.
+
+    This is the groupby key of the canonicalization shuffle (north star);
+    analogue of reference lexical.py:47 (unidecode+lower) + string.py:32-34.
+    """
+    text = text.lower()
+    text = _NON_ALNUM_RE.sub('', text)
+    return ' '.join(text.split())
+
+
+def is_valid_entity_label(label: str) -> bool:
+    """len>2 and not purely numeric (reference mention_detection/__init__.py:111-112)."""
+    return len(label) > 2 and not _NUMERIC_RE.match(label)
+
+
+def tokenize(text: str) -> List[str]:
+    """Deterministic tokenization: word chars or single symbols."""
+    return _TOKEN_RE.findall(text)
+
+
+def tokenize_with_ws(text: str) -> Tuple[List[str], List[str]]:
+    """Tokens plus the whitespace following each token (reconstruction-safe).
+
+    Analogue of reference get_tokens_and_whitespaces_from_text
+    (impl/util/spacy/__init__.py).
+    """
+    tokens, whitespaces = [], []
+    pos = 0
+    for m in _TOKEN_RE.finditer(text):
+        if tokens:
+            whitespaces.append(text[pos:m.start()])
+        tokens.append(m.group(0))
+        pos = m.end()
+    if tokens:
+        whitespaces.append(text[pos:])
+    return tokens, whitespaces
+
+
+# --- vectorized variants for map_batches hot paths ---
+
+def normalize_surface_array(arr: pa.Array) -> pa.Array:
+    """Vectorized normalize_surface over a pyarrow string array."""
+    lowered = pc.utf8_lower(arr)
+    alnum = pc.replace_substring_regex(lowered, pattern=r"[^a-z0-9 ]+", replacement="")
+    collapsed = pc.replace_substring_regex(alnum, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(collapsed)
+
+
+def canonical_label_array(arr: pa.Array) -> pa.Array:
+    """Vectorized get_canonical_label (regex chain kept in exact order)."""
+    out = pc.replace_substring_regex(arr, pattern="(?i)" + _BY_PHRASE_RE.pattern, replacement="")
+    for rx in _CANONICAL_RES:
+        out = pc.replace_substring_regex(out, pattern=rx.pattern, replacement="")
+    out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
+    out = pc.utf8_trim_whitespace(out)
+    return pc.replace_substring_regex(out, pattern=r",+$", replacement="")

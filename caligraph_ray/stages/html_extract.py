@@ -1,0 +1,467 @@
+"""Deterministic HTML→text extraction + listing/structure detection.
+
+Ray-Data-first analogue of the reference's markup pipeline
+(impl/wikipedia/page_parser.py:224-516 + wikimarkup_parser.py:10-19):
+
+* ``extract_text``        — the per-row invariant: byte-identical plaintext
+                            per url (M1 pre-clean + M6 plaintext squeeze).
+* ``parse_page``          — listing/table/section/category detection with the
+                            reference's validity rules (M2-M9): enums need ≥3
+                            entries, tables need ≥3 data rows and 2..100
+                            columns, meta top-sections are dropped, pages
+                            without valid listings are filtered.
+* ``PageParser``          — the map_batches actor: html batch in → flat
+                            item-level rows out (one row per listing item,
+                            keyed (url, listing_idx, item_idx)) — flattening
+                            early keeps blocks narrow at 10^12-page scale.
+
+The HTML subset spec matches caligraph_ray/corpus.py; text extraction rules:
+script/style/comment/ref-sup removal → &nbsp;/<br> to space → block tags to
+newline → inline tags dropped → entity unescape → per-line space collapse +
+strip, empty lines dropped → final strip(" '\\t\\n").
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import (MAX_TABLE_COLS, MIN_ENUM_ENTRIES, MIN_TABLE_COLS,
+                      MIN_TABLE_ROWS, META_SECTIONS, PARSE_BATCH_SIZE)
+from ..functions.hashing import stable_hash64
+from ..functions.strings import tokenize
+
+_SCRIPT_RE = re.compile(r'<script\b.*?</script>', re.S | re.I)
+_STYLE_RE = re.compile(r'<style\b.*?</style>', re.S | re.I)
+_COMMENT_RE = re.compile(r'<!--.*?-->', re.S)
+_REF_SUP_RE = re.compile(r'<sup class="reference">.*?</sup>', re.S)
+_BR_RE = re.compile(r'<br\s*/?>', re.I)
+_BLOCK_TAG_RE = re.compile(
+    r'</?(?:p|ul|ol|li|table|tr|td|th|h[1-6]|div|html|body|head|title|caption)\b[^>]*>', re.I)
+_ANY_TAG_RE = re.compile(r'<[^>]+>')
+_SPACE_RE = re.compile(r'[ \t]+')
+
+_ENTITIES = [('&amp;', '&'), ('&lt;', '<'), ('&gt;', '>'), ('&quot;', '"'), ('&#39;', "'")]
+
+_HEADING_RE = re.compile(r'<h([1-6])>(.*?)</h\1>', re.S)
+_ANCHOR_RE = re.compile(r'<a href="/wiki/([^"]+)">(.*?)</a>', re.S)
+_TABLE_RE = re.compile(r'<table\b[^>]*>(.*?)</table>', re.S | re.I)
+_TR_RE = re.compile(r'<tr>(.*?)</tr>', re.S)
+_CELL_RE = re.compile(r'<(t[dh])>(.*?)</t[dh]>', re.S)
+_CATDIV_RE = re.compile(r'<div id="catlinks">(.*?)</div>', re.S)
+
+
+def _pre_clean(s: str) -> str:
+    """M1 analogue (reference page_parser.py:224-251): junk removal +
+    whitespace-entity normalization, shared by text and structure paths."""
+    s = _SCRIPT_RE.sub(' ', s)
+    s = _STYLE_RE.sub(' ', s)
+    s = _COMMENT_RE.sub(' ', s)
+    s = _REF_SUP_RE.sub('', s)
+    s = s.replace('&nbsp;', ' ')
+    s = _BR_RE.sub(' ', s)
+    return s
+
+
+def _unescape(s: str) -> str:
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return s
+
+
+def extract_text(html: bytes) -> str:
+    """Byte-identical plaintext per url (the north-star per-row invariant)."""
+    s = html.decode('utf-8', errors='replace')
+    s = _pre_clean(s)
+    s = _BLOCK_TAG_RE.sub('\n', s)
+    s = _ANY_TAG_RE.sub('', s)
+    s = _unescape(s)
+    s = _SPACE_RE.sub(' ', s)
+    lines = [ln.strip() for ln in s.split('\n')]
+    return '\n'.join(ln for ln in lines if ln).strip(" '\t\n")
+
+
+def _inline_to_text(fragment: str) -> str:
+    """Inline HTML fragment → plain text (tags dropped, entities unescaped)."""
+    s = _ANY_TAG_RE.sub('', fragment)
+    s = _unescape(s)
+    return _SPACE_RE.sub(' ', s).strip()
+
+
+def _anchors(fragment: str) -> List[Tuple[str, str]]:
+    """(target_name, label) pairs; File:/Image:/Category: targets skipped
+    (reference wikimarkup_parser.py:34-47 semantics: label falls back to
+    target, language-tag handling not needed in this HTML subset)."""
+    out = []
+    for m in _ANCHOR_RE.finditer(fragment):
+        target, label = m.group(1), _inline_to_text(m.group(2))
+        if target.startswith(('File:', 'Image:', 'Category:')):
+            continue
+        name = target.replace('_', ' ')
+        if not label:
+            label = name
+        out.append((name, label))
+    return out
+
+
+@dataclass
+class Mention:
+    name: Optional[str]   # linked entity name; None → unlinked (NER-style)
+    label: str
+    start: int            # token span [start, end)
+    end: int
+
+
+@dataclass
+class Item:
+    item_idx: int
+    depth: int
+    is_leaf: bool
+    text: str
+    tokens: List[str]
+    mentions: List[Mention] = field(default_factory=list)
+
+
+@dataclass
+class Listing:
+    listing_idx: int
+    ltype: str            # 'enum' | 'table'
+    topsection: str
+    section: str
+    items: List[Item]
+    header_tokens: List[str] = field(default_factory=list)
+
+
+@dataclass
+class ParsedPage:
+    url: str
+    title: str
+    listings: List[Listing]
+    categories: List[str]
+
+
+def _locate_mentions(tokens: List[str], anchors: List[Tuple[str, str]]) -> List[Mention]:
+    """Assign token spans to anchor mentions, first-match scanning from the
+    current index (reference page_parser.py:434-455 semantics)."""
+    mentions: List[Mention] = []
+    current = 0
+    for name, label in anchors:
+        mtoks = tokenize(label)
+        if not mtoks:
+            continue
+        start = current
+        while True:
+            try:
+                start = tokens.index(mtoks[0], start)
+            except ValueError:
+                break
+            end = start + len(mtoks)
+            if tokens[start:end] != mtoks:
+                start += 1
+                continue
+            mentions.append(Mention(name, label, start, end))
+            current = end
+            break
+    return mentions
+
+
+def _expand_mentions(tokens: List[str], mentions: List[Mention],
+                     label_index: Dict[str, List[Tuple[List[str], str, str]]]) -> List[Mention]:
+    """Mention expansion: re-find page-known labels at unlinked positions
+    (reference page_parser.py:456-483). label_index: first_token →
+    [(label_tokens, label, entity_name)] sorted by label length desc."""
+    covered = set()
+    for m in mentions:
+        covered.update(range(m.start, m.end))
+    out = list(mentions)
+    for idx, tok in enumerate(tokens):
+        if idx in covered or tok not in label_index:
+            continue
+        for ltoks, label, name in label_index[tok]:
+            end = idx + len(ltoks)
+            if tokens[idx:end] == ltoks:
+                out.append(Mention(name, label, idx, end))
+                covered.update(range(idx, end))
+                break
+    return sorted(out, key=lambda m: m.start)
+
+
+def _build_label_index(page_anchors: List[Tuple[str, str]], title: str):
+    """Page-level label→entity map indexed by first token, longest-first
+    (reference page_parser.py:310-323)."""
+    label_to_name: Dict[str, str] = {}
+    for name, label in page_anchors:
+        label_to_name.setdefault(label, name)
+    label_to_name.setdefault(title, title)
+    index: Dict[str, List[Tuple[List[str], str, str]]] = {}
+    for label, name in label_to_name.items():
+        ltoks = tokenize(label)
+        if not ltoks:
+            continue
+        index.setdefault(ltoks[0], []).append((ltoks, label, name))
+    for k in index:
+        index[k].sort(key=lambda x: len(x[0]), reverse=True)
+    return index
+
+
+def _parse_enum_block(block: str) -> List[Tuple[int, str]]:
+    """One top-level <ul>/<ol> block → [(depth, inline_html)] per <li>."""
+    items = []
+    # scan structure: track ul/ol depth; capture li content up to next tag-boundary
+    tokens = re.split(r'(</?(?:ul|ol|li)\b[^>]*>)', block)
+    depth = 0
+    current_li: Optional[List[str]] = None
+    cur_depth = 0
+    for t in tokens:
+        low = t.lower()
+        if low.startswith('<ul') or low.startswith('<ol'):
+            if current_li is not None:
+                items.append((cur_depth, ''.join(current_li)))
+                current_li = None
+            depth += 1
+        elif low.startswith('</ul') or low.startswith('</ol'):
+            if current_li is not None:
+                items.append((cur_depth, ''.join(current_li)))
+                current_li = None
+            depth -= 1
+        elif low.startswith('<li'):
+            if current_li is not None:
+                items.append((cur_depth, ''.join(current_li)))
+            current_li = []
+            cur_depth = depth
+        elif low.startswith('</li'):
+            if current_li is not None:
+                items.append((cur_depth, ''.join(current_li)))
+                current_li = None
+        elif current_li is not None:
+            current_li.append(t)
+    if current_li is not None:
+        items.append((cur_depth, ''.join(current_li)))
+    return items
+
+
+def _top_level_list_blocks(fragment: str) -> List[str]:
+    """Balanced top-level <ul>/<ol>…</ul>/<ol> spans within a section."""
+    blocks = []
+    depth = 0
+    start = None
+    for m in re.finditer(r'<(/?)(ul|ol)\b[^>]*>', fragment, re.I):
+        closing = m.group(1) == '/'
+        if not closing:
+            if depth == 0:
+                start = m.start()
+            depth += 1
+        else:
+            depth -= 1
+            if depth == 0 and start is not None:
+                blocks.append(fragment[start:m.end()])
+                start = None
+    return blocks
+
+
+def parse_page(url: str, html: bytes) -> Optional[ParsedPage]:
+    """Full structure parse; returns None for pages without valid listings
+    (usefulness filter, reference page_parser.py:254-258)."""
+    s = _pre_clean(html.decode('utf-8', errors='replace'))
+
+    title_m = re.search(r'<title>(.*?)</title>', s, re.S)
+    title = _inline_to_text(title_m.group(1)) if title_m else url.rsplit('/', 1)[-1].replace('_', ' ')
+
+    categories = []
+    cat_m = _CATDIV_RE.search(s)
+    if cat_m:
+        for m in _ANCHOR_RE.finditer(cat_m.group(1)):
+            if m.group(1).startswith('Category:'):
+                categories.append(m.group(1)[len('Category:'):].replace('_', ' '))
+    body = _CATDIV_RE.sub('', s)
+
+    label_index = _build_label_index(_anchors(body), title)
+
+    # section segmentation
+    headings = [(m.start(), m.end(), int(m.group(1)), _inline_to_text(m.group(2)))
+                for m in _HEADING_RE.finditer(body)]
+    sections: List[Tuple[str, str, str]] = []  # (topsection, section, fragment)
+    topsection = 'Main'
+    prev_end, prev_title = 0, 'Main'
+    prev_top = 'Main'
+    segs = []
+    for (st, en, level, htitle) in headings + [(len(body), len(body), 1, '')]:
+        segs.append((prev_top, prev_title, body[prev_end:st]))
+        if level <= 2:
+            topsection = htitle
+        prev_top, prev_title, prev_end = topsection, htitle, en
+    for top, sec, frag in segs:
+        sections.append((top, sec, frag))
+
+    listings: List[Listing] = []
+    listing_idx = 0
+    for top, sec, frag in sections:
+        if top.lower() in META_SECTIONS:
+            continue  # drop listings under meta top-sections (page_parser.py:344)
+        for block in _top_level_list_blocks(frag):
+            raw_items = _parse_enum_block(block)
+            items: List[Item] = []
+            for i, (depth, inline) in enumerate(raw_items):
+                text = _inline_to_text(inline)
+                toks = tokenize(text)
+                ms = _locate_mentions(toks, _anchors(inline))
+                ms = _expand_mentions(toks, ms, label_index)
+                is_leaf = (i + 1 >= len(raw_items)) or (raw_items[i + 1][0] <= depth)
+                items.append(Item(i, depth, is_leaf, text, toks, ms))
+            if len(items) < MIN_ENUM_ENTRIES:
+                continue
+            listings.append(Listing(listing_idx, 'enum', top, sec, items))
+            listing_idx += 1
+        for tm in _TABLE_RE.finditer(frag):
+            tbl = _parse_table(tm.group(1), label_index)
+            if tbl is None:
+                continue
+            header_tokens, rows = tbl
+            listings.append(Listing(listing_idx, 'table', top, sec, rows, header_tokens))
+            listing_idx += 1
+
+    if not listings:
+        return None
+    return ParsedPage(url, title, listings, categories)
+
+
+def _parse_table(inner: str, label_index) -> Optional[Tuple[List[str], List[Item]]]:
+    """Reference table rules (page_parser.py:382-413): cols in [2,100] for
+    every row else drop table; header = row 0 or any-<th> row; ≥3 data rows."""
+    header_tokens: List[str] = []
+    rows: List[Item] = []
+    row_idx = 0
+    for rm in _TR_RE.finditer(inner):
+        cells = _CELL_RE.findall(rm.group(1))
+        if not cells:
+            continue
+        if len(cells) < MIN_TABLE_COLS or len(cells) > MAX_TABLE_COLS:
+            return None
+        is_header = row_idx == 0 or any(kind == 'th' for kind, _ in cells)
+        toks: List[str] = []
+        mentions: List[Mention] = []
+        texts: List[str] = []
+        for _, cell_html in cells:
+            cell_text = _inline_to_text(cell_html)
+            cell_toks = tokenize(cell_text)
+            cms = _locate_mentions(cell_toks, _anchors(cell_html))
+            off = len(toks)
+            for m in cms:
+                mentions.append(Mention(m.name, m.label, m.start + off, m.end + off))
+            toks.extend(cell_toks)
+            texts.append(cell_text)
+        if is_header:
+            header_tokens = toks
+        else:
+            mentions = _expand_mentions(toks, mentions, label_index)
+            rows.append(Item(len(rows), 1, True, ' '.join(texts), toks, mentions))
+        row_idx += 1
+    if len(rows) < MIN_TABLE_ROWS:
+        return None
+    return header_tokens, rows
+
+
+# --- Ray stages ------------------------------------------------------------
+
+MENTION_TYPE = pa.struct([('name', pa.string()), ('label', pa.string()),
+                          ('start', pa.int32()), ('end', pa.int32())])
+
+ITEMS_SCHEMA = pa.schema([
+    ('url', pa.string()),
+    ('page_id', pa.int64()),
+    ('page_title', pa.string()),
+    ('listing_idx', pa.int32()),
+    ('ltype', pa.string()),
+    ('topsection', pa.string()),
+    ('section', pa.string()),
+    ('header', pa.list_(pa.string())),
+    ('item_idx', pa.int32()),
+    ('depth', pa.int8()),
+    ('is_leaf', pa.bool_()),
+    ('text', pa.string()),
+    ('tokens', pa.list_(pa.string())),
+    ('mentions', pa.list_(MENTION_TYPE)),
+])
+
+CATS_SCHEMA = pa.schema([('url', pa.string()), ('page_id', pa.int64()), ('cat_name', pa.string())])
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """map_batches fn: html → extracted_text column appended (pyarrow in/out)."""
+    html_col = batch.column('html').to_pylist()
+    texts = pa.array([extract_text(h) for h in html_col], type=pa.string())
+    return batch.append_column('extracted_text', texts)
+
+
+class PageParser:
+    """Actor-pool stage: pages batch → flat item rows (ITEMS_SCHEMA).
+
+    Stateless apart from compiled module-level regexes, but run as a callable
+    class so per-actor setup stays the pattern for heavier parser state.
+    Per-row try/except keeps the reference's drop-bad-pages semantics
+    (page_parser.py:287-301) without failing whole Ray blocks; drops are
+    counted in the ``_parse_errors`` attribute and surfaced via lineage.
+    """
+
+    def __init__(self, emit_categories: bool = False):
+        self.emit_categories = emit_categories
+        self._parse_errors = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column('url').to_pylist()
+        htmls = batch.column('html').to_pylist()
+        cols = {name: [] for name in ITEMS_SCHEMA.names}
+        cat_cols = {'url': [], 'page_id': [], 'cat_name': []}
+        for url, html in zip(urls, htmls):
+            try:
+                page = parse_page(url, html)
+            except Exception:
+                self._parse_errors += 1
+                continue
+            if page is None:
+                continue
+            pid = stable_hash64(url)
+            for cat in page.categories:
+                cat_cols['url'].append(url)
+                cat_cols['page_id'].append(pid)
+                cat_cols['cat_name'].append(cat)
+            for lst in page.listings:
+                for item in lst.items:
+                    cols['url'].append(url)
+                    cols['page_id'].append(pid)
+                    cols['page_title'].append(page.title)
+                    cols['listing_idx'].append(lst.listing_idx)
+                    cols['ltype'].append(lst.ltype)
+                    cols['topsection'].append(lst.topsection)
+                    cols['section'].append(lst.section)
+                    cols['header'].append(lst.header_tokens)
+                    cols['item_idx'].append(item.item_idx)
+                    cols['depth'].append(item.depth)
+                    cols['is_leaf'].append(item.is_leaf)
+                    cols['text'].append(item.text)
+                    cols['tokens'].append(item.tokens)
+                    cols['mentions'].append([
+                        {'name': m.name, 'label': m.label, 'start': m.start, 'end': m.end}
+                        for m in item.mentions])
+        if self.emit_categories:
+            return pa.Table.from_pydict(cat_cols, schema=CATS_SCHEMA)
+        return pa.Table.from_pydict(cols, schema=ITEMS_SCHEMA)
+
+
+def parse_items(pages_ds, concurrency: Optional[int] = None):
+    """pages Dataset → item rows Dataset (the engine's core parse stage)."""
+    return pages_ds.map_batches(
+        PageParser, batch_format='pyarrow', batch_size=PARSE_BATCH_SIZE,
+        concurrency=concurrency or 4)
+
+
+def parse_categories(pages_ds, concurrency: Optional[int] = None):
+    """pages Dataset → (url, page_id, cat_name) rows."""
+    return pages_ds.map_batches(
+        PageParser, fn_constructor_kwargs={'emit_categories': True},
+        batch_format='pyarrow', batch_size=PARSE_BATCH_SIZE,
+        concurrency=concurrency or 4)
