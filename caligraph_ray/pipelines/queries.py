@@ -1,0 +1,524 @@
+"""Query registry backing __ray_entry__.queries()/oracle_sql().
+
+One entry per operator family from SURVEY.md §2, each running the real
+library stage over the driver testdata tables and paired (where
+SQL-expressible) with a DuckDB oracle. Column names and rounding are kept
+identical on both sides: float *sums* land on value grids → round() is safe;
+exact *ratios* can land on round-half midpoints (Python banker's vs DuckDB
+half-away) → floor-scaling (`floor(x*1e6)/1e6`) is used instead.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..stages import relational as rel
+from ..stages import textstats as ts
+from ..stages import dedup as dd
+from ..stages import similarity as sim
+from ..stages.alias import alias_counts, explode_mentions
+from ..stages.canonicalize import connected_components
+from ..stages.html_extract import parse_items
+from ..pipelines.flagship import (LINKED_VOCAB, MIN_DOC_TOKENS,
+                                  documents_to_pages, run_flagship_on_documents)
+
+
+def _floor6(x: float) -> float:
+    return math.floor(x * 1_000_000) / 1_000_000
+
+
+_STOP_SQL = "({})".format(", ".join(f"'{w}'" for w in sorted(ts.EN_STOPWORDS)))
+_VOCAB_SQL = "({})".format(", ".join(f"'{w}'" for w in LINKED_VOCAB))
+
+
+# --- relational family ------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """A6-style grouped aggregate with partial combine (TPC-H Q1 shape)."""
+    from ray.data.aggregate import Sum, Count, Mean
+    ds = rel.read_table(sf_dir, 'lineitem',
+                        ['l_returnflag', 'l_linestatus', 'l_quantity', 'l_extendedprice'])
+    out = ds.groupby(['l_returnflag', 'l_linestatus']).aggregate(
+        Sum('l_quantity', alias_name='sum_qty'),
+        Sum('l_extendedprice', alias_name='sum_price'),
+        Mean('l_quantity', alias_name='avg_qty'),
+        Count(alias_name='count_order'))
+    df = out.to_pandas()
+    df['sum_qty'] = df['sum_qty'].round(2)
+    df['sum_price'] = df['sum_price'].round(2)
+    df['avg_qty'] = df['avg_qty'].round(4)
+    return df
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Broadcast dimension join (J2/J4): orders ⋈ customer ⋈ nation."""
+    cust = rel.read_table(sf_dir, 'customer', ['c_custkey', 'c_nationkey']).to_pandas()
+    nation = rel.read_table(sf_dir, 'nation', ['n_nationkey', 'n_name']).to_pandas()
+    dim = cust.merge(nation, left_on='c_nationkey', right_on='n_nationkey')[['c_custkey', 'n_name']]
+    orders = rel.read_table(sf_dir, 'orders', ['o_custkey', 'o_totalprice'])
+    joined = rel.broadcast_join(orders, dim, left_on='o_custkey', right_on='c_custkey')
+    out = rel.two_phase_sum(joined, ['n_name'], 'o_totalprice', alias='revenue').to_pandas()
+    out['revenue'] = out['revenue'].round(2)
+    return out
+
+
+SQL_REVENUE = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti join via broadcast key set (J3, extract.py:286-289)."""
+    order_keys = rel.read_table(sf_dir, 'orders', ['o_custkey']).unique('o_custkey')
+    cust = rel.read_table(sf_dir, 'customer', ['c_custkey'])
+    out = rel.semi_anti_join(cust, order_keys, 'c_custkey', anti=True).to_pandas()
+    if out.empty:  # keep schema on empty results
+        out = pd.DataFrame({'c_custkey': pd.Series(dtype='int64')})
+    return out
+
+
+SQL_NO_ORDERS = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_semi_join_large_parts(sf_dir: str):
+    """Semi join via broadcast key set + two-phase sum."""
+    part_keys = rel.read_table(sf_dir, 'part', ['p_partkey', 'p_size']) \
+        .filter(lambda r: r['p_size'] >= 40).unique('p_partkey')
+    li = rel.read_table(sf_dir, 'lineitem', ['l_partkey', 'l_quantity'])
+    semi = rel.semi_anti_join(li, part_keys, 'l_partkey', anti=False)
+    out = rel.two_phase_sum(semi, ['l_partkey'], 'l_quantity', alias='total_qty').to_pandas()
+    out['total_qty'] = out['total_qty'].round(2)
+    return out
+
+
+SQL_SEMI_PARTS = """
+SELECT l_partkey, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+GROUP BY l_partkey
+"""
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Per-group top-k (O1)."""
+    docs = rel.read_table(sf_dir, 'documents', ['lang', 'doc_id', 'n_chars'])
+    return rel.topk_per_group(docs, 'lang', ['n_chars', 'doc_id'], [False, True], k=3)
+
+
+SQL_TOP_DOCS = """
+SELECT lang, doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3
+"""
+
+
+def q_mode_priority_per_customer(sf_dir: str):
+    """Mode per group (O3 Counter.most_common), ties → lexicographic min."""
+    orders = rel.read_table(sf_dir, 'orders', ['o_custkey', 'o_orderpriority'])
+    return rel.mode_per_group(orders, 'o_custkey', 'o_orderpriority', alias='mode_priority')
+
+
+SQL_MODE_PRIORITY = """
+SELECT o_custkey, o_orderpriority AS mode_priority FROM (
+    SELECT o_custkey, o_orderpriority, count(*) AS cnt
+    FROM orders GROUP BY o_custkey, o_orderpriority)
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY cnt DESC, o_orderpriority) = 1
+"""
+
+
+def q_distinct_lang_source(sf_dir: str):
+    """Exact distinct (A14/D1) via two-phase groupby."""
+    docs = rel.read_table(sf_dir, 'documents', ['lang', 'source'])
+    return rel.two_phase_count(docs, ['lang', 'source'], alias='cnt') \
+        .drop_columns(['cnt'])
+
+
+SQL_DISTINCT = "SELECT DISTINCT lang, source FROM documents"
+
+
+def q_functional_event_types(sf_dir: str):
+    """Functional-predicate heuristic (A12, heuristics.py:163-184)."""
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'user_id'])
+    return rel.functional_keys(ev, 'event_type', 'user_id')
+
+
+SQL_FUNCTIONAL = """
+SELECT event_type, count(*) AS n_subjects,
+       round(count(*) FILTER (n = 1) * 1.0 / count(*), 6) AS functional_ratio
+FROM (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY event_type, user_id)
+GROUP BY event_type
+"""
+
+
+def q_hourly_user_activity(sf_dir: str):
+    """Tumbling-window aggregate over the events log (§2.9 stream analogue)."""
+    ev = rel.read_table(sf_dir, 'events', ['user_id', 'ts', 'value'])
+
+    def add_hour(batch: pd.DataFrame) -> pd.DataFrame:
+        batch['hour'] = batch['ts'].dt.floor('h')
+        return batch[['user_id', 'hour', 'value']]
+
+    hourly = ev.map_batches(add_hour, batch_format='pandas')
+    from ray.data.aggregate import Sum, Count
+    out = hourly.groupby(['user_id', 'hour']).aggregate(
+        Count(alias_name='n_events'), Sum('value', alias_name='total_value')).to_pandas()
+    out['total_value'] = out['total_value'].round(2)
+    return out
+
+
+SQL_HOURLY = """
+SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+def q_two_level_priority_stats(sf_dir: str):
+    """Two-level aggregation (A6/A7, extract.py:90-147): per-(priority,
+    customer) counts, then per-priority stats over those counts."""
+    orders = rel.read_table(sf_dir, 'orders', ['o_orderpriority', 'o_custkey'])
+    per_cust = rel.two_phase_count(orders, ['o_orderpriority', 'o_custkey'], alias='n')
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'o_orderpriority': [g.iloc[0]['o_orderpriority']],
+            'n_customers': [len(g)],
+            'avg_orders_per_customer': [_floor6(float(g['n'].sum()) / len(g))],
+            'max_orders': [int(g['n'].max())],
+        })
+
+    return per_cust.groupby('o_orderpriority').map_groups(stats, batch_format='pandas')
+
+
+SQL_TWO_LEVEL = """
+SELECT o_orderpriority, count(*) AS n_customers,
+       floor((sum(n) * 1.0 / count(*)) * 1000000) / 1000000 AS avg_orders_per_customer,
+       max(n) AS max_orders
+FROM (SELECT o_orderpriority, o_custkey, count(*) AS n FROM orders GROUP BY 1, 2)
+GROUP BY o_orderpriority
+"""
+
+
+# --- text family ------------------------------------------------------------
+
+def q_token_frequencies(sf_dir: str):
+    """Surface-form frequency build (A2) over documents tokens, freq ≥ 5."""
+    docs = rel.read_table(sf_dir, 'documents', ['text'])
+    out = ts.token_counts(docs)
+    return out.filter(lambda r: r['freq'] >= 5)
+
+
+SQL_TOKEN_FREQ = """
+SELECT token, count(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> '' GROUP BY token HAVING count(*) >= 5
+"""
+
+
+def q_frequent_labels(sf_dir: str):
+    """Too-frequent unknown-label filter (A13/M20): valid entity labels
+    (len>2, non-numeric) with freq > 50."""
+    from ..functions.strings import is_valid_entity_label
+    docs = rel.read_table(sf_dir, 'documents', ['text'])
+    out = ts.token_counts(docs, min_len=3)
+    return out.filter(lambda r: r['freq'] > 50 and is_valid_entity_label(r['token']))
+
+
+SQL_FREQ_LABELS = """
+SELECT token, count(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE length(token) > 2 AND NOT regexp_matches(token, '^[0-9]+([.,][0-9]+)*$')
+GROUP BY token HAVING count(*) > 50
+"""
+
+
+def q_bigram_counts(sf_dir: str):
+    """Adjacent-pair counts (A1 hypernym-pair analogue), freq ≥ 10."""
+    docs = rel.read_table(sf_dir, 'documents', ['text'])
+    return ts.bigram_counts(docs).filter(lambda r: r['freq'] >= 10)
+
+
+SQL_BIGRAMS = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents)
+SELECT t1.tok AS w1, t2.tok AS w2, count(*) AS freq
+FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+GROUP BY t1.tok, t2.tok HAVING count(*) >= 10
+"""
+
+
+def q_quality_scores(sf_dir: str):
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(batch['doc_id'], batch['text']):
+            toks = [t for t in text.split(' ') if t]
+            n = len(toks)
+            rows.append({
+                'doc_id': doc_id, 'n_tokens': n, 'n_uniq_tokens': len(set(toks)),
+                'avg_token_len': _floor6(sum(map(len, toks)) / n) if n else 0.0,
+                'stopword_ratio': _floor6(sum(t in ts.EN_STOPWORDS for t in toks) / n) if n else 0.0,
+            })
+        return pd.DataFrame(rows)
+
+    return docs.map_batches(score, batch_format='pandas')
+
+
+SQL_QUALITY = f"""
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents)
+SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq_tokens,
+       floor((list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)) * 1000000) / 1000000 AS avg_token_len,
+       floor((len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks)) * 1000000) / 1000000 AS stopword_ratio
+FROM t
+"""
+
+
+def q_lang_id(sf_dir: str):
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    return ts.lang_id(docs)
+
+
+SQL_LANG_ID = f"""
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN len(toks) > 0 AND
+                 len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks) >= 0.05
+            THEN 'en' ELSE 'unknown' END AS pred_lang
+FROM t
+"""
+
+
+# --- dedup family -----------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    return dd.exact_dedup(docs)
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS rep_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-dup groups (rows-only check; verified by pytest
+    goldens against exact n-gram Jaccard)."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    pairs = dd.minhash_candidate_pairs(docs)
+    return dd.pairs_to_groups(pairs)
+
+
+def q_simhash_pairs(sf_dir: str):
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    return dd.simhash_dedup_pairs(docs).drop_columns(['score'])
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    out = dd.ngram_jaccard_pairs(docs).to_pandas()
+    if out.empty:
+        return pd.DataFrame({'a': pd.Series(dtype='int64'), 'b': pd.Series(dtype='int64')})
+    return out[['a', 'b']]
+
+
+def q_embedding_near_dups(sf_dir: str, threshold: float = 0.45):
+    emb = rel.read_table(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    out = dd.embedding_near_dup_pairs(emb, threshold=threshold).to_pandas()
+    return out[['a', 'b']] if not out.empty else \
+        pd.DataFrame({'a': pd.Series(dtype='int64'), 'b': pd.Series(dtype='int64')})
+
+
+SQL_EMB_DUPS = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
+def q_doc_fingerprints(sf_dir: str):
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    return ts.fingerprints(docs)
+
+
+# --- similarity search ------------------------------------------------------
+
+def q_knn_topk(sf_dir: str):
+    """Exact brute-force cosine top-10 for query vectors vec_id 0..2."""
+    emb = rel.read_table(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    qrows = emb.filter(lambda r: r['vec_id'] in (0, 1, 2)).take_all()
+    qrows.sort(key=lambda r: r['vec_id'])
+    qvecs = np.stack([np.asarray(r['embedding'], dtype=np.float64) for r in qrows])
+    df = sim.brute_force_topk(emb, qvecs, k=10, round_decimals=4)
+    return df
+
+
+SQL_KNN = """
+WITH q AS (SELECT vec_id AS query_idx, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN (0, 1, 2))
+SELECT q.query_idx, e.vec_id,
+       round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 4) AS score
+FROM q CROSS JOIN embeddings e
+QUALIFY row_number() OVER (PARTITION BY q.query_idx
+                           ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                                    e.vec_id) <= 10
+"""
+
+
+def q_lsh_topk(sf_dir: str):
+    """Approximate LSH top-k (rows-only; recall measured in pytest)."""
+    emb = rel.read_table(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    qrows = emb.filter(lambda r: r['vec_id'] in (0, 1, 2)).take_all()
+    qrows.sort(key=lambda r: r['vec_id'])
+    qvecs = np.stack([np.asarray(r['embedding'], dtype=np.float64) for r in qrows])
+    return sim.lsh_topk(emb, qvecs, k=10)
+
+
+# --- graph / KG family ------------------------------------------------------
+
+def q_user_components(sf_dir: str):
+    """Connected components (D4): users linked via shared event_type (star
+    edges to the min user per type), CC via distributed contraction."""
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'user_id'])
+    pairs = rel.two_phase_count(ev, ['event_type', 'user_id'], alias='cnt') \
+        .drop_columns(['cnt'])
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        users = np.sort(g['user_id'].unique())
+        rep = users[0]
+        return pd.DataFrame({'src': np.full(len(users), rep, dtype=np.int64),
+                             'dst': users.astype(np.int64)})
+
+    edges = pairs.groupby('event_type').map_groups(star, batch_format='pandas')
+    labels = connected_components(edges)
+    all_users = ev.unique('user_id')
+    rows = sorted((int(u), int(labels.get(int(u), int(u)))) for u in all_users)
+    return pd.DataFrame({'user_id': [r[0] for r in rows],
+                         'component': [r[1] for r in rows]})
+
+
+SQL_COMPONENTS = """
+WITH RECURSIVE
+edges AS (SELECT DISTINCT user_id AS a,
+                 min(user_id) OVER (PARTITION BY event_type) AS b FROM events),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach AS (SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+SELECT a AS user_id, least(min(b), a) AS component FROM reach GROUP BY a
+"""
+
+
+def q_alias_counts_docs(sf_dir: str):
+    """End-to-end parse gate: documents → rendered pages → full HTML parse →
+    mention explode → alias counts; the SQL oracle recomputes the same
+    (surface, entity, freq) table directly from token statistics."""
+    import ray.data as rd
+    docs = rd.read_parquet(f'{sf_dir}/documents.parquet',
+                           columns=['doc_id', 'text', 'lang', 'source'])
+    pages = documents_to_pages(docs)
+    items = parse_items(pages)
+    mentions = explode_mentions(items)
+    out = alias_counts(mentions).to_pandas()
+    out = out.rename(columns={'name': 'entity'})
+    return out[['norm_surface', 'entity', 'freq']]
+
+
+SQL_ALIAS_COUNTS = f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= {MIN_DOC_TOKENS})
+SELECT tok AS norm_surface,
+       upper(substr(tok, 1, 1)) || substr(tok, 2) AS entity,
+       count(*) AS freq
+FROM toks WHERE tok IN {_VOCAB_SQL}
+GROUP BY tok
+"""
+
+
+def q_flagship_triples(sf_dir: str):
+    """Full KG pipeline over the driver documents (rows-only check; P/R
+    goldens live in tests/test_flagship.py)."""
+    return run_flagship_on_documents(sf_dir)
+
+
+# --- registry ---------------------------------------------------------------
+
+QUERIES: Dict[str, Callable[[str], object]] = {
+    'pricing_summary': q_pricing_summary,
+    'revenue_by_nation': q_revenue_by_nation,
+    'customers_without_orders': q_customers_without_orders,
+    'semi_join_large_parts': q_semi_join_large_parts,
+    'top_docs_per_lang': q_top_docs_per_lang,
+    'mode_priority_per_customer': q_mode_priority_per_customer,
+    'distinct_lang_source': q_distinct_lang_source,
+    'functional_event_types': q_functional_event_types,
+    'hourly_user_activity': q_hourly_user_activity,
+    'two_level_priority_stats': q_two_level_priority_stats,
+    'token_frequencies': q_token_frequencies,
+    'frequent_labels': q_frequent_labels,
+    'bigram_counts': q_bigram_counts,
+    'quality_scores': q_quality_scores,
+    'lang_id': q_lang_id,
+    'dedup_exact': q_dedup_exact,
+    'minhash_dedup': q_minhash_dedup,
+    'simhash_pairs': q_simhash_pairs,
+    'ngram_jaccard_pairs': q_ngram_jaccard_pairs,
+    'embedding_near_dups': q_embedding_near_dups,
+    'doc_fingerprints': q_doc_fingerprints,
+    'knn_topk': q_knn_topk,
+    'lsh_topk': q_lsh_topk,
+    'user_components': q_user_components,
+    'alias_counts_docs': q_alias_counts_docs,
+    'flagship_triples': q_flagship_triples,
+}
+
+ORACLES: Dict[str, str] = {
+    'pricing_summary': SQL_PRICING,
+    'revenue_by_nation': SQL_REVENUE,
+    'customers_without_orders': SQL_NO_ORDERS,
+    'semi_join_large_parts': SQL_SEMI_PARTS,
+    'top_docs_per_lang': SQL_TOP_DOCS,
+    'mode_priority_per_customer': SQL_MODE_PRIORITY,
+    'distinct_lang_source': SQL_DISTINCT,
+    'functional_event_types': SQL_FUNCTIONAL,
+    'hourly_user_activity': SQL_HOURLY,
+    'two_level_priority_stats': SQL_TWO_LEVEL,
+    'token_frequencies': SQL_TOKEN_FREQ,
+    'frequent_labels': SQL_FREQ_LABELS,
+    'bigram_counts': SQL_BIGRAMS,
+    'quality_scores': SQL_QUALITY,
+    'lang_id': SQL_LANG_ID,
+    'dedup_exact': SQL_DEDUP_EXACT,
+    'embedding_near_dups': SQL_EMB_DUPS,
+    'knn_topk': SQL_KNN,
+    'user_components': SQL_COMPONENTS,
+    'alias_counts_docs': SQL_ALIAS_COUNTS,
+    # rows-only (non-SQL-expressible): minhash_dedup, simhash_pairs,
+    # ngram_jaccard_pairs, doc_fingerprints, lsh_topk, flagship_triples
+}

@@ -1,0 +1,169 @@
+"""Surface-form alias index + broadcast entity linking (north-star ST9/J1/A2/D2).
+
+Build side (A2, reference impl/dbpedia/resource.py:173-194): count
+(norm_surface, entity) pairs over all wikilink mentions with a two-phase
+aggregate — partial counts inside ``map_batches`` (one row per key per
+batch, bounding shuffle volume by #batches × #distinct-keys-per-batch even
+for head surfaces like 'United States') followed by a small
+``groupby().sum()``. The finished index is a driver dict put in the object
+store ONCE (``ray.put``) and read once per actor — never re-shipped per
+batch.
+
+Lookup side (J1, reference wikimarkup_parser.py:50-59): an actor-pool
+``map_batches`` stage resolving unlinked mentions to their most-frequent
+entity for the surface form.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..config import NEW_ENTITY, TOKEN_BATCH_SIZE
+from ..functions.hashing import stable_hash64
+from ..functions.strings import normalize_surface, is_valid_entity_label
+
+MENTIONS_SCHEMA = pa.schema([
+    ('mention_uid', pa.int64()),
+    ('url', pa.string()),
+    ('page_id', pa.int64()),
+    ('listing_idx', pa.int32()),
+    ('item_idx', pa.int32()),
+    ('mention_idx', pa.int32()),
+    ('name', pa.string()),          # linked target or null
+    ('label', pa.string()),
+    ('norm_surface', pa.string()),
+    ('is_subject', pa.bool_()),     # deterministic subject-entity heuristic
+])
+
+
+def _explode_mentions_batch(batch: pa.Table) -> pa.Table:
+    """Item rows → mention rows. The subject-entity heuristic (deterministic
+    stand-in for the reference's transformer mention detector ST3,
+    mention_detection/__init__.py): the first mention starting at token 0 of
+    a depth-1 item with a valid label is the item's subject entity."""
+    cols = {name: [] for name in MENTIONS_SCHEMA.names}
+    urls = batch.column('url').to_pylist()
+    page_ids = batch.column('page_id').to_pylist()
+    listing_idxs = batch.column('listing_idx').to_pylist()
+    item_idxs = batch.column('item_idx').to_pylist()
+    depths = batch.column('depth').to_pylist()
+    mentions_col = batch.column('mentions').to_pylist()
+    for url, pid, li, ii, depth, mentions in zip(
+            urls, page_ids, listing_idxs, item_idxs, depths, mentions_col):
+        subject_assigned = False
+        for mi, m in enumerate(mentions):
+            label = m['label']
+            is_subj = (not subject_assigned and depth == 1 and m['start'] == 0
+                       and is_valid_entity_label(label))
+            subject_assigned = subject_assigned or is_subj
+            cols['mention_uid'].append(stable_hash64(f'{url}#{li}#{ii}#{mi}'))
+            cols['url'].append(url)
+            cols['page_id'].append(pid)
+            cols['listing_idx'].append(li)
+            cols['item_idx'].append(ii)
+            cols['mention_idx'].append(mi)
+            cols['name'].append(m['name'])
+            cols['label'].append(label)
+            cols['norm_surface'].append(normalize_surface(label))
+            cols['is_subject'].append(is_subj)
+    return pa.Table.from_pydict(cols, schema=MENTIONS_SCHEMA)
+
+
+def explode_mentions(items_ds):
+    """items Dataset → mention rows Dataset (stateless map_batches)."""
+    return items_ds.map_batches(_explode_mentions_batch, batch_format='pyarrow',
+                                batch_size=TOKEN_BATCH_SIZE)
+
+
+def _partial_alias_counts(batch: pa.Table) -> pa.Table:
+    """Phase-1 combiner: per-batch (norm_surface, name) counts."""
+    t = batch.select(['norm_surface', 'name'])
+    t = t.filter(pc.and_kleene(pc.is_valid(t.column('name')),
+                               pc.not_equal(t.column('norm_surface'), pa.scalar(''))))
+    if t.num_rows == 0:
+        return pa.Table.from_pydict({'norm_surface': pa.array([], pa.string()),
+                                     'name': pa.array([], pa.string()),
+                                     'cnt': pa.array([], pa.int64())})
+    grouped = t.group_by(['norm_surface', 'name']).aggregate([([], 'count_all')])
+    return grouped.rename_columns(['norm_surface', 'name', 'cnt'])
+
+
+def alias_counts(mentions_ds):
+    """(norm_surface, name, freq) Dataset via two-phase aggregation."""
+    from ray.data.aggregate import Sum
+    partial = mentions_ds.map_batches(_partial_alias_counts, batch_format='pyarrow',
+                                      batch_size=TOKEN_BATCH_SIZE)
+    return partial.groupby(['norm_surface', 'name']).aggregate(Sum('cnt', alias_name='freq'))
+
+
+AliasIndex = Dict[str, List[Tuple[str, int]]]
+
+
+def build_alias_index(mentions_ds) -> Tuple["ray.ObjectRef", int]:
+    """Collect the (small-dim) alias index to the driver and broadcast it.
+
+    Per-surface entity lists are sorted by (freq desc, name asc) so the
+    argmax is deterministic. At 10^12-page scale the index would be sharded
+    by hash(norm_surface) into K object-store shards with each actor loading
+    only its shard(s); the single-shard path is used below the object-store
+    budget (SURVEY.md §4 spill row).
+    """
+    rows = alias_counts(mentions_ds).take_all()
+    index: AliasIndex = {}
+    for r in rows:
+        index.setdefault(r['norm_surface'], []).append((r['name'], int(r['freq'])))
+    for k in index:
+        index[k].sort(key=lambda x: (-x[1], x[0]))
+    return ray.put(index), len(index)
+
+
+LINKED_EXTRA_FIELDS = [('entity', pa.string()), ('link_score', pa.float64())]
+
+
+class AliasLinker:
+    """Actor-pool stage: resolve each mention to an entity + confidence.
+
+    Linked mentions keep their wikilink target (score 1.0). Unlinked mentions
+    get the most frequent entity for their surface with score
+    freq/total_freq; surfaces unknown to the index stay NIL (entity null) —
+    downstream canonicalization assigns NEW_ENTITY cluster ids
+    (reference page_parser.py:519-525 + resource.py:173-194 semantics).
+    """
+
+    def __init__(self, index_ref):
+        self.index: AliasIndex = ray.get(index_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = batch.column('name').to_pylist()
+        surfaces = batch.column('norm_surface').to_pylist()
+        entities: List[Optional[str]] = []
+        scores: List[float] = []
+        for name, surf in zip(names, surfaces):
+            if name is not None:
+                entities.append(name)
+                scores.append(1.0)
+                continue
+            cands = self.index.get(surf)
+            if not cands:
+                entities.append(None)
+                scores.append(0.0)
+                continue
+            total = sum(f for _, f in cands)
+            entities.append(cands[0][0])
+            scores.append(cands[0][1] / total if total else 0.0)
+        out = batch.append_column('entity', pa.array(entities, pa.string()))
+        return out.append_column('link_score', pa.array(scores, pa.float64()))
+
+
+def link_mentions(mentions_ds, index_ref, concurrency: int = 4):
+    """mention rows → + (entity, link_score) via broadcast alias lookup."""
+    return mentions_ds.map_batches(
+        AliasLinker, fn_constructor_kwargs={'index_ref': index_ref},
+        batch_format='pyarrow', batch_size=TOKEN_BATCH_SIZE,
+        concurrency=concurrency)

@@ -1,0 +1,313 @@
+"""Canonicalization: salted surface grouping → connected components → cluster
+splitting (north-star D4/D5; reference matching/greedy_clustering.py).
+
+Graph model (NASTyLinker, reference greedy_clustering.py:26-94):
+  * nodes: mention_uids (negative space: entity names hashed to ids)
+  * mention→entity edges where link_score > me_threshold
+  * mention→mention edges between mentions sharing a norm_surface
+    (score mm_score > mm_threshold) — generated per surface group with hot
+    surfaces salted into sub-buckets connected via a star to the bucket
+    representative, so a head surface ('United States') never builds a
+    quadratic group or a single giant task.
+
+Connected components run as repeated block-local union-find contractions
+(per-partition spanning forests, the distributed analogue of the
+reference's bottom-up clustering D5, matching/bottomup_clustering.py:33-83):
+each pass shrinks every block of edges to ≤ nodes-1 forest edges, a
+shuffle-repartition remixes blocks, and the tail (provably ≤ #distinct
+nodes - #components edges) finishes with driver union-find. Components with
+more than one entity node are split NASTyLinker-style by multi-source
+Dijkstra over edge weights with path score threshold (greedy_clustering.py:83-94).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from collections import defaultdict
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import (HOT_KEY_SALT_BUCKETS, HOT_KEY_THRESHOLD,
+                      MENTION_ENTITY_THRESHOLD, MENTION_MENTION_THRESHOLD,
+                      PATH_THRESHOLD, TOKEN_BATCH_SIZE)
+from ..functions.hashing import stable_hash64
+
+
+def entity_node_id(name: str) -> int:
+    """Entity nodes live in negative id space; mention_uids are ≥ 0."""
+    return -stable_hash64('ent:' + name) - 1
+
+
+# --- edge generation -------------------------------------------------------
+
+EDGE_SCHEMA = pa.schema([('src', pa.int64()), ('dst', pa.int64()), ('weight', pa.float64())])
+
+
+def _me_edges_batch(batch: pa.Table, me_threshold: float) -> pa.Table:
+    """mention→entity edges from linked mentions (stateless, vectorized mask)."""
+    df = batch.select(['mention_uid', 'entity', 'link_score']).to_pandas()
+    df = df[(df['entity'].notna()) & (df['link_score'] > me_threshold)]
+    return pa.Table.from_pydict({
+        'src': df['mention_uid'].to_numpy(dtype=np.int64),
+        'dst': np.fromiter((entity_node_id(e) for e in df['entity']), dtype=np.int64, count=len(df)),
+        'weight': np.minimum(df['link_score'].to_numpy(), 1.0),
+    }, schema=EDGE_SCHEMA)
+
+
+def _mm_edges_group(group: pd.DataFrame, mm_score: float, hot_threshold: int) -> pd.DataFrame:
+    """Per-(norm_surface[,salt]) group → star edges to the group's min
+    mention_uid. A star (not a clique) keeps edge count linear while
+    producing the same connected components; hot surfaces arrive pre-salted
+    so no group exceeds ~hot_threshold rows."""
+    uids = np.sort(group['mention_uid'].to_numpy(dtype=np.int64))
+    if len(uids) < 2:
+        return pd.DataFrame({'src': np.array([], dtype=np.int64),
+                             'dst': np.array([], dtype=np.int64),
+                             'weight': np.array([], dtype=np.float64)})
+    rep = uids[0]
+    others = uids[1:]
+    return pd.DataFrame({'src': np.full(len(others), rep, dtype=np.int64),
+                         'dst': others,
+                         'weight': np.full(len(others), mm_score)})
+
+
+def _salt_hot_surfaces(mentions_ds, hot_surfaces: Dict[str, int]):
+    """Append a salt column: hot surfaces split into HOT_KEY_SALT_BUCKETS
+    sub-keys by hash(mention_uid); cold surfaces use salt 0. Sub-buckets are
+    re-connected afterwards via one star edge per bucket (two-phase merge)."""
+    def add_salt(batch: pa.Table) -> pa.Table:
+        surfs = batch.column('norm_surface').to_pylist()
+        uids = batch.column('mention_uid').to_numpy()
+        salt = np.zeros(len(surfs), dtype=np.int32)
+        for i, s in enumerate(surfs):
+            if s in hot_surfaces:
+                salt[i] = int(uids[i]) % HOT_KEY_SALT_BUCKETS
+        return batch.append_column('salt', pa.array(salt, pa.int32()))
+    return mentions_ds.map_batches(add_salt, batch_format='pyarrow', batch_size=TOKEN_BATCH_SIZE)
+
+
+def build_alignment_edges(linked_mentions_ds,
+                          me_threshold: float = MENTION_ENTITY_THRESHOLD,
+                          mm_threshold: float = MENTION_MENTION_THRESHOLD,
+                          mm_score: float = 0.9,
+                          hot_threshold: int = HOT_KEY_THRESHOLD):
+    """linked mention rows → undirected edge Dataset (src, dst, weight)."""
+    me = linked_mentions_ds.map_batches(
+        lambda b: _me_edges_batch(b, me_threshold), batch_format='pyarrow',
+        batch_size=TOKEN_BATCH_SIZE)
+    if mm_score <= mm_threshold:
+        return me
+
+    # detect hot surfaces with a cheap two-phase count, then salt
+    from ray.data.aggregate import Sum
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.select(['norm_surface']).group_by('norm_surface').aggregate([([], 'count_all')])
+        return g.rename_columns(['norm_surface', 'cnt'])
+    counts = linked_mentions_ds.map_batches(partial_counts, batch_format='pyarrow') \
+        .groupby('norm_surface').aggregate(Sum('cnt', alias_name='cnt'))
+    hot = {r['norm_surface']: int(r['cnt'])
+           for r in counts.filter(lambda r: r['cnt'] > hot_threshold).take_all()}
+
+    ds = linked_mentions_ds.select_columns(['mention_uid', 'norm_surface'])
+    ds = _salt_hot_surfaces(ds, hot)
+    mm = ds.groupby(['norm_surface', 'salt']).map_groups(
+        lambda g: _mm_edges_group(g, mm_score, hot_threshold), batch_format='pandas')
+    mm = mm.map_batches(lambda t: t.cast(EDGE_SCHEMA), batch_format='pyarrow')
+
+    # star edges re-connecting salted sub-buckets of the same hot surface:
+    # bucket representative = min mention_uid per (surface, salt) — link salt>0
+    # reps to the salt-0 rep (driver-side tiny table)
+    if hot:
+        from ray.data.aggregate import Min
+        reps = ds.groupby(['norm_surface', 'salt']).aggregate(Min('mention_uid', alias_name='rep'))
+        rep_rows = [r for r in reps.take_all() if r['norm_surface'] in hot]
+        by_surf: Dict[str, List[Tuple[int, int]]] = defaultdict(list)
+        for r in rep_rows:
+            by_surf[r['norm_surface']].append((r['salt'], int(r['rep'])))
+        bridge_src, bridge_dst = [], []
+        for surf, lst in by_surf.items():
+            lst.sort()
+            base = lst[0][1]
+            for _, rep in lst[1:]:
+                bridge_src.append(base)
+                bridge_dst.append(rep)
+        if bridge_src:
+            import ray.data as rd
+            bridges = rd.from_arrow(pa.Table.from_pydict({
+                'src': pa.array(bridge_src, pa.int64()),
+                'dst': pa.array(bridge_dst, pa.int64()),
+                'weight': pa.array([mm_score] * len(bridge_src), pa.float64()),
+            }, schema=EDGE_SCHEMA))
+            mm = mm.union(bridges)
+    return me.union(mm)
+
+
+# --- connected components --------------------------------------------------
+
+class _UnionFind:
+    __slots__ = ('parent',)
+
+    def __init__(self):
+        self.parent: Dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        root = x
+        while p.get(root, root) != root:
+            root = p[root]
+        while p.get(x, x) != root:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: int, b: int):
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if ra > rb:  # smaller id wins → deterministic component labels
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+
+
+def _contract_block(batch: pa.Table) -> pa.Table:
+    """Block-local union-find → spanning-forest edges (node, root)."""
+    uf = _UnionFind()
+    src = batch.column('src').to_numpy()
+    dst = batch.column('dst').to_numpy()
+    for a, b in zip(src, dst):
+        uf.union(int(a), int(b))
+    nodes = set(map(int, src)) | set(map(int, dst))
+    out_src, out_dst = [], []
+    for n in nodes:
+        r = uf.find(n)
+        if r != n:
+            out_src.append(n)
+            out_dst.append(r)
+    return pa.Table.from_pydict({'src': pa.array(out_src, pa.int64()),
+                                 'dst': pa.array(out_dst, pa.int64())})
+
+
+def connected_components(edges_ds, contraction_passes: int = 3,
+                         driver_limit: int = 5_000_000) -> Dict[int, int]:
+    """Edge Dataset → {node: component_label} (label = min node id).
+
+    Distributed contraction passes bound the driver tail to ≤ (#nodes -
+    #components) forest edges; with the default 3 passes + shuffle
+    repartition, chains collapse geometrically (pointer-jumping analogue).
+    """
+    ds = edges_ds.select_columns(['src', 'dst'])
+    for p in range(contraction_passes):
+        ds = ds.map_batches(_contract_block, batch_format='pyarrow')
+        ds = ds.repartition(max(2, 8 >> p), shuffle=True)
+    rows = ds.take_all()
+    if len(rows) > driver_limit:
+        raise RuntimeError(
+            f'connected_components tail too large for driver ({len(rows)}); '
+            'increase contraction_passes')
+    uf = _UnionFind()
+    for r in rows:
+        uf.union(int(r['src']), int(r['dst']))
+    return {n: uf.find(n) for n in list(uf.parent)}
+
+
+# --- NASTyLinker component splitting --------------------------------------
+
+def _split_component(nodes: List[int], edges: List[Tuple[int, int, float]],
+                     path_threshold: float) -> Dict[int, int]:
+    """Reference greedy_clustering.py:83-94: multi-source Dijkstra from the
+    entity nodes over -log2(weight) distances; mentions whose best path
+    score 2^-d stays > threshold join that entity's cluster, the rest are
+    re-clustered among themselves. Returns node → cluster label."""
+    ents = [n for n in nodes if n < 0]
+    if len(ents) <= 1:
+        label = min(nodes)
+        return {n: label for n in nodes}
+    adj: Dict[int, List[Tuple[int, float]]] = defaultdict(list)
+    for a, b, w in edges:
+        d = -math.log2(max(min(w, 1.0), 1e-12))
+        adj[a].append((b, d))
+        adj[b].append((a, d))
+    dist: Dict[int, float] = {e: 0.0 for e in ents}
+    source: Dict[int, int] = {e: e for e in ents}
+    heap = [(0.0, e, e) for e in ents]
+    heapq.heapify(heap)
+    while heap:
+        d, n, s = heapq.heappop(heap)
+        if d > dist.get(n, float('inf')):
+            continue
+        for m, w in adj[n]:
+            nd = d + w
+            if nd < dist.get(m, float('inf')):
+                dist[m] = nd
+                source[m] = s
+                heapq.heappush(heap, (nd, m, s))
+    assignment: Dict[int, int] = {}
+    unassigned: List[int] = []
+    for n in nodes:
+        score = 2 ** (-dist[n]) if n in dist else 0.0
+        if n < 0:
+            assignment[n] = source.get(n, n)
+        elif score > path_threshold:
+            assignment[n] = source[n]
+        else:
+            unassigned.append(n)
+    # re-cluster unassigned mentions among themselves (CC of induced subgraph)
+    if unassigned:
+        un = set(unassigned)
+        uf = _UnionFind()
+        for a, b, _ in edges:
+            if a in un and b in un:
+                uf.union(a, b)
+        for n in unassigned:
+            assignment[n] = uf.find(n)
+    return assignment
+
+
+def split_components(edges_with_labels: pd.DataFrame, path_threshold: float = PATH_THRESHOLD) -> pd.DataFrame:
+    """Per-component splitting (map_groups body): input columns
+    (src, dst, weight, component) of ONE component → (node, cluster)."""
+    edges = list(zip(edges_with_labels['src'].astype(np.int64),
+                     edges_with_labels['dst'].astype(np.int64),
+                     edges_with_labels['weight'].astype(float)))
+    nodes = sorted({n for e in edges for n in e[:2]})
+    assignment = _split_component(nodes, edges, path_threshold)
+    return pd.DataFrame({'node': list(assignment.keys()),
+                         'cluster': list(assignment.values())})
+
+
+def canonicalize(linked_mentions_ds,
+                 me_threshold: float = MENTION_ENTITY_THRESHOLD,
+                 mm_threshold: float = MENTION_MENTION_THRESHOLD,
+                 path_threshold: float = PATH_THRESHOLD):
+    """Full canonicalization: edges → CC → per-component split → cluster map.
+
+    Returns a Dataset (node:int64, cluster:int64, entity:string|null) where
+    entity is the linked entity name for entity-labeled clusters and null
+    for NEW_ENTITY clusters (reference entity_disambiguation/__init__.py:26-33:
+    new ids assigned past the known-id space).
+    """
+    import ray
+    import ray.data as rd
+
+    edges = build_alignment_edges(linked_mentions_ds, me_threshold, mm_threshold)
+    edges = edges.materialize()  # reused twice (CC + split); bounded by mention count
+    labels = connected_components(edges)
+    if not labels:
+        return rd.from_arrow(pa.Table.from_pydict(
+            {'node': pa.array([], pa.int64()), 'cluster': pa.array([], pa.int64())}))
+    labels_ref = ray.put(labels)
+
+    def tag_component(batch: pa.Table) -> pa.Table:
+        lab = ray.get(labels_ref)
+        src = batch.column('src').to_numpy()
+        comp = np.fromiter((lab.get(int(s), int(s)) for s in src), dtype=np.int64,
+                           count=len(src))
+        return batch.append_column('component', pa.array(comp, pa.int64()))
+
+    tagged = edges.map_batches(tag_component, batch_format='pyarrow')
+    clusters = tagged.groupby('component').map_groups(
+        lambda g: split_components(g, path_threshold), batch_format='pandas')
+    return clusters

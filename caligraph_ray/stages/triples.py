@@ -1,0 +1,81 @@
+"""Triple assembly + sorted, hash-partitioned, resumable Parquet materialize.
+
+North-star final stage: dedup (subj, pred, obj, is_literal) triples, sort,
+and write Parquet partitioned by hash(subj) so (a) a rerun skips finished
+partitions, (b) all facts of one subject co-locate for downstream joins
+(analogue of the reference's 16 NT result files, impl/caligraph/serialize.py:21-52).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import AGG_BATCH_SIZE, OUTPUT_PARTITIONS
+from ..functions.hashing import stable_hash64
+
+TRIPLES_SCHEMA = pa.schema([
+    ('subj', pa.string()),
+    ('pred', pa.string()),
+    ('obj', pa.string()),
+    ('is_literal', pa.bool_()),
+])
+
+
+def add_subject_bucket(batch: pa.Table, n_buckets: int = OUTPUT_PARTITIONS) -> pa.Table:
+    subs = batch.column('subj').to_pylist()
+    bucket = np.fromiter((stable_hash64(s) % n_buckets for s in subs),
+                         dtype=np.int32, count=len(subs))
+    return batch.append_column('subj_bucket', pa.array(bucket, pa.int32()))
+
+
+def dedup_triples(triples_ds):
+    """Exact distinct over (subj, pred, obj, is_literal): hash-partition by
+    key + per-group first (SURVEY.md D1), with an in-batch pre-dedup combiner
+    so the shuffle moves already-unique rows."""
+    def batch_dedup(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(['subj', 'pred', 'obj', 'is_literal']).aggregate([([], 'count_all')])
+        return g.drop_columns(['count_all'])
+    pre = triples_ds.map_batches(batch_dedup, batch_format='pyarrow', batch_size=AGG_BATCH_SIZE)
+    from ray.data.aggregate import Count
+    grouped = pre.groupby(['subj', 'pred', 'obj', 'is_literal']).aggregate(Count(alias_name='_n'))
+    return grouped.drop_columns(['_n'])
+
+
+def materialize_triples(triples_ds, out_dir: Optional[str] = None,
+                        n_buckets: int = OUTPUT_PARTITIONS, sort: bool = True):
+    """Dedup → sort (subj, pred, obj) → optional partitioned Parquet write.
+
+    Returns the final Dataset. When ``out_dir`` is given, writes one
+    directory per subj_bucket (resumable layout: finished buckets can be
+    skipped on rerun by checking the partition directory)."""
+    ds = dedup_triples(triples_ds)
+    if sort:
+        ds = ds.sort(['subj', 'pred', 'obj'])
+    if out_dir:
+        bucketed = ds.map_batches(lambda b: add_subject_bucket(b, n_buckets),
+                                  batch_format='pyarrow')
+        bucketed.write_parquet(out_dir, partition_cols=['subj_bucket'])
+    return ds
+
+
+def to_nt_lines(batch: pa.Table, base_uri: str = 'http://caligraph.org/resource/') -> pa.Table:
+    """Columnar N-Triples formatting (reference impl/util/serialize.py:20-77):
+    subject/predicate as URIs, object as URI or escaped literal."""
+    def uri(name: str) -> str:
+        return '<' + base_uri + name.replace(' ', '_').replace('"', '%22') + '>'
+    subs = batch.column('subj').to_pylist()
+    preds = batch.column('pred').to_pylist()
+    objs = batch.column('obj').to_pylist()
+    lits = batch.column('is_literal').to_pylist()
+    lines = []
+    for s, p, o, lit in zip(subs, preds, objs, lits):
+        if lit:
+            o_str = '"' + o.replace('\\', '\\\\').replace('"', '\\"') + '"'
+        else:
+            o_str = uri(o)
+        lines.append(f'{uri(s)} {uri(p)} {o_str} .')
+    return pa.Table.from_pydict({'nt': pa.array(lines, pa.string())})
