@@ -1,0 +1,108 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ..., "num_cpus": N}
+
+--scaling: run the same job in fresh processes at num_cpus=8 and 32 and
+report throughput at both plus scaling efficiency (north-rule two-cluster
+evidence; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
+NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
+
+
+def _warm_page_cache():
+    for name in os.listdir(SF_DIR):
+        with open(os.path.join(SF_DIR, name), 'rb') as f:
+            while f.read(1 << 22):
+                pass
+
+
+def run_benchmarks() -> dict:
+    import ray
+    ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level='ERROR')
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from caligraph_ray.pipelines import queries as Q
+    from caligraph_ray.pipelines.flagship import run_flagship_on_documents
+
+    _warm_page_cache()
+    timings = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # headline: full KG flagship (parse → link → canonicalize → triples)
+    n_triples = timed('flagship_triples', lambda: run_flagship_on_documents(SF_DIR).count())
+
+    timed('pricing_summary', lambda: Q.q_pricing_summary(SF_DIR))
+    timed('revenue_by_nation', lambda: Q.q_revenue_by_nation(SF_DIR))
+    timed('two_level_priority_stats',
+          lambda: Q.q_two_level_priority_stats(SF_DIR).to_pandas())
+    timed('hourly_user_activity', lambda: Q.q_hourly_user_activity(SF_DIR))
+    timed('token_frequencies', lambda: Q.q_token_frequencies(SF_DIR).to_pandas())
+    timed('dedup_exact', lambda: Q.q_dedup_exact(SF_DIR).to_pandas())
+    timed('minhash_dedup', lambda: Q.q_minhash_dedup(SF_DIR))
+    timed('knn_topk', lambda: Q.q_knn_topk(SF_DIR))
+    timed('embedding_near_dups', lambda: Q.q_embedding_near_dups(SF_DIR))
+    timed('user_components', lambda: Q.q_user_components(SF_DIR))
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        'metric': 'caligraph_ray_bench_total',
+        'value': total,
+        'unit': 'sec',
+        'queries': timings,
+        'sf': SF_DIR,
+        'num_cpus': NUM_CPUS,
+        'flagship_triples': int(n_triples),
+        'flagship_triples_per_sec': round(n_triples / timings['flagship_triples'], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run_at(8), run_at(32)
+    t_lo, t_hi = lo['value'], hi['value']
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        'metric': 'scaling_efficiency_8_to_32_cpus',
+        'sec_8cpu': t_lo,
+        'sec_32cpu': t_hi,
+        'triples_per_sec_8cpu': lo['flagship_triples_per_sec'],
+        'triples_per_sec_32cpu': hi['flagship_triples_per_sec'],
+        'scaling_efficiency': round(eff, 3),
+        'queries_8cpu': lo['queries'],
+        'queries_32cpu': hi['queries'],
+    }
+
+
+if __name__ == '__main__':
+    if '--scaling' in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmarks()))

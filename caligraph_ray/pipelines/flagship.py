@@ -77,7 +77,7 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
     # mention_uid → canonical via distributed hash join (both sides large at scale)
     linked_subjects = linked.filter(lambda r: bool(r['is_subject']))
     joined = linked_subjects.join(mention_clusters, join_type='left_outer',
-                                  num_partitions=16,
+                                  num_partitions=8,
                                   on=('mention_uid',), right_on=('node',))
 
     def subject_triples(batch: pa.Table) -> pa.Table:

@@ -161,9 +161,9 @@ class AliasLinker:
         return out.append_column('link_score', pa.array(scores, pa.float64()))
 
 
-def link_mentions(mentions_ds, index_ref, concurrency: int = 4):
+def link_mentions(mentions_ds, index_ref, concurrency: int = 8):
     """mention rows → + (entity, link_score) via broadcast alias lookup."""
     return mentions_ds.map_batches(
         AliasLinker, fn_constructor_kwargs={'index_ref': index_ref},
         batch_format='pyarrow', batch_size=TOKEN_BATCH_SIZE,
-        concurrency=concurrency)
+        concurrency=(1, concurrency))

@@ -65,7 +65,7 @@ class _MinhashSigner:
 def minhash_signatures(docs_ds, id_col: str = 'doc_id', text_col: str = 'text'):
     return docs_ds.map_batches(
         _MinhashSigner, fn_constructor_kwargs={'id_col': id_col, 'text_col': text_col},
-        batch_format='pandas', batch_size=AGG_BATCH_SIZE, concurrency=4)
+        batch_format='pandas', batch_size=AGG_BATCH_SIZE, concurrency=(1, 4))
 
 
 def _candidate_pairs_from_buckets(sig_ds, id_col: str, band_fn, verify_fn,
@@ -224,4 +224,4 @@ def embedding_near_dup_pairs(emb_ds, id_col: str = 'vec_id', vec_col: str = 'emb
                                  'cosine': np.array(sc, dtype=np.float64)})
 
     return emb_ds.map_batches(PairFinder, batch_format='pandas',
-                              batch_size=1024, concurrency=4)
+                              batch_size=1024, concurrency=(1, 4))

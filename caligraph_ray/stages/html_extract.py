@@ -453,10 +453,13 @@ class PageParser:
 
 
 def parse_items(pages_ds, concurrency: Optional[int] = None):
-    """pages Dataset → item rows Dataset (the engine's core parse stage)."""
+    """pages Dataset → item rows Dataset (the engine's core parse stage).
+
+    Autoscaling pool (min 1 actor) so the stage degrades gracefully on small
+    CPU budgets instead of deadlocking against sibling pools."""
     return pages_ds.map_batches(
         PageParser, batch_format='pyarrow', batch_size=PARSE_BATCH_SIZE,
-        concurrency=concurrency or 4)
+        concurrency=(1, concurrency or 8))
 
 
 def parse_categories(pages_ds, concurrency: Optional[int] = None):
@@ -464,4 +467,4 @@ def parse_categories(pages_ds, concurrency: Optional[int] = None):
     return pages_ds.map_batches(
         PageParser, fn_constructor_kwargs={'emit_categories': True},
         batch_format='pyarrow', batch_size=PARSE_BATCH_SIZE,
-        concurrency=concurrency or 4)
+        concurrency=(1, concurrency or 8))

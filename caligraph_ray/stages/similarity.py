@@ -55,7 +55,7 @@ def brute_force_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
                                  'score': np.array(out_s, dtype=np.float64)})
 
     partials = emb_ds.map_batches(PartialTopK, batch_format='pandas',
-                                  batch_size=4096, concurrency=4)
+                                  batch_size=4096, concurrency=(1, 4))
     df = partials.to_pandas()
     df = df.sort_values(['query_idx', 'score', id_col],
                         ascending=[True, False, True], kind='mergesort')
@@ -116,7 +116,7 @@ def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, n_planes: int = 12,
                                  'score': np.array(out_s, dtype=np.float64)})
 
     partials = emb_ds.map_batches(Scorer, batch_format='pandas',
-                                  batch_size=4096, concurrency=4)
+                                  batch_size=4096, concurrency=(1, 4))
     df = partials.to_pandas()
     if df.empty:
         return df

@@ -1,0 +1,43 @@
+"""End-to-end flagship golden: Ray pipeline triples vs single-process oracle.
+
+North-rule gate: triple P/R ≥ 0.95 vs the reference semantics (here: the
+oracle re-implementation in tests/oracle_kg.py). Deterministic pipeline →
+we assert exact set equality (P = R = 1.0), strictly stronger than the gate.
+"""
+
+import pyarrow as pa
+import pytest
+
+from caligraph_ray.corpus import generate_pages_table
+from oracle_kg import oracle_triples
+
+
+def _run(pages_table):
+    import ray.data as rd
+    from caligraph_ray.pipelines.flagship import run_flagship
+    ds = run_flagship(rd.from_arrow(pages_table).repartition(4))
+    return {(r['subj'], r['pred'], r['obj'], r['is_literal']) for r in ds.take_all()}
+
+
+def test_flagship_matches_oracle(ray_session, small_corpus):
+    got = _run(small_corpus)
+    pages = list(zip(small_corpus.column('url').to_pylist(),
+                     small_corpus.column('html').to_pylist()))
+    want = oracle_triples(pages)
+    assert want, 'oracle produced no triples'
+    missing = want - got
+    extra = got - want
+    precision = len(got & want) / len(got) if got else 0.0
+    recall = len(got & want) / len(want)
+    assert precision >= 0.95 and recall >= 0.95, (
+        f'P={precision:.3f} R={recall:.3f} missing={list(missing)[:5]} extra={list(extra)[:5]}')
+    # deterministic engine + oracle → exact match expected
+    assert got == want, f'missing={list(missing)[:5]} extra={list(extra)[:5]}'
+
+
+def test_flagship_on_documents_smoke(ray_session):
+    from caligraph_ray.pipelines.flagship import run_flagship_on_documents
+    ds = run_flagship_on_documents('/root/testdata/sf0.001')
+    rows = ds.take(50)
+    assert len(rows) > 0
+    assert set(rows[0].keys()) == {'subj', 'pred', 'obj', 'is_literal'}

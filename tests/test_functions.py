@@ -1,0 +1,100 @@
+"""Goldens for scalar functions (mirrors reference tests/unit/util/test_nlp.py
+intent: canonical-label cleanup, by-phrase removal, normalizers)."""
+
+import numpy as np
+import pyarrow as pa
+
+from caligraph_ray.functions import strings as S
+from caligraph_ray.functions import hashing as H
+
+
+def test_canonical_label_goldens():
+    # cases from reference nlp.py:89-101 comments
+    assert S.get_canonical_label('Fellows of the Royal Society/name: A-C') == 'Fellows of the Royal Society'
+    assert S.get_canonical_label('Interstate roads (1-10)') == 'Interstate roads'
+    assert S.get_canonical_label('Interstate roads (Y)') == 'Interstate roads'
+    assert S.get_canonical_label('Drugs: Sp-Sub') == 'Drugs'
+    assert S.get_canonical_label('Football clubs in Sweden - Z') == 'Football clubs in Sweden'
+    assert S.get_canonical_label('Fellows of the Royal Society/A') == 'Fellows of the Royal Society'
+    assert S.get_canonical_label('Fellows of the Royal Society A, B, C') == 'Fellows of the Royal Society'
+    # reference chain order quirk (nlp.py:96 fires before :99, consuming '- K'
+    # and leaving ': !'): we reproduce the reference behavior exactly
+    assert S.get_canonical_label('Fellows of the Royal Society: ! - K') == 'Fellows of the Royal Society: !'
+    assert S.get_canonical_label('Recipients: Aa - Kz') == 'Recipients'
+
+
+def test_by_phrase_removal():
+    assert S.remove_by_phrase('People by country') == 'People'
+    assert S.remove_by_phrase('Albums by artist') == 'Albums'
+    assert S.remove_by_phrase('Bypass surgery') == 'Bypass surgery'  # no phrase
+
+
+def test_string_normalizers():
+    assert S.capitalize('united States') == 'United States'
+    assert S.capitalize('a') == 'A'
+    assert S.regularize_spaces('  a   b \t c ') == 'a b c'
+    assert S.make_alphanumeric('St. Mary\'s!') == 'St Marys'
+    assert S.make_alphanumeric('a!') == 'a!'  # short results keep original
+    assert S.transfer_word_casing('McDonald', 'mcdonald') == 'McDonald'
+    assert S.normalize_surface('The  United-States!') == 'the unitedstates'
+    assert S.is_valid_entity_label('Paris')
+    assert not S.is_valid_entity_label('42')
+    assert not S.is_valid_entity_label('ab')
+
+
+def test_vectorized_matches_scalar():
+    vals = ['Drugs: Sp-Sub', 'People by country', 'Interstate roads (1-10)',
+            'Fellows of the Royal Society/A', 'Plain label']
+    arr = pa.array(vals)
+    vec = S.canonical_label_array(arr).to_pylist()
+    assert vec == [S.get_canonical_label(v) for v in vals]
+
+    surf = ['The  United-States!', 'Ärger µ', 'simple']
+    vec2 = S.normalize_surface_array(pa.array(surf)).to_pylist()
+    assert vec2 == [S.normalize_surface(v) for v in surf]
+
+
+def test_tokenize_roundtrip():
+    text = 'John Smith (born 1950), Paris.'
+    toks, ws = S.tokenize_with_ws(text)
+    assert ''.join(t + w for t, w in zip(toks, ws)) == text
+    assert S.tokenize(text) == toks
+
+
+def test_minhash_jaccard_estimate():
+    mh = H.MinHasher(num_perm=128, shingle_size=3, bands=32)
+    a = ('the quick brown fox jumps over the lazy dog and runs far away ' * 4).split()
+    b = list(a)
+    b[5] = 'cat'  # small perturbation → high jaccard
+    sa, sb = mh.signature(a), mh.signature(b)
+    est = mh.estimate_jaccard(sa, sb)
+    sha, shb = set(mh.shingles(a).tolist()), set(mh.shingles(b).tolist())
+    true_j = len(sha & shb) / len(sha | shb)
+    assert abs(est - true_j) < 0.2
+    assert est > 0.5
+    # identical docs → identical signatures and band hashes
+    assert (mh.signature(a) == mh.signature(list(a))).all()
+
+
+def test_simhash_properties():
+    a = 'the quick brown fox jumps over the lazy dog'.split()
+    b = 'the quick brown fox jumps over the lazy cat'.split()
+    c = 'completely different words entirely here now'.split()
+    ha, hb, hc = H.simhash64(a), H.simhash64(b), H.simhash64(c)
+    assert H.hamming64(ha, ha) == 0
+    assert H.hamming64(ha, hb) < H.hamming64(ha, hc)
+
+
+def test_stable_hash_deterministic():
+    assert H.stable_hash64('abc') == H.stable_hash64('abc')
+    assert H.stable_hash64('abc') != H.stable_hash64('abd')
+    assert H.stable_hash64('abc') >= 0
+    arr = H.stable_hash64_array(['a', 'b', 'a'])
+    assert arr[0] == arr[2] != arr[1]
+
+
+def test_rolling_fingerprint():
+    fp1 = H.rolling_fingerprint('hello world this is a longer text for fingerprinting')
+    fp2 = H.rolling_fingerprint('hello world this is a longer text for fingerprinting')
+    assert fp1 == fp2 and len(fp1) <= 8
+    assert H.rolling_fingerprint('') == []

@@ -1,0 +1,175 @@
+"""Stage-level tests over Ray (session-scoped ray fixture)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from caligraph_ray.stages.canonicalize import (_UnionFind, connected_components,
+                                               _split_component)
+
+
+@pytest.fixture(scope='module')
+def rd(ray_session):
+    import ray.data
+    return ray.data
+
+
+def test_alias_index_and_linking(ray_session, rd, small_corpus):
+    from caligraph_ray.stages.alias import (alias_counts, build_alias_index,
+                                            explode_mentions, link_mentions)
+    from caligraph_ray.stages.html_extract import parse_items
+    pages = rd.from_arrow(small_corpus)
+    items = parse_items(pages).materialize()
+    mentions = explode_mentions(items).materialize()
+    assert mentions.count() > 0
+    ref, n_surfaces = build_alias_index(mentions)
+    assert n_surfaces > 0
+    linked = link_mentions(mentions, ref).materialize()
+    rows = linked.take_all()
+    # every wikilink mention keeps its target with score 1
+    for r in rows:
+        if r['name'] is not None:
+            assert r['entity'] == r['name'] and r['link_score'] == 1.0
+    # unlinked mentions of known surfaces resolve to the majority entity
+    resolved = [r for r in rows if r['name'] is None and r['entity'] is not None]
+    assert all(0 < r['link_score'] <= 1 for r in resolved)
+
+
+def test_connected_components_matches_unionfind(ray_session, rd):
+    rng = np.random.RandomState(5)
+    n_nodes, n_edges = 500, 700
+    src = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    edges = rd.from_arrow(pa.Table.from_pydict(
+        {'src': src, 'dst': dst})).repartition(8)
+    got = connected_components(edges)
+    uf = _UnionFind()
+    for a, b in zip(src, dst):
+        uf.union(int(a), int(b))
+    want = {n: uf.find(n) for n in set(src.tolist()) | set(dst.tolist())}
+    # identity labels (isolated/self-loop nodes) are implicit on both sides:
+    # consumers resolve with labels.get(n, n)
+    want = {n: l for n, l in want.items() if l != n}
+    got = {n: l for n, l in got.items() if l != n}
+    assert got == want
+
+
+def test_split_component_nasty_linker():
+    # two entities bridged by a weak chain: m1 -e1 strong, m2 -e2 strong,
+    # m1-m2 weak → mentions split to their entities (path threshold prunes)
+    e1, e2 = -10, -20
+    edges = [(1, e1, 0.99), (2, e2, 0.99), (1, 2, 0.9)]
+    out = _split_component([e1, e2, 1, 2], edges, path_threshold=0.95)
+    assert out[1] == e1 and out[2] == e2
+    # with a permissive threshold the weak chain keeps them together but
+    # Dijkstra still assigns each mention to its nearest entity
+    out2 = _split_component([e1, e2, 1, 2], edges, path_threshold=0.5)
+    assert out2[1] == e1 and out2[2] == e2
+    # unassigned mentions form their own NEW_ENTITY cluster
+    edges3 = [(1, e1, 0.99), (2, e2, 0.99), (3, 4, 0.9), (1, 3, 0.4)]
+    out3 = _split_component([e1, e2, 1, 2, 3, 4], edges3, path_threshold=0.8)
+    assert out3[3] == out3[4] == 3  # min-id cluster of the unassigned pair
+
+
+def test_exact_dedup_with_planted_dups(ray_session, rd):
+    from caligraph_ray.stages.dedup import exact_dedup
+    docs = pd.DataFrame({
+        'doc_id': [1, 2, 3, 4, 5],
+        'text': ['alpha beta', 'gamma', 'alpha beta', 'delta', 'gamma'],
+    })
+    out = exact_dedup(rd.from_pandas(docs)).to_pandas()
+    groups = dict(zip(out['text_hash'], out['rep_id']))
+    assert len(groups) == 3
+    assert sorted(out['rep_id']) == [1, 2, 4]
+
+
+def test_minhash_finds_planted_near_dups(ray_session, rd):
+    from caligraph_ray.stages.dedup import minhash_candidate_pairs
+    base = ('the quick brown fox jumps over the lazy dog while the cat '
+            'sleeps on the warm mat near the door of the old house').split()
+    near = list(base)
+    near[7] = 'happy'
+    far = ('completely unrelated content about databases and query engines '
+           'processing large amounts of tabular data every day').split()
+    docs = pd.DataFrame({'doc_id': [1, 2, 3],
+                         'text': [' '.join(base), ' '.join(near), ' '.join(far)]})
+    pairs = minhash_candidate_pairs(rd.from_pandas(docs), jaccard_threshold=0.5).to_pandas()
+    assert {(1, 2)} == set(zip(pairs['a'], pairs['b']))
+
+
+def test_simhash_pairs_planted(ray_session, rd):
+    from caligraph_ray.stages.dedup import simhash_dedup_pairs
+    base = ('one two three four five six seven eight nine ten eleven twelve '
+            'thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty').split()
+    near = list(base)
+    near[3] = 'FOUR'
+    far = 'alpha beta gamma delta epsilon zeta eta theta iota kappa'.split()
+    docs = pd.DataFrame({'doc_id': [1, 2, 3],
+                         'text': [' '.join(base), ' '.join(near), ' '.join(far)]})
+    pairs = simhash_dedup_pairs(rd.from_pandas(docs), max_hamming=16).to_pandas()
+    got = set(zip(pairs['a'], pairs['b']))
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_brute_force_topk_matches_numpy(ray_session, rd):
+    from caligraph_ray.stages.similarity import brute_force_topk
+    rng = np.random.RandomState(3)
+    mat = rng.normal(size=(200, 16))
+    ds = rd.from_pandas(pd.DataFrame({'vec_id': np.arange(200),
+                                      'embedding': list(mat)}))
+    q = mat[:2]
+    out = brute_force_topk(ds, q, k=5)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ mn.T
+    for qi in range(2):
+        want = np.lexsort((np.arange(200), -sims[qi]))[:5]
+        got = out[out['query_idx'] == qi]['vec_id'].tolist()
+        assert got == want.tolist()
+        assert out[out['query_idx'] == qi]['score'].iloc[0] == round(sims[qi].max(), 6)
+
+
+def test_lsh_topk_recall(ray_session, rd):
+    from caligraph_ray.stages.similarity import brute_force_topk, lsh_topk
+    rng = np.random.RandomState(4)
+    mat = rng.normal(size=(500, 32))
+    ds = rd.from_pandas(pd.DataFrame({'vec_id': np.arange(500),
+                                      'embedding': list(mat)}))
+    q = mat[:3]  # queries present in corpus → top hit must be themselves
+    exact = brute_force_topk(ds, q, k=5)
+    approx = lsh_topk(ds, q, k=5, n_planes=8, probe_hamming=2)
+    for qi in range(3):
+        a = set(approx[approx['query_idx'] == qi]['vec_id'])
+        e = set(exact[exact['query_idx'] == qi]['vec_id'])
+        assert qi in a  # self-hit always in the same bucket
+        assert len(a & e) >= 1
+
+
+def test_two_phase_count_matches_pandas(ray_session, rd):
+    from caligraph_ray.stages.relational import two_phase_count
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame({'k': rng.choice(['a', 'b', 'c'], 1000),
+                       'j': rng.randint(0, 5, 1000)})
+    out = two_phase_count(rd.from_pandas(df).repartition(7), ['k', 'j']).to_pandas()
+    want = df.groupby(['k', 'j']).size().reset_index(name='cnt')
+    got = out.sort_values(['k', 'j']).reset_index(drop=True)
+    want = want.sort_values(['k', 'j']).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({'cnt': 'int64'}), want.astype({'cnt': 'int64'}))
+
+
+def test_triples_sink_resumable_layout(ray_session, rd, tmp_path):
+    from caligraph_ray.stages.triples import materialize_triples
+    import os
+    t = pa.Table.from_pydict({
+        'subj': ['S1', 'S2', 'S1', 'S1'],
+        'pred': ['p', 'p', 'p', 'q'],
+        'obj': ['o1', 'o2', 'o1', 'o3'],
+        'is_literal': [False, False, False, True],
+    })
+    out = materialize_triples(rd.from_arrow(t), out_dir=str(tmp_path), n_buckets=4)
+    rows = out.take_all()
+    assert len(rows) == 3  # exact dup removed
+    assert [r['subj'] for r in rows] == sorted(r['subj'] for r in rows)
+    parts = [d for d in os.listdir(tmp_path) if d.startswith('subj_bucket=')]
+    assert parts, 'expected hash-partitioned output directories'
