@@ -41,18 +41,17 @@ _VOCAB_SQL = "({})".format(", ".join(f"'{w}'" for w in LINKED_VOCAB))
 
 def q_pricing_summary(sf_dir: str):
     """A6-style grouped aggregate with partial combine (TPC-H Q1 shape)."""
-    from ray.data.aggregate import Sum, Count, Mean
     ds = rel.read_table(sf_dir, 'lineitem',
                         ['l_returnflag', 'l_linestatus', 'l_quantity', 'l_extendedprice'])
-    out = ds.groupby(['l_returnflag', 'l_linestatus']).aggregate(
-        Sum('l_quantity', alias_name='sum_qty'),
-        Sum('l_extendedprice', alias_name='sum_price'),
-        Mean('l_quantity', alias_name='avg_qty'),
-        Count(alias_name='count_order'))
+    out = rel.two_phase_pandas_agg(
+        ds, ['l_returnflag', 'l_linestatus'],
+        {'sum_qty': ('l_quantity', 'sum'),
+         'sum_price': ('l_extendedprice', 'sum'),
+         'count_order': (None, 'count')})
     df = out.to_pandas()
+    df['avg_qty'] = (df['sum_qty'] / df['count_order']).round(4)
     df['sum_qty'] = df['sum_qty'].round(2)
     df['sum_price'] = df['sum_price'].round(2)
-    df['avg_qty'] = df['avg_qty'].round(4)
     return df
 
 
@@ -179,9 +178,9 @@ def q_hourly_user_activity(sf_dir: str):
         return batch[['user_id', 'hour', 'value']]
 
     hourly = ev.map_batches(add_hour, batch_format='pandas')
-    from ray.data.aggregate import Sum, Count
-    out = hourly.groupby(['user_id', 'hour']).aggregate(
-        Count(alias_name='n_events'), Sum('value', alias_name='total_value')).to_pandas()
+    out = rel.two_phase_pandas_agg(
+        hourly, ['user_id', 'hour'],
+        {'n_events': (None, 'count'), 'total_value': ('value', 'sum')}).to_pandas()
     out['total_value'] = out['total_value'].round(2)
     return out
 

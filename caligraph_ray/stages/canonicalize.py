@@ -112,10 +112,11 @@ def build_alignment_edges(linked_mentions_ds,
     hot = {r['norm_surface']: int(r['cnt'])
            for r in counts.filter(lambda r: r['cnt'] > hot_threshold).take_all()}
 
+    from .relational import grouped_map
     ds = linked_mentions_ds.select_columns(['mention_uid', 'norm_surface'])
     ds = _salt_hot_surfaces(ds, hot)
-    mm = ds.groupby(['norm_surface', 'salt']).map_groups(
-        lambda g: _mm_edges_group(g, mm_score, hot_threshold), batch_format='pandas')
+    mm = grouped_map(ds, ['norm_surface', 'salt'],
+                     lambda g: _mm_edges_group(g, mm_score, hot_threshold))
     mm = mm.map_batches(lambda t: t.cast(EDGE_SCHEMA), batch_format='pyarrow')
 
     # star edges re-connecting salted sub-buckets of the same hot surface:
@@ -307,7 +308,8 @@ def canonicalize(linked_mentions_ds,
                            count=len(src))
         return batch.append_column('component', pa.array(comp, pa.int64()))
 
+    from .relational import grouped_map
     tagged = edges.map_batches(tag_component, batch_format='pyarrow')
-    clusters = tagged.groupby('component').map_groups(
-        lambda g: split_components(g, path_threshold), batch_format='pandas')
+    clusters = grouped_map(tagged, ['component'],
+                           lambda g: split_components(g, path_threshold))
     return clusters

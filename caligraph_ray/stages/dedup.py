@@ -32,9 +32,10 @@ from .canonicalize import _UnionFind
 
 
 def exact_dedup(docs_ds, id_col: str = 'doc_id', text_col: str = 'text'):
-    """(text_hash, rep_id): one representative (min id) per identical text."""
+    """(text_hash, rep_id): one representative (min id) per identical text.
+    Per-batch partial min bounds shuffle volume; coarse-bucket final merge."""
     import hashlib
-    from ray.data.aggregate import Min
+    from .relational import two_phase_pandas_agg
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -43,7 +44,7 @@ def exact_dedup(docs_ds, id_col: str = 'doc_id', text_col: str = 'text'):
         })
 
     hashed = docs_ds.map_batches(add_hash, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
-    return hashed.groupby('text_hash').aggregate(Min(id_col, alias_name='rep_id'))
+    return two_phase_pandas_agg(hashed, ['text_hash'], {'rep_id': (id_col, 'min')})
 
 
 class _MinhashSigner:
@@ -68,23 +69,34 @@ def minhash_signatures(docs_ds, id_col: str = 'doc_id', text_col: str = 'text'):
         batch_format='pandas', batch_size=AGG_BATCH_SIZE, concurrency=(1, 4))
 
 
+_EMPTY_PAIRS = {'a': np.array([], dtype=np.int64),
+                'b': np.array([], dtype=np.int64),
+                'score': np.array([], dtype=np.float64)}
+
+
 def _candidate_pairs_from_buckets(sig_ds, id_col: str, band_fn, verify_fn,
                                   max_bucket: int = 1000):
-    """Shared LSH shape: explode (bucket_key, id, payload) → groupby bucket →
-    per-bucket pairwise verify (buckets capped; an over-full bucket means the
-    key is degenerate — count it, emit the cap, keep lineage honest)."""
+    """Shared LSH shape: explode (bucket_key, id, payload) → coarse-bucket
+    grouped_map → per-bucket pairwise verify. Buckets are capped (sorted by
+    id, deterministic): an over-full bucket means a degenerate key; only the
+    first max_bucket members pair up — same contract as salting a hot key."""
+    from .relational import grouped_map
+
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, buckets, payloads = [], [], []
-        for _, row in batch.iterrows():
-            for bkey in band_fn(row):
-                ids.append(row[id_col])
-                buckets.append(bkey)
-                payloads.append(row['sig'])
-        return pd.DataFrame({id_col: ids, 'bucket': buckets, 'sig': payloads})
+        all_keys = [band_fn(row) for _, row in batch.iterrows()]
+        counts = np.fromiter((len(k) for k in all_keys), dtype=np.int64,
+                             count=len(all_keys))
+        return pd.DataFrame({
+            id_col: np.repeat(batch[id_col].to_numpy(), counts),
+            'bucket': np.concatenate(all_keys) if len(all_keys) else np.array([], dtype=object),
+            'sig': [s for s, c in zip(batch['sig'], counts) for _ in range(c)],
+        })
 
     exploded = sig_ds.map_batches(explode, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return None
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col).head(max_bucket)
         ids = g[id_col].to_numpy()
         sigs = list(g['sig'])
@@ -98,7 +110,11 @@ def _candidate_pairs_from_buckets(sig_ds, id_col: str, band_fn, verify_fn,
                              'b': np.array(b_out, dtype=np.int64),
                              'score': np.array(score_out, dtype=np.float64)})
 
-    return exploded.groupby('bucket').map_groups(pairs, batch_format='pandas')
+    found = grouped_map(exploded, ['bucket'], pairs)
+    # cross-band duplicates of the same pair → keep one (coarse bucketed dedup)
+    from .relational import bucketed_map
+    return bucketed_map(found, ['a', 'b'],
+                        lambda b: b.drop_duplicates(subset=['a', 'b']))
 
 
 def minhash_candidate_pairs(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
@@ -114,8 +130,7 @@ def minhash_candidate_pairs(docs_ds, id_col: str = 'doc_id', text_col: str = 'te
         est = MinHasher.estimate_jaccard(np.asarray(sa), np.asarray(sb))
         return est >= jaccard_threshold, est
 
-    pairs = _candidate_pairs_from_buckets(sigs, id_col, band_fn, verify)
-    return pairs.groupby(['a', 'b']).map_groups(lambda g: g.head(1), batch_format='pandas')
+    return _candidate_pairs_from_buckets(sigs, id_col, band_fn, verify)
 
 
 def pairs_to_groups(pairs_ds, all_ids: Optional[List[int]] = None) -> pd.DataFrame:
@@ -151,8 +166,7 @@ def simhash_dedup_pairs(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
         d = hamming64(ha, hb)
         return d <= max_hamming, float(64 - d) / 64
 
-    return _candidate_pairs_from_buckets(sig_ds, id_col, band_fn, verify) \
-        .groupby(['a', 'b']).map_groups(lambda g: g.head(1), batch_format='pandas')
+    return _candidate_pairs_from_buckets(sig_ds, id_col, band_fn, verify)
 
 
 def ngram_jaccard_pairs(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
@@ -183,8 +197,7 @@ def ngram_jaccard_pairs(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
         j = jaccard(a, b)
         return j >= threshold, j
 
-    return _candidate_pairs_from_buckets(sig_ds, id_col, band_fn, verify) \
-        .groupby(['a', 'b']).map_groups(lambda g: g.head(1), batch_format='pandas')
+    return _candidate_pairs_from_buckets(sig_ds, id_col, band_fn, verify)
 
 
 def embedding_near_dup_pairs(emb_ds, id_col: str = 'vec_id', vec_col: str = 'embedding',

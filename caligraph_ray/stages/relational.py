@@ -60,39 +60,107 @@ def semi_anti_join(ds, keys, col: str, anti: bool = False):
     return ds.map_batches(fn, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
 
 
-def two_phase_count(ds, keys: Sequence[str], alias: str = 'cnt'):
+def _coarse_key(batch: pd.DataFrame, keys: Sequence[str], coarse: int) -> pd.Series:
+    """Deterministic hash(keys) % coarse (siphash via pandas, fixed key)."""
+    k0 = batch[keys[0]]
+    if len(keys) == 1 and pd.api.types.is_integer_dtype(k0):
+        return (k0.astype('int64') % coarse).astype('int32')
+    s = k0.astype(str)
+    for k in keys[1:]:
+        s = s + '\x1f' + batch[k].astype(str)
+    return (pd.util.hash_pandas_object(s, index=False).astype('uint64')
+            % np.uint64(coarse)).astype('int32')
+
+
+def bucketed_map(ds, keys: Sequence[str], bucket_fn, coarse: int = 64):
+    """Shuffle rows once on hash(keys)%coarse and apply ``bucket_fn`` to each
+    coarse bucket (a DataFrame containing complete groups). The bucket fn
+    should use *vectorized* pandas groupby ops — this is the fast path for
+    high-cardinality keys where per-group Python calls dominate."""
+    keys = list(keys)
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch['_coarse'] = _coarse_key(batch, keys, coarse)
+        return batch
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(g.drop(columns=['_coarse']))
+
+    bucketed = ds.map_batches(add_bucket, batch_format='pandas',
+                              batch_size=AGG_BATCH_SIZE)
+    return bucketed.groupby('_coarse').map_groups(per_bucket, batch_format='pandas')
+
+
+def grouped_map(ds, keys: Sequence[str], fn, coarse: int = 64):
+    """Apply ``fn(group_df) → DataFrame`` per distinct `keys` group.
+
+    Shuffles ONCE on hash(keys)%coarse and runs a vectorized pandas
+    groupby-apply inside each coarse bucket — same semantics as
+    ``groupby(keys).map_groups(fn)`` but orders of magnitude faster when
+    groups are small and numerous (Ray schedules per-group tasks; this
+    schedules per-bucket tasks). Coarse buckets also bound task size for
+    skewed keys: a hot key still lands in one bucket, so pair it with
+    salting upstream when a single group can exceed a task's memory."""
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [fn(sub) for _, sub in g.groupby(list(keys), sort=False)]
+        outs = [o for o in outs if o is not None]
+        if not outs:
+            return pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_map(ds, keys, per_bucket, coarse=coarse)
+
+
+_AGG_COMBINE = {'sum': 'sum', 'count': 'sum', 'max': 'max', 'min': 'min'}
+
+
+def two_phase_pandas_agg(ds, keys: Sequence[str], spec: Dict[str, Tuple[Optional[str], str]],
+                         coarse: int = 64):
+    """Distributive aggregate with per-batch partial combine + coarse-bucket
+    final merge. spec: out_col → (src_col|None, 'sum'|'count'|'max'|'min').
+    One shuffle of pre-aggregated partials; head keys cost one partial row
+    per batch, not one shuffled row per input row."""
+    keys = list(keys)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False)
+        cols = {}
+        for out, (src, how) in spec.items():
+            cols[out] = g.size() if how == 'count' else g[src].agg(how)
+        return pd.DataFrame(cols).reset_index()
+
+    partials = ds.map_batches(partial, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(keys, sort=False)
+        cols = {out: g[out].agg(_AGG_COMBINE[how]) for out, (src, how) in spec.items()}
+        return pd.DataFrame(cols).reset_index()
+
+    return bucketed_map(partials, keys, final, coarse=coarse)
+
+
+def two_phase_count(ds, keys: Sequence[str], alias: str = 'cnt', coarse: int = 64):
     """groupby(keys).count() with per-batch partial combine."""
-    from ray.data.aggregate import Sum
-    keys = list(keys)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.select(keys).group_by(keys).aggregate([([], 'count_all')])
-        return g.rename_columns(keys + [alias])
-
-    pre = ds.map_batches(partial, batch_format='pyarrow', batch_size=AGG_BATCH_SIZE)
-    return pre.groupby(keys).aggregate(Sum(alias, alias_name=alias))
+    return two_phase_pandas_agg(ds, keys, {alias: (None, 'count')}, coarse=coarse)
 
 
-def two_phase_sum(ds, keys: Sequence[str], value_col: str, alias: str = 'total'):
+def two_phase_sum(ds, keys: Sequence[str], value_col: str, alias: str = 'total',
+                  coarse: int = 64):
     """groupby(keys).sum(value) with per-batch partial combine."""
-    from ray.data.aggregate import Sum
-    keys = list(keys)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.select(keys + [value_col]).group_by(keys).aggregate([(value_col, 'sum')])
-        return g.rename_columns(keys + [alias])
-
-    pre = ds.map_batches(partial, batch_format='pyarrow', batch_size=AGG_BATCH_SIZE)
-    return pre.groupby(keys).aggregate(Sum(alias, alias_name=alias))
+    return two_phase_pandas_agg(ds, keys, {alias: (value_col, 'sum')}, coarse=coarse)
 
 
 def topk_per_group(ds, group_key: str, sort_cols: List[str],
                    ascending: List[bool], k: int):
-    """Per-group top-k (O1): keyed shuffle + in-group sort/head. Ties are
-    broken by the full sort_cols list, so callers must make it total."""
-    def head(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(sort_cols, ascending=ascending, kind='mergesort').head(k)
-    return ds.groupby(group_key).map_groups(head, batch_format='pandas')
+    """Per-group top-k (O1): coarse-bucket shuffle + in-group sort/head.
+    Ties are broken by the full sort_cols list, so callers must make it
+    total."""
+    def head(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.sort_values(sort_cols, ascending=ascending, kind='mergesort')
+        return s.groupby(group_key, sort=False).head(k)
+
+    return bucketed_map(ds, [group_key], head)
 
 
 def mode_per_group(ds, group_key: str, value_col: str, alias: str = 'mode'):
@@ -101,11 +169,12 @@ def mode_per_group(ds, group_key: str, value_col: str, alias: str = 'mode'):
     first, then argmax over the (small) distinct-pair table."""
     counts = two_phase_count(ds, [group_key, value_col], alias='cnt')
 
-    def argmax(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(['cnt', value_col], ascending=[False, True], kind='mergesort')
-        return pd.DataFrame({group_key: [g.iloc[0][group_key]], alias: [g.iloc[0][value_col]]})
+    def argmax(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.sort_values(['cnt', value_col], ascending=[False, True], kind='mergesort')
+        s = s.drop_duplicates(subset=[group_key], keep='first')
+        return s[[group_key, value_col]].rename(columns={value_col: alias})
 
-    return counts.groupby(group_key).map_groups(argmax, batch_format='pandas')
+    return bucketed_map(counts, [group_key], argmax)
 
 
 def functional_keys(ds, key_col: str, subject_col: str, threshold: float = 0.95):
@@ -114,11 +183,11 @@ def functional_keys(ds, key_col: str, subject_col: str, threshold: float = 0.95)
     (key, n_subjects, functional_ratio)."""
     per_subj = two_phase_count(ds, [key_col, subject_col], alias='n')
 
-    def ratio(g: pd.DataFrame) -> pd.DataFrame:
-        ones = int((g['n'] == 1).sum())
-        total = len(g)
-        return pd.DataFrame({key_col: [g.iloc[0][key_col]],
-                             'n_subjects': [total],
-                             'functional_ratio': [round(ones / total, 6)]})
+    def ratio(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.assign(_one=(bucket['n'] == 1).astype('int64'))
+        g = bucket.groupby(key_col, sort=False)
+        out = pd.DataFrame({'n_subjects': g.size(), '_ones': g['_one'].sum()}).reset_index()
+        out['functional_ratio'] = (out['_ones'] / out['n_subjects']).round(6)
+        return out.drop(columns=['_ones'])
 
-    return per_subj.groupby(key_col).map_groups(ratio, batch_format='pandas')
+    return bucketed_map(per_subj, [key_col], ratio)
