@@ -78,9 +78,58 @@ def run_benchmarks() -> dict:
     return result
 
 
+SCALE_PAGES = int(os.environ.get('GRAFT_SCALE_PAGES', '30000'))
+SCALE_CORPUS_DIR = os.environ.get('GRAFT_SCALE_CORPUS',
+                                  f'/tmp/caligraph_bench_corpus_{SCALE_PAGES}')
+
+
+def run_flagship_corpus() -> dict:
+    """Measured scaling job: the full KG pipeline over a pre-generated
+    synthetic page corpus (read parquet → parse → link → canonicalize →
+    sorted partitioned write). Corpus generation is NOT timed."""
+    import ray
+    ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level='ERROR')
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+    from caligraph_ray.pipelines.flagship import run_flagship
+
+    pages = rd.read_parquet(SCALE_CORPUS_DIR)
+    t0 = time.time()
+    n = run_flagship(pages).count()
+    dt = round(time.time() - t0, 3)
+    ray.shutdown()
+    return {'metric': 'flagship_corpus', 'value': dt, 'unit': 'sec',
+            'num_cpus': NUM_CPUS, 'n_pages': SCALE_PAGES,
+            'triples': int(n), 'triples_per_sec': round(n / dt, 1)}
+
+
+def _ensure_scale_corpus():
+    if os.path.exists(os.path.join(SCALE_CORPUS_DIR, '_DONE')):
+        return
+    import ray
+    ray.init(address='local', num_cpus=32, include_dashboard=False,
+             ignore_reinit_error=True, logging_level='ERROR')
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from caligraph_ray.corpus import pages_dataset
+    import shutil
+    if os.path.exists(SCALE_CORPUS_DIR):
+        shutil.rmtree(SCALE_CORPUS_DIR)
+    pages_dataset(SCALE_PAGES, seed=42).write_parquet(SCALE_CORPUS_DIR)
+    with open(os.path.join(SCALE_CORPUS_DIR, '_DONE'), 'w') as f:
+        f.write('')
+    ray.shutdown()
+
+
 def run_scaling() -> dict:
+    """Same job, same input, fresh processes at 8 and 32 CPUs (north-rule
+    two-cluster-size evidence; see BASELINE.md)."""
+    _ensure_scale_corpus()
+
     def run_at(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE='flagship_corpus')
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
@@ -91,18 +140,19 @@ def run_scaling() -> dict:
     eff = (t_lo / t_hi) / (32 / 8)
     return {
         'metric': 'scaling_efficiency_8_to_32_cpus',
+        'job': f'flagship KG pipeline over {SCALE_PAGES} synthetic pages',
         'sec_8cpu': t_lo,
         'sec_32cpu': t_hi,
-        'triples_per_sec_8cpu': lo['flagship_triples_per_sec'],
-        'triples_per_sec_32cpu': hi['flagship_triples_per_sec'],
+        'triples_per_sec_8cpu': lo['triples_per_sec'],
+        'triples_per_sec_32cpu': hi['triples_per_sec'],
         'scaling_efficiency': round(eff, 3),
-        'queries_8cpu': lo['queries'],
-        'queries_32cpu': hi['queries'],
     }
 
 
 if __name__ == '__main__':
     if '--scaling' in sys.argv:
         print(json.dumps(run_scaling()))
+    elif os.environ.get('BENCH_MODE') == 'flagship_corpus':
+        print(json.dumps(run_flagship_corpus()))
     else:
         print(json.dumps(run_benchmarks()))

@@ -22,7 +22,9 @@ import ray
 from ..config import (MENTION_ENTITY_THRESHOLD, MENTION_MENTION_THRESHOLD,
                       PATH_THRESHOLD, TOKEN_BATCH_SIZE)
 from ..functions.hashing import stable_hash64
-from ..stages.alias import build_alias_index, explode_mentions, link_mentions
+from ..stages.alias import (build_alias_index, build_alias_index_local,
+                            entity_names_from_index, explode_mentions,
+                            link_mentions)
 from ..stages.canonicalize import canonicalize, entity_node_id
 from ..stages.html_extract import parse_categories, parse_items
 from ..stages.triples import TRIPLES_SCHEMA, materialize_triples
@@ -32,49 +34,76 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
                  me_threshold: float = MENTION_ENTITY_THRESHOLD,
                  mm_threshold: float = MENTION_MENTION_THRESHOLD,
                  path_threshold: float = PATH_THRESHOLD,
-                 concurrency: int = 4):
+                 concurrency: int = 8):
     """pages Dataset (F1 schema) → deduped, sorted triples Dataset."""
     items = parse_items(pages_ds, concurrency=concurrency)
-    # items feed three consumers (mentions, page dim, triple emission):
-    # materialize once instead of re-parsing html three times
+    # items feed two consumers (mentions + triple emission): materialize once
+    # instead of re-parsing html; bounded by item-row volume, spills if large
     items = items.materialize()
     cats = parse_categories(pages_ds, concurrency=concurrency)
 
     mentions = explode_mentions(items)
     mentions = mentions.materialize()  # reused: index build + linking + CC
-    index_ref, n_surfaces = build_alias_index(mentions)
+    index = build_alias_index_local(mentions)
+    index_ref = ray.put(index)
     linked = link_mentions(mentions, index_ref, concurrency=concurrency)
     linked = linked.materialize()
 
-    clusters = canonicalize(linked, me_threshold, mm_threshold, path_threshold)
+    all_triples = _assemble_triples(linked, cats, me_threshold, mm_threshold,
+                                    path_threshold,
+                                    ent_names=entity_names_from_index(index),
+                                    total_rows=mentions.count())
+    return materialize_triples(all_triples, out_dir=out_dir)
 
-    # cluster → canonical entity name: entity nodes are negative ids; build
-    # the (small) id→name dim from distinct linked entities and broadcast it
-    ent_names = linked.filter(lambda r: r['entity'] is not None).unique('entity')
-    ent_names = sorted(set(e for e in ent_names if e))
-    id_to_name = {entity_node_id(e): e for e in ent_names}
+
+def run_flagship_checkpointed(pages_ds, root: str,
+                              me_threshold: float = MENTION_ENTITY_THRESHOLD,
+                              mm_threshold: float = MENTION_MENTION_THRESHOLD,
+                              path_threshold: float = PATH_THRESHOLD):
+    """Checkpointed flagship: every wide stage writes Parquet +
+    _LINEAGE.json + _SUCCESS under ``root``; a rerun (after a crash or a
+    partial run) skips completed stages (north-rule resumability). The final
+    triples land hash-partitioned under ``root``/triples_out."""
+    import os
+    from ..state.checkpoint import run_stage
+    from ..stages.alias import explode_mentions
+    from ..stages.html_extract import parse_categories, parse_items
+
+    items = run_stage(root, '01_items', lambda: parse_items(pages_ds))
+    cats = run_stage(root, '02_categories', lambda: parse_categories(pages_ds))
+    mentions = run_stage(root, '03_mentions', lambda: explode_mentions(items))
+    index = build_alias_index_local(mentions)
+    index_ref = ray.put(index)
+    linked = run_stage(root, '04_linked', lambda: link_mentions(mentions, index_ref))
+    triples = run_stage(root, '05_triples', lambda: _assemble_triples(
+        linked, cats, me_threshold, mm_threshold, path_threshold,
+        ent_names=entity_names_from_index(index)))
+    out_dir = os.path.join(root, 'triples_out')
+    return materialize_triples(triples, out_dir=out_dir)
+
+
+def _assemble_triples(linked, cats, me_threshold, mm_threshold, path_threshold,
+                      ent_names: Optional[list] = None, total_rows: Optional[int] = None):
+    """Canonicalize + emit (shared by checkpointed path); returns raw
+    (pre-dedup) triples Dataset. ``ent_names`` (the known-entity dim, free
+    from the alias index) avoids an extra full pass over ``linked``."""
+    clusters = canonicalize(linked, me_threshold, mm_threshold, path_threshold,
+                            total_rows=total_rows)
+    if ent_names is None:
+        ent_names = linked.filter(lambda r: r['entity'] is not None).unique('entity')
+    id_to_name = {entity_node_id(e): e for e in sorted(set(e for e in ent_names if e))}
     id_to_name_ref = ray.put(id_to_name)
 
     def resolve_cluster(batch: pa.Table) -> pa.Table:
         names = ray.get(id_to_name_ref)
         nodes = batch.column('node').to_numpy()
         cl = batch.column('cluster').to_numpy()
-        canon = []
-        for n, c in zip(nodes, cl):
-            if int(c) in names:
-                canon.append(names[int(c)])
-            else:
-                canon.append(f'NE_{int(c) & 0x7FFFFFFFFFFFFFFF:x}')
-        keep = nodes >= 0  # only mention nodes need resolution rows
-        t = pa.Table.from_pydict({
-            'node': pa.array(nodes, pa.int64()),
-            'canonical': pa.array(canon, pa.string()),
-        })
-        return t.filter(pa.array(keep))
+        canon = [names.get(int(c), f'NE_{int(c) & 0x7FFFFFFFFFFFFFFF:x}') for c in cl]
+        t = pa.Table.from_pydict({'node': pa.array(nodes, pa.int64()),
+                                  'canonical': pa.array(canon, pa.string())})
+        return t.filter(pa.array(nodes >= 0))
 
     mention_clusters = clusters.map_batches(resolve_cluster, batch_format='pyarrow')
-
-    # mention_uid → canonical via distributed hash join (both sides large at scale)
     linked_subjects = linked.filter(lambda r: bool(r['is_subject']))
     joined = linked_subjects.join(mention_clusters, join_type='left_outer',
                                   num_partitions=8,
@@ -90,8 +119,6 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
         subj, pred, obj, lit = [], [], [], []
         for uid, url, ent, score, canon, label in zip(uids, urls, entities, scores, canons, labels):
             if canon is None:
-                # singleton mention never entered the edge graph: direct link
-                # above threshold wins, else it becomes its own new entity
                 canon = ent if (ent is not None and score > me_threshold) \
                     else f'NE_{uid & 0x7FFFFFFFFFFFFFFF:x}'
             page = url.rsplit('/', 1)[-1].replace('_', ' ')
@@ -116,9 +143,7 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
         }, schema=TRIPLES_SCHEMA)
 
     cat_triples = cats.map_batches(category_triples, batch_format='pyarrow')
-
-    all_triples = subj_triples.union(cat_triples)
-    return materialize_triples(all_triples, out_dir=out_dir)
+    return subj_triples.union(cat_triples)
 
 
 # --- driver-testdata adapter ----------------------------------------------

@@ -114,13 +114,24 @@ def build_alias_index(mentions_ds) -> Tuple["ray.ObjectRef", int]:
     only its shard(s); the single-shard path is used below the object-store
     budget (SURVEY.md §4 spill row).
     """
+    index = build_alias_index_local(mentions_ds)
+    return ray.put(index), len(index)
+
+
+def build_alias_index_local(mentions_ds) -> AliasIndex:
+    """Driver-side alias index dict (also the source of the known-entity
+    dimension: every linked target appears as some surface's candidate)."""
     rows = alias_counts(mentions_ds).take_all()
     index: AliasIndex = {}
     for r in rows:
         index.setdefault(r['norm_surface'], []).append((r['name'], int(r['freq'])))
     for k in index:
         index[k].sort(key=lambda x: (-x[1], x[0]))
-    return ray.put(index), len(index)
+    return index
+
+
+def entity_names_from_index(index: AliasIndex) -> List[str]:
+    return sorted({name for cands in index.values() for name, _ in cands})
 
 
 LINKED_EXTRA_FIELDS = [('entity', pa.string()), ('link_score', pa.float64())]
@@ -161,9 +172,10 @@ class AliasLinker:
         return out.append_column('link_score', pa.array(scores, pa.float64()))
 
 
-def link_mentions(mentions_ds, index_ref, concurrency: int = 8):
+def link_mentions(mentions_ds, index_ref, concurrency: Optional[int] = None):
     """mention rows → + (entity, link_score) via broadcast alias lookup."""
+    from .html_extract import _default_pool_size
     return mentions_ds.map_batches(
         AliasLinker, fn_constructor_kwargs={'index_ref': index_ref},
         batch_format='pyarrow', batch_size=TOKEN_BATCH_SIZE,
-        concurrency=(1, concurrency))
+        concurrency=(1, concurrency or _default_pool_size()))

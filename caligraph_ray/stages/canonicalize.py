@@ -94,23 +94,30 @@ def build_alignment_edges(linked_mentions_ds,
                           me_threshold: float = MENTION_ENTITY_THRESHOLD,
                           mm_threshold: float = MENTION_MENTION_THRESHOLD,
                           mm_score: float = 0.9,
-                          hot_threshold: int = HOT_KEY_THRESHOLD):
-    """linked mention rows → undirected edge Dataset (src, dst, weight)."""
+                          hot_threshold: int = HOT_KEY_THRESHOLD,
+                          total_rows: Optional[int] = None):
+    """linked mention rows → undirected edge Dataset (src, dst, weight).
+
+    Pass ``total_rows`` (free on a materialized input) to skip the
+    hot-surface detection shuffle entirely when no surface can exceed the
+    salting threshold."""
     me = linked_mentions_ds.map_batches(
         lambda b: _me_edges_batch(b, me_threshold), batch_format='pyarrow',
         batch_size=TOKEN_BATCH_SIZE)
     if mm_score <= mm_threshold:
         return me
 
-    # detect hot surfaces with a cheap two-phase count, then salt
-    from ray.data.aggregate import Sum
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        g = batch.select(['norm_surface']).group_by('norm_surface').aggregate([([], 'count_all')])
-        return g.rename_columns(['norm_surface', 'cnt'])
-    counts = linked_mentions_ds.map_batches(partial_counts, batch_format='pyarrow') \
-        .groupby('norm_surface').aggregate(Sum('cnt', alias_name='cnt'))
-    hot = {r['norm_surface']: int(r['cnt'])
-           for r in counts.filter(lambda r: r['cnt'] > hot_threshold).take_all()}
+    hot: Dict[str, int] = {}
+    if total_rows is None or total_rows > hot_threshold:
+        # detect hot surfaces with a cheap two-phase count, then salt
+        from ray.data.aggregate import Sum
+        def partial_counts(batch: pa.Table) -> pa.Table:
+            g = batch.select(['norm_surface']).group_by('norm_surface').aggregate([([], 'count_all')])
+            return g.rename_columns(['norm_surface', 'cnt'])
+        counts = linked_mentions_ds.map_batches(partial_counts, batch_format='pyarrow') \
+            .groupby('norm_surface').aggregate(Sum('cnt', alias_name='cnt'))
+        hot = {r['norm_surface']: int(r['cnt'])
+               for r in counts.filter(lambda r: r['cnt'] > hot_threshold).take_all()}
 
     from .relational import grouped_map
     ds = linked_mentions_ds.select_columns(['mention_uid', 'norm_surface'])
@@ -282,7 +289,8 @@ def split_components(edges_with_labels: pd.DataFrame, path_threshold: float = PA
 def canonicalize(linked_mentions_ds,
                  me_threshold: float = MENTION_ENTITY_THRESHOLD,
                  mm_threshold: float = MENTION_MENTION_THRESHOLD,
-                 path_threshold: float = PATH_THRESHOLD):
+                 path_threshold: float = PATH_THRESHOLD,
+                 total_rows: Optional[int] = None):
     """Full canonicalization: edges → CC → per-component split → cluster map.
 
     Returns a Dataset (node:int64, cluster:int64, entity:string|null) where
@@ -293,7 +301,8 @@ def canonicalize(linked_mentions_ds,
     import ray
     import ray.data as rd
 
-    edges = build_alignment_edges(linked_mentions_ds, me_threshold, mm_threshold)
+    edges = build_alignment_edges(linked_mentions_ds, me_threshold, mm_threshold,
+                                  total_rows=total_rows)
     edges = edges.materialize()  # reused twice (CC + split); bounded by mention count
     labels = connected_components(edges)
     if not labels:

@@ -452,6 +452,16 @@ class PageParser:
         return pa.Table.from_pydict(cols, schema=ITEMS_SCHEMA)
 
 
+def _default_pool_size() -> int:
+    """Max actor-pool size: the cluster's CPU count (pools autoscale from 1,
+    so sibling stages on small budgets never deadlock)."""
+    import ray
+    try:
+        return max(2, int(ray.cluster_resources().get('CPU', 8)))
+    except Exception:
+        return 8
+
+
 def parse_items(pages_ds, concurrency: Optional[int] = None):
     """pages Dataset → item rows Dataset (the engine's core parse stage).
 
@@ -459,7 +469,7 @@ def parse_items(pages_ds, concurrency: Optional[int] = None):
     CPU budgets instead of deadlocking against sibling pools."""
     return pages_ds.map_batches(
         PageParser, batch_format='pyarrow', batch_size=PARSE_BATCH_SIZE,
-        concurrency=(1, concurrency or 8))
+        concurrency=(1, concurrency or _default_pool_size()))
 
 
 def parse_categories(pages_ds, concurrency: Optional[int] = None):
@@ -467,4 +477,4 @@ def parse_categories(pages_ds, concurrency: Optional[int] = None):
     return pages_ds.map_batches(
         PageParser, fn_constructor_kwargs={'emit_categories': True},
         batch_format='pyarrow', batch_size=PARSE_BATCH_SIZE,
-        concurrency=(1, concurrency or 8))
+        concurrency=(1, concurrency or _default_pool_size()))
