@@ -36,11 +36,11 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
                  path_threshold: float = PATH_THRESHOLD,
                  concurrency: int = 8):
     """pages Dataset (F1 schema) → deduped, sorted triples Dataset."""
-    items = parse_items(pages_ds, concurrency=concurrency)
-    # items feed two consumers (mentions + triple emission): materialize once
-    # instead of re-parsing html; bounded by item-row volume, spills if large
-    items = items.materialize()
-    cats = parse_categories(pages_ds, concurrency=concurrency)
+    from ..stages.html_extract import cats_view, items_view, parse_pages
+    # ONE parse per page; the union materializes once and feeds both views
+    parsed = parse_pages(pages_ds, concurrency=concurrency).materialize()
+    items = items_view(parsed)
+    cats = cats_view(parsed)
 
     mentions = explode_mentions(items)
     mentions = mentions.materialize()  # reused: index build + linking + CC
@@ -67,10 +67,11 @@ def run_flagship_checkpointed(pages_ds, root: str,
     import os
     from ..state.checkpoint import run_stage
     from ..stages.alias import explode_mentions
-    from ..stages.html_extract import parse_categories, parse_items
+    from ..stages.html_extract import cats_view, items_view, parse_pages
 
-    items = run_stage(root, '01_items', lambda: parse_items(pages_ds))
-    cats = run_stage(root, '02_categories', lambda: parse_categories(pages_ds))
+    parsed = run_stage(root, '01_parsed', lambda: parse_pages(pages_ds))
+    items = items_view(parsed)
+    cats = run_stage(root, '02_categories', lambda: cats_view(parsed))
     mentions = run_stage(root, '03_mentions', lambda: explode_mentions(items))
     index = build_alias_index_local(mentions)
     index_ref = ray.put(index)
@@ -104,7 +105,10 @@ def _assemble_triples(linked, cats, me_threshold, mm_threshold, path_threshold,
         return t.filter(pa.array(nodes >= 0))
 
     mention_clusters = clusters.map_batches(resolve_cluster, batch_format='pyarrow')
-    linked_subjects = linked.filter(lambda r: bool(r['is_subject']))
+    import pyarrow.compute as pc
+    linked_subjects = linked.map_batches(
+        lambda t: t.filter(pc.equal(t.column('is_subject'), pa.scalar(True))),
+        batch_format='pyarrow')
     joined = linked_subjects.join(mention_clusters, join_type='left_outer',
                                   num_partitions=8,
                                   on=('mention_uid',), right_on=('node',))

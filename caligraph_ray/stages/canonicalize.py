@@ -198,7 +198,7 @@ def _contract_block(batch: pa.Table) -> pa.Table:
                                  'dst': pa.array(out_dst, pa.int64())})
 
 
-def connected_components(edges_ds, contraction_passes: int = 3,
+def connected_components(edges_ds, contraction_passes: int = 2,
                          driver_limit: int = 5_000_000) -> Dict[int, int]:
     """Edge Dataset → {node: component_label} (label = min node id).
 

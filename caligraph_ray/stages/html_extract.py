@@ -389,6 +389,10 @@ ITEMS_SCHEMA = pa.schema([
 
 CATS_SCHEMA = pa.schema([('url', pa.string()), ('page_id', pa.int64()), ('cat_name', pa.string())])
 
+# single-parse union schema: item rows (kind='item') + category rows (kind='cat')
+PARSED_SCHEMA = pa.schema(list(ITEMS_SCHEMA) + [('kind', pa.string()),
+                                                ('cat_name', pa.string())])
+
 
 def extract_text_batch(batch: pa.Table) -> pa.Table:
     """map_batches fn: html → extracted_text column appended (pyarrow in/out)."""
@@ -398,7 +402,9 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
 
 
 class PageParser:
-    """Actor-pool stage: pages batch → flat item rows (ITEMS_SCHEMA).
+    """Actor-pool stage: pages batch → union of flat item rows and category
+    rows (PARSED_SCHEMA, ONE parse per page — items and categories split
+    downstream with vectorized filters).
 
     Stateless apart from compiled module-level regexes, but run as a callable
     class so per-actor setup stays the pattern for heavier parser state.
@@ -407,15 +413,28 @@ class PageParser:
     counted in the ``_parse_errors`` attribute and surfaced via lineage.
     """
 
-    def __init__(self, emit_categories: bool = False):
-        self.emit_categories = emit_categories
+    def __init__(self):
         self._parse_errors = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column('url').to_pylist()
         htmls = batch.column('html').to_pylist()
-        cols = {name: [] for name in ITEMS_SCHEMA.names}
-        cat_cols = {'url': [], 'page_id': [], 'cat_name': []}
+        cols = {name: [] for name in PARSED_SCHEMA.names}
+
+        def blank_item_fields():
+            cols['page_title'].append('')
+            cols['listing_idx'].append(-1)
+            cols['ltype'].append('')
+            cols['topsection'].append('')
+            cols['section'].append('')
+            cols['header'].append([])
+            cols['item_idx'].append(-1)
+            cols['depth'].append(0)
+            cols['is_leaf'].append(False)
+            cols['text'].append('')
+            cols['tokens'].append([])
+            cols['mentions'].append([])
+
         for url, html in zip(urls, htmls):
             try:
                 page = parse_page(url, html)
@@ -426,13 +445,17 @@ class PageParser:
                 continue
             pid = stable_hash64(url)
             for cat in page.categories:
-                cat_cols['url'].append(url)
-                cat_cols['page_id'].append(pid)
-                cat_cols['cat_name'].append(cat)
+                cols['url'].append(url)
+                cols['page_id'].append(pid)
+                cols['kind'].append('cat')
+                cols['cat_name'].append(cat)
+                blank_item_fields()
             for lst in page.listings:
                 for item in lst.items:
                     cols['url'].append(url)
                     cols['page_id'].append(pid)
+                    cols['kind'].append('item')
+                    cols['cat_name'].append('')
                     cols['page_title'].append(page.title)
                     cols['listing_idx'].append(lst.listing_idx)
                     cols['ltype'].append(lst.ltype)
@@ -447,9 +470,34 @@ class PageParser:
                     cols['mentions'].append([
                         {'name': m.name, 'label': m.label, 'start': m.start, 'end': m.end}
                         for m in item.mentions])
-        if self.emit_categories:
-            return pa.Table.from_pydict(cat_cols, schema=CATS_SCHEMA)
-        return pa.Table.from_pydict(cols, schema=ITEMS_SCHEMA)
+        return pa.Table.from_pydict(cols, schema=PARSED_SCHEMA)
+
+
+def parse_pages(pages_ds, concurrency: Optional[int] = None):
+    """pages Dataset → PARSED_SCHEMA union rows (one parse per page)."""
+    return pages_ds.map_batches(
+        PageParser, batch_format='pyarrow', batch_size=PARSE_BATCH_SIZE,
+        concurrency=(1, concurrency or _default_pool_size()))
+
+
+def items_view(parsed_ds):
+    """Vectorized item-row projection of the parsed union."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column('kind'), pa.scalar('item')))
+        return t.drop_columns(['kind', 'cat_name'])
+    return parsed_ds.map_batches(f, batch_format='pyarrow')
+
+
+def cats_view(parsed_ds):
+    """Vectorized category-row projection of the parsed union."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column('kind'), pa.scalar('cat')))
+        return t.select(['url', 'page_id', 'cat_name'])
+    return parsed_ds.map_batches(f, batch_format='pyarrow')
 
 
 def _default_pool_size() -> int:
@@ -463,18 +511,12 @@ def _default_pool_size() -> int:
 
 
 def parse_items(pages_ds, concurrency: Optional[int] = None):
-    """pages Dataset → item rows Dataset (the engine's core parse stage).
-
-    Autoscaling pool (min 1 actor) so the stage degrades gracefully on small
-    CPU budgets instead of deadlocking against sibling pools."""
-    return pages_ds.map_batches(
-        PageParser, batch_format='pyarrow', batch_size=PARSE_BATCH_SIZE,
-        concurrency=(1, concurrency or _default_pool_size()))
+    """pages Dataset → item rows Dataset (compat wrapper: single parse +
+    item projection; pipelines that need items AND categories should call
+    parse_pages once and use both views)."""
+    return items_view(parse_pages(pages_ds, concurrency))
 
 
 def parse_categories(pages_ds, concurrency: Optional[int] = None):
-    """pages Dataset → (url, page_id, cat_name) rows."""
-    return pages_ds.map_batches(
-        PageParser, fn_constructor_kwargs={'emit_categories': True},
-        batch_format='pyarrow', batch_size=PARSE_BATCH_SIZE,
-        concurrency=(1, concurrency or _default_pool_size()))
+    """pages Dataset → (url, page_id, cat_name) rows (compat wrapper)."""
+    return cats_view(parse_pages(pages_ds, concurrency))

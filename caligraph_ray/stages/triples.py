@@ -33,16 +33,18 @@ def add_subject_bucket(batch: pa.Table, n_buckets: int = OUTPUT_PARTITIONS) -> p
 
 
 def dedup_triples(triples_ds):
-    """Exact distinct over (subj, pred, obj, is_literal): hash-partition by
-    key + per-group first (SURVEY.md D1), with an in-batch pre-dedup combiner
-    so the shuffle moves already-unique rows."""
+    """Exact distinct over (subj, pred, obj, is_literal): in-batch pre-dedup
+    combiner, then coarse-bucket hash shuffle + vectorized drop_duplicates
+    (SURVEY.md D1) — already-unique rows travel the shuffle exactly once."""
+    from .relational import bucketed_map
+    keys = ['subj', 'pred', 'obj', 'is_literal']
+
     def batch_dedup(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(['subj', 'pred', 'obj', 'is_literal']).aggregate([([], 'count_all')])
+        g = batch.group_by(keys).aggregate([([], 'count_all')])
         return g.drop_columns(['count_all'])
+
     pre = triples_ds.map_batches(batch_dedup, batch_format='pyarrow', batch_size=AGG_BATCH_SIZE)
-    from ray.data.aggregate import Count
-    grouped = pre.groupby(['subj', 'pred', 'obj', 'is_literal']).aggregate(Count(alias_name='_n'))
-    return grouped.drop_columns(['_n'])
+    return bucketed_map(pre, keys, lambda b: b.drop_duplicates(subset=keys))
 
 
 def materialize_triples(triples_ds, out_dir: Optional[str] = None,

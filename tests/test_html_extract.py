@@ -101,6 +101,6 @@ def test_page_parser_batch_schema():
     out = PageParser()(t)
     assert out.num_rows > 0
     assert set(out.schema.names) >= {'url', 'page_id', 'listing_idx', 'item_idx',
-                                     'tokens', 'mentions', 'topsection'}
-    cats = PageParser(emit_categories=True)(t)
-    assert cats.num_rows > 0
+                                     'tokens', 'mentions', 'topsection', 'kind'}
+    kinds = set(out.column('kind').to_pylist())
+    assert kinds == {'item', 'cat'}
