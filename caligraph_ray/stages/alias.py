@@ -138,44 +138,55 @@ LINKED_EXTRA_FIELDS = [('entity', pa.string()), ('link_score', pa.float64())]
 
 
 class AliasLinker:
-    """Actor-pool stage: resolve each mention to an entity + confidence.
+    """Resolve each mention to an entity + confidence (ST9/J1 lookup stage).
 
     Linked mentions keep their wikilink target (score 1.0). Unlinked mentions
     get the most frequent entity for their surface with score
     freq/total_freq; surfaces unknown to the index stay NIL (entity null) —
     downstream canonicalization assigns NEW_ENTITY cluster ids
     (reference page_parser.py:519-525 + resource.py:173-194 semantics).
+
+    Usable as an actor class (index in __init__) or through the stateless
+    ``link_mentions`` task path with the process-local broadcast cache.
     """
 
     def __init__(self, index_ref):
         self.index: AliasIndex = ray.get(index_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        names = batch.column('name').to_pylist()
-        surfaces = batch.column('norm_surface').to_pylist()
-        entities: List[Optional[str]] = []
-        scores: List[float] = []
-        for name, surf in zip(names, surfaces):
-            if name is not None:
-                entities.append(name)
-                scores.append(1.0)
-                continue
-            cands = self.index.get(surf)
-            if not cands:
-                entities.append(None)
-                scores.append(0.0)
-                continue
-            total = sum(f for _, f in cands)
-            entities.append(cands[0][0])
-            scores.append(cands[0][1] / total if total else 0.0)
-        out = batch.append_column('entity', pa.array(entities, pa.string()))
-        return out.append_column('link_score', pa.array(scores, pa.float64()))
+        return link_batch(batch, self.index)
+
+
+def link_batch(batch: pa.Table, index: AliasIndex) -> pa.Table:
+    names = batch.column('name').to_pylist()
+    surfaces = batch.column('norm_surface').to_pylist()
+    entities: List[Optional[str]] = []
+    scores: List[float] = []
+    for name, surf in zip(names, surfaces):
+        if name is not None:
+            entities.append(name)
+            scores.append(1.0)
+            continue
+        cands = index.get(surf)
+        if not cands:
+            entities.append(None)
+            scores.append(0.0)
+            continue
+        total = sum(f for _, f in cands)
+        entities.append(cands[0][0])
+        scores.append(cands[0][1] / total if total else 0.0)
+    out = batch.append_column('entity', pa.array(entities, pa.string()))
+    return out.append_column('link_score', pa.array(scores, pa.float64()))
 
 
 def link_mentions(mentions_ds, index_ref, concurrency: Optional[int] = None):
-    """mention rows → + (entity, link_score) via broadcast alias lookup."""
-    from .html_extract import _default_pool_size
-    return mentions_ds.map_batches(
-        AliasLinker, fn_constructor_kwargs={'index_ref': index_ref},
-        batch_format='pyarrow', batch_size=TOKEN_BATCH_SIZE,
-        concurrency=(1, concurrency or _default_pool_size()))
+    """mention rows → + (entity, link_score) via broadcast alias lookup.
+    Stateless tasks + process-local broadcast cache (one deserialize per
+    worker process, instant scale-out — see state/broadcast.py)."""
+    from ..state.broadcast import get_broadcast
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return link_batch(batch, get_broadcast(index_ref))
+
+    return mentions_ds.map_batches(fn, batch_format='pyarrow',
+                                   batch_size=TOKEN_BATCH_SIZE)

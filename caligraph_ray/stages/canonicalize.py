@@ -30,11 +30,17 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from ..config import (HOT_KEY_SALT_BUCKETS, HOT_KEY_THRESHOLD,
                       MENTION_ENTITY_THRESHOLD, MENTION_MENTION_THRESHOLD,
                       PATH_THRESHOLD, TOKEN_BATCH_SIZE)
 from ..functions.hashing import stable_hash64
+
+# mention volume up to which the per-surface representative dict is
+# broadcast instead of a salted groupby (same budget class as ST9's alias
+# index; beyond it the surface dim may not fit one object)
+SURFACE_BROADCAST_LIMIT = 50_000_000
 
 
 def entity_node_id(name: str) -> int:
@@ -107,17 +113,51 @@ def build_alignment_edges(linked_mentions_ds,
     if mm_score <= mm_threshold:
         return me
 
-    hot: Dict[str, int] = {}
-    if total_rows is None or total_rows > hot_threshold:
-        # detect hot surfaces with a cheap two-phase count, then salt
-        from ray.data.aggregate import Sum
-        def partial_counts(batch: pa.Table) -> pa.Table:
-            g = batch.select(['norm_surface']).group_by('norm_surface').aggregate([([], 'count_all')])
-            return g.rename_columns(['norm_surface', 'cnt'])
-        counts = linked_mentions_ds.map_batches(partial_counts, batch_format='pyarrow') \
-            .groupby('norm_surface').aggregate(Sum('cnt', alias_name='cnt'))
-        hot = {r['norm_surface']: int(r['cnt'])
-               for r in counts.filter(lambda r: r['cnt'] > hot_threshold).take_all()}
+    # FAST PATH (surface dim fits the broadcast budget — same feasibility as
+    # the alias index itself): per-surface min mention_uid via a two-phase
+    # aggregate, then star edges emitted in a zero-shuffle map_batches.
+    # Head surfaces cost one partial row per batch, so no salting is needed.
+    if total_rows is None or total_rows <= SURFACE_BROADCAST_LIMIT:
+        from .relational import two_phase_pandas_agg
+        reps_rows = two_phase_pandas_agg(
+            linked_mentions_ds.select_columns(['mention_uid', 'norm_surface']),
+            ['norm_surface'], {'rep': ('mention_uid', 'min')}).take_all()
+        reps = {r['norm_surface']: int(r['rep']) for r in reps_rows}
+        reps_ref = ray.put(reps)
+
+        def star_edges(batch: pa.Table) -> pa.Table:
+            rd_ = ray.get(reps_ref)
+            uids = batch.column('mention_uid').to_numpy()
+            surfs = batch.column('norm_surface').to_pylist()
+            src, dst = [], []
+            for uid, s in zip(uids, surfs):
+                rep = rd_.get(s)
+                if rep is not None and rep != uid:
+                    src.append(rep)
+                    dst.append(int(uid))
+            return pa.Table.from_pydict({
+                'src': pa.array(src, pa.int64()),
+                'dst': pa.array(dst, pa.int64()),
+                'weight': pa.array([mm_score] * len(src), pa.float64()),
+            }, schema=EDGE_SCHEMA)
+
+        mm_fast = linked_mentions_ds.select_columns(['mention_uid', 'norm_surface']) \
+            .map_batches(star_edges, batch_format='pyarrow', batch_size=TOKEN_BATCH_SIZE)
+        return me.union(mm_fast)
+
+    # LARGE-CARDINALITY PATH: salted groupby (hot keys split into sub-buckets
+    # re-bridged by one star edge per bucket); detect hot surfaces with a
+    # cheap two-phase count first
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.select(['norm_surface']).group_by('norm_surface').aggregate([([], 'count_all')])
+        return g.rename_columns(['norm_surface', 'cnt'])
+
+    counts = linked_mentions_ds.map_batches(partial_counts, batch_format='pyarrow') \
+        .groupby('norm_surface').aggregate(Sum('cnt', alias_name='cnt'))
+    hot = {r['norm_surface']: int(r['cnt'])
+           for r in counts.filter(lambda r: r['cnt'] > hot_threshold).take_all()}
 
     from .relational import grouped_map
     ds = linked_mentions_ds.select_columns(['mention_uid', 'norm_surface'])
@@ -284,6 +324,51 @@ def split_components(edges_with_labels: pd.DataFrame, path_threshold: float = PA
     assignment = _split_component(nodes, edges, path_threshold)
     return pd.DataFrame({'node': list(assignment.keys()),
                          'cluster': list(assignment.values())})
+
+
+def edin_clusters(linked_mentions_ds,
+                  me_threshold: float = MENTION_ENTITY_THRESHOLD,
+                  mm_threshold: float = MENTION_MENTION_THRESHOLD,
+                  cluster_threshold: float = 0.5,
+                  total_rows: Optional[int] = None):
+    """EDIN-style clustering (D7, reference greedy_clustering.py:105-137):
+    mention-mention CC only; a cluster keeps an entity iff that entity is
+    the top link for ≥ cluster_threshold of its mentions. Returns
+    (node, cluster, entity|None) rows."""
+    from .relational import bucketed_map
+
+    # mention-mention components (no entity nodes in the graph)
+    mm_only = build_alignment_edges(linked_mentions_ds, me_threshold=2.0,
+                                    mm_threshold=mm_threshold,
+                                    total_rows=total_rows)
+    labels = connected_components(mm_only)
+    labels_ref = ray.put(labels)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lab = ray.get(labels_ref)
+        uids = batch.column('mention_uid').to_numpy()
+        comp = np.fromiter((lab.get(int(u), int(u)) for u in uids), dtype=np.int64,
+                           count=len(uids))
+        return batch.append_column('component', pa.array(comp, pa.int64()))
+
+    tagged = linked_mentions_ds.select_columns(
+        ['mention_uid', 'entity', 'link_score']).map_batches(
+        tag, batch_format='pyarrow', batch_size=TOKEN_BATCH_SIZE)
+
+    def vote(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for comp, g in bucket.groupby('component', sort=False):
+            voters = g[(g['entity'].notna()) & (g['link_score'] > me_threshold)]
+            ent = None
+            if not voters.empty:
+                top = voters.groupby('entity').size().sort_values(ascending=False)
+                if top.iloc[0] / len(g) >= cluster_threshold:
+                    ent = top.index[0]
+            for uid in g['mention_uid']:
+                out.append({'node': int(uid), 'cluster': int(comp), 'entity': ent})
+        return pd.DataFrame(out, columns=['node', 'cluster', 'entity'])
+
+    return bucketed_map(tagged, ['component'], vote)
 
 
 def canonicalize(linked_mentions_ds,

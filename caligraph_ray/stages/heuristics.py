@@ -1,0 +1,150 @@
+"""Ontology heuristics + Hearst-pattern hypernym extraction.
+
+References:
+* Hearst matcher M17 — impl/util/spacy/hearst_matcher.py:6-65 (spaCy
+  matcher); here a deterministic regex engine over plain text with the same
+  pattern inventory (such-as / including / especially / and-or-other / is-a).
+* Hypernym counts A1 — impl/wikipedia/nif_parser.py:18-63.
+* Domain/range heuristic A10 — impl/dbpedia/heuristics.py:38-62
+  (argmax type share ≥ .96 domain / .77 range).
+* Type disjointness A11 — impl/dbpedia/heuristics.py:80-160 (cosine of
+  type-property weight vectors, threshold 0.132).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import AGG_BATCH_SIZE, DOMAIN_THRESHOLD, RANGE_THRESHOLD
+from .relational import bucketed_map, two_phase_count, two_phase_pandas_agg
+
+# --- Hearst patterns --------------------------------------------------------
+
+# NP = up to 3 non-function words (function words break chunks, mirroring
+# the reference's noun-chunk boundaries)
+_NPW = r"(?!(?:and|or|such|as|including|especially|other|is|are|a|an|the|of|in|to)\b)[A-Za-z][\w'-]*"
+_NP = r"((?:" + _NPW + r"\s){0,2}" + _NPW + r")"
+HEARST_PATTERNS: List[Tuple[re.Pattern, str]] = [
+    (re.compile(_NP + r"\s+such as\s+" + _NP), 'obj-sub'),        # X such as Y → (Y, X)
+    (re.compile(r"such\s+" + _NP + r"\s+as\s+" + _NP), 'obj-sub'),
+    (re.compile(_NP + r"\s*,?\s+including\s+" + _NP), 'obj-sub'),
+    (re.compile(_NP + r"\s*,?\s+especially\s+" + _NP), 'obj-sub'),
+    (re.compile(_NP + r"\s+(?:and|or)\s+other\s+" + _NP), 'sub-obj'),  # Y and other X
+    (re.compile(_NP + r"\s+is\s+an?\s+" + _NP), 'sub-obj'),            # Y is a X
+]
+
+
+def hearst_matches(text: str) -> List[Tuple[str, str]]:
+    """(subject, hypernym) pairs found in text; noun phrases are ≤3-token
+    word runs (deterministic stand-in for the spaCy chunker)."""
+    out = []
+    for rx, order in HEARST_PATTERNS:
+        for m in rx.finditer(text):
+            a, b = m.group(1).strip(), m.group(2).strip()
+            if not a or not b or a.lower() == b.lower():
+                continue
+            out.append((b, a) if order == 'obj-sub' else (a, b))
+    return out
+
+
+def hypernym_counts(docs_ds, text_col: str = 'text'):
+    """(sub, hyper, freq) via per-batch Hearst matching + two-phase count
+    (A1: per-pair counts merged across workers)."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in batch[text_col]:
+            for sub, hyper in hearst_matches(text):
+                c[(sub.lower(), hyper.lower())] += 1
+        return pd.DataFrame({'sub': [k[0] for k in c], 'hyper': [k[1] for k in c],
+                             'cnt': np.fromiter(c.values(), dtype=np.int64, count=len(c))})
+
+    partials = docs_ds.map_batches(partial, batch_format='pandas',
+                                   batch_size=AGG_BATCH_SIZE)
+    return two_phase_pandas_agg(partials, ['sub', 'hyper'], {'freq': ('cnt', 'sum')})
+
+
+# --- domain / range ---------------------------------------------------------
+
+def domain_range(facts_ds, types_by_ent: Dict[str, List[str]],
+                 domain_threshold: float = DOMAIN_THRESHOLD,
+                 range_threshold: float = RANGE_THRESHOLD) -> pd.DataFrame:
+    """Per predicate: argmax subject-type share → domain (≥ .96), argmax
+    object-type share → range (≥ .77). types_by_ent is the broadcast type
+    dim. Returns (pred, domain|None, range|None)."""
+    import ray
+    tref = ray.put(types_by_ent)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        tbe = ray.get(tref)
+        rows = []
+        for _, r in batch.iterrows():
+            if r.get('is_literal'):
+                continue
+            for t in tbe.get(r['subj'], ()):  # subject types → domain evidence
+                rows.append({'pred': r['pred'], 'side': 'd', 'type': t})
+            for t in tbe.get(r['obj'], ()):
+                rows.append({'pred': r['pred'], 'side': 'r', 'type': t})
+        return pd.DataFrame(rows, columns=['pred', 'side', 'type'])
+
+    ev = facts_ds.map_batches(explode, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
+    counts = two_phase_count(ev, ['pred', 'side', 'type'], 'cnt').to_pandas()
+    out = []
+    for pred, g in counts.groupby('pred'):
+        row = {'pred': pred, 'domain': None, 'range': None}
+        for side, col, thr in [('d', 'domain', domain_threshold),
+                               ('r', 'range', range_threshold)]:
+            sg = g[g['side'] == side]
+            if sg.empty:
+                continue
+            total = sg['cnt'].sum()
+            best = sg.sort_values(['cnt', 'type'], ascending=[False, True]).iloc[0]
+            if best['cnt'] / total >= thr:
+                row[col] = best['type']
+        out.append(row)
+    return pd.DataFrame(out, columns=['pred', 'domain', 'range'])
+
+
+# --- type disjointness ------------------------------------------------------
+
+def type_disjointness(facts_ds, types_by_ent: Dict[str, List[str]],
+                      threshold: float = 0.132) -> pd.DataFrame:
+    """Disjoint type pairs: cosine similarity of per-type predicate-usage
+    weight vectors below threshold (A11). Types are a small dim → the
+    all-pairs cosine runs driver-side on the aggregated matrix."""
+    import ray
+    tref = ray.put(types_by_ent)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        tbe = ray.get(tref)
+        rows = []
+        for _, r in batch.iterrows():
+            for t in tbe.get(r['subj'], ()):
+                rows.append({'type': t, 'pred': r['pred']})
+        return pd.DataFrame(rows, columns=['type', 'pred'])
+
+    ev = facts_ds.map_batches(explode, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
+    counts = two_phase_count(ev, ['type', 'pred'], 'cnt').to_pandas()
+    if counts.empty:
+        return pd.DataFrame(columns=['type_a', 'type_b', 'cosine'])
+    mat = counts.pivot_table(index='type', columns='pred', values='cnt',
+                             fill_value=0.0)
+    # tf-idf-ish weighting (heuristics.py:128-149): damp ubiquitous predicates
+    df_weight = np.log(len(mat) / (mat > 0).sum(axis=0).clip(lower=1))
+    weighted = mat * df_weight
+    norms = np.linalg.norm(weighted, axis=1)
+    normed = weighted.div(np.maximum(norms, 1e-12), axis=0)
+    sims = normed @ normed.T
+    types = list(mat.index)
+    rows = []
+    for i, a in enumerate(types):
+        for j in range(i + 1, len(types)):
+            cos = float(sims.iloc[i, j])
+            if cos <= threshold:
+                rows.append({'type_a': a, 'type_b': types[j], 'cosine': round(cos, 6)})
+    return pd.DataFrame(rows, columns=['type_a', 'type_b', 'cosine'])

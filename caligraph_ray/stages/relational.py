@@ -23,6 +23,17 @@ import ray
 from ..config import AGG_BATCH_SIZE
 
 
+def train_val_test_split(ds, fractions=(0.6, 0.2), seed: int = 42):
+    """Seeded shuffle + proportional split (O5, reference data/listing.py:99-111
+    60/20/20 page split — seeded here, unlike the reference)."""
+    return ds.random_shuffle(seed=seed).split_proportionately(list(fractions))
+
+
+def seeded_sample(ds, fraction: float, seed: int = 42):
+    """Seeded row sample (O5; reference sampling is unseeded — ours is not)."""
+    return ds.random_sample(fraction, seed=seed)
+
+
 def read_table(sf_dir: str, name: str, columns: Optional[List[str]] = None):
     """Column-pruned parquet read of a driver testdata table."""
     import ray.data as rd

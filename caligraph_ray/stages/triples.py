@@ -64,6 +64,29 @@ def materialize_triples(triples_ds, out_dir: Optional[str] = None,
     return ds
 
 
+def sunburst_type_distribution(triples_ds, type_pred: str = 'rdf:type') -> dict:
+    """Per-type entity counts as nested sunburst JSON (S9, reference
+    serialize.py:306-342). Aggregation is distributed; the small result is
+    shaped driver-side."""
+    from .relational import two_phase_count
+    typed = triples_ds.filter(lambda r: r['pred'] == type_pred)
+    counts = two_phase_count(typed, ['obj'], 'cnt').take_all()
+    children = [{'name': r['obj'], 'value': int(r['cnt'])}
+                for r in sorted(counts, key=lambda r: (-r['cnt'], r['obj']))]
+    return {'name': 'Thing', 'children': children}
+
+
+def graph_statistics(triples_ds) -> dict:
+    """Final-graph summary counts (A15, reference serialize.py:345-396)."""
+    from .relational import two_phase_count
+    n_triples = triples_ds.count()
+    per_pred = {r['pred']: int(r['cnt'])
+                for r in two_phase_count(triples_ds, ['pred'], 'cnt').take_all()}
+    n_subjects = two_phase_count(triples_ds, ['subj'], 'cnt').count()
+    return {'n_triples': int(n_triples), 'n_subjects': int(n_subjects),
+            'triples_per_predicate': per_pred}
+
+
 def to_nt_lines(batch: pa.Table, base_uri: str = 'http://caligraph.org/resource/') -> pa.Table:
     """Columnar N-Triples formatting (reference impl/util/serialize.py:20-77):
     subject/predicate as URIs, object as URI or escaped literal."""
