@@ -400,6 +400,42 @@ def q_lsh_topk(sf_dir: str):
 
 # --- graph / KG family ------------------------------------------------------
 
+def q_domain_of_event_types(sf_dir: str):
+    """A10 domain-heuristic analogue: per event_type the dominant user
+    bucket (user_id % 4) if its share ≥ 0.3, else NULL."""
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'user_id'])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch['utype'] = (batch['user_id'] % 4).astype('int64')
+        return batch[['event_type', 'utype']]
+
+    bucketed = ev.map_batches(bucketize, batch_format='pandas')
+    counts = rel.two_phase_count(bucketed, ['event_type', 'utype'], 'cnt').to_pandas()
+    rows = []
+    for et, g in counts.groupby('event_type'):
+        total = g['cnt'].sum()
+        best = g.sort_values(['cnt', 'utype'], ascending=[False, True]).iloc[0]
+        dom = int(best['utype']) if best['cnt'] / total >= 0.3 else None
+        rows.append({'event_type': et, 'domain_bucket': dom})
+    return pd.DataFrame(rows)
+
+
+SQL_DOMAIN_EVENTS = """
+WITH counts AS (
+    SELECT event_type, user_id % 4 AS utype, count(*) AS cnt
+    FROM events GROUP BY event_type, user_id % 4),
+tot AS (SELECT event_type, sum(cnt) AS total FROM counts GROUP BY event_type),
+ranked AS (
+    SELECT c.event_type, c.utype, c.cnt, t.total,
+           row_number() OVER (PARTITION BY c.event_type
+                              ORDER BY c.cnt DESC, c.utype) AS rn
+    FROM counts c JOIN tot t USING (event_type))
+SELECT event_type,
+       CASE WHEN cnt * 1.0 / total >= 0.3 THEN utype END AS domain_bucket
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_user_components(sf_dir: str):
     """Connected components (D4): users linked via shared event_type (star
     edges to the min user per type), CC via distributed contraction."""
@@ -492,6 +528,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'doc_fingerprints': q_doc_fingerprints,
     'knn_topk': q_knn_topk,
     'lsh_topk': q_lsh_topk,
+    'domain_of_event_types': q_domain_of_event_types,
     'user_components': q_user_components,
     'alias_counts_docs': q_alias_counts_docs,
     'flagship_triples': q_flagship_triples,
@@ -516,6 +553,7 @@ ORACLES: Dict[str, str] = {
     'dedup_exact': SQL_DEDUP_EXACT,
     'embedding_near_dups': SQL_EMB_DUPS,
     'knn_topk': SQL_KNN,
+    'domain_of_event_types': SQL_DOMAIN_EVENTS,
     'user_components': SQL_COMPONENTS,
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     # rows-only (non-SQL-expressible): minhash_dedup, simhash_pairs,

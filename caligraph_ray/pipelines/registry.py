@@ -1,0 +1,89 @@
+"""User-extension surface (SURVEY.md §2.10): named pipeline stages with
+dependencies + a matcher factory.
+
+Mirrors the reference's plugin points — the enum-dispatched matcher factory
+(subject_entity/entity_disambiguation/matching/__init__.py:12-34) and the
+cache/stage registry (config.yaml:140-317) — as plain-Python registries over
+Ray Datasets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+# --- stage graph ------------------------------------------------------------
+
+
+@dataclass
+class PipelineStage:
+    """A named, dependency-ordered transform: build(inputs) → Dataset where
+    inputs maps dep name → that stage's output Dataset."""
+    name: str
+    deps: List[str]
+    build: Callable[[Dict[str, 'ray.data.Dataset']], 'ray.data.Dataset']
+
+
+def run_pipeline(stages: List[PipelineStage],
+                 sources: Optional[Dict[str, 'ray.data.Dataset']] = None,
+                 checkpoint_root: Optional[str] = None) -> Dict[str, 'ray.data.Dataset']:
+    """Topologically run stages; with ``checkpoint_root`` every stage goes
+    through the durable run_stage cache (resume-by-existence)."""
+    from ..state.checkpoint import run_stage
+
+    outputs: Dict[str, 'ray.data.Dataset'] = dict(sources or {})
+    remaining = {s.name: s for s in stages}
+    order: List[str] = []
+    while remaining:
+        ready = [n for n, s in remaining.items()
+                 if all(d in outputs for d in s.deps)]
+        if not ready:
+            missing = {n: [d for d in s.deps if d not in outputs]
+                       for n, s in remaining.items()}
+            raise ValueError(f'unresolvable stage dependencies: {missing}')
+        for n in sorted(ready):
+            stage = remaining.pop(n)
+            inputs = {d: outputs[d] for d in stage.deps}
+            if checkpoint_root:
+                outputs[n] = run_stage(checkpoint_root, n,
+                                       lambda s=stage, i=inputs: s.build(i))
+            else:
+                outputs[n] = stage.build(inputs)
+            order.append(n)
+    return outputs
+
+
+# --- matcher factory --------------------------------------------------------
+
+MATCHERS: Dict[str, Callable] = {}
+
+
+def register_matcher(name: str):
+    def deco(fn):
+        MATCHERS[name] = fn
+        return fn
+    return deco
+
+
+def make_matcher(name: str, **params) -> Callable:
+    """Return a clustering callable linked(Dataset) → clusters(Dataset)
+    (the reference's initialize_matcher factory shape)."""
+    if name not in MATCHERS:
+        raise KeyError(f'unknown matcher {name!r}; known: {sorted(MATCHERS)}')
+    fn = MATCHERS[name]
+    return lambda linked, **kw: fn(linked, **{**params, **kw})
+
+
+def _register_builtin():
+    from ..stages.canonicalize import canonicalize, edin_clusters
+
+    @register_matcher('nastylinker')
+    def _nasty(linked, **kw):
+        return canonicalize(linked, **kw)
+
+    @register_matcher('edin')
+    def _edin(linked, **kw):
+        return edin_clusters(linked, **kw)
+
+
+_register_builtin()
