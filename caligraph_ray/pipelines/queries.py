@@ -415,9 +415,12 @@ def q_domain_of_event_types(sf_dir: str):
     for et, g in counts.groupby('event_type'):
         total = g['cnt'].sum()
         best = g.sort_values(['cnt', 'utype'], ascending=[False, True]).iloc[0]
-        dom = int(best['utype']) if best['cnt'] / total >= 0.3 else None
+        # float with NaN for "no dominant bucket" — matches DuckDB's NULL→NaN
+        dom = float(best['utype']) if best['cnt'] / total >= 0.3 else np.nan
         rows.append({'event_type': et, 'domain_bucket': dom})
-    return pd.DataFrame(rows)
+    out = pd.DataFrame(rows)
+    out['domain_bucket'] = out['domain_bucket'].astype('float64')
+    return out
 
 
 SQL_DOMAIN_EVENTS = """
