@@ -428,7 +428,8 @@ def facts_table(n_pages: int, seed: int = 42) -> pa.Table:
     subj, pred, obj, is_lit = [], [], [], []
 
     def add(s, p, o, lit=False):
-        subj.append(entity_to_target(s)); pred.append(p); obj.append(entity_to_target(o) if not lit else o)
+        # entity names in canonical space form (matches page titles/labels)
+        subj.append(s); pred.append(p); obj.append(o)
         is_lit.append(lit)
 
     seen_persons = set()

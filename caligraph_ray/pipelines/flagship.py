@@ -85,46 +85,57 @@ def run_flagship_checkpointed(pages_ds, root: str,
 
 def _assemble_triples(linked, cats, me_threshold, mm_threshold, path_threshold,
                       ent_names: Optional[list] = None, total_rows: Optional[int] = None):
-    """Canonicalize + emit (shared by checkpointed path); returns raw
-    (pre-dedup) triples Dataset. ``ent_names`` (the known-entity dim, free
-    from the alias index) avoids an extra full pass over ``linked``."""
-    clusters = canonicalize(linked, me_threshold, mm_threshold, path_threshold,
-                            total_rows=total_rows)
+    """Canonicalize (surface-collapsed) + emit; returns raw (pre-dedup)
+    triples Dataset. Single-entity components resolve via a broadcast
+    surface→label dict (zero shuffle); only ambiguous multi-entity
+    components go through the mention-level split + hash join."""
+    from ..stages.canonicalize import canonicalize_surface
+
+    surf_label, multi_info = canonicalize_surface(
+        linked, me_threshold, mm_threshold, path_threshold=path_threshold)
     if ent_names is None:
         ent_names = linked.filter(lambda r: r['entity'] is not None).unique('entity')
     id_to_name = {entity_node_id(e): e for e in sorted(set(e for e in ent_names if e))}
-    id_to_name_ref = ray.put(id_to_name)
+    state_ref = ray.put((surf_label, multi_info, id_to_name, mm_threshold))
 
-    def resolve_cluster(batch: pa.Table) -> pa.Table:
-        names = ray.get(id_to_name_ref)
-        nodes = batch.column('node').to_numpy()
-        cl = batch.column('cluster').to_numpy()
-        canon = [names.get(int(c), f'NE_{int(c) & 0x7FFFFFFFFFFFFFFF:x}') for c in cl]
-        t = pa.Table.from_pydict({'node': pa.array(nodes, pa.int64()),
-                                  'canonical': pa.array(canon, pa.string())})
-        return t.filter(pa.array(nodes >= 0))
-
-    mention_clusters = clusters.map_batches(resolve_cluster, batch_format='pyarrow')
     import pyarrow.compute as pc
     linked_subjects = linked.map_batches(
         lambda t: t.filter(pc.equal(t.column('is_subject'), pa.scalar(True))),
         batch_format='pyarrow')
-    joined = linked_subjects.join(mention_clusters, join_type='left_outer',
-                                  num_partitions=8,
-                                  on=('mention_uid',), right_on=('node',))
+
+    mm_score = 0.9  # star-edge weight (build_alignment_edges default)
 
     def subject_triples(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import get_broadcast
+        surf_label_, multi_info_, id_to_name_, _ = get_broadcast(state_ref)
         uids = batch.column('mention_uid').to_pylist()
         urls = batch.column('url').to_pylist()
         entities = batch.column('entity').to_pylist()
         scores = batch.column('link_score').to_pylist()
-        canons = batch.column('canonical').to_pylist()
         labels = batch.column('label').to_pylist()
+        surfs = batch.column('norm_surface').to_pylist()
         subj, pred, obj, lit = [], [], [], []
-        for uid, url, ent, score, canon, label in zip(uids, urls, entities, scores, canons, labels):
-            if canon is None:
-                canon = ent if (ent is not None and score > me_threshold) \
-                    else f'NE_{uid & 0x7FFFFFFFFFFFFFFF:x}'
+        for uid, url, ent, score, label, surf in zip(
+                uids, urls, entities, scores, labels, surfs):
+            if surf in multi_info_:                 # ambiguous component: closed-form split
+                rep, s_rep, src, rep_assigned = multi_info_[surf]
+                s_direct = score if (ent is not None and score > me_threshold) else 0.0
+                s_via = s_rep * mm_score
+                if uid == rep:
+                    cluster = entity_node_id(src) if rep_assigned else rep
+                elif max(s_direct, s_via) > path_threshold:
+                    # ties favor the direct link (matches Dijkstra pop order)
+                    cluster = entity_node_id(ent if s_direct >= s_via else src)
+                else:
+                    cluster = rep if not rep_assigned else uid
+            elif surf in surf_label_:               # single-entity component
+                cluster = surf_label_[surf]
+            elif ent is not None and score > me_threshold:
+                cluster = entity_node_id(ent)       # direct link fallback
+            else:
+                cluster = uid                       # singleton NEW_ENTITY
+            canon = id_to_name_.get(cluster,
+                                    f'NE_{cluster & 0x7FFFFFFFFFFFFFFF:x}')
             page = url.rsplit('/', 1)[-1].replace('_', ' ')
             subj.append(canon); pred.append('mentionedIn'); obj.append(page); lit.append(False)
             subj.append(canon); pred.append('label'); obj.append(label); lit.append(True)
@@ -132,8 +143,8 @@ def _assemble_triples(linked, cats, me_threshold, mm_threshold, path_threshold,
             {'subj': subj, 'pred': pred, 'obj': obj, 'is_literal': lit},
             schema=TRIPLES_SCHEMA)
 
-    subj_triples = joined.map_batches(subject_triples, batch_format='pyarrow',
-                                      batch_size=TOKEN_BATCH_SIZE)
+    subj_triples = linked_subjects.map_batches(subject_triples, batch_format='pyarrow',
+                                               batch_size=TOKEN_BATCH_SIZE)
 
     def category_triples(batch: pa.Table) -> pa.Table:
         urls = batch.column('url').to_pylist()

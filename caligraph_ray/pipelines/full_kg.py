@@ -1,0 +1,97 @@
+"""Full KG construction: flagship mention pipeline + Cat2Ax axiom induction
++ listing-rule mining, all triple streams unioned into the sorted,
+hash-partitioned sink (the complete analogue of the reference's
+extract_and_serialize, impl/caligraph/__init__.py:11-29).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..stages.alias import (build_alias_index_local, entity_names_from_index,
+                            explode_mentions, link_mentions)
+from ..stages.cat2ax import axioms_to_triples, extract_axioms
+from ..stages.html_extract import cats_view, items_view, parse_pages
+from ..stages.listing_rules import (apply_rules, build_context,
+                                    mine_relation_rules, mine_type_rules)
+from ..stages.triples import materialize_triples
+from .flagship import _assemble_triples
+
+
+def _url_title(url: str) -> str:
+    return url.rsplit('/', 1)[-1].replace('_', ' ')
+
+
+def run_full_kg(pages_ds, categories_ds=None, facts_ds=None,
+                out_dir: Optional[str] = None,
+                me_threshold: float = 0.95, mm_threshold: float = 0.8,
+                path_threshold: float = 0.75,
+                rule_mean_threshold: float = 0.75, rule_min_pages: int = 2):
+    """pages (+ optional category hierarchy & existing-KB facts) → triples.
+
+    categories_ds: (cat_name, parent_cat, member_url) — the F2 companion.
+    facts_ds: (subj, pred, obj, is_literal) — the F5 companion.
+    """
+    parsed = parse_pages(pages_ds).materialize()
+    items = items_view(parsed)
+    cats = cats_view(parsed)
+
+    mentions = explode_mentions(items).materialize()
+    index = build_alias_index_local(mentions)
+    index_ref = ray.put(index)
+    linked = link_mentions(mentions, index_ref).materialize()
+
+    streams = [_assemble_triples(linked, cats, me_threshold, mm_threshold,
+                                 path_threshold,
+                                 ent_names=entity_names_from_index(index),
+                                 total_rows=mentions.count())]
+
+    facts_broadcast = None
+    if facts_ds is not None:
+        rows = facts_ds.take_all()
+        types_by_ent: Dict[str, List[str]] = defaultdict(list)
+        props_by_ent: Dict[str, List[tuple]] = defaultdict(list)
+        for f in rows:
+            if f['pred'] == 'rdf:type':
+                types_by_ent[f['subj']].append(f['obj'])
+            elif not f['is_literal']:
+                props_by_ent[f['subj']].append((f['pred'], f['obj']))
+        facts_broadcast = ray.put((dict(types_by_ent), dict(props_by_ent)))
+
+    # Cat2Ax over the category hierarchy + membership (member = page title)
+    if categories_ds is not None and facts_ds is not None:
+        def to_membership(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({'cat_name': batch['cat_name'],
+                                 'member': [_url_title(u) for u in batch['member_url']]})
+
+        membership = categories_ds.map_batches(to_membership, batch_format='pandas')
+        axioms = extract_axioms(categories_ds, membership, facts_ds)
+        streams.append(axioms_to_triples(axioms, membership))
+
+    # listing rules over subject-entity context
+    if facts_broadcast is not None:
+        subjects = linked.map_batches(
+            lambda t: t.filter(pc.and_kleene(
+                pc.equal(t.column('is_subject'), pa.scalar(True)),
+                pc.is_valid(t.column('entity')))),
+            batch_format='pyarrow')
+
+        # mentions carry topsection/section (J2 context travels with the row)
+        subj_ctx = subjects.select_columns(
+            ['url', 'page_id', 'topsection', 'section', 'entity'])
+        ctx = build_context(subj_ctx, facts_ref=facts_broadcast).materialize()
+        trules = mine_type_rules(ctx, rule_mean_threshold, rule_min_pages).to_pandas()
+        rrules = mine_relation_rules(ctx, rule_mean_threshold, rule_min_pages).to_pandas()
+        if len(trules) or len(rrules):
+            streams.append(apply_rules(ctx, trules, rrules))
+
+    all_triples = streams[0]
+    for s in streams[1:]:
+        all_triples = all_triples.union(s)
+    return materialize_triples(all_triples, out_dir=out_dir)

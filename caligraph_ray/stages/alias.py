@@ -35,6 +35,8 @@ MENTIONS_SCHEMA = pa.schema([
     ('listing_idx', pa.int32()),
     ('item_idx', pa.int32()),
     ('mention_idx', pa.int32()),
+    ('topsection', pa.string()),    # listing context carried through (J2)
+    ('section', pa.string()),
     ('name', pa.string()),          # linked target or null
     ('label', pa.string()),
     ('norm_surface', pa.string()),
@@ -52,10 +54,12 @@ def _explode_mentions_batch(batch: pa.Table) -> pa.Table:
     page_ids = batch.column('page_id').to_pylist()
     listing_idxs = batch.column('listing_idx').to_pylist()
     item_idxs = batch.column('item_idx').to_pylist()
+    tops = batch.column('topsection').to_pylist()
+    secs = batch.column('section').to_pylist()
     depths = batch.column('depth').to_pylist()
     mentions_col = batch.column('mentions').to_pylist()
-    for url, pid, li, ii, depth, mentions in zip(
-            urls, page_ids, listing_idxs, item_idxs, depths, mentions_col):
+    for url, pid, li, ii, top, sec, depth, mentions in zip(
+            urls, page_ids, listing_idxs, item_idxs, tops, secs, depths, mentions_col):
         subject_assigned = False
         for mi, m in enumerate(mentions):
             label = m['label']
@@ -68,6 +72,8 @@ def _explode_mentions_batch(batch: pa.Table) -> pa.Table:
             cols['listing_idx'].append(li)
             cols['item_idx'].append(ii)
             cols['mention_idx'].append(mi)
+            cols['topsection'].append(top)
+            cols['section'].append(sec)
             cols['name'].append(m['name'])
             cols['label'].append(label)
             cols['norm_surface'].append(normalize_surface(label))

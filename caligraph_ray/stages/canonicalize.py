@@ -326,6 +326,148 @@ def split_components(edges_with_labels: pd.DataFrame, path_threshold: float = PA
                          'cluster': list(assignment.values())})
 
 
+def canonicalize_surface(linked_mentions_ds,
+                         me_threshold: float = MENTION_ENTITY_THRESHOLD,
+                         mm_threshold: float = MENTION_MENTION_THRESHOLD,
+                         mm_score: float = 0.9,
+                         path_threshold: float = PATH_THRESHOLD):
+    """Surface-collapsed canonicalization — EXACTLY the mention-level
+    semantics of ``canonicalize`` (verified by the flagship oracle test) at
+    a fraction of the cost.
+
+    Key observation: the mention-mention edges are per-surface stars, so a
+    connected component's mention set is fully determined by its member
+    *surfaces*. CC therefore runs on the collapsed graph whose nodes are
+    surface representatives (= per-surface min mention_uid, so min-node
+    component labels are IDENTICAL to mention-level labels) plus entity
+    nodes, with one edge per distinct (surface, entity>threshold) pair —
+    thousands of nodes instead of all mentions. Only components holding ≥2
+    entities (ambiguous surfaces) run the NASTyLinker mention-level Dijkstra
+    split, over just their member mentions.
+
+    Returns (surf_label, multi_info):
+      * surf_label: dict surface → cluster label for single-entity
+        components (broadcast downstream; mentions resolve by lookup)
+      * multi_info: dict surface → (rep_uid, S_rep, src_entity, rep_assigned)
+        for surfaces inside multi-entity components; per-mention assignment
+        is closed-form from this plus the mention's own direct link:
+          S_direct = link_score (if > me_threshold)
+          S_via    = S_rep × mm_score
+          assigned to src (or direct entity) iff max(S) > path_threshold,
+          else clustered under the surface rep (if the rep is unassigned)
+          or left a singleton — exactly the NASTyLinker Dijkstra result on
+          the star-structured alignment graph.
+    """
+    from .relational import bucketed_map, two_phase_pandas_agg
+
+    if mm_score <= mm_threshold:
+        raise ValueError('canonicalize_surface requires mention-mention edges '
+                         '(mm_score > mm_threshold); use canonicalize() otherwise')
+    ds = linked_mentions_ds
+
+    # per-surface representative + mention count (one partial row per batch
+    # per surface — head surfaces included)
+    rep_rows = two_phase_pandas_agg(
+        ds.select_columns(['mention_uid', 'norm_surface']),
+        ['norm_surface'], {'rep': ('mention_uid', 'min'), 'n': (None, 'count')}).take_all()
+    reps = {r['norm_surface']: int(r['rep']) for r in rep_rows}
+    surf_n = {r['norm_surface']: int(r['n']) for r in rep_rows}
+
+    # distinct (surface, entity) pairs above the me threshold
+    def me_pairs_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[(batch['entity'].notna()) & (batch['link_score'] > me_threshold)]
+        return m[['norm_surface', 'entity']].drop_duplicates()
+
+    pairs = ds.select_columns(['norm_surface', 'entity', 'link_score']) \
+        .map_batches(me_pairs_partial, batch_format='pandas', batch_size=TOKEN_BATCH_SIZE)
+    pair_rows = two_phase_pandas_agg(pairs, ['norm_surface', 'entity'],
+                                     {'cnt': (None, 'count')}).take_all()
+
+    # driver CC over the collapsed graph (tiny: |surfaces| + |entities|)
+    uf = _UnionFind()
+    mm_on = mm_score > mm_threshold
+    for surf, n in surf_n.items():
+        if mm_on and n >= 2:
+            uf.find(reps[surf])  # surfaces with stars always form a component
+    for r in pair_rows:
+        surf = r['norm_surface']
+        if mm_on and surf_n.get(surf, 0) >= 2:
+            uf.union(reps[surf], entity_node_id(r['entity']))
+        else:
+            # single-mention surface: the me edge alone joins rep↔entity
+            uf.union(reps[surf], entity_node_id(r['entity']))
+    comp_entities: Dict[int, set] = defaultdict(set)
+    for r in pair_rows:
+        comp_entities[uf.find(reps[r['norm_surface']])].add(r['entity'])
+    comp_of_surface = {}
+    for surf, n in surf_n.items():
+        rep = reps[surf]
+        if rep in uf.parent or (mm_on and n >= 2):
+            comp_of_surface[surf] = uf.find(rep)
+
+    multi_comps = {c for c, ents in comp_entities.items() if len(ents) >= 2}
+    surf_label: Dict[str, int] = {}
+    multi_surfaces = set()
+    for surf, comp in comp_of_surface.items():
+        if comp in multi_comps:
+            multi_surfaces.add(surf)
+        else:
+            ents = comp_entities.get(comp, ())
+            surf_label[surf] = entity_node_id(next(iter(ents))) if ents else comp
+
+    # Multi-entity components: NASTyLinker split in CLOSED FORM.
+    # Shortest paths from the entity source set never pass through an entity
+    # (every entity is itself a source at distance 0) and mention-mention
+    # connectivity is only the per-surface star, so the best path score to a
+    # mention is max(direct me score, S_rep(surface) × mm_score), where
+    # S_rep(s) = max over entities e of max(rep's direct score to e,
+    # mm_score × best member score to e). No Dijkstra, no join — per-surface
+    # maxima from one distributed aggregate, then a broadcast dict.
+    multi_info: Dict[str, tuple] = {}
+    if multi_surfaces:
+        # best member link score per (multi surface, entity)
+        def best_scores_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            m = batch[(batch['entity'].notna()) & (batch['link_score'] > me_threshold)]
+            if m.empty:
+                return pd.DataFrame({'norm_surface': pd.Series(dtype='object'),
+                                     'entity': pd.Series(dtype='object'),
+                                     'best': pd.Series(dtype='float64'),
+                                     'rep_score': pd.Series(dtype='float64')})
+            g = m.groupby(['norm_surface', 'entity'], sort=False)
+            out = g['link_score'].max().rename('best').reset_index()
+            # rep's own direct score (exact: rep uid known per surface)
+            rep_map = m['norm_surface'].map(reps)
+            is_rep = m['mention_uid'] == rep_map
+            rg = m[is_rep].groupby(['norm_surface', 'entity'], sort=False)
+            rep_best = rg['link_score'].max().rename('rep_score').reset_index()
+            return out.merge(rep_best, how='left',
+                             on=['norm_surface', 'entity']).fillna({'rep_score': 0.0})
+
+        pairs2 = ds.select_columns(['mention_uid', 'norm_surface', 'entity', 'link_score']) \
+            .map_batches(best_scores_partial, batch_format='pandas',
+                         batch_size=TOKEN_BATCH_SIZE)
+        best_rows = two_phase_pandas_agg(
+            pairs2, ['norm_surface', 'entity'],
+            {'best': ('best', 'max'), 'rep_score': ('rep_score', 'max')}).take_all()
+
+        by_surface: Dict[str, List[tuple]] = defaultdict(list)
+        for r in best_rows:
+            s = r['norm_surface']
+            if s in multi_surfaces:
+                by_surface[s].append((r['entity'], float(r['best']),
+                                      float(r['rep_score'])))
+        for s in multi_surfaces:
+            cands = by_surface.get(s, [])
+            s_rep, src = 0.0, None
+            for ent, best, rep_sc in sorted(cands):
+                sc = max(min(rep_sc, 1.0), mm_score * min(best, 1.0))
+                if sc > s_rep:  # strict: ties keep the lexicographically first entity
+                    s_rep, src = sc, ent
+            rep_assigned = s_rep > path_threshold and src is not None
+            multi_info[s] = (reps[s], s_rep, src, rep_assigned)
+    return surf_label, multi_info
+
+
 def edin_clusters(linked_mentions_ds,
                   me_threshold: float = MENTION_ENTITY_THRESHOLD,
                   mm_threshold: float = MENTION_MENTION_THRESHOLD,
