@@ -78,7 +78,7 @@ def run_benchmarks() -> dict:
     return result
 
 
-SCALE_PAGES = int(os.environ.get('GRAFT_SCALE_PAGES', '30000'))
+SCALE_PAGES = int(os.environ.get('GRAFT_SCALE_PAGES', '1000000'))
 SCALE_CORPUS_DIR = os.environ.get('GRAFT_SCALE_CORPUS',
                                   f'/tmp/caligraph_bench_corpus_{SCALE_PAGES}')
 

@@ -101,11 +101,13 @@ def _partial_alias_counts(batch: pa.Table) -> pa.Table:
 
 
 def alias_counts(mentions_ds):
-    """(norm_surface, name, freq) Dataset via two-phase aggregation."""
-    from ray.data.aggregate import Sum
+    """(norm_surface, name, freq) Dataset via two-phase aggregation
+    (arrow partial combine per batch, coarse-bucket final merge)."""
+    from .relational import two_phase_pandas_agg
     partial = mentions_ds.map_batches(_partial_alias_counts, batch_format='pyarrow',
                                       batch_size=TOKEN_BATCH_SIZE)
-    return partial.groupby(['norm_surface', 'name']).aggregate(Sum('cnt', alias_name='freq'))
+    return two_phase_pandas_agg(partial, ['norm_surface', 'name'],
+                                {'freq': ('cnt', 'sum')})
 
 
 AliasIndex = Dict[str, List[Tuple[str, int]]]
