@@ -12,21 +12,18 @@ and a sort-materialize sink.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Optional
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 
 from ..config import (MENTION_ENTITY_THRESHOLD, MENTION_MENTION_THRESHOLD,
                       PATH_THRESHOLD, TOKEN_BATCH_SIZE)
-from ..functions.hashing import stable_hash64
 from ..stages.alias import (build_alias_index, build_alias_index_local,
                             entity_names_from_index, explode_mentions,
                             link_mentions)
 from ..stages.canonicalize import canonicalize, entity_node_id
-from ..stages.html_extract import parse_categories, parse_items
 from ..stages.triples import TRIPLES_SCHEMA, materialize_triples
 
 

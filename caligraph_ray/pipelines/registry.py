@@ -9,7 +9,7 @@ Ray Datasets.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
 # --- stage graph ------------------------------------------------------------

@@ -9,8 +9,6 @@ rdf.py:118-141).
 from __future__ import annotations
 
 import re
-from typing import Optional
-
 import pyarrow as pa
 
 from ..stages.triples import TRIPLES_SCHEMA

@@ -365,23 +365,69 @@ def canonicalize_surface(linked_mentions_ds,
                          '(mm_score > mm_threshold); use canonicalize() otherwise')
     ds = linked_mentions_ds
 
-    # per-surface representative + mention count (one partial row per batch
-    # per surface — head surfaces included)
-    rep_rows = two_phase_pandas_agg(
-        ds.select_columns(['mention_uid', 'norm_surface']),
-        ['norm_surface'], {'rep': ('mention_uid', 'min'), 'n': (None, 'count')}).take_all()
-    reps = {r['norm_surface']: int(r['rep']) for r in rep_rows}
-    surf_n = {r['norm_surface']: int(r['n']) for r in rep_rows}
+    # ONE pass over all mentions computing every per-surface statistic the
+    # collapsed algorithm needs: representative uid + count (surface rows,
+    # entity='') and per-(surface, entity>threshold) best link score + the
+    # representative's own link (pair rows). Long format → one shuffle.
+    _MAXU = (1 << 62)
 
-    # distinct (surface, entity) pairs above the me threshold
-    def me_pairs_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby('norm_surface', sort=False)
+        idx = g['mention_uid'].idxmin()
+        srows = batch.loc[idx, ['norm_surface', 'mention_uid', 'entity', 'link_score']] \
+            .rename(columns={'mention_uid': 'rep', 'entity': 'rep_entity',
+                             'link_score': 'rep_score'})
+        srows = srows.set_index('norm_surface')
+        srows['n'] = g.size()
+        srows = srows.reset_index()
+        srows['rep_entity'] = srows['rep_entity'].fillna('')
+        srows['entity'] = ''
+        srows['best'] = 0.0
         m = batch[(batch['entity'].notna()) & (batch['link_score'] > me_threshold)]
-        return m[['norm_surface', 'entity']].drop_duplicates()
+        prows = m.groupby(['norm_surface', 'entity'], sort=False)['link_score'] \
+            .max().rename('best').reset_index()
+        prows['rep'] = _MAXU
+        prows['n'] = 0
+        prows['rep_entity'] = ''
+        prows['rep_score'] = 0.0
+        cols = ['norm_surface', 'entity', 'rep', 'n', 'rep_entity', 'rep_score', 'best']
+        return pd.concat([srows[cols], prows[cols]], ignore_index=True)
 
-    pairs = ds.select_columns(['norm_surface', 'entity', 'link_score']) \
-        .map_batches(me_pairs_partial, batch_format='pandas', batch_size=TOKEN_BATCH_SIZE)
-    pair_rows = two_phase_pandas_agg(pairs, ['norm_surface', 'entity'],
-                                     {'cnt': (None, 'count')}).take_all()
+    def stats_final(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket[bucket['entity'] == '']
+        s = s.sort_values(['norm_surface', 'rep'], kind='mergesort')
+        s2 = s.groupby('norm_surface', sort=False).agg(
+            rep=('rep', 'min'), n=('n', 'sum'),
+            rep_entity=('rep_entity', 'first'),      # row of the global min rep
+            rep_score=('rep_score', 'first')).reset_index()
+        s2['entity'] = ''
+        s2['best'] = 0.0
+        p = bucket[bucket['entity'] != ''].groupby(['norm_surface', 'entity'],
+                                                   sort=False)['best'].max().reset_index()
+        p['rep'] = _MAXU
+        p['n'] = 0
+        p['rep_entity'] = ''
+        p['rep_score'] = 0.0
+        cols = ['norm_surface', 'entity', 'rep', 'n', 'rep_entity', 'rep_score', 'best']
+        return pd.concat([s2[cols], p[cols]], ignore_index=True)
+
+    from .relational import bucketed_map as _bmap
+    partials = ds.select_columns(['mention_uid', 'norm_surface', 'entity', 'link_score']) \
+        .map_batches(stats_partial, batch_format='pandas', batch_size=TOKEN_BATCH_SIZE)
+    stat_rows = _bmap(partials, ['norm_surface'], stats_final).take_all()
+
+    reps: Dict[str, int] = {}
+    surf_n: Dict[str, int] = {}
+    rep_link: Dict[str, Tuple[str, float]] = {}
+    pair_rows: List[dict] = []
+    for r in stat_rows:
+        if r['entity'] == '':
+            s = r['norm_surface']
+            reps[s] = int(r['rep'])
+            surf_n[s] = int(r['n'])
+            rep_link[s] = (r['rep_entity'], float(r['rep_score']))
+        else:
+            pair_rows.append(r)
 
     # driver CC over the collapsed graph (tiny: |surfaces| + |entities|)
     uf = _UnionFind()
@@ -425,37 +471,14 @@ def canonicalize_surface(linked_mentions_ds,
     # maxima from one distributed aggregate, then a broadcast dict.
     multi_info: Dict[str, tuple] = {}
     if multi_surfaces:
-        # best member link score per (multi surface, entity)
-        def best_scores_partial(batch: pd.DataFrame) -> pd.DataFrame:
-            m = batch[(batch['entity'].notna()) & (batch['link_score'] > me_threshold)]
-            if m.empty:
-                return pd.DataFrame({'norm_surface': pd.Series(dtype='object'),
-                                     'entity': pd.Series(dtype='object'),
-                                     'best': pd.Series(dtype='float64'),
-                                     'rep_score': pd.Series(dtype='float64')})
-            g = m.groupby(['norm_surface', 'entity'], sort=False)
-            out = g['link_score'].max().rename('best').reset_index()
-            # rep's own direct score (exact: rep uid known per surface)
-            rep_map = m['norm_surface'].map(reps)
-            is_rep = m['mention_uid'] == rep_map
-            rg = m[is_rep].groupby(['norm_surface', 'entity'], sort=False)
-            rep_best = rg['link_score'].max().rename('rep_score').reset_index()
-            return out.merge(rep_best, how='left',
-                             on=['norm_surface', 'entity']).fillna({'rep_score': 0.0})
-
-        pairs2 = ds.select_columns(['mention_uid', 'norm_surface', 'entity', 'link_score']) \
-            .map_batches(best_scores_partial, batch_format='pandas',
-                         batch_size=TOKEN_BATCH_SIZE)
-        best_rows = two_phase_pandas_agg(
-            pairs2, ['norm_surface', 'entity'],
-            {'best': ('best', 'max'), 'rep_score': ('rep_score', 'max')}).take_all()
-
         by_surface: Dict[str, List[tuple]] = defaultdict(list)
-        for r in best_rows:
+        for r in pair_rows:
             s = r['norm_surface']
             if s in multi_surfaces:
-                by_surface[s].append((r['entity'], float(r['best']),
-                                      float(r['rep_score'])))
+                ent = r['entity']
+                rl_ent, rl_score = rep_link.get(s, ('', 0.0))
+                rep_sc = rl_score if (rl_ent == ent and rl_score > me_threshold) else 0.0
+                by_surface[s].append((ent, float(r['best']), rep_sc))
         for s in multi_surfaces:
             cands = by_surface.get(s, [])
             s_rep, src = 0.0, None

@@ -23,7 +23,7 @@ Axiom → triple materialization applies each category's axioms to its members
 from __future__ import annotations
 
 from collections import Counter, defaultdict
-from typing import Dict, List, Optional, Sequence, Set, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -44,8 +44,6 @@ def category_statistics(membership_ds, facts_ds):
     Frequencies are count/n_members. Built with two-phase counts; collected
     because downstream pattern mining needs random access per cat (the
     reference holds the same dict in DbpCategoryStore)."""
-    from ray.data.aggregate import Sum
-
     member_counts = {r['cat_name']: int(r['cnt'])
                      for r in two_phase_count(membership_ds, ['cat_name'], 'cnt').take_all()}
 

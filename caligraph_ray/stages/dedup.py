@@ -15,8 +15,7 @@ Shapes:
 
 from __future__ import annotations
 
-from collections import defaultdict
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 import pandas as pd
@@ -25,8 +24,7 @@ import ray
 
 from ..config import (AGG_BATCH_SIZE, EMBEDDING_DUP_COSINE, MINHASH_BANDS,
                       MINHASH_NUM_PERM, MINHASH_SHINGLE_SIZE,
-                      NGRAM_JACCARD_THRESHOLD, SIMHASH_BITS,
-                      SIMHASH_HAMMING_THRESHOLD)
+                      NGRAM_JACCARD_THRESHOLD, SIMHASH_HAMMING_THRESHOLD)
 from ..functions.hashing import MinHasher, hamming64, jaccard, simhash64, stable_hash64
 from .canonicalize import _UnionFind
 

@@ -14,15 +14,15 @@ References:
 from __future__ import annotations
 
 import re
-from collections import Counter, defaultdict
-from typing import Dict, List, Optional, Tuple
+from collections import Counter
+from typing import Dict, List, Tuple
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ..config import AGG_BATCH_SIZE, DOMAIN_THRESHOLD, RANGE_THRESHOLD
-from .relational import bucketed_map, two_phase_count, two_phase_pandas_agg
+from .relational import two_phase_count, two_phase_pandas_agg
 
 # --- Hearst patterns --------------------------------------------------------
 

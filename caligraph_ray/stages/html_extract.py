@@ -27,7 +27,6 @@ import re
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
-import numpy as np
 import pyarrow as pa
 
 from ..config import (MAX_TABLE_COLS, MIN_ENUM_ENTRIES, MIN_TABLE_COLS,

@@ -19,7 +19,7 @@ Page-type dim and entity facts are broadcast small sides (ray.put once).
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Dict, List
 
 import numpy as np
 import pandas as pd

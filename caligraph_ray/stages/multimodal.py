@@ -14,8 +14,6 @@ below the text-stage 4096)."""
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List, Optional
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa

@@ -10,15 +10,10 @@ the reference's ANN/exact top-k search ST5/ST6, transformer_util.py:48-89).
 
 from __future__ import annotations
 
-import heapq
-from typing import List, Optional, Tuple
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
-
-from ..functions.hashing import stable_hash64
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:

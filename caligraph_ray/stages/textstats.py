@@ -10,14 +10,13 @@ rows through the shuffle.
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ..config import AGG_BATCH_SIZE
-from ..functions.hashing import rolling_fingerprint, stable_hash64
+from ..functions.hashing import rolling_fingerprint
 
 # deterministic English function-word list for the lang-ID heuristic
 EN_STOPWORDS = frozenset({'the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'it', 'for'})

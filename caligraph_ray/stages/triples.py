@@ -12,7 +12,6 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..config import AGG_BATCH_SIZE, OUTPUT_PARTITIONS
 from ..functions.hashing import stable_hash64
