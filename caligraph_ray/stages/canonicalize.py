@@ -372,14 +372,13 @@ def canonicalize_surface(linked_mentions_ds,
     _MAXU = (1 << 62)
 
     def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby('norm_surface', sort=False)
-        idx = g['mention_uid'].idxmin()
-        srows = batch.loc[idx, ['norm_surface', 'mention_uid', 'entity', 'link_score']] \
+        b = batch.sort_values('mention_uid', kind='mergesort')
+        srows = b.drop_duplicates('norm_surface', keep='first') \
+            [['norm_surface', 'mention_uid', 'entity', 'link_score']] \
             .rename(columns={'mention_uid': 'rep', 'entity': 'rep_entity',
                              'link_score': 'rep_score'})
-        srows = srows.set_index('norm_surface')
-        srows['n'] = g.size()
-        srows = srows.reset_index()
+        counts = batch['norm_surface'].value_counts(sort=False)
+        srows['n'] = srows['norm_surface'].map(counts).astype('int64')
         srows['rep_entity'] = srows['rep_entity'].fillna('')
         srows['entity'] = ''
         srows['best'] = 0.0
@@ -411,9 +410,10 @@ def canonicalize_surface(linked_mentions_ds,
         cols = ['norm_surface', 'entity', 'rep', 'n', 'rep_entity', 'rep_score', 'best']
         return pd.concat([s2[cols], p[cols]], ignore_index=True)
 
+    from ..config import AGG_BATCH_SIZE
     from .relational import bucketed_map as _bmap
     partials = ds.select_columns(['mention_uid', 'norm_surface', 'entity', 'link_score']) \
-        .map_batches(stats_partial, batch_format='pandas', batch_size=TOKEN_BATCH_SIZE)
+        .map_batches(stats_partial, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
     stat_rows = _bmap(partials, ['norm_surface'], stats_final).take_all()
 
     reps: Dict[str, int] = {}
