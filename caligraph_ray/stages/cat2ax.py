@@ -362,11 +362,21 @@ def apply_patterns_to_label(cat: str, tries: Tuple[dict, dict, dict],
 
 
 def extract_axioms(categories_ds, membership_ds, facts_ds,
-                   pattern_conf: float = CAT2AX_PATTERN_CONF):
+                   pattern_conf: float = CAT2AX_PATTERN_CONF,
+                   conceptual_only: bool = False):
     """Full Cat2Ax run → axioms Dataset (cat_name, axiom, pred, value,
     confidence). categories_ds: (cat_name, parent_cat); membership_ds:
-    (cat_name, member); facts_ds: (subj, pred, obj, is_literal)."""
+    (cat_name, member); facts_ds: (subj, pred, obj, is_literal).
+
+    ``conceptual_only`` applies the reference's conceptual-category filter
+    (plural lexical head, M16 / category/graph.py:62-71) before mining."""
     import ray.data as rd
+
+    if conceptual_only:
+        from ..functions.nlp import has_plural_head
+        categories_ds = categories_ds.map_batches(
+            lambda b: b[[has_plural_head(c) for c in b['cat_name']]],
+            batch_format='pandas')
 
     stats = category_statistics(membership_ds, facts_ds)
     lex = build_type_lexicalisations(facts_ds)

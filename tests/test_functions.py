@@ -98,3 +98,21 @@ def test_rolling_fingerprint():
     fp2 = H.rolling_fingerprint('hello world this is a longer text for fingerprinting')
     assert fp1 == fp2 and len(fp1) <= 8
     assert H.rolling_fingerprint('') == []
+
+
+def test_singularize_and_plural_head():
+    from caligraph_ray.functions import nlp as N
+    # golden cases mirroring reference tests/unit/util/test_nlp.py intent
+    assert N.has_plural_head('Countries by GDP per capita')
+    assert N.has_plural_head('People from Paris')
+    assert N.has_plural_head('Cities in France')
+    assert not N.has_plural_head('Paris')
+    assert not N.has_plural_head('History of France')  # singular head
+    assert N.singularize('Countries') == 'Country'
+    assert N.singularize('people') == 'person'
+    assert N.singularize('Series') == 'Series'
+    assert N.singularize('Churches') == 'Church'
+    assert N.singularize('Wives') == 'Wife'
+    assert N.singularize_phrase('Countries by GDP') == 'Country by GDP'
+    assert N.singularize_phrase('Paris') == 'Paris'
+    assert N.lexical_head('Fellows of the Royal Society/A') == 'Fellows'
