@@ -162,12 +162,15 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    result = {'metric': 'scaling_efficiency_8_to_32_cpus', 'n_pages': SCALE_PAGES}
+    n_lo = int(os.environ.get('GRAFT_SCALE_CPUS_LO', '4'))
+    n_hi = int(os.environ.get('GRAFT_SCALE_CPUS_HI', '16'))
+    result = {'metric': f'scaling_efficiency_{n_lo}_to_{n_hi}_cpus',
+              'n_pages': SCALE_PAGES}
     for mode, key in [('flagship_corpus', 'end_to_end'), ('parse_extract', 'parse_extract')]:
-        lo, hi = run_at(8, mode), run_at(32, mode)
-        eff = (lo['value'] / hi['value']) / (32 / 8)
+        lo, hi = run_at(n_lo, mode), run_at(n_hi, mode)
+        eff = (lo['value'] / hi['value']) / (n_hi / n_lo)
         result[key] = {
-            'sec_8cpu': lo['value'], 'sec_32cpu': hi['value'],
+            f'sec_{n_lo}cpu': lo['value'], f'sec_{n_hi}cpu': hi['value'],
             'scaling_efficiency': round(eff, 3),
         }
     return result
