@@ -1,0 +1,98 @@
+"""Mergeable sketches for web-scale counters (SURVEY.md §2.5 note: the
+reference has no approximate aggregates; at 10^12 rows exact distincts on
+head columns are wasteful — HLL gives cardinality in O(2^p) bytes with
+per-batch sketches merged in a tiny second stage).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+
+from .hashing import stable_hash64
+
+
+class HyperLogLog:
+    """Classic HLL (Flajolet et al.): p-bit bucket index, rank of remaining
+    bits; standard bias correction for small/large ranges."""
+
+    __slots__ = ('p', 'm', 'registers')
+
+    def __init__(self, p: int = 12):
+        assert 4 <= p <= 18
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, hashes: np.ndarray):
+        # stable_hash64 is 63-bit (top bit 0) → remix to full 64-bit
+        # (splitmix64-style multiply-xorshift, wrapping) so all p bits vary
+        h = hashes.astype(np.uint64)
+        with np.errstate(over='ignore'):
+            h = (h * np.uint64(0x9E3779B97F4A7C15))
+            h ^= h >> np.uint64(31)
+            h = (h * np.uint64(0xBF58476D1CE4E5B9))
+            h ^= h >> np.uint64(27)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64) % self.m
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # rank = leading zeros of the remaining bits + 1
+        ranks = np.zeros(len(h), dtype=np.uint8)
+        v = rest.copy()
+        shift = np.uint64(63)
+        for r in range(1, 64 - self.p + 2):
+            mask = (v >> shift) & np.uint64(1)
+            undecided = ranks == 0
+            hit = undecided & (mask == 1)
+            ranks[hit] = r
+            shift = np.uint64(int(shift) - 1)
+            if not undecided.any():
+                break
+        np.maximum.at(self.registers, idx, ranks)
+
+    def add(self, values: Iterable[str]):
+        hs = np.fromiter((stable_hash64(v) for v in values), dtype=np.uint64)
+        if len(hs):
+            self.add_hashes(hs)
+
+    def merge(self, other: 'HyperLogLog') -> 'HyperLogLog':
+        assert self.p == other.p
+        out = HyperLogLog(self.p)
+        out.registers = np.maximum(self.registers, other.registers)
+        return out
+
+    def cardinality(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / float(np.sum(2.0 ** -self.registers.astype(np.float64)))
+        zeros = int(np.sum(self.registers == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)   # linear counting for the small range
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, p: int = 12) -> 'HyperLogLog':
+        out = cls(p)
+        out.registers = np.frombuffer(data, dtype=np.uint8).copy()
+        return out
+
+
+def approx_distinct(ds, column: str, p: int = 12) -> float:
+    """Distributed approximate distinct count: one HLL sketch per batch
+    (map_batches), merged on the driver (sketches are tiny and mergeable —
+    the shuffle-free alternative to ds.unique at head cardinalities)."""
+    import pandas as pd
+
+    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        h = HyperLogLog(p)
+        h.add(str(v) for v in batch[column])
+        return pd.DataFrame({'sketch': [h.to_bytes()]})
+
+    parts = ds.select_columns([column]).map_batches(sketch, batch_format='pandas')
+    merged = HyperLogLog(p)
+    for r in parts.take_all():
+        merged = merged.merge(HyperLogLog.from_bytes(r['sketch'], p))
+    return merged.cardinality()

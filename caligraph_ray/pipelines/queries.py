@@ -439,6 +439,39 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_normalized_customer_names(sf_dir: str):
+    """Vectorized surface normalization (M11 normalize_surface_array) over
+    customer names — parity-gated against the equivalent SQL expression."""
+    from ..functions.strings import normalize_surface_array
+    cust = rel.read_table(sf_dir, 'customer', ['c_custkey', 'c_name'])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        import pyarrow as pa_
+        return pa_.Table.from_arrays(
+            [batch.column('c_custkey'), normalize_surface_array(batch.column('c_name'))],
+            names=['c_custkey', 'norm_name'])
+
+    import pyarrow as pa
+    return cust.map_batches(norm, batch_format='pyarrow')
+
+
+SQL_NORM_NAMES = """
+SELECT c_custkey,
+       trim(regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9 ]+', '', 'g'),
+                           '\\s+', ' ', 'g')) AS norm_name
+FROM customer
+"""
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL approximate distinct (mergeable sketch per batch; rows-only —
+    accuracy asserted in pytest against the exact count)."""
+    from ..functions.sketches import approx_distinct
+    ev = rel.read_table(sf_dir, 'events', ['user_id'])
+    est = approx_distinct(ev, 'user_id')
+    return pd.DataFrame({'approx_distinct_users': [round(est)]})
+
+
 def q_user_components(sf_dir: str):
     """Connected components (D4): users linked via shared event_type (star
     edges to the min user per type), CC via distributed contraction."""
@@ -532,6 +565,8 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'knn_topk': q_knn_topk,
     'lsh_topk': q_lsh_topk,
     'domain_of_event_types': q_domain_of_event_types,
+    'normalized_customer_names': q_normalized_customer_names,
+    'approx_distinct_users': q_approx_distinct_users,
     'user_components': q_user_components,
     'alias_counts_docs': q_alias_counts_docs,
     'flagship_triples': q_flagship_triples,
@@ -557,6 +592,7 @@ ORACLES: Dict[str, str] = {
     'embedding_near_dups': SQL_EMB_DUPS,
     'knn_topk': SQL_KNN,
     'domain_of_event_types': SQL_DOMAIN_EVENTS,
+    'normalized_customer_names': SQL_NORM_NAMES,
     'user_components': SQL_COMPONENTS,
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     # rows-only (non-SQL-expressible): minhash_dedup, simhash_pairs,

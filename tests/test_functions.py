@@ -116,3 +116,19 @@ def test_singularize_and_plural_head():
     assert N.singularize_phrase('Countries by GDP') == 'Country by GDP'
     assert N.singularize_phrase('Paris') == 'Paris'
     assert N.lexical_head('Fellows of the Royal Society/A') == 'Fellows'
+
+
+def test_hyperloglog_accuracy_and_merge():
+    from caligraph_ray.functions.sketches import HyperLogLog
+    h1, h2 = HyperLogLog(12), HyperLogLog(12)
+    h1.add(f'a{i}' for i in range(30_000))
+    h2.add(f'a{i}' for i in range(20_000, 50_000))  # overlap 10k
+    est = h1.merge(h2).cardinality()
+    assert abs(est - 50_000) / 50_000 < 0.05
+    # serialization round-trip preserves the estimate
+    raw = h1.to_bytes()
+    assert abs(HyperLogLog.from_bytes(raw).cardinality() - h1.cardinality()) < 1e-9
+    # small-range linear counting
+    h3 = HyperLogLog(12)
+    h3.add(f'x{i}' for i in range(100))
+    assert abs(h3.cardinality() - 100) < 10

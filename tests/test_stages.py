@@ -173,3 +173,14 @@ def test_triples_sink_resumable_layout(ray_session, rd, tmp_path):
     assert [r['subj'] for r in rows] == sorted(r['subj'] for r in rows)
     parts = [d for d in os.listdir(tmp_path) if d.startswith('subj_bucket=')]
     assert parts, 'expected hash-partitioned output directories'
+
+
+def test_approx_distinct_matches_exact(ray_session, rd):
+    from caligraph_ray.functions.sketches import approx_distinct
+    import pandas as pd
+    import numpy as np
+    rng = np.random.RandomState(1)
+    df = pd.DataFrame({'k': rng.randint(0, 5000, 40_000)})
+    exact = df['k'].nunique()
+    est = approx_distinct(rd.from_pandas(df).repartition(6), 'k')
+    assert abs(est - exact) / exact < 0.05
