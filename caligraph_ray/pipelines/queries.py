@@ -85,6 +85,30 @@ GROUP BY n_name
 """
 
 
+def q_revenue_by_region(sf_dir: str):
+    """Three-level broadcast dimension chain: orders ⋈ customer ⋈ nation ⋈
+    region (the deepest star-join in the testdata)."""
+    cust = rel.read_table(sf_dir, 'customer', ['c_custkey', 'c_nationkey']).to_pandas()
+    nation = rel.read_table(sf_dir, 'nation', ['n_nationkey', 'n_regionkey']).to_pandas()
+    region = rel.read_table(sf_dir, 'region', ['r_regionkey', 'r_name']).to_pandas()
+    dim = cust.merge(nation, left_on='c_nationkey', right_on='n_nationkey') \
+              .merge(region, left_on='n_regionkey', right_on='r_regionkey')[['c_custkey', 'r_name']]
+    orders = rel.read_table(sf_dir, 'orders', ['o_custkey', 'o_totalprice'])
+    joined = rel.broadcast_join(orders, dim, left_on='o_custkey', right_on='c_custkey')
+    out = rel.two_phase_sum(joined, ['r_name'], 'o_totalprice', alias='revenue').to_pandas()
+    out['revenue'] = out['revenue'].round(2)
+    return out
+
+
+SQL_REVENUE_REGION = """
+SELECT r_name, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def q_customers_without_orders(sf_dir: str):
     """Anti join via broadcast key set (J3, extract.py:286-289)."""
     order_keys = rel.read_table(sf_dir, 'orders', ['o_custkey']).unique('o_custkey')
@@ -543,6 +567,7 @@ def q_flagship_triples(sf_dir: str):
 QUERIES: Dict[str, Callable[[str], object]] = {
     'pricing_summary': q_pricing_summary,
     'revenue_by_nation': q_revenue_by_nation,
+    'revenue_by_region': q_revenue_by_region,
     'customers_without_orders': q_customers_without_orders,
     'semi_join_large_parts': q_semi_join_large_parts,
     'top_docs_per_lang': q_top_docs_per_lang,
@@ -575,6 +600,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
 ORACLES: Dict[str, str] = {
     'pricing_summary': SQL_PRICING,
     'revenue_by_nation': SQL_REVENUE,
+    'revenue_by_region': SQL_REVENUE_REGION,
     'customers_without_orders': SQL_NO_ORDERS,
     'semi_join_large_parts': SQL_SEMI_PARTS,
     'top_docs_per_lang': SQL_TOP_DOCS,
