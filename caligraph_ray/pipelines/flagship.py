@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray
 
 from ..config import (MENTION_ENTITY_THRESHOLD, MENTION_MENTION_THRESHOLD,
-                      PATH_THRESHOLD, TOKEN_BATCH_SIZE)
+                      MM_SCORE, PATH_THRESHOLD, TOKEN_BATCH_SIZE)
 from ..stages.alias import (build_alias_index, build_alias_index_local,
                             entity_names_from_index, explode_mentions,
                             link_mentions)
@@ -66,16 +66,29 @@ def run_flagship_checkpointed(pages_ds, root: str,
     from ..stages.alias import explode_mentions
     from ..stages.html_extract import cats_view, items_view, parse_pages
 
-    parsed = run_stage(root, '01_parsed', lambda: parse_pages(pages_ds))
+    # fingerprint: input size + thresholds — a rerun of the same root with a
+    # different corpus or config invalidates stale checkpoints instead of
+    # silently reusing them
+    n_pages = pages_ds.count()
+    fp_in = {'n_pages': int(n_pages)}
+    fp_cfg = fp_in | {'me': me_threshold, 'mm': mm_threshold, 'path': path_threshold}
+
+    parsed = run_stage(root, '01_parsed', lambda: parse_pages(pages_ds),
+                       fingerprint=fp_in)
     items = items_view(parsed)
-    cats = run_stage(root, '02_categories', lambda: cats_view(parsed))
-    mentions = run_stage(root, '03_mentions', lambda: explode_mentions(items))
+    cats = run_stage(root, '02_categories', lambda: cats_view(parsed),
+                     fingerprint=fp_in)
+    mentions = run_stage(root, '03_mentions', lambda: explode_mentions(items),
+                         fingerprint=fp_in)
     index = build_alias_index_local(mentions)
     index_ref = ray.put(index)
-    linked = run_stage(root, '04_linked', lambda: link_mentions(mentions, index_ref))
+    linked = run_stage(root, '04_linked', lambda: link_mentions(mentions, index_ref),
+                       fingerprint=fp_in)
     triples = run_stage(root, '05_triples', lambda: _assemble_triples(
         linked, cats, me_threshold, mm_threshold, path_threshold,
-        ent_names=entity_names_from_index(index)))
+        ent_names=entity_names_from_index(index)), fingerprint=fp_cfg)
+    # materialize_triples is itself idempotent (wipe-or-skip via _SUCCESS),
+    # so a resumed run can never double rows in the durable sink
     out_dir = os.path.join(root, 'triples_out')
     return materialize_triples(triples, out_dir=out_dir)
 
@@ -100,7 +113,7 @@ def _assemble_triples(linked, cats, me_threshold, mm_threshold, path_threshold,
         lambda t: t.filter(pc.equal(t.column('is_subject'), pa.scalar(True))),
         batch_format='pyarrow')
 
-    mm_score = 0.9  # star-edge weight (build_alignment_edges default)
+    mm_score = MM_SCORE  # star-edge weight (build_alignment_edges default)
 
     def subject_triples(batch: pa.Table) -> pa.Table:
         from ..state.broadcast import get_broadcast

@@ -470,12 +470,10 @@ def q_normalized_customer_names(sf_dir: str):
     cust = rel.read_table(sf_dir, 'customer', ['c_custkey', 'c_name'])
 
     def norm(batch: pa.Table) -> pa.Table:
-        import pyarrow as pa_
-        return pa_.Table.from_arrays(
+        return pa.Table.from_arrays(
             [batch.column('c_custkey'), normalize_surface_array(batch.column('c_name'))],
             names=['c_custkey', 'norm_name'])
 
-    import pyarrow as pa
     return cust.map_batches(norm, batch_format='pyarrow')
 
 

@@ -34,7 +34,7 @@ import ray
 
 from ..config import (HOT_KEY_SALT_BUCKETS, HOT_KEY_THRESHOLD,
                       MENTION_ENTITY_THRESHOLD, MENTION_MENTION_THRESHOLD,
-                      PATH_THRESHOLD, TOKEN_BATCH_SIZE)
+                      MM_SCORE, PATH_THRESHOLD, TOKEN_BATCH_SIZE)
 from ..functions.hashing import stable_hash64
 
 # mention volume up to which the per-surface representative dict is
@@ -99,7 +99,7 @@ def _salt_hot_surfaces(mentions_ds, hot_surfaces: Dict[str, int]):
 def build_alignment_edges(linked_mentions_ds,
                           me_threshold: float = MENTION_ENTITY_THRESHOLD,
                           mm_threshold: float = MENTION_MENTION_THRESHOLD,
-                          mm_score: float = 0.9,
+                          mm_score: float = MM_SCORE,
                           hot_threshold: int = HOT_KEY_THRESHOLD,
                           total_rows: Optional[int] = None):
     """linked mention rows → undirected edge Dataset (src, dst, weight).
@@ -239,17 +239,27 @@ def _contract_block(batch: pa.Table) -> pa.Table:
 
 
 def connected_components(edges_ds, contraction_passes: int = 2,
-                         driver_limit: int = 5_000_000) -> Dict[int, int]:
+                         driver_limit: int = 5_000_000,
+                         fan_in: Optional[int] = None) -> Dict[int, int]:
     """Edge Dataset → {node: component_label} (label = min node id).
 
     Distributed contraction passes bound the driver tail to ≤ (#nodes -
-    #components) forest edges; with the default 3 passes + shuffle
-    repartition, chains collapse geometrically (pointer-jumping analogue).
+    #components) forest edges; each pass halves the partition count
+    (geometric fan-in from ``fan_in``, default = current block count), so
+    chains collapse geometrically (pointer-jumping analogue) and both the
+    pass count and the fan-in scale with the input instead of being fixed.
     """
     ds = edges_ds.select_columns(['src', 'dst'])
+    if fan_in is None:
+        try:
+            fan_in = max(2, ds.num_blocks())
+        except Exception:
+            fan_in = 8
+    parts = fan_in
     for p in range(contraction_passes):
         ds = ds.map_batches(_contract_block, batch_format='pyarrow')
-        ds = ds.repartition(max(2, 8 >> p), shuffle=True)
+        parts = max(2, parts // 2)
+        ds = ds.repartition(parts, shuffle=True)
     rows = ds.take_all()
     if len(rows) > driver_limit:
         raise RuntimeError(
@@ -329,11 +339,16 @@ def split_components(edges_with_labels: pd.DataFrame, path_threshold: float = PA
 def canonicalize_surface(linked_mentions_ds,
                          me_threshold: float = MENTION_ENTITY_THRESHOLD,
                          mm_threshold: float = MENTION_MENTION_THRESHOLD,
-                         mm_score: float = 0.9,
+                         mm_score: float = MM_SCORE,
                          path_threshold: float = PATH_THRESHOLD):
-    """Surface-collapsed canonicalization — EXACTLY the mention-level
-    semantics of ``canonicalize`` (verified by the flagship oracle test) at
-    a fraction of the cost.
+    """Surface-collapsed canonicalization — the mention-level semantics of
+    ``canonicalize`` (verified by the flagship oracle test) at a fraction of
+    the cost, exact up to score ties: on an exact path-score tie the closed
+    form resolves deterministically (lexicographically-first entity; direct
+    link preferred over the via-rep path), while the Dijkstra in
+    ``_split_component`` resolves equal-distance ties by heap pop order.
+    With the constant star weights both orders are deterministic, but they
+    can differ on ties — the closed form's ordering is the contract.
 
     Key observation: the mention-mention edges are per-surface stars, so a
     connected component's mention set is fully determined by its member

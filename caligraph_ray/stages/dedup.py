@@ -45,26 +45,29 @@ def exact_dedup(docs_ds, id_col: str = 'doc_id', text_col: str = 'text'):
     return two_phase_pandas_agg(hashed, ['text_hash'], {'rep_id': (id_col, 'min')})
 
 
-class _MinhashSigner:
-    """Actor: permutation params built once, signatures per batch."""
+_MH_CACHE: dict = {}
 
-    def __init__(self, id_col: str, text_col: str):
-        self.mh = MinHasher(MINHASH_NUM_PERM, MINHASH_SHINGLE_SIZE, MINHASH_BANDS)
-        self.id_col = id_col
-        self.text_col = text_col
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = []
-        for text in batch[self.text_col]:
-            sig = self.mh.signature([t for t in text.split(' ') if t])
-            sigs.append(sig.astype(np.int64))
-        return pd.DataFrame({self.id_col: batch[self.id_col], 'sig': sigs})
+def _get_minhasher(num_perm=MINHASH_NUM_PERM, shingle=MINHASH_SHINGLE_SIZE,
+                   bands=MINHASH_BANDS) -> MinHasher:
+    """Process-local MinHasher cache: permutation params built once per
+    worker process (actor-style amortization with task-pool elasticity)."""
+    key = (num_perm, shingle, bands)
+    if key not in _MH_CACHE:
+        _MH_CACHE[key] = MinHasher(num_perm, shingle, bands)
+    return _MH_CACHE[key]
 
 
 def minhash_signatures(docs_ds, id_col: str = 'doc_id', text_col: str = 'text'):
-    return docs_ds.map_batches(
-        _MinhashSigner, fn_constructor_kwargs={'id_col': id_col, 'text_col': text_col},
-        batch_format='pandas', batch_size=AGG_BATCH_SIZE, concurrency=(1, 4))
+    def sign(batch: pd.DataFrame) -> pd.DataFrame:
+        mh = _get_minhasher()
+        sigs = [mh.signature([t for t in text.split(' ') if t]).astype(np.int64)
+                for text in batch[text_col]]
+        return pd.DataFrame({id_col: batch[id_col], 'sig': sigs})
+
+    # stateless tasks: parallelism follows block count, no actor-pool cap
+    return docs_ds.map_batches(sign, batch_format='pandas',
+                               batch_size=AGG_BATCH_SIZE)
 
 
 _EMPTY_PAIRS = {'a': np.array([], dtype=np.int64),
@@ -77,11 +80,16 @@ def _candidate_pairs_from_buckets(sig_ds, id_col: str, band_fn, verify_fn,
     """Shared LSH shape: explode (bucket_key, id, payload) → coarse-bucket
     grouped_map → per-bucket pairwise verify. Buckets are capped (sorted by
     id, deterministic): an over-full bucket means a degenerate key; only the
-    first max_bucket members pair up — same contract as salting a hot key."""
+    first max_bucket members pair up — same contract as salting a hot key.
+    Truncations are never silent: each is logged with bucket key and the
+    dropped-member count (the repo's no-silent-caps rule)."""
+    import logging
     from .relational import grouped_map
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        all_keys = [band_fn(row) for _, row in batch.iterrows()]
+        # column-zip iteration (no iterrows Series construction per row)
+        all_keys = [band_fn({id_col: i, 'sig': s})
+                    for i, s in zip(batch[id_col].to_numpy(), batch['sig'])]
         counts = np.fromiter((len(k) for k in all_keys), dtype=np.int64,
                              count=len(all_keys))
         return pd.DataFrame({
@@ -95,7 +103,13 @@ def _candidate_pairs_from_buckets(sig_ds, id_col: str, band_fn, verify_fn,
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return None
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col).head(max_bucket)
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) > max_bucket:
+            logging.getLogger('caligraph_ray.dedup').warning(
+                'LSH bucket %r truncated: %d of %d members dropped '
+                '(degenerate key; raise max_bucket or salt upstream)',
+                g['bucket'].iloc[0], len(g) - max_bucket, len(g))
+            g = g.head(max_bucket)
         ids = g[id_col].to_numpy()
         sigs = list(g['sig'])
         a_out, b_out, score_out = [], [], []
@@ -198,41 +212,120 @@ def ngram_jaccard_pairs(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
     return _candidate_pairs_from_buckets(sig_ds, id_col, band_fn, verify)
 
 
+def _pairs_from_sims(ids_a: np.ndarray, ids_b: np.ndarray, sims: np.ndarray,
+                     threshold: float, same_block: bool) -> pd.DataFrame:
+    """Vectorized (a<b, cosine≥threshold) extraction from a sim matrix.
+    Within one block each unordered pair appears twice → keep a<b only;
+    across blocks it appears once → reorder to (min, max)."""
+    ii, jj = np.where(sims >= threshold)
+    if len(ii) == 0:
+        return pd.DataFrame({'a': np.array([], dtype=np.int64),
+                             'b': np.array([], dtype=np.int64),
+                             'cosine': np.array([], dtype=np.float64)})
+    a = ids_a[ii]
+    b = ids_b[jj]
+    if same_block:
+        mask = a < b
+        lo, hi = a[mask], b[mask]
+    else:
+        mask = a != b
+        lo = np.minimum(a[mask], b[mask])
+        hi = np.maximum(a[mask], b[mask])
+    sc = np.round(sims[ii, jj][mask], 6)
+    return pd.DataFrame({'a': lo.astype(np.int64), 'b': hi.astype(np.int64),
+                         'cosine': sc.astype(np.float64)})
+
+
 def embedding_near_dup_pairs(emb_ds, id_col: str = 'vec_id', vec_col: str = 'embedding',
-                             threshold: float = EMBEDDING_DUP_COSINE):
-    """Cosine ≥ threshold pairs (a<b). The full normalized matrix is
-    broadcast once; each batch does one matmul against it — O(N·B) flops per
-    batch, zero shuffle. Scale path: random-hyperplane LSH buckets feeding
-    the same verify (documented, not needed at driver scales)."""
-    rows = emb_ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat = mat / np.maximum(norms, 1e-12)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    ref = ray.put((ids, mat))
+                             threshold: float = EMBEDDING_DUP_COSINE,
+                             block_rows: int = 65536):
+    """EXACT cosine ≥ threshold pairs (a<b), distributed block-pair matmuls.
 
-    class PairFinder:
-        def __init__(self):
-            self.ids, self.mat = ray.get(ref)
+    The dataset is normalized into Arrow blocks of ≤ block_rows vectors that
+    stay in the object store (never collected to the driver, never broadcast
+    whole); one Ray task per block pair (i ≤ j) does a single matmul and
+    emits qualifying pairs. Exactness keeps the flops O(N²) but they spread
+    over K(K+1)/2 independent tasks with O(block²) memory each — the
+    brute-force baseline shape that survives any N. For sub-quadratic
+    approximate near-dup at high thresholds use
+    ``embedding_near_dup_pairs_lsh``. Raw Ray tasks are used here because
+    the Dataset API has no self-cross-join; the partitioning assumption is
+    only that one block pair fits a worker's heap."""
+    import ray.data as rd
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            q = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
-            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-            sims = q @ self.mat.T
-            qa, qb, sc = [], [], []
-            qids = batch[id_col].to_numpy()
-            for i, qid in enumerate(qids):
-                hits = np.where(sims[i] >= threshold)[0]
-                for h in hits:
-                    other = int(self.ids[h])
-                    if other > int(qid):
-                        qa.append(int(qid)); qb.append(other)
-                        sc.append(round(float(sims[i][h]), 6))
-            return pd.DataFrame({'a': np.array(qa, dtype=np.int64),
-                                 'b': np.array(qb, dtype=np.int64),
-                                 'cosine': np.array(sc, dtype=np.float64)})
+    def normalize_block(batch: pa.Table) -> pa.Table:
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in batch.column(vec_col).to_pylist()])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pa.Table.from_pydict({
+            'id': batch.column(id_col).cast(pa.int64()),
+            'vec': pa.array(list(mat), pa.list_(pa.float64())),
+        })
 
-    return emb_ds.map_batches(PairFinder, batch_format='pandas',
-                              batch_size=1024, concurrency=(1, 4))
+    normed = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        normalize_block, batch_format='pyarrow', batch_size=block_rows).materialize()
+    block_refs = [br for bundle in normed.iter_internal_ref_bundles()
+                  for br in bundle.block_refs]
+
+    @ray.remote
+    def pair_task(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ids_a = ta.column('id').to_numpy()
+        mat_a = np.stack(ta.column('vec').to_numpy(zero_copy_only=False))
+        if same:
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            ids_b = tb.column('id').to_numpy()
+            mat_b = np.stack(tb.column('vec').to_numpy(zero_copy_only=False))
+        sims = mat_a @ mat_b.T
+        df = _pairs_from_sims(ids_a, ids_b, sims, threshold, same_block=same)
+        return pa.Table.from_pydict({
+            'a': pa.array(df['a'].to_numpy(), pa.int64()),
+            'b': pa.array(df['b'].to_numpy(), pa.int64()),
+            'cosine': pa.array(df['cosine'].to_numpy(), pa.float64())})
+
+    refs = []
+    for i in range(len(block_refs)):
+        for j in range(i, len(block_refs)):
+            refs.append(pair_task.remote(block_refs[i], block_refs[j], i == j))
+    return rd.from_arrow_refs(refs)
+
+
+def embedding_near_dup_pairs_lsh(emb_ds, id_col: str = 'vec_id',
+                                 vec_col: str = 'embedding',
+                                 threshold: float = EMBEDDING_DUP_COSINE,
+                                 n_planes: int = 24, bands: int = 6):
+    """Approximate sub-quadratic variant: random-hyperplane signatures split
+    into bands; vectors sharing any band land in one LSH bucket and are
+    exact-verified there (same groupby shape as the MinHash path; recall
+    rises with bands, asserted in pytest at threshold ≥ 0.9)."""
+    from .similarity import HyperplaneLSH
+
+    rows_per_band = n_planes // bands
+
+    def sign(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        lsh_key = ('hp', n_planes, mat.shape[1])
+        if lsh_key not in _MH_CACHE:
+            _MH_CACHE[lsh_key] = HyperplaneLSH(mat.shape[1], n_planes)
+        bits = (mat @ _MH_CACHE[lsh_key].planes.T) > 0
+        sigs = [np.concatenate((row.astype(np.float64), v))
+                for row, v in zip(bits, mat)]
+        return pd.DataFrame({id_col: batch[id_col], 'sig': sigs})
+
+    sig_ds = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        sign, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
+
+    def band_fn(row):
+        sig = np.asarray(row['sig'])
+        bits = sig[:n_planes].astype(np.int64)
+        return [f'{bi}:' + ''.join(map(str, bits[bi * rows_per_band:(bi + 1) * rows_per_band]))
+                for bi in range(bands)]
+
+    def verify(sa, sb):
+        va = np.asarray(sa)[n_planes:]
+        vb = np.asarray(sb)[n_planes:]
+        cos = float(va @ vb)
+        return cos >= threshold, round(cos, 6)
+
+    return _candidate_pairs_from_buckets(sig_ds, id_col, band_fn, verify)

@@ -67,15 +67,6 @@ def build_context(subjects_ds, page_type_fn=None, facts_ref=None):
 
 def _mine(ctx_ds, target_col: str, mean_threshold: float, min_pages: int):
     """Shared two-level miner over a list-valued target column."""
-    def level1(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in batch.iterrows():
-            targets = r[target_col]
-            rows.append({'page_type': r['page_type'], 'topsection': r['topsection'],
-                         'section': r['section'], 'page_id': r['page_id'],
-                         'targets': targets})
-        return pd.DataFrame(rows)
-
     # per (rule_key, page, target): hits; per (rule_key, page): total subjects
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         tot: Dict[tuple, int] = defaultdict(int)

@@ -13,7 +13,7 @@ These back the reference's pandas-merge / Counter / most_common idioms
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -43,18 +43,18 @@ def read_table(sf_dir: str, name: str, columns: Optional[List[str]] = None):
 def broadcast_join(ds, small_df: pd.DataFrame, left_on: str, right_on: str,
                    how: str = 'inner'):
     """Join a Dataset against a small dimension table: the dim is put in the
-    object store once and merged per batch (J2/J4 pattern)."""
+    object store once and merged per batch (J2/J4 pattern). Stateless tasks
+    + process-local broadcast cache (one deserialize per worker process, no
+    actor-pool cap — scales to every core the cluster has)."""
+    from ..state.broadcast import get_broadcast
     ref = ray.put(small_df)
 
-    class Joiner:
-        def __init__(self):
-            self.dim = ray.get(ref)
+    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(get_broadcast(ref), how=how,
+                           left_on=left_on, right_on=right_on)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.dim, how=how, left_on=left_on, right_on=right_on)
-
-    return ds.map_batches(Joiner, batch_format='pandas', batch_size=AGG_BATCH_SIZE,
-                          concurrency=2)
+    return ds.map_batches(join_batch, batch_format='pandas',
+                          batch_size=AGG_BATCH_SIZE)
 
 
 def semi_anti_join(ds, keys, col: str, anti: bool = False):

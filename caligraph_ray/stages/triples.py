@@ -1,16 +1,24 @@
-"""Triple assembly + sorted, hash-partitioned, resumable Parquet materialize.
+"""Triple assembly + hash-partitioned, per-partition-sorted, resumable sink.
 
-North-star final stage: dedup (subj, pred, obj, is_literal) triples, sort,
-and write Parquet partitioned by hash(subj) so (a) a rerun skips finished
-partitions, (b) all facts of one subject co-locate for downstream joins
-(analogue of the reference's 16 NT result files, impl/caligraph/serialize.py:21-52).
+North-star final stage: dedup (subj, pred, obj, is_literal) triples, then
+hash-partition by subj and sort WITHIN each partition before the Parquet
+write (analogue of the reference's 16 NT result files,
+impl/caligraph/serialize.py:21-52). The output contract is
+"hash-partitioned, sorted per partition": all facts of one subject co-locate
+in one sorted partition, which is what downstream joins and resumable reads
+need — without the all-to-all range shuffle of a global ``ds.sort`` (the
+dominant scaling cost at cluster scale; one hash shuffle + independent
+per-bucket sorts replaces sample + range-exchange + merge).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..config import AGG_BATCH_SIZE, OUTPUT_PARTITIONS
@@ -48,19 +56,50 @@ def dedup_triples(triples_ds):
 
 def materialize_triples(triples_ds, out_dir: Optional[str] = None,
                         n_buckets: int = OUTPUT_PARTITIONS, sort: bool = True):
-    """Dedup → sort (subj, pred, obj) → optional partitioned Parquet write.
+    """Dedup → hash-partition by subj → per-partition sort (subj, pred, obj)
+    → optional partitioned Parquet write.
 
-    Returns the final Dataset. When ``out_dir`` is given, writes one
-    directory per subj_bucket (resumable layout: finished buckets can be
-    skipped on rerun by checking the partition directory)."""
-    ds = dedup_triples(triples_ds)
-    if sort:
-        ds = ds.sort(['subj', 'pred', 'obj'])
+    Returns the final Dataset (each subj_bucket partition internally sorted;
+    ONE hash shuffle total — the dedup's bucket shuffle carries the sink
+    partitioning, no extra exchange and no global range sort).
+
+    The write is idempotent: the sink directory carries a ``_SUCCESS``
+    marker. A rerun whose marker exists skips the write and re-reads the
+    durable copy (same contract as ``state/checkpoint.run_stage``); a
+    partial sink (no marker) is wiped before rewriting, so a resumed or
+    repeated run can never double rows."""
+    sort_cols = ['subj', 'pred', 'obj']
+
+    if out_dir and os.path.exists(os.path.join(out_dir, '_SUCCESS')):
+        import ray.data as rd
+        return rd.read_parquet(out_dir).drop_columns(['subj_bucket'])
+
+    keys = ['subj', 'pred', 'obj', 'is_literal']
+
+    def batch_dedup(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(keys).aggregate([([], 'count_all')])
+        return g.drop_columns(['count_all'])
+
+    pre = triples_ds.map_batches(batch_dedup, batch_format='pyarrow',
+                                 batch_size=AGG_BATCH_SIZE)
+    bucketed = pre.map_batches(lambda b: add_subject_bucket(b, n_buckets),
+                               batch_format='pyarrow')
+
+    def finish_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=keys)
+        return g.sort_values(sort_cols, kind='mergesort') if sort else g
+
+    ds = bucketed.groupby('subj_bucket').map_groups(finish_bucket,
+                                                    batch_format='pandas')
     if out_dir:
-        bucketed = ds.map_batches(lambda b: add_subject_bucket(b, n_buckets),
-                                  batch_format='pyarrow')
-        bucketed.write_parquet(out_dir, partition_cols=['subj_bucket'])
-    return ds
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)  # partial output from a crashed run
+        ds.write_parquet(out_dir, partition_cols=['subj_bucket'])
+        with open(os.path.join(out_dir, '_SUCCESS'), 'w') as f:
+            f.write('')
+        import ray.data as rd
+        return rd.read_parquet(out_dir).drop_columns(['subj_bucket'])
+    return ds.drop_columns(['subj_bucket'])
 
 
 def sunburst_type_distribution(triples_ds, type_pred: str = 'rdf:type') -> dict:

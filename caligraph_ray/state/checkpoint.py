@@ -39,19 +39,43 @@ def read_lineage(root: str, name: str) -> Optional[dict]:
         return json.load(f)
 
 
+def fingerprint_of(params: Dict) -> str:
+    """Stable hash of a stage's semantic inputs (thresholds, input row
+    counts, code versions…). Stored in _LINEAGE.json; a resume whose
+    fingerprint differs invalidates the checkpoint instead of silently
+    reusing stale Parquet."""
+    import hashlib
+    blob = json.dumps(params, sort_keys=True, default=str).encode('utf-8')
+    return hashlib.blake2b(blob, digest_size=16).hexdigest()
+
+
 def run_stage(root: str, name: str, build: Callable[[], 'ray.data.Dataset'],
-              extra_lineage: Optional[Dict] = None):
+              extra_lineage: Optional[Dict] = None,
+              fingerprint: Optional[Dict] = None):
     """Build-or-load a named stage.
 
     ``build()`` returns the stage's output Dataset; it is written to the
     stage directory with lineage, then re-read (so downstream stages consume
     the durable copy — a crashed pipeline resumes from the last _SUCCESS).
+
+    ``fingerprint``: dict of the stage's semantic inputs (thresholds, input
+    row count/schema, …). On resume the stored fingerprint must match, else
+    the stale checkpoint is rebuilt (guards against re-running one root
+    against a different corpus or config).
     """
     import ray.data as rd
 
+    fp = fingerprint_of(fingerprint) if fingerprint is not None else None
     d = _stage_dir(root, name)
     if is_complete(root, name):
-        return rd.read_parquet(d)
+        if fp is not None:
+            lin = read_lineage(root, name) or {}
+            if lin.get('fingerprint') != fp:
+                shutil.rmtree(d)  # config/input changed: checkpoint is stale
+            else:
+                return rd.read_parquet(d)
+        else:
+            return rd.read_parquet(d)
 
     if os.path.exists(d):
         shutil.rmtree(d)  # partial output from a crashed run: rerun cleanly
@@ -70,6 +94,8 @@ def run_stage(root: str, name: str, build: Callable[[], 'ray.data.Dataset'],
         'wall_sec': round(time.time() - t0, 3),
         'completed_at': time.strftime('%Y-%m-%dT%H:%M:%S'),
     }
+    if fp is not None:
+        lineage['fingerprint'] = fp
     if extra_lineage:
         lineage.update(extra_lineage)
     with open(os.path.join(d, '_LINEAGE.json'), 'w') as f:

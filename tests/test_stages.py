@@ -170,9 +170,19 @@ def test_triples_sink_resumable_layout(ray_session, rd, tmp_path):
     out = materialize_triples(rd.from_arrow(t), out_dir=str(tmp_path), n_buckets=4)
     rows = out.take_all()
     assert len(rows) == 3  # exact dup removed
-    assert [r['subj'] for r in rows] == sorted(r['subj'] for r in rows)
     parts = [d for d in os.listdir(tmp_path) if d.startswith('subj_bucket=')]
     assert parts, 'expected hash-partitioned output directories'
+    # each partition file is internally sorted (subj, pred, obj)
+    import pyarrow.parquet as pq
+    for d in parts:
+        for f in os.listdir(os.path.join(tmp_path, d)):
+            df = pq.read_table(os.path.join(tmp_path, d, f)).to_pandas()
+            assert df.equals(df.sort_values(['subj', 'pred', 'obj'],
+                                            kind='mergesort').reset_index(drop=True))
+    # idempotent sink: a rerun (resume) must not double rows in the durable copy
+    out2 = materialize_triples(rd.from_arrow(t), out_dir=str(tmp_path), n_buckets=4)
+    assert out2.count() == 3
+    assert os.path.exists(os.path.join(tmp_path, '_SUCCESS'))
 
 
 def test_approx_distinct_matches_exact(ray_session, rd):
