@@ -54,6 +54,12 @@ FUNCTIONAL_PRED_THRESHOLD = 0.95
 DOMAIN_THRESHOLD = 0.96
 RANGE_THRESHOLD = 0.77
 
+# --- broadcast-dim budget ---
+# mention volume above which the alias index is NOT collected/broadcast and
+# linking runs as a co-partitioned hash join instead (the distinct
+# (surface, entity) dim stops fitting one object-store entry / the driver)
+ALIAS_BROADCAST_LIMIT = 20_000_000
+
 # --- skew handling ---
 # groupby keys whose observed count exceeds this get salted into
 # HOT_KEY_SALT_BUCKETS sub-keys, aggregated two-phase (SURVEY.md §4 skew row)

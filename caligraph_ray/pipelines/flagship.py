@@ -31,8 +31,15 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
                  me_threshold: float = MENTION_ENTITY_THRESHOLD,
                  mm_threshold: float = MENTION_MENTION_THRESHOLD,
                  path_threshold: float = PATH_THRESHOLD,
-                 concurrency: int = 8):
-    """pages Dataset (F1 schema) → deduped, sorted triples Dataset."""
+                 concurrency: int = 8, linking: str = 'auto'):
+    """pages Dataset (F1 schema) → deduped, sorted triples Dataset.
+
+    ``linking``: 'broadcast' (index collected + ray.put once — fastest while
+    the surface dim fits the object-store budget), 'join' (co-partitioned
+    hash join, nothing driver-side — the 10^12-row path), or 'auto' (pick by
+    mention volume vs ALIAS_BROADCAST_LIMIT)."""
+    from ..config import ALIAS_BROADCAST_LIMIT
+    from ..stages.alias import link_mentions_join
     from ..stages.html_extract import cats_view, items_view, parse_pages
     # ONE parse per page; the union materializes once and feeds both views
     parsed = parse_pages(pages_ds, concurrency=concurrency).materialize()
@@ -41,15 +48,22 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
 
     mentions = explode_mentions(items)
     mentions = mentions.materialize()  # reused: index build + linking + CC
-    index = build_alias_index_local(mentions)
-    index_ref = ray.put(index)
-    linked = link_mentions(mentions, index_ref, concurrency=concurrency)
-    linked = linked.materialize()
+    n_mentions = mentions.count()
+    use_join = linking == 'join' or (linking == 'auto'
+                                     and n_mentions > ALIAS_BROADCAST_LIMIT)
+    if use_join:
+        linked = link_mentions_join(mentions).materialize()
+        ent_names = None   # derived distributed inside _assemble_triples
+    else:
+        index = build_alias_index_local(mentions)
+        index_ref = ray.put(index)
+        linked = link_mentions(mentions, index_ref, concurrency=concurrency)
+        linked = linked.materialize()
+        ent_names = entity_names_from_index(index)
 
     all_triples = _assemble_triples(linked, cats, me_threshold, mm_threshold,
-                                    path_threshold,
-                                    ent_names=entity_names_from_index(index),
-                                    total_rows=mentions.count())
+                                    path_threshold, ent_names=ent_names,
+                                    total_rows=n_mentions)
     return materialize_triples(all_triples, out_dir=out_dir)
 
 

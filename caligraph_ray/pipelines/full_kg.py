@@ -6,8 +6,7 @@ extract_and_serialize, impl/caligraph/__init__.py:11-29).
 
 from __future__ import annotations
 
-from collections import defaultdict
-from typing import Dict, List, Optional
+from typing import Optional
 
 import pandas as pd
 import pyarrow as pa
@@ -52,18 +51,6 @@ def run_full_kg(pages_ds, categories_ds=None, facts_ds=None,
                                  ent_names=entity_names_from_index(index),
                                  total_rows=mentions.count())]
 
-    facts_broadcast = None
-    if facts_ds is not None:
-        rows = facts_ds.take_all()
-        types_by_ent: Dict[str, List[str]] = defaultdict(list)
-        props_by_ent: Dict[str, List[tuple]] = defaultdict(list)
-        for f in rows:
-            if f['pred'] == 'rdf:type':
-                types_by_ent[f['subj']].append(f['obj'])
-            elif not f['is_literal']:
-                props_by_ent[f['subj']].append((f['pred'], f['obj']))
-        facts_broadcast = ray.put((dict(types_by_ent), dict(props_by_ent)))
-
     # Cat2Ax over the category hierarchy + membership (member = page title)
     if categories_ds is not None and facts_ds is not None:
         def to_membership(batch: pd.DataFrame) -> pd.DataFrame:
@@ -74,8 +61,10 @@ def run_full_kg(pages_ds, categories_ds=None, facts_ds=None,
         axioms = extract_axioms(categories_ds, membership, facts_ds)
         streams.append(axioms_to_triples(axioms, membership))
 
-    # listing rules over subject-entity context
-    if facts_broadcast is not None:
+    # listing rules over subject-entity context — the entity-facts side is a
+    # distributed hash join (aggregate_entity_facts ⋈ subjects), never a
+    # driver dict: the per-entity dim does not fit one object at 10^12 rows
+    if facts_ds is not None:
         subjects = linked.map_batches(
             lambda t: t.filter(pc.and_kleene(
                 pc.equal(t.column('is_subject'), pa.scalar(True)),
@@ -85,7 +74,7 @@ def run_full_kg(pages_ds, categories_ds=None, facts_ds=None,
         # mentions carry topsection/section (J2 context travels with the row)
         subj_ctx = subjects.select_columns(
             ['url', 'page_id', 'topsection', 'section', 'entity'])
-        ctx = build_context(subj_ctx, facts_ref=facts_broadcast).materialize()
+        ctx = build_context(subj_ctx, facts_ds=facts_ds).materialize()
         trules = mine_type_rules(ctx, rule_mean_threshold, rule_min_pages).to_pandas()
         rrules = mine_relation_rules(ctx, rule_mean_threshold, rule_min_pages).to_pandas()
         if len(trules) or len(rrules):

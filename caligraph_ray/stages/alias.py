@@ -196,3 +196,85 @@ def link_mentions(mentions_ds, index_ref, concurrency: Optional[int] = None):
 
     return mentions_ds.map_batches(fn, batch_format='pyarrow',
                                    batch_size=TOKEN_BATCH_SIZE)
+
+
+# --- scale path: the alias dim as a DATASET, linking as a hash join ---------
+
+def alias_argmax(counts_ds):
+    """(norm_surface, name, freq) Dataset → one row per surface:
+    (norm_surface, top_entity, top_score) where top = (freq desc, name asc)
+    argmax and top_score = top_freq / total_freq — exactly the fields
+    ``link_batch`` reads from the broadcast index, as a Dataset that never
+    touches the driver."""
+    from .relational import bucketed_map
+
+    def top(bucket):
+        tot = bucket.groupby('norm_surface', sort=False)['freq'].sum().rename('_total')
+        s = bucket.sort_values(['norm_surface', 'freq', 'name'],
+                               ascending=[True, False, True], kind='mergesort')
+        s = s.drop_duplicates('norm_surface', keep='first')
+        s = s.merge(tot, left_on='norm_surface', right_index=True)
+        s['top_score'] = s['freq'] / s['_total']
+        return s[['norm_surface', 'name', 'top_score']] \
+            .rename(columns={'name': 'top_entity'})
+
+    return bucketed_map(counts_ds, ['norm_surface'], top)
+
+
+def link_mentions_join(mentions_ds, argmax_ds=None):
+    """Linking WITHOUT a driver-side index: mentions are hash-joined with
+    the per-surface argmax Dataset on norm_surface (shuffle_join — both
+    sides co-partitioned, nothing collected). Produces exactly the
+    ``link_mentions`` output: wikilinked mentions keep their target (score
+    1.0); others take the surface's most frequent entity with score
+    freq/total; unknown surfaces stay NIL. This is the 10^12-row path the
+    broadcast index cannot serve (reference resource.py:173-194 semantics,
+    distributed)."""
+    import numpy as np
+    import pandas as pd
+    from .relational import shuffle_join
+
+    if argmax_ds is None:
+        argmax_ds = alias_argmax(alias_counts(mentions_ds))
+    joined = shuffle_join(mentions_ds, argmax_ds,
+                          'norm_surface', 'norm_surface', how='left')
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        linked = batch['name'].notna()
+        has_cand = batch['top_entity'].notna()
+        batch['entity'] = np.where(linked, batch['name'],
+                                   np.where(has_cand, batch['top_entity'], None))
+        batch['link_score'] = np.where(
+            linked, 1.0,
+            np.where(has_cand, batch['top_score'].fillna(0.0).astype(float), 0.0))
+        return batch.drop(columns=['top_entity', 'top_score'])
+
+    return joined.map_batches(finish, batch_format='pandas',
+                              batch_size=TOKEN_BATCH_SIZE)
+
+
+def build_alias_index_sharded(mentions_ds, n_shards: int = 16) -> List["ray.ObjectRef"]:
+    """The promised hash(norm_surface)-sharded broadcast index: K
+    object-store shards, each holding only its surfaces. Built from the
+    distributed alias_counts Dataset one shard at a time (the driver holds
+    ONE shard's rows at once, never the whole dim); an actor/task resolving
+    a pre-partitioned block reads only its shard. For un-partitioned inputs
+    prefer ``link_mentions_join`` (no index object at all)."""
+    counts = alias_counts(mentions_ds)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        surfs = batch.column('norm_surface').to_pylist()
+        shard = [stable_hash64(s) % n_shards for s in surfs]
+        return batch.append_column('shard', pa.array(shard, pa.int32()))
+
+    sharded = counts.map_batches(add_shard, batch_format='pyarrow').materialize()
+    refs: List["ray.ObjectRef"] = []
+    for i in range(n_shards):
+        rows = sharded.filter(lambda r, i=i: r['shard'] == i).take_all()
+        index: AliasIndex = {}
+        for r in rows:
+            index.setdefault(r['norm_surface'], []).append((r['name'], int(r['freq'])))
+        for k in index:
+            index[k].sort(key=lambda x: (-x[1], x[0]))
+        refs.append(ray.put(index))
+    return refs

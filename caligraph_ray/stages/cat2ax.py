@@ -41,34 +41,32 @@ def category_statistics(membership_ds, facts_ds):
     """membership (cat_name, member) × facts (subj, pred, obj) →
     driver dict cat → {'n': members, 'types': {t: freq}, 'props': {(p,v): freq}}.
 
-    Frequencies are count/n_members. Built with two-phase counts; collected
-    because downstream pattern mining needs random access per cat (the
-    reference holds the same dict in DbpCategoryStore)."""
+    Frequencies are count/n_members. The membership↔facts combination is a
+    distributed hash join on member==subj (neither side is collected or
+    broadcast — the per-entity fact dim is dataset-sized at 10^12 rows);
+    only the FINAL per-category dict is collected, a |categories|-sized dim
+    that pattern mining needs random access to (the reference holds the same
+    dict in DbpCategoryStore)."""
+    from .relational import shuffle_join
     member_counts = {r['cat_name']: int(r['cnt'])
                      for r in two_phase_count(membership_ds, ['cat_name'], 'cnt').take_all()}
 
-    facts = facts_ds.take_all()
-    types_by_ent: Dict[str, List[str]] = defaultdict(list)
-    props_by_ent: Dict[str, List[Tuple[str, str]]] = defaultdict(list)
-    for f in facts:
-        if f['pred'] == 'rdf:type':
-            types_by_ent[f['subj']].append(f['obj'])
-        elif not f['is_literal']:
-            props_by_ent[f['subj']].append((f['pred'], f['obj']))
-    tref = ray.put((types_by_ent, props_by_ent))
+    joined = shuffle_join(membership_ds, facts_ds, 'member', 'subj', how='inner')
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        tbe, pbe = ray.get(tref)
-        cats, kinds, k1, k2 = [], [], [], []
-        for cat, member in zip(batch['cat_name'], batch['member']):
-            for t in tbe.get(member, ()):  # noqa: E501
-                cats.append(cat); kinds.append('t'); k1.append(t); k2.append('')
-            for (p, v) in pbe.get(member, ()):
-                cats.append(cat); kinds.append('p'); k1.append(p); k2.append(v)
-        return pd.DataFrame({'cat_name': cats, 'kind': kinds, 'k1': k1, 'k2': k2})
+    def to_kind(batch: pd.DataFrame) -> pd.DataFrame:
+        is_type = batch['pred'] == 'rdf:type'
+        keep = is_type | (~batch['is_literal'].astype(bool))
+        b = batch[keep]
+        it = b['pred'] == 'rdf:type'
+        return pd.DataFrame({
+            'cat_name': b['cat_name'],
+            'kind': np.where(it, 't', 'p'),
+            'k1': np.where(it, b['obj'], b['pred']),
+            'k2': np.where(it, '', b['obj']),
+        })
 
-    exploded = membership_ds.map_batches(explode, batch_format='pandas',
-                                         batch_size=AGG_BATCH_SIZE)
+    exploded = joined.map_batches(to_kind, batch_format='pandas',
+                                  batch_size=AGG_BATCH_SIZE)
     counts = two_phase_count(exploded, ['cat_name', 'kind', 'k1', 'k2'], 'cnt').take_all()
 
     stats: Dict[str, dict] = {}
@@ -155,8 +153,11 @@ def category_sets(categories_ds):
 def build_type_lexicalisations(facts_ds) -> Dict[str, str]:
     """word → type map from KB type names (stand-in for the reference's
     Hearst-derived type lexicalisations, nif_parser.py:18-63): the lowercase
-    type name and naive plural forms lexicalise the type."""
-    types = {r['obj'] for r in facts_ds.take_all() if r['pred'] == 'rdf:type'}
+    type name and naive plural forms lexicalise the type. Only the DISTINCT
+    type names (a small dim) reach the driver — never the fact rows."""
+    type_rows = two_phase_count(
+        facts_ds.filter(lambda r: r['pred'] == 'rdf:type'), ['obj'], 'cnt').take_all()
+    types = {r['obj'] for r in type_rows}
     lex: Dict[str, str] = {}
     irregular = {'Person': ['person', 'people', 'persons']}
     for t in sorted(types):

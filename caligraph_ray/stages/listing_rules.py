@@ -32,17 +32,64 @@ from .relational import bucketed_map, two_phase_pandas_agg
 RULE_KEY = ['page_type', 'topsection', 'section']
 
 
-def build_context(subjects_ds, page_type_fn=None, facts_ref=None):
+def aggregate_entity_facts(facts_ds):
+    """facts (subj, pred, obj, is_literal) → one row per subj:
+    (subj, types: list, props: list of [pred, obj]) — the per-entity fact
+    dim as a DATASET (never a driver dict), built with one keyed shuffle."""
+    from .relational import bucketed_map
+
+    def agg(bucket: pd.DataFrame) -> pd.DataFrame:
+        t = bucket[bucket['pred'] == 'rdf:type']
+        p = bucket[(bucket['pred'] != 'rdf:type') & (~bucket['is_literal'].astype(bool))]
+        types = t.groupby('subj', sort=False)['obj'].agg(lambda s: sorted(s))
+        props = p.groupby('subj', sort=False)[['pred', 'obj']].apply(
+            lambda g: sorted([a, b] for a, b in zip(g['pred'], g['obj'])))
+        subjects = sorted(set(bucket['subj']))
+        return pd.DataFrame({
+            'subj': subjects,
+            'types': [list(types.get(s, [])) for s in subjects],
+            'props': [list(props.get(s, [])) for s in subjects],
+        })
+
+    return bucketed_map(facts_ds, ['subj'], agg)
+
+
+def build_context(subjects_ds, page_type_fn=None, facts_ref=None, facts_ds=None):
     """subject-entity rows (url, page_id, topsection, section, entity) →
     context rows + per-entity target flags.
 
     ``page_type_fn(url) → str`` classifies pages (the reference uses page
     types from the taxonomy; default: leading word of the page title).
-    ``facts_ref``: ray.put'd (types_by_ent, props_by_ent) dicts."""
+    Entity facts come from ONE of:
+    * ``facts_ds`` — facts Dataset, combined via a co-partitioned hash join
+      (the scale path: nothing driver-side), or
+    * ``facts_ref`` — ray.put'd (types_by_ent, props_by_ent) dicts (fine
+      while the per-entity dim fits the broadcast budget)."""
     if page_type_fn is None:
         def page_type_fn(url):
             title = url.rsplit('/', 1)[-1].replace('_', ' ')
             return title.split(' ')[0] if title else ''
+
+    if facts_ds is not None:
+        from .relational import shuffle_join
+        facts_agg = aggregate_entity_facts(facts_ds)
+        joined = shuffle_join(subjects_ds, facts_agg, 'entity', 'subj', how='left')
+
+        def ctx_joined(batch: pd.DataFrame) -> pd.DataFrame:
+            titles = [u.rsplit('/', 1)[-1].replace('_', ' ') for u in batch['url']]
+            out = batch[['url', 'page_id', 'topsection', 'section', 'entity']].copy()
+            out['page_type'] = [page_type_fn(u) for u in batch['url']]
+            out['page_entity'] = titles
+            out['ent_types'] = [sorted(t) if isinstance(t, (list, np.ndarray)) else []
+                                for t in batch['types']]
+            out['rels_to_page'] = [
+                sorted(p for (p, v) in pr if v == title)
+                if isinstance(pr, (list, np.ndarray)) else []
+                for pr, title in zip(batch['props'], titles)]
+            return out
+
+        return joined.map_batches(ctx_joined, batch_format='pandas',
+                                  batch_size=AGG_BATCH_SIZE)
 
     def ctx(batch: pd.DataFrame) -> pd.DataFrame:
         tbe, pbe = ray.get(facts_ref) if facts_ref is not None else ({}, {})

@@ -71,6 +71,17 @@ def semi_anti_join(ds, keys, col: str, anti: bool = False):
     return ds.map_batches(fn, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
 
 
+def default_coarse() -> int:
+    """Coarse-bucket count scaled to the cluster (4 tasks per CPU, clamped):
+    final-merge parallelism and per-bucket memory both follow cluster size
+    instead of a fixed constant."""
+    try:
+        cpus = int(ray.cluster_resources().get('CPU', 8))
+    except Exception:
+        cpus = 8
+    return int(min(512, max(16, 4 * cpus)))
+
+
 def _coarse_key(batch: pd.DataFrame, keys: Sequence[str], coarse: int) -> pd.Series:
     """Deterministic hash(keys) % coarse (siphash via pandas, fixed key)."""
     k0 = batch[keys[0]]
@@ -83,12 +94,14 @@ def _coarse_key(batch: pd.DataFrame, keys: Sequence[str], coarse: int) -> pd.Ser
             % np.uint64(coarse)).astype('int32')
 
 
-def bucketed_map(ds, keys: Sequence[str], bucket_fn, coarse: int = 64):
+def bucketed_map(ds, keys: Sequence[str], bucket_fn, coarse: Optional[int] = None):
     """Shuffle rows once on hash(keys)%coarse and apply ``bucket_fn`` to each
     coarse bucket (a DataFrame containing complete groups). The bucket fn
     should use *vectorized* pandas groupby ops — this is the fast path for
     high-cardinality keys where per-group Python calls dominate."""
     keys = list(keys)
+    if coarse is None:
+        coarse = default_coarse()
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -103,7 +116,7 @@ def bucketed_map(ds, keys: Sequence[str], bucket_fn, coarse: int = 64):
     return bucketed.groupby('_coarse').map_groups(per_bucket, batch_format='pandas')
 
 
-def grouped_map(ds, keys: Sequence[str], fn, coarse: int = 64):
+def grouped_map(ds, keys: Sequence[str], fn, coarse: Optional[int] = None):
     """Apply ``fn(group_df) → DataFrame`` per distinct `keys` group.
 
     Shuffles ONCE on hash(keys)%coarse and runs a vectorized pandas
@@ -123,11 +136,58 @@ def grouped_map(ds, keys: Sequence[str], fn, coarse: int = 64):
     return bucketed_map(ds, keys, per_bucket, coarse=coarse)
 
 
+def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
+                 how: str = 'inner', coarse: Optional[int] = None):
+    """Distributed hash join: both sides are co-partitioned on
+    hash(key) % coarse in ONE union-shuffle, then merged per bucket with a
+    vectorized pandas merge. Neither side is collected to the driver or
+    broadcast — this is the join to use when the "dimension" side is itself
+    dataset-sized (alias index, per-entity fact table). Key semantics match
+    ``pd.merge`` (``how`` ∈ inner/left). Skewed join keys hash into one
+    bucket; salt upstream if a single key's rows exceed a task's memory.
+
+    Columns from both sides are preserved (pandas ``_x``/``_y`` suffixes on
+    clashes). Implementation: each side is projected onto the union schema
+    with a ``_side`` tag so the two Datasets can travel one shuffle."""
+    if coarse is None:
+        coarse = default_coarse()
+    lcols = list(left_ds.schema().names)
+    rcols = list(right_ds.schema().names)
+    shared = [c for c in lcols if c in rcols]
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+
+    def tag(side: str, key_col: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.copy()
+            for c in all_cols:
+                if c not in out.columns:
+                    out[c] = None
+            out['_side'] = side
+            out['_jk'] = batch[key_col].astype(str)
+            return out[all_cols + ['_side', '_jk']]
+        return fn
+
+    tagged = left_ds.map_batches(tag('l', left_on), batch_format='pandas',
+                                 batch_size=AGG_BATCH_SIZE).union(
+        right_ds.map_batches(tag('r', right_on), batch_format='pandas',
+                             batch_size=AGG_BATCH_SIZE))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g['_side'] == 'l'][lcols]
+        r = g[g['_side'] == 'r'][rcols]
+        merged = l.merge(r, how=how, left_on=left_on, right_on=right_on,
+                         suffixes=('_x', '_y')) if shared else \
+            l.merge(r, how=how, left_on=left_on, right_on=right_on)
+        return merged
+
+    return bucketed_map(tagged, ['_jk'], merge_bucket, coarse=coarse)
+
+
 _AGG_COMBINE = {'sum': 'sum', 'count': 'sum', 'max': 'max', 'min': 'min'}
 
 
 def two_phase_pandas_agg(ds, keys: Sequence[str], spec: Dict[str, Tuple[Optional[str], str]],
-                         coarse: int = 64):
+                         coarse: Optional[int] = None):
     """Distributive aggregate with per-batch partial combine + coarse-bucket
     final merge. spec: out_col → (src_col|None, 'sum'|'count'|'max'|'min').
     One shuffle of pre-aggregated partials; head keys cost one partial row
@@ -151,13 +211,13 @@ def two_phase_pandas_agg(ds, keys: Sequence[str], spec: Dict[str, Tuple[Optional
     return bucketed_map(partials, keys, final, coarse=coarse)
 
 
-def two_phase_count(ds, keys: Sequence[str], alias: str = 'cnt', coarse: int = 64):
+def two_phase_count(ds, keys: Sequence[str], alias: str = 'cnt', coarse: Optional[int] = None):
     """groupby(keys).count() with per-batch partial combine."""
     return two_phase_pandas_agg(ds, keys, {alias: (None, 'count')}, coarse=coarse)
 
 
 def two_phase_sum(ds, keys: Sequence[str], value_col: str, alias: str = 'total',
-                  coarse: int = 64):
+                  coarse: Optional[int] = None):
     """groupby(keys).sum(value) with per-batch partial combine."""
     return two_phase_pandas_agg(ds, keys, {alias: (value_col, 'sum')}, coarse=coarse)
 

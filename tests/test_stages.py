@@ -194,3 +194,67 @@ def test_approx_distinct_matches_exact(ray_session, rd):
     exact = df['k'].nunique()
     est = approx_distinct(rd.from_pandas(df).repartition(6), 'k')
     assert abs(est - exact) / exact < 0.05
+
+
+def test_shuffle_join_matches_pandas(ray_session, rd):
+    from caligraph_ray.stages.relational import shuffle_join
+    rng = np.random.RandomState(3)
+    l = pd.DataFrame({'k': rng.choice(list('abcdefgh'), 300), 'x': rng.randint(0, 99, 300)})
+    r = pd.DataFrame({'kk': list('abcdexyz'), 'y': range(8)})
+    got = shuffle_join(rd.from_pandas(l).repartition(5),
+                       rd.from_pandas(r).repartition(2), 'k', 'kk').to_pandas()
+    want = l.merge(r, left_on='k', right_on='kk')
+    assert sorted(map(tuple, got[['k', 'x', 'y']].values.tolist())) == \
+        sorted(map(tuple, want[['k', 'x', 'y']].values.tolist()))
+    got_l = shuffle_join(rd.from_pandas(l).repartition(5),
+                         rd.from_pandas(r).repartition(2), 'k', 'kk',
+                         how='left').to_pandas()
+    want_l = l.merge(r, how='left', left_on='k', right_on='kk')
+    assert len(got_l) == len(want_l)
+    assert got_l['y'].isna().sum() == want_l['y'].isna().sum()
+
+
+def test_link_mentions_join_equals_broadcast(ray_session, rd, small_corpus):
+    from caligraph_ray.stages.alias import (build_alias_index, explode_mentions,
+                                            link_mentions, link_mentions_join)
+    from caligraph_ray.stages.html_extract import parse_items
+    pages = rd.from_arrow(small_corpus)
+    mentions = explode_mentions(parse_items(pages)).materialize()
+    ref, _ = build_alias_index(mentions)
+    a = link_mentions(mentions, ref).to_pandas()
+    b = link_mentions_join(mentions).to_pandas()
+    cols = ['mention_uid', 'entity', 'link_score']
+    a = a[cols].fillna({'entity': ''}).sort_values(cols).reset_index(drop=True)
+    b = b[cols].fillna({'entity': ''}).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_build_context_join_equals_broadcast(ray_session, rd):
+    import ray
+    from caligraph_ray.stages.listing_rules import build_context
+    subj = pd.DataFrame({
+        'url': ['https://x/wiki/List_of_lakes'] * 3 + ['https://x/wiki/List_of_towns'] * 2,
+        'page_id': [1, 1, 1, 2, 2],
+        'topsection': ['A'] * 3 + ['B'] * 2,
+        'section': ['s'] * 5,
+        'entity': ['Erie', 'Tahoe', 'Mead', 'Springfield', 'Erie'],
+    })
+    facts = pd.DataFrame({
+        'subj': ['Erie', 'Erie', 'Tahoe', 'Springfield'],
+        'pred': ['rdf:type', 'locatedIn', 'rdf:type', 'partOf'],
+        'obj': ['Lake', 'List of lakes', 'Lake', 'List of towns'],
+        'is_literal': [False] * 4,
+    })
+    tbe = {'Erie': ['Lake'], 'Tahoe': ['Lake']}
+    pbe = {'Erie': [('locatedIn', 'List of lakes')],
+           'Springfield': [('partOf', 'List of towns')]}
+    bc = build_context(rd.from_pandas(subj).repartition(2),
+                       facts_ref=ray.put((tbe, pbe))).to_pandas()
+    jn = build_context(rd.from_pandas(subj).repartition(2),
+                       facts_ds=rd.from_pandas(facts).repartition(2)).to_pandas()
+    cols = ['url', 'page_id', 'entity', 'page_type', 'page_entity']
+    key = lambda d: d.sort_values(['page_id', 'entity']).reset_index(drop=True)
+    bc, jn = key(bc), key(jn)
+    pd.testing.assert_frame_equal(bc[cols], jn[cols], check_dtype=False)
+    assert [list(x) for x in bc['ent_types']] == [list(x) for x in jn['ent_types']]
+    assert [list(x) for x in bc['rels_to_page']] == [list(x) for x in jn['rels_to_page']]
