@@ -51,15 +51,32 @@ def run_full_kg(pages_ds, categories_ds=None, facts_ds=None,
                                  ent_names=entity_names_from_index(index),
                                  total_rows=mentions.count())]
 
-    # Cat2Ax over the category hierarchy + membership (member = page title)
-    if categories_ds is not None and facts_ds is not None:
+    # taxonomy layer: assemble the class hierarchy from (cat, parent) edges
+    # (driver-side over the small edge dim — cycle resolution + node merge +
+    # unconnected attachment), then emit rdfs:subClassOf for the hierarchy
+    # and the full rdf:type closure for every member (distributed via
+    # broadcast ancestors) — reference impl/caligraph/graph.py:97-341
+    if categories_ds is not None:
+        from ..stages.taxonomy import (build_hierarchy, member_type_triples,
+                                       subclass_triples)
+        edges = categories_ds.map_batches(
+            lambda b: pd.DataFrame({'child': b['cat_name'],
+                                    'parent': b['parent_cat']}),
+            batch_format='pandas')
+        hierarchy = build_hierarchy(edges)
+        streams.append(subclass_triples(hierarchy))
+
         def to_membership(batch: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({'cat_name': batch['cat_name'],
                                  'member': [_url_title(u) for u in batch['member_url']]})
 
         membership = categories_ds.map_batches(to_membership, batch_format='pandas')
-        axioms = extract_axioms(categories_ds, membership, facts_ds)
-        streams.append(axioms_to_triples(axioms, membership))
+        streams.append(member_type_triples(membership, hierarchy))
+
+        # Cat2Ax over the category hierarchy + membership (member = page title)
+        if facts_ds is not None:
+            axioms = extract_axioms(categories_ds, membership, facts_ds)
+            streams.append(axioms_to_triples(axioms, membership))
 
     # listing rules over subject-entity context — the entity-facts side is a
     # distributed hash join (aggregate_entity_facts ⋈ subjects), never a

@@ -422,6 +422,69 @@ def q_lsh_topk(sf_dir: str):
     return sim.lsh_topk(emb, qvecs, k=10)
 
 
+# --- taxonomy family --------------------------------------------------------
+
+def _part_type_edges(sf_dir: str):
+    """Deterministic taxonomy over part classes: the leaf class is
+    p_type+' '+p_name ('ECONOMY small ring') and every word-suffix is a
+    broader class ('ECONOMY small ring' ⊂ 'small ring' ⊂ 'ring') — the
+    stand-in category hierarchy for the driver testdata."""
+    part = rel.read_table(sf_dir, 'part', ['p_type', 'p_name'])
+
+    def edges(batch: pd.DataFrame) -> pd.DataFrame:
+        child, parent = [], []
+        for t, n in zip(batch['p_type'], batch['p_name']):
+            words = (t + ' ' + n).split(' ')
+            for i in range(len(words) - 1):
+                child.append(' '.join(words[i:]))
+                parent.append(' '.join(words[i + 1:]))
+        return pd.DataFrame({'child': child, 'parent': parent})
+
+    return part.map_batches(edges, batch_format='pandas')
+
+
+def q_taxonomy_edges(sf_dir: str):
+    """Distinct (child, parent) taxonomy edge table (the distributed edge
+    extraction feeding hierarchy assembly — SURVEY.md taxonomy layer)."""
+    e = _part_type_edges(sf_dir)
+    return rel.two_phase_count(e, ['child', 'parent'], 'cnt').drop_columns(['cnt'])
+
+
+SQL_TAXONOMY_EDGES = """
+WITH t AS (SELECT DISTINCT p_type || ' ' || p_name AS leaf FROM part),
+lv AS (SELECT leaf AS n FROM t
+       UNION SELECT substr(leaf, strpos(leaf, ' ') + 1) FROM t
+       UNION SELECT substr(substr(leaf, strpos(leaf, ' ') + 1),
+                           strpos(substr(leaf, strpos(leaf, ' ') + 1), ' ') + 1) FROM t),
+e AS (SELECT n AS child, substr(n, strpos(n, ' ') + 1) AS parent
+      FROM lv WHERE strpos(n, ' ') > 0)
+SELECT DISTINCT child, parent FROM e
+"""
+
+
+def q_type_closure(sf_dir: str):
+    """Transitive closure (node, anc) of the taxonomy — hierarchy assembled
+    driver-side over the small edge dim, closure EMITTED distributed
+    (broadcast ancestors inside map_batches)."""
+    from ..stages.taxonomy import closure_pairs
+    return closure_pairs(_part_type_edges(sf_dir))
+
+
+SQL_TYPE_CLOSURE = """
+WITH RECURSIVE t AS (SELECT DISTINCT p_type || ' ' || p_name AS leaf FROM part),
+lv AS (SELECT leaf AS n FROM t
+       UNION SELECT substr(leaf, strpos(leaf, ' ') + 1) FROM t
+       UNION SELECT substr(substr(leaf, strpos(leaf, ' ') + 1),
+                           strpos(substr(leaf, strpos(leaf, ' ') + 1), ' ') + 1) FROM t),
+e AS (SELECT DISTINCT n AS child, substr(n, strpos(n, ' ') + 1) AS parent
+      FROM lv WHERE strpos(n, ' ') > 0),
+cl AS (SELECT child AS node, parent AS anc FROM e
+       UNION
+       SELECT cl.node, e.parent FROM cl JOIN e ON cl.anc = e.child)
+SELECT node, anc FROM cl
+"""
+
+
 # --- graph / KG family ------------------------------------------------------
 
 def q_domain_of_event_types(sf_dir: str):
@@ -587,6 +650,8 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'doc_fingerprints': q_doc_fingerprints,
     'knn_topk': q_knn_topk,
     'lsh_topk': q_lsh_topk,
+    'taxonomy_edges': q_taxonomy_edges,
+    'type_closure': q_type_closure,
     'domain_of_event_types': q_domain_of_event_types,
     'normalized_customer_names': q_normalized_customer_names,
     'approx_distinct_users': q_approx_distinct_users,
@@ -615,6 +680,8 @@ ORACLES: Dict[str, str] = {
     'dedup_exact': SQL_DEDUP_EXACT,
     'embedding_near_dups': SQL_EMB_DUPS,
     'knn_topk': SQL_KNN,
+    'taxonomy_edges': SQL_TAXONOMY_EDGES,
+    'type_closure': SQL_TYPE_CLOSURE,
     'domain_of_event_types': SQL_DOMAIN_EVENTS,
     'normalized_customer_names': SQL_NORM_NAMES,
     'user_components': SQL_COMPONENTS,

@@ -28,3 +28,16 @@ def test_full_kg_includes_axiom_triples(ray_session):
     from caligraph_ray.corpus import CITY_COUNTRY
     cities = set(CITY_COUNTRY)
     assert all(o in cities for _, o in bp)
+    # taxonomy streams: subClassOf edges from the category hierarchy and
+    # rdf:type closure onto members (page titles typed with their category
+    # node and its ancestors)
+    sub_edges = {(s, o) for s, p, o in rows if p == 'rdfs:subClassOf'}
+    assert sub_edges, 'expected rdfs:subClassOf triples from the taxonomy'
+    # 'People from <city>' categories merge/attach under a People-headed node
+    people_children = {s for s, o in sub_edges if s.startswith('People from ')}
+    assert people_children, 'expected People-from-X classes in the taxonomy'
+    # members got closure types: some member typed with a parent-level class
+    closure_objs = {o for _, o in typed}
+    assert any(o in {'People by city', 'People', 'Births by year',
+                     'Cities by country'} for o in closure_objs), \
+        'expected transitive parent types on members'

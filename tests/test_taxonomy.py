@@ -1,0 +1,149 @@
+"""Taxonomy-layer goldens: cycle resolution, node merge, transitive
+reduction, closure — mirroring the reference's hierarchy semantics
+(hierarchy_graph.py:137-255, tests/integration/caligraph/test_final_graph.py)."""
+
+import pandas as pd
+import pytest
+
+from caligraph_ray.stages.taxonomy import ROOT, Hierarchy
+
+
+def test_cycle_resolution_removes_deep_to_shallow_edge():
+    h = Hierarchy()
+    h.add_edge(ROOT, 'A')
+    h.add_edge('A', 'B')
+    h.add_edge('B', 'C')
+    h.add_edge('C', 'A')   # cycle A->B->C->A; C is deepest
+    h.resolve_cycles()
+    assert h._find_cycle() is None
+    # the deep-to-shallow edge C->A is the one removed
+    assert ('C', 'A') not in h.edges()
+    assert ('A', 'B') in h.edges() and ('B', 'C') in h.edges()
+
+
+def test_cycle_resolution_flat_cycle_terminates():
+    h = Hierarchy()
+    h.add_edge('X', 'Y')
+    h.add_edge('Y', 'X')   # 2-cycle, both unreachable from root (equal depth)
+    h.resolve_cycles()
+    assert h._find_cycle() is None
+
+
+def test_merge_by_phrase_node_into_parent():
+    # 'Authors by name' has canonical label 'Authors' == its parent → direct
+    # merge: parts move to 'Authors', children are rewired
+    h = Hierarchy()
+    h.add_edge(ROOT, 'Authors')
+    h.add_edge('Authors', 'Authors by name')
+    h.add_edge('Authors by name', 'SciFi authors')
+    h.merge_nodes()
+    assert 'Authors by name' not in h.nodes
+    assert 'Authors by name' in h.parts('Authors')
+    assert ('Authors', 'SciFi authors') in h.edges()
+
+
+def test_merge_category_set_children():
+    # alphabetical-split siblings 'Novels: A-C'/'Novels: D-F' under 'Novels'
+    # share the canonical label 'Novels' → category-set merge into the parent
+    h = Hierarchy()
+    h.add_edge(ROOT, 'Novels')
+    h.add_edge('Novels', 'Novels: A-C')
+    h.add_edge('Novels', 'Novels: D-F')
+    h.add_edge('Novels: A-C', 'Airport novels')
+    h.merge_nodes()
+    assert 'Novels: A-C' not in h.nodes and 'Novels: D-F' not in h.nodes
+    assert {'Novels: A-C', 'Novels: D-F'} <= h.parts('Novels')
+    assert ('Novels', 'Airport novels') in h.edges()
+
+
+def test_merge_synonym_singular_plural():
+    # 'Countries by GDP' canonical = 'Countries'; parent 'Country' matches on
+    # singularized important words → synonym merge
+    h = Hierarchy()
+    h.add_edge(ROOT, 'Country')
+    h.add_edge('Country', 'Countries by GDP')
+    h.merge_nodes()
+    assert 'Countries by GDP' not in h.nodes
+    assert 'Countries by GDP' in h.parts('Country')
+
+
+def test_append_unconnected_headlemma_and_root():
+    h = Hierarchy()
+    h.add_edge(ROOT, 'Writers')
+    h.add_node('Israeli speculative fiction writers')   # no parents
+    h.add_node('Quxzz')                                 # no head match
+    h.append_unconnected()
+    assert 'Writers' in h.parents('Israeli speculative fiction writers')
+    assert h.parents('Quxzz') == {ROOT}
+
+
+def test_transitive_reduction():
+    h = Hierarchy()
+    h.add_edge(ROOT, 'A')
+    h.add_edge('A', 'B')
+    h.add_edge('B', 'C')
+    h.add_edge('A', 'C')   # transitive
+    h.remove_transitive_edges()
+    assert ('A', 'C') not in h.edges()
+    assert ('A', 'B') in h.edges() and ('B', 'C') in h.edges()
+
+
+def test_closure_matches_bruteforce():
+    h = Hierarchy()
+    edges = [(ROOT, 'A'), ('A', 'B'), ('A', 'C'), ('B', 'D'), ('C', 'D'),
+             ('D', 'E')]
+    for p, c in edges:
+        h.add_edge(p, c)
+    cl = h.closure()
+    assert cl['E'] == {'D', 'B', 'C', 'A'}
+    assert cl['D'] == {'B', 'C', 'A'}
+    assert cl['A'] == set()
+
+
+def test_disjointness_resolution():
+    # Person ⊥ Place: an edge from a Person-typed node to a Place-typed
+    # child is removed and the child re-attached to the root
+    h = Hierarchy()
+    h.add_edge(ROOT, 'People')
+    h.add_edge('People', 'Cities')
+    types_of = {'People': {'Person'}, 'Cities': {'Place'}}
+    h.resolve_disjointness([('Person', 'Place')], types_of)
+    assert ('People', 'Cities') not in h.edges()
+    assert ROOT in h.parents('Cities')
+
+
+def test_build_hierarchy_and_member_types(ray_session):
+    import ray.data as rd
+    from caligraph_ray.stages.taxonomy import (build_hierarchy,
+                                               member_type_triples,
+                                               subclass_triples)
+    edges = pd.DataFrame({
+        'child': ['Novels: A-C', 'Novels: D-F', 'Airport novels', 'Novels'],
+        'parent': ['Novels', 'Novels', 'Novels: A-C', 'Books'],
+    })
+    h = build_hierarchy(rd.from_pandas(edges))
+    assert 'Novels: A-C' not in h.nodes       # merged
+    sub = subclass_triples(h).to_pandas()
+    assert ('Airport novels', 'Novels') in set(zip(sub['subj'], sub['obj']))
+    members = pd.DataFrame({
+        'cat_name': ['Airport novels', 'Novels: D-F'],
+        'member': ['Die Hard Novel', 'Dracula'],
+    })
+    t = member_type_triples(rd.from_pandas(members), h).to_pandas()
+    got = set(zip(t['subj'], t['obj']))
+    # closure: member of merged alpha-split gets the merged node + ancestors
+    assert ('Dracula', 'Novels') in got and ('Dracula', 'Books') in got
+    assert ('Die Hard Novel', 'Airport novels') in got
+    assert ('Die Hard Novel', 'Novels') in got and ('Die Hard Novel', 'Books') in got
+
+
+def test_closure_pairs_distributed(ray_session):
+    import ray.data as rd
+    from caligraph_ray.stages.taxonomy import closure_pairs
+    edges = pd.DataFrame({
+        'child': ['B', 'C', 'D', 'D'],
+        'parent': ['A', 'A', 'B', 'C'],
+    })
+    out = closure_pairs(rd.from_pandas(edges).repartition(2)).to_pandas()
+    got = set(zip(out['node'], out['anc']))
+    assert got == {('B', 'A'), ('C', 'A'), ('D', 'B'), ('D', 'C'), ('D', 'A')}
