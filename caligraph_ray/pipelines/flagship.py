@@ -36,8 +36,10 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
 
     ``linking``: 'broadcast' (index collected + ray.put once — fastest while
     the surface dim fits the object-store budget), 'join' (co-partitioned
-    hash join, nothing driver-side — the 10^12-row path), or 'auto' (pick by
-    mention volume vs ALIAS_BROADCAST_LIMIT)."""
+    hash join, nothing driver-side — the 10^12-row path), 'scored' (the full
+    ED stack: bi-encoder embed → candidate top-k → cross-encoder rerank,
+    deterministic stand-ins behind the real actor interfaces — stages/ed.py),
+    or 'auto' (pick broadcast/join by mention volume vs ALIAS_BROADCAST_LIMIT)."""
     from ..config import ALIAS_BROADCAST_LIMIT
     from ..stages.alias import link_mentions_join
     from ..stages.html_extract import cats_view, items_view, parse_pages
@@ -51,7 +53,11 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
     n_mentions = mentions.count()
     use_join = linking == 'join' or (linking == 'auto'
                                      and n_mentions > ALIAS_BROADCAST_LIMIT)
-    if use_join:
+    if linking == 'scored':
+        from ..stages.ed import link_mentions_scored
+        ent_names = sorted(n for n in mentions.unique('name') if n)
+        linked = link_mentions_scored(mentions, ent_names).materialize()
+    elif use_join:
         linked = link_mentions_join(mentions).materialize()
         ent_names = None   # derived distributed inside _assemble_triples
     else:

@@ -485,6 +485,93 @@ SELECT node, anc FROM cl
 """
 
 
+# --- entity-disambiguation family -------------------------------------------
+
+def q_linking_candidates_topk(sf_dir: str):
+    """ME candidate generation (J7/ST5): per mention vector, the top-4
+    entity vectors by cosine within a ≥0.1 score window. Entities are the
+    vec_id % 7 == 0 subset of the embeddings table (deterministic split);
+    the Ray side runs the real candidate stage (broadcast entity matrix +
+    per-batch matmul)."""
+    from ..stages.ed import me_candidates_topk
+    emb = rel.read_table(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    ents = emb.filter(lambda r: r['vec_id'] % 7 == 0).take_all()
+    eids = np.array([r['vec_id'] for r in ents], dtype=np.int64)
+    emat = np.stack([np.asarray(r['embedding'], dtype=np.float64) for r in ents])
+    mentions = emb.filter(lambda r: r['vec_id'] % 7 != 0)
+    out = me_candidates_topk(mentions, eids, emat, k=4,
+                             mention_vec_col='embedding',
+                             mention_id_col='vec_id', min_score=0.1).to_pandas()
+    out = out.rename(columns={'vec_id': 'mention_id'})
+    # float scores are dropped from the gate: Python and DuckDB sums differ
+    # by ~1e-16, which flips any fixed rounding grid on boundary values;
+    # the candidate SET + ranking cut (ties → entity_id on both sides) is
+    # the deterministic contract
+    return out[['mention_id', 'entity_id']]
+
+
+SQL_LINKING_CANDS = """
+WITH e AS (SELECT vec_id AS entity_id, CAST(embedding AS DOUBLE[]) AS ev
+           FROM embeddings WHERE vec_id % 7 = 0),
+m AS (SELECT vec_id AS mention_id, CAST(embedding AS DOUBLE[]) AS mv
+      FROM embeddings WHERE vec_id % 7 <> 0),
+scored AS (SELECT m.mention_id, e.entity_id,
+                  list_cosine_similarity(m.mv, e.ev) AS s
+           FROM m CROSS JOIN e)
+SELECT mention_id, entity_id FROM scored
+WHERE s >= 0.1
+QUALIFY row_number() OVER (PARTITION BY mention_id
+                           ORDER BY s DESC, entity_id) <= 4
+"""
+
+
+def q_bm25_label_match(sf_dir: str):
+    """BM25 lexical candidate generation (ST8): top-5 documents for three
+    fixed query strings; exact Okapi BM25 (k1=1.5, b=0.75), replicated in
+    SQL from the same token statistics."""
+    import ray.data as rd
+    from ..stages.ed import bm25_topk
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text']).take_all()
+    ids = [r['doc_id'] for r in docs]
+    texts = [r['text'] for r in docs]
+    queries = rd.from_pandas(pd.DataFrame({'label': ['spark join stream',
+                                                     'vector hash batch',
+                                                     'window filter merge']}))
+    out = bm25_topk(queries, ids, texts, query_col='label', k=5).to_pandas()
+    # float scores dropped from the gate (1e-16 summation noise vs DuckDB
+    # flips fixed grids); the top-5 set with doc_id tie-break is exact
+    return out[['label', 'doc_id']]
+
+
+SQL_BM25 = """
+WITH docs AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              FROM documents),
+st AS (SELECT doc_id, len(toks) AS dl FROM docs),
+gl AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM st),
+tf AS (SELECT doc_id, tok, count(*) AS f
+       FROM (SELECT doc_id, unnest(toks) AS tok FROM docs) GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS d FROM tf GROUP BY 1),
+q(label, tok) AS (VALUES ('spark join stream', 'spark'), ('spark join stream', 'join'),
+                         ('spark join stream', 'stream'),
+                         ('vector hash batch', 'vector'), ('vector hash batch', 'hash'),
+                         ('vector hash batch', 'batch'),
+                         ('window filter merge', 'window'), ('window filter merge', 'filter'),
+                         ('window filter merge', 'merge')),
+scores AS (
+    SELECT q.label, tf.doc_id,
+           sum(ln((gl.n - df.d + 0.5) / (df.d + 0.5) + 1)
+               * (tf.f * 2.5) / (tf.f + 1.5 * (1 - 0.75 + 0.75 * st.dl / gl.avgdl))) AS s
+    FROM q JOIN tf ON q.tok = tf.tok
+           JOIN df ON df.tok = q.tok
+           JOIN st ON st.doc_id = tf.doc_id
+           CROSS JOIN gl
+    GROUP BY q.label, tf.doc_id)
+SELECT label, doc_id FROM scores
+WHERE s > 0
+QUALIFY row_number() OVER (PARTITION BY label ORDER BY s DESC, doc_id) <= 5
+"""
+
+
 # --- graph / KG family ------------------------------------------------------
 
 def q_domain_of_event_types(sf_dir: str):
@@ -652,6 +739,8 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'lsh_topk': q_lsh_topk,
     'taxonomy_edges': q_taxonomy_edges,
     'type_closure': q_type_closure,
+    'linking_candidates_topk': q_linking_candidates_topk,
+    'bm25_label_match': q_bm25_label_match,
     'domain_of_event_types': q_domain_of_event_types,
     'normalized_customer_names': q_normalized_customer_names,
     'approx_distinct_users': q_approx_distinct_users,
@@ -682,6 +771,8 @@ ORACLES: Dict[str, str] = {
     'knn_topk': SQL_KNN,
     'taxonomy_edges': SQL_TAXONOMY_EDGES,
     'type_closure': SQL_TYPE_CLOSURE,
+    'linking_candidates_topk': SQL_LINKING_CANDS,
+    'bm25_label_match': SQL_BM25,
     'domain_of_event_types': SQL_DOMAIN_EVENTS,
     'normalized_customer_names': SQL_NORM_NAMES,
     'user_components': SQL_COMPONENTS,

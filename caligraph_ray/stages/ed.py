@@ -1,0 +1,329 @@
+"""Entity-disambiguation stack: bi-encoder embedding, BM25 / ANN candidate
+generation, cross-encoder reranking (reference ST4/ST7/ST8 + J7:
+…/matching/biencoder.py:15-112, …/matching/lexical.py:22-90,
+…/matching/crossencoder.py:81-104).
+
+Every model is a DETERMINISTIC stand-in behind the exact actor interface
+the real model would use — state loaded once in ``__init__``, batched
+``__call__`` — so swapping in SentenceTransformer / a HF cross-encoder is
+a constructor change, not a pipeline change (no GPU in this environment):
+
+* ``HashEmbedder``      — feature-hashing text embedder (ST4 stand-in;
+  reference biencoder batch 384, all-MiniLM-L12-v2)
+* ``BM25Index``         — exact Okapi BM25 over tokenized labels (ST8;
+  reference uses fastbm25, same formula, k1=1.5 b=0.75)
+* ``CrossEncoderReranker`` — pair scorer keeping argmax entity per mention
+  (ST7 stand-in; reference distilbert pair scorer, batch 128, top-4)
+
+Execution shapes: embeddings are added per batch in an actor-pool
+``map_batches``; candidate generation broadcasts the (small) entity matrix
+once and does one matmul per batch (ME candidates) or groups by surface
+(MM candidates, J7's shared-group-key self-join); reranking is a stateless
+pair-scoring pass + per-mention argmax shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..config import AGG_BATCH_SIZE
+from ..functions.hashing import stable_hash64
+
+
+# --- ST4: bi-encoder stand-in ----------------------------------------------
+
+def hash_embed(text: str, dim: int = 64) -> np.ndarray:
+    """Deterministic feature-hashing embedding: each token hashes to a
+    (position, sign) pair; the result is L2-normalized. Similar token sets
+    → similar vectors, which is the property the ED stack needs."""
+    v = np.zeros(dim, dtype=np.float64)
+    for tok in text.lower().split():
+        h = stable_hash64(tok)
+        v[h % dim] += 1.0 if (h >> 32) & 1 else -1.0
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+class HashEmbedder:
+    """Actor-pool embedder (ST4 interface): 'model' prepared once per actor
+    in __init__ (the real path loads SentenceTransformer here — reference
+    biencoder.py:15-112); __call__ embeds one batch."""
+
+    def __init__(self, text_col: str = 'label', out_col: str = 'embedding',
+                 dim: int = 64):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.dim = dim
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch[self.out_col] = [hash_embed(t or '', self.dim)
+                               for t in batch[self.text_col]]
+        return batch
+
+
+def embed_texts(ds, text_col: str, out_col: str = 'embedding', dim: int = 64,
+                concurrency: Tuple[int, int] = (1, 8), batch_size: int = 384):
+    """Add an embedding column (actor pool; batch 384 mirrors the reference
+    bi-encoder batch size, entity_disambiguation/__init__.py:54)."""
+    return ds.map_batches(
+        HashEmbedder,
+        fn_constructor_kwargs={'text_col': text_col, 'out_col': out_col, 'dim': dim},
+        batch_format='pandas', batch_size=batch_size, concurrency=concurrency)
+
+
+# --- ST8: BM25 --------------------------------------------------------------
+
+BM25_K1 = 1.5
+BM25_B = 0.75
+
+
+class BM25Index:
+    """Exact Okapi BM25 over a tokenized corpus (ST8; reference
+    lexical.py:61-90 uses fastbm25 with defaults — same scoring here,
+    idf = ln((N - df + .5)/(df + .5) + 1))."""
+
+    def __init__(self, ids: List, texts: List[str]):
+        self.ids = list(ids)
+        self.docs = [t.lower().split() for t in texts]
+        self.doc_len = np.array([len(d) for d in self.docs], dtype=np.float64)
+        self.avgdl = float(self.doc_len.mean()) if len(self.docs) else 0.0
+        self.n = len(self.docs)
+        df: Counter = Counter()
+        self.tf: List[Dict[str, int]] = []
+        for d in self.docs:
+            c = Counter(d)
+            self.tf.append(dict(c))
+            for tok in c:
+                df[tok] += 1
+        self.idf = {t: math.log((self.n - f + 0.5) / (f + 0.5) + 1)
+                    for t, f in df.items()}
+
+    def score(self, query_tokens: List[str], doc_idx: int) -> float:
+        tf = self.tf[doc_idx]
+        dl = self.doc_len[doc_idx]
+        s = 0.0
+        for t in query_tokens:
+            f = tf.get(t)
+            if not f:
+                continue
+            s += self.idf[t] * (f * (BM25_K1 + 1)) / (
+                f + BM25_K1 * (1 - BM25_B + BM25_B * dl / self.avgdl))
+        return s
+
+    def topk(self, query: str, k: int) -> List[Tuple[object, float]]:
+        qt = query.lower().split()
+        scores = [(self.score(qt, i), self.ids[i]) for i in range(self.n)]
+        scores = [(s, i) for s, i in scores if s > 0]
+        scores.sort(key=lambda x: (-x[0], x[1]))
+        return [(i, s) for s, i in scores[:k]]
+
+
+def bm25_topk(queries_ds, corpus_ids: List, corpus_texts: List[str],
+              query_col: str = 'label', k: int = 4,
+              concurrency: Tuple[int, int] = (1, 8)):
+    """Per-query BM25 top-k: the index is built ONCE PER ACTOR from the
+    broadcast corpus (reference builds fastbm25 once; per-actor replication
+    is the documented ST8 scale answer — shard the corpus per actor when the
+    label dim outgrows one object)."""
+    corpus_ref = ray.put((list(corpus_ids), list(corpus_texts)))
+
+    class Searcher:
+        def __init__(self):
+            ids, texts = ray.get(corpus_ref)
+            self.index = BM25Index(ids, texts)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out_q, out_id, out_s = [], [], []
+            for q in batch[query_col]:
+                for did, s in self.index.topk(q, k):
+                    out_q.append(q)
+                    out_id.append(did)
+                    out_s.append(round(s, 6))
+            return pd.DataFrame({query_col: out_q, 'doc_id': out_id,
+                                 'bm25': out_s})
+
+    return queries_ds.map_batches(Searcher, batch_format='pandas',
+                                  batch_size=AGG_BATCH_SIZE,
+                                  concurrency=concurrency)
+
+
+# --- J7: candidate generation ----------------------------------------------
+
+def me_candidates_topk(mentions_ds, entity_ids: np.ndarray,
+                       entity_mat: np.ndarray, k: int = 4,
+                       mention_vec_col: str = 'embedding',
+                       mention_id_col: str = 'mention_uid',
+                       min_score: float = 0.0):
+    """Mention→entity candidates: top-k entities by cosine per mention
+    (reference ANN ME candidates, transformer_util.py:75-89 — here the
+    normalized entity matrix is broadcast once and each batch does one
+    matmul; an ANN index per actor is the same interface). Emits
+    (mention_id, entity_id, score) with score ≥ min_score."""
+    from ..state.broadcast import get_broadcast
+    mat = np.asarray(entity_mat, dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    state = ray.put((np.asarray(entity_ids), mat))
+
+    def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, emat = get_broadcast(state)
+        q = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch[mention_vec_col]])
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        sims = q @ emat.T
+        out_m, out_e, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        mids = batch[mention_id_col].to_numpy()
+        for i in range(sims.shape[0]):
+            idx = np.lexsort((ids, -sims[i]))[:kk]
+            for j in idx:
+                if sims[i][j] >= min_score:
+                    out_m.append(mids[i])
+                    out_e.append(ids[j])
+                    out_s.append(round(float(sims[i][j]), 6))
+        return pd.DataFrame({mention_id_col: out_m, 'entity_id': out_e,
+                             'score': np.array(out_s, dtype=np.float64)})
+
+    return mentions_ds.map_batches(score_batch, batch_format='pandas',
+                                   batch_size=AGG_BATCH_SIZE)
+
+
+def mm_candidates(mentions_ds, group_col: str = 'norm_surface',
+                  id_col: str = 'mention_uid', max_group: int = 1000):
+    """Mention↔mention candidates via shared group key (J7, reference
+    lexical.py:22-58): per-surface star pairs to the min mention (linear,
+    not quadratic — the same component semantics)."""
+    from .relational import grouped_map
+
+    def star(g: pd.DataFrame) -> Optional[pd.DataFrame]:
+        uids = np.sort(g[id_col].unique())[:max_group]
+        if len(uids) < 2:
+            return None
+        return pd.DataFrame({'a': np.full(len(uids) - 1, uids[0], dtype=np.int64),
+                             'b': uids[1:].astype(np.int64)})
+
+    return grouped_map(mentions_ds.select_columns([group_col, id_col]),
+                       [group_col], star)
+
+
+# --- ST7: cross-encoder rerank ----------------------------------------------
+
+class CrossEncoderReranker:
+    """Pair-scoring actor (ST7 interface; reference crossencoder.py:81-104:
+    distilbert pair scorer, batch 128). The deterministic stand-in scores a
+    (mention_label, entity_label) pair by hash-embedding cosine with an
+    exact-match bonus — monotone in label agreement, so argmax behavior
+    matches what the real scorer would be trained toward."""
+
+    def __init__(self, mention_col: str = 'label', entity_col: str = 'entity_label',
+                 dim: int = 64):
+        self.mention_col = mention_col
+        self.entity_col = entity_col
+        self.dim = dim
+
+    def score_pair(self, mention_label: str, entity_label: str) -> float:
+        if not mention_label or not entity_label:
+            return 0.0
+        if mention_label.lower() == entity_label.lower():
+            return 1.0
+        cos = float(hash_embed(mention_label, self.dim)
+                    @ hash_embed(entity_label, self.dim))
+        return round(0.5 + 0.5 * max(cos, -1.0) * 0.99, 6)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch['ce_score'] = [self.score_pair(m, e)
+                             for m, e in zip(batch[self.mention_col],
+                                             batch[self.entity_col])]
+        return batch
+
+
+def rerank_candidates(pairs_ds, mention_id_col: str = 'mention_uid',
+                      mention_col: str = 'label',
+                      entity_col: str = 'entity_label',
+                      concurrency: Tuple[int, int] = (1, 8),
+                      batch_size: int = 128):
+    """Score every candidate pair (actor pool, batch 128 as the reference)
+    then keep the argmax entity per mention (ties → lexicographically first
+    entity label). Returns (mention_id, entity_label, ce_score)."""
+    from .relational import bucketed_map
+    scored = pairs_ds.map_batches(
+        CrossEncoderReranker,
+        fn_constructor_kwargs={'mention_col': mention_col, 'entity_col': entity_col},
+        batch_format='pandas', batch_size=batch_size, concurrency=concurrency)
+
+    def argmax(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.sort_values([mention_id_col, 'ce_score', entity_col],
+                               ascending=[True, False, True], kind='mergesort')
+        s = s.drop_duplicates(subset=[mention_id_col], keep='first')
+        return s[[mention_id_col, entity_col, 'ce_score']]
+
+    return bucketed_map(scored, [mention_id_col], argmax)
+
+
+# --- full scored-linking path ----------------------------------------------
+
+def link_mentions_scored(mentions_ds, entity_labels: List[str], k: int = 4,
+                         dim: int = 64):
+    """The complete ED stack as a linking stage: embed mentions (ST4) →
+    ME candidate top-k vs the broadcast entity matrix (J7/ST5) → cross-
+    encoder rerank argmax (ST7) → (entity, link_score) columns with the
+    ``link_mentions`` output contract. Wikilinked mentions keep their
+    target (score 1.0); mentions with no candidate stay NIL.
+
+    ``entity_labels``: the known-entity dim (small side, broadcast once)."""
+    ents = sorted(set(e for e in entity_labels if e))
+    if not ents:
+        import pyarrow.compute as pc  # noqa: F401 — keep contract columns
+        def nil(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            out = batch.append_column('entity', pa.array([None] * n, pa.string()))
+            return out.append_column('link_score', pa.array([0.0] * n, pa.float64()))
+        return mentions_ds.map_batches(nil, batch_format='pyarrow')
+
+    emat = np.stack([hash_embed(e, dim) for e in ents])
+    emat = emat / np.maximum(np.linalg.norm(emat, axis=1, keepdims=True), 1e-12)
+    labels_arr = np.array(ents, dtype=object)
+    state = ray.put((labels_arr, emat))
+
+    class ScoredLinker:
+        """One actor = embedder + candidate matmul + reranker (fused: the
+        stand-ins are cheap; with real models these are three actor-pool
+        stages — embed_texts → me_candidates_topk → rerank_candidates,
+        which link_mentions_scored_staged below wires exactly)."""
+
+        def __init__(self):
+            self.labels, self.emat = ray.get(state)
+            self.rr = CrossEncoderReranker()
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            q = np.stack([hash_embed(l or '', dim) for l in batch['label']])
+            sims = q @ self.emat.T
+            entities: List[Optional[str]] = []
+            scores: List[float] = []
+            kk = min(k, sims.shape[1])
+            for i, (name, label) in enumerate(zip(batch['name'], batch['label'])):
+                if name is not None and not (isinstance(name, float) and np.isnan(name)):
+                    entities.append(name)
+                    scores.append(1.0)
+                    continue
+                idx = np.lexsort((self.labels, -sims[i]))[:kk]
+                best_e, best_s = None, 0.0
+                for j in idx:
+                    ce = self.rr.score_pair(label or '', str(self.labels[j]))
+                    if ce > best_s:
+                        best_e, best_s = str(self.labels[j]), ce
+                entities.append(best_e)
+                scores.append(round(best_s, 6) if best_e is not None else 0.0)
+            batch['entity'] = entities
+            batch['link_score'] = scores
+            return batch
+
+    return mentions_ds.map_batches(ScoredLinker, batch_format='pandas',
+                                   batch_size=AGG_BATCH_SIZE,
+                                   concurrency=(1, 8))
