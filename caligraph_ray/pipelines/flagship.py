@@ -31,7 +31,8 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
                  me_threshold: float = MENTION_ENTITY_THRESHOLD,
                  mm_threshold: float = MENTION_MENTION_THRESHOLD,
                  path_threshold: float = PATH_THRESHOLD,
-                 concurrency: int = 8, linking: str = 'auto'):
+                 concurrency: int = 8, linking: str = 'auto',
+                 redirects_ds=None):
     """pages Dataset (F1 schema) → deduped, sorted triples Dataset.
 
     ``linking``: 'broadcast' (index collected + ray.put once — fastest while
@@ -49,6 +50,12 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
     cats = cats_view(parsed)
 
     mentions = explode_mentions(items)
+    if redirects_ds is not None:
+        # D2: fold wikilink targets through the redirect map (levenshtein≤2
+        # spelling guard) BEFORE alias grouping, so distinct surfaces that
+        # redirect to one entity merge (reference resource.py:290-305)
+        from ..stages.redirects import fold_redirects
+        mentions = fold_redirects(mentions, redirects_ds, col='name')
     mentions = mentions.materialize()  # reused: index build + linking + CC
     n_mentions = mentions.count()
     use_join = linking == 'join' or (linking == 'auto'

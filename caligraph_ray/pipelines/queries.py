@@ -485,6 +485,57 @@ SELECT node, anc FROM cl
 """
 
 
+# --- redirect canonicalization (D2) -----------------------------------------
+
+def q_redirect_resolution(sf_dir: str):
+    """Redirect folding with the levenshtein≤2 spelling guard (reference
+    resource.py:290-305). The redirect table is synthesized deterministically
+    from doc ids: most ids redirect toward their decade/century 'canonical'
+    doc (2-hop chains), ids ending in 7 redirect to a completely differently
+    named page (the guard must reject those and keep the original)."""
+    from ..stages.redirects import fold_redirects
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id'])
+
+    def make_redirects(batch: pd.DataFrame) -> pd.DataFrame:
+        src, tgt = [], []
+        for d in batch['doc_id']:
+            d = int(d)
+            if d % 10 == 7:
+                src.append(f'Doc {d}'); tgt.append(f'Article {d}')
+            elif d % 10 != 0:
+                src.append(f'Doc {d}'); tgt.append(f'Doc {d - d % 10}')
+            elif d % 100 != 0:
+                src.append(f'Doc {d}'); tgt.append(f'Doc {d - d % 100}')
+        return pd.DataFrame({'src': src, 'tgt': tgt})
+
+    redirects = docs.map_batches(make_redirects, batch_format='pandas')
+    names = docs.map_batches(
+        lambda b: pd.DataFrame({'doc_id': b['doc_id'],
+                                'name': [f'Doc {int(d)}' for d in b['doc_id']]}),
+        batch_format='pandas')
+    return fold_redirects(names, redirects, col='name', out_col='resolved')
+
+
+SQL_REDIRECTS = """
+WITH r AS (
+    SELECT 'Doc ' || doc_id AS src,
+           CASE WHEN doc_id % 10 = 7 THEN 'Article ' || doc_id
+                WHEN doc_id % 10 <> 0 THEN 'Doc ' || (doc_id - doc_id % 10)
+                WHEN doc_id % 100 <> 0 THEN 'Doc ' || (doc_id - doc_id % 100)
+           END AS tgt
+    FROM documents),
+rr AS (SELECT src, tgt FROM r WHERE tgt IS NOT NULL),
+n AS (SELECT doc_id, 'Doc ' || doc_id AS name FROM documents),
+hop AS (SELECT n.doc_id, n.name, coalesce(r2.tgt, r1.tgt, n.name) AS final
+        FROM n LEFT JOIN rr r1 ON n.name = r1.src
+               LEFT JOIN rr r2 ON r1.tgt = r2.src)
+SELECT doc_id, name,
+       CASE WHEN final <> name AND levenshtein(name, final) <= 2 THEN final
+            ELSE name END AS resolved
+FROM hop
+"""
+
+
 # --- entity-disambiguation family -------------------------------------------
 
 def q_linking_candidates_topk(sf_dir: str):
@@ -739,6 +790,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'lsh_topk': q_lsh_topk,
     'taxonomy_edges': q_taxonomy_edges,
     'type_closure': q_type_closure,
+    'redirect_resolution': q_redirect_resolution,
     'linking_candidates_topk': q_linking_candidates_topk,
     'bm25_label_match': q_bm25_label_match,
     'domain_of_event_types': q_domain_of_event_types,
@@ -771,6 +823,7 @@ ORACLES: Dict[str, str] = {
     'knn_topk': SQL_KNN,
     'taxonomy_edges': SQL_TAXONOMY_EDGES,
     'type_closure': SQL_TYPE_CLOSURE,
+    'redirect_resolution': SQL_REDIRECTS,
     'linking_candidates_topk': SQL_LINKING_CANDS,
     'bm25_label_match': SQL_BM25,
     'domain_of_event_types': SQL_DOMAIN_EVENTS,
