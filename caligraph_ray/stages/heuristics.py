@@ -82,15 +82,17 @@ def domain_range(facts_ds, types_by_ent: Dict[str, List[str]],
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         tbe = ray.get(tref)
-        rows = []
-        for _, r in batch.iterrows():
-            if r.get('is_literal'):
+        preds, sides, types = [], [], []
+        lits = batch['is_literal'] if 'is_literal' in batch.columns \
+            else np.zeros(len(batch), dtype=bool)
+        for p, s, o, lit in zip(batch['pred'], batch['subj'], batch['obj'], lits):
+            if lit:
                 continue
-            for t in tbe.get(r['subj'], ()):  # subject types → domain evidence
-                rows.append({'pred': r['pred'], 'side': 'd', 'type': t})
-            for t in tbe.get(r['obj'], ()):
-                rows.append({'pred': r['pred'], 'side': 'r', 'type': t})
-        return pd.DataFrame(rows, columns=['pred', 'side', 'type'])
+            for t in tbe.get(s, ()):   # subject types → domain evidence
+                preds.append(p); sides.append('d'); types.append(t)
+            for t in tbe.get(o, ()):
+                preds.append(p); sides.append('r'); types.append(t)
+        return pd.DataFrame({'pred': preds, 'side': sides, 'type': types})
 
     ev = facts_ds.map_batches(explode, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
     counts = two_phase_count(ev, ['pred', 'side', 'type'], 'cnt').to_pandas()
@@ -122,11 +124,11 @@ def type_disjointness(facts_ds, types_by_ent: Dict[str, List[str]],
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         tbe = ray.get(tref)
-        rows = []
-        for _, r in batch.iterrows():
-            for t in tbe.get(r['subj'], ()):
-                rows.append({'type': t, 'pred': r['pred']})
-        return pd.DataFrame(rows, columns=['type', 'pred'])
+        types, preds = [], []
+        for s, p in zip(batch['subj'], batch['pred']):
+            for t in tbe.get(s, ()):
+                types.append(t); preds.append(p)
+        return pd.DataFrame({'type': types, 'pred': preds})
 
     ev = facts_ds.map_batches(explode, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
     counts = two_phase_count(ev, ['type', 'pred'], 'cnt').to_pandas()

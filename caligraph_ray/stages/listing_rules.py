@@ -112,65 +112,93 @@ def build_context(subjects_ds, page_type_fn=None, facts_ref=None, facts_ds=None)
     return subjects_ds.map_batches(ctx, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
 
 
-def _mine(ctx_ds, target_col: str, mean_threshold: float, min_pages: int):
-    """Shared two-level miner over a list-valued target column."""
-    # per (rule_key, page, target): hits; per (rule_key, page): total subjects
+def _mine(ctx_ds, target_col: str, mean_threshold: float, min_pages: int,
+          std_threshold: float = None, min_page_entities: int = 3):
+    """Shared two-level miner over a list-valued target column — the
+    reference's full statistics (extract.py:90-147, 206-258):
+
+    level 1 (per rule_key × page): per-target hit counts + total subjects;
+    pages with < min_page_entities subjects are dropped (entity_counter
+    > 2, extract.py:101).
+
+    level 2 (per rule_key × target), over the rule_key's ACTIVE pages
+    (pages contributing ≥1 target row — dfp semantics):
+      micro_mean = Σ hits / Σ subjects-of-active-pages   (clip 0..1)
+      macro_mean = Σ per-page conf / page_count          (zero-fill: pages
+                   lacking the target contribute 0 via the denominator)
+      micro_std  = (Σ|micro_mean − conf| + (page_count − n_pages)·micro_mean)
+                   / page_count                          (zero-fill deviations)
+    A rule fires when micro_mean > mean_threshold, n_pages ≥ min_pages and
+    (when set) micro_std < std_threshold (reference thresholds
+    config.yaml listing.*: mean .9/.85, std .2)."""
+    # level 1, vectorized: totals via group size, hits via explode
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        tot: Dict[tuple, int] = defaultdict(int)
-        hit: Dict[tuple, int] = defaultdict(int)
-        for _, r in batch.iterrows():
-            k = (r['page_type'], r['topsection'], r['section'], r['page_id'])
-            tot[k] += 1
-            for t in r[target_col]:
-                hit[k + (t,)] += 1
-        rows = []
-        for k, n in tot.items():
-            rows.append(k + ('', n, 0))
-        for k, n in hit.items():
-            rows.append(k + (0, n))
-        return pd.DataFrame(rows, columns=RULE_KEY + ['page_id', 'target', 'n_total', 'n_hit'])
+        keys = RULE_KEY + ['page_id']
+        tot = batch.groupby(keys, sort=False).size().rename('n_total').reset_index()
+        tot['target'] = ''
+        tot['n_hit'] = 0
+        ex = batch[keys + [target_col]].explode(target_col).dropna(subset=[target_col])
+        hit = ex.groupby(keys + [target_col], sort=False).size() \
+            .rename('n_hit').reset_index().rename(columns={target_col: 'target'})
+        hit['n_total'] = 0
+        cols = keys + ['target', 'n_total', 'n_hit']
+        return pd.concat([tot[cols], hit[cols]], ignore_index=True)
 
     partials = ctx_ds.map_batches(partial, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
     per_page = two_phase_pandas_agg(
         partials, RULE_KEY + ['page_id', 'target'],
         {'n_total': ('n_total', 'sum'), 'n_hit': ('n_hit', 'sum')})
 
-    # level 2: join target rows with their page totals, mean share per rule
     def level2(bucket: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
         for key, g in bucket.groupby(RULE_KEY, sort=False):
-            totals = g[g['target'] == ''].set_index('page_id')['n_total']
-            tg = g[g['target'] != '']
+            totals = g[g['target'] == ''].drop_duplicates('page_id') \
+                .set_index('page_id')['n_total']
+            totals = totals[totals >= min_page_entities]
+            tg = g[(g['target'] != '') & (g['n_hit'] > 0)]
+            tg = tg[tg['page_id'].isin(totals.index)]
             if tg.empty:
                 continue
+            active = pd.Index(tg['page_id'].unique())
+            denom = float(totals.loc[active].sum())
+            page_count = len(active)
             for target, tgg in tg.groupby('target', sort=False):
-                shares = []
-                for pid in totals.index:
-                    hits = tgg[tgg['page_id'] == pid]['n_hit'].sum()
-                    shares.append(hits / totals[pid] if totals[pid] else 0.0)
-                mean_share = float(np.mean(shares)) if shares else 0.0
-                n_pages = int((tgg['n_hit'] > 0).sum())
-                if mean_share >= mean_threshold and n_pages >= min_pages:
+                hits = tgg.groupby('page_id')['n_hit'].sum()
+                micro_mean = min(hits.sum() / denom, 1.0) if denom else 0.0
+                conf = (hits / totals.loc[hits.index]).clip(0.0, 1.0)
+                macro_mean = float(conf.sum()) / page_count
+                dev = float((micro_mean - conf).abs().sum())
+                micro_std = (dev + (page_count - len(conf)) * micro_mean) / page_count
+                n_pages = int(len(conf))
+                if (micro_mean > mean_threshold and n_pages >= min_pages
+                        and (std_threshold is None or micro_std < std_threshold)):
                     out_rows.append(dict(zip(RULE_KEY, key)) |
                                     {'target': target,
-                                     'mean_share': round(mean_share, 6),
-                                     'n_pages': n_pages})
-        cols = RULE_KEY + ['target', 'mean_share', 'n_pages']
+                                     'mean_share': round(micro_mean, 6),
+                                     'micro_mean': round(micro_mean, 6),
+                                     'macro_mean': round(macro_mean, 6),
+                                     'micro_std': round(micro_std, 6),
+                                     'n_pages': n_pages,
+                                     'page_count': int(page_count)})
+        cols = RULE_KEY + ['target', 'mean_share', 'micro_mean', 'macro_mean',
+                           'micro_std', 'n_pages', 'page_count']
         return pd.DataFrame(out_rows, columns=cols)
 
     return bucketed_map(per_page, RULE_KEY, level2)
 
 
-def mine_type_rules(ctx_ds, mean_threshold: float = 0.75, min_pages: int = 2):
+def mine_type_rules(ctx_ds, mean_threshold: float = 0.75, min_pages: int = 2,
+                    std_threshold: float = None):
     """Rules (rule_key → type): most subject entities of these listings have
     the type (A6, extract.py:79-147)."""
-    return _mine(ctx_ds, 'ent_types', mean_threshold, min_pages)
+    return _mine(ctx_ds, 'ent_types', mean_threshold, min_pages, std_threshold)
 
 
-def mine_relation_rules(ctx_ds, mean_threshold: float = 0.75, min_pages: int = 2):
+def mine_relation_rules(ctx_ds, mean_threshold: float = 0.75, min_pages: int = 2,
+                        std_threshold: float = None):
     """Rules (rule_key → predicate): most subject entities relate to the
     page entity via the predicate (A7, extract.py:169-258)."""
-    return _mine(ctx_ds, 'rels_to_page', mean_threshold, min_pages)
+    return _mine(ctx_ds, 'rels_to_page', mean_threshold, min_pages, std_threshold)
 
 
 def apply_rules(ctx_ds, type_rules: pd.DataFrame, relation_rules: pd.DataFrame):
@@ -189,18 +217,28 @@ def apply_rules(ctx_ds, type_rules: pd.DataFrame, relation_rules: pd.DataFrame):
         from .triples import TRIPLES_SCHEMA
         tr, rr = ray.get(rules_ref)
         subj, pred, obj, lit = [], [], [], []
-        for _, r in batch.iterrows():
-            if not r['entity']:
+        # column-zip iteration (no per-row Series construction)
+        for ent, pt, top, sec, ent_types, rels, page_ent in zip(
+                batch['entity'], batch['page_type'], batch['topsection'],
+                batch['section'], batch['ent_types'], batch['rels_to_page'],
+                batch['page_entity']):
+            if not ent:
                 continue
-            key = (r['page_type'], r['topsection'], r['section'])
-            for t in tr.get(key, ()):  # new type if entity lacks it
-                if t not in r['ent_types']:
-                    subj.append(r['entity']); pred.append('rdf:type')
-                    obj.append(t); lit.append(False)
-            for p in rr.get(key, ()):  # new relation to the page entity
-                if p not in r['rels_to_page']:
-                    subj.append(r['entity']); pred.append(p)
-                    obj.append(r['page_entity']); lit.append(False)
+            key = (pt, top, sec)
+            trs = tr.get(key)
+            if trs:
+                have = set(ent_types) if len(ent_types) else ()
+                for t in trs:          # new type if entity lacks it
+                    if t not in have:
+                        subj.append(ent); pred.append('rdf:type')
+                        obj.append(t); lit.append(False)
+            rrs = rr.get(key)
+            if rrs:
+                have_r = set(rels) if len(rels) else ()
+                for p in rrs:          # new relation to the page entity
+                    if p not in have_r:
+                        subj.append(ent); pred.append(p)
+                        obj.append(page_ent); lit.append(False)
         return pa.Table.from_pydict({'subj': subj, 'pred': pred, 'obj': obj,
                                      'is_literal': lit}, schema=TRIPLES_SCHEMA)
 
