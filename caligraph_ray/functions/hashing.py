@@ -31,6 +31,13 @@ def md5_hex(text: str) -> str:
     return hashlib.md5(text.encode('utf-8')).hexdigest()
 
 
+def md5_hash64(text: str) -> int:
+    """First 8 md5 bytes, little-endian — bit-identical to DuckDB's
+    ``md5_number_upper``, which makes any operator parameterized on this
+    hash SQL-oracle-checkable (simhash, winnowing fingerprints)."""
+    return int.from_bytes(hashlib.md5(text.encode('utf-8')).digest()[:8], 'little')
+
+
 def _minhash_params(num_perm: int, seed: int = 7):
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
@@ -83,14 +90,16 @@ class MinHasher:
         return float(np.mean(sig_a == sig_b))
 
 
-def simhash64(tokens: Iterable[str]) -> int:
-    """64-bit SimHash over token hashes (near-dup by hamming distance)."""
+def simhash64(tokens: Iterable[str], hash_fn=None) -> int:
+    """64-bit SimHash over token hashes (near-dup by hamming distance).
+    ``hash_fn`` defaults to stable_hash64 with bit 62 forced (63 informative
+    bits); pass ``md5_hash64`` for the SQL-checkable variant."""
     acc = np.zeros(64, dtype=np.int64)
     n = 0
     for t in tokens:
-        h = stable_hash64(t) | (1 << 62)  # keep 63 informative bits
-        bits = (h >> np.arange(64)) & 1
-        acc += 2 * bits - 1
+        h = hash_fn(t) if hash_fn else (stable_hash64(t) | (1 << 62))
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += 2 * bits.astype(np.int64) - 1
         n += 1
     if n == 0:
         return 0
@@ -101,15 +110,17 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count('1')
 
 
-def rolling_fingerprint(text: str, window: int = 16, keep: int = 8) -> List[int]:
+def rolling_fingerprint(text: str, window: int = 16, keep: int = 8,
+                        hash_fn=stable_hash64) -> List[int]:
     """Winnowing-style document fingerprint: the `keep` smallest of the
-    rolling-window hashes (deterministic, order-free)."""
+    rolling-window hashes (deterministic, order-free). Pass
+    ``hash_fn=md5_hash64`` for the DuckDB-checkable variant."""
     if not text:
         return []
     n = len(text)
     if n <= window:
-        return [stable_hash64(text)]
-    hashes = sorted({stable_hash64(text[i:i + window]) for i in range(0, n - window + 1)})
+        return [hash_fn(text)]
+    hashes = sorted({hash_fn(text[i:i + window]) for i in range(0, n - window + 1)})
     return hashes[:keep]
 
 

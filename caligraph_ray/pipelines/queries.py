@@ -358,16 +358,55 @@ def q_minhash_dedup(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
+    """SimHash hamming≤3 pairs with the md5-based token hash, so the whole
+    signature pipeline (per-token bit votes → 64-bit signature → hamming)
+    is recomputed bit-identically by the SQL oracle."""
+    from ..functions.hashing import md5_hash64
     docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
-    return dd.simhash_dedup_pairs(docs).drop_columns(['score'])
+    return dd.simhash_dedup_pairs(docs, token_hash=md5_hash64).drop_columns(['score'])
+
+
+SQL_SIMHASH = """
+WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+              FROM documents),
+h AS (SELECT doc_id, tok, count(*) AS w, md5_number_upper(tok) AS hv
+      FROM toks GROUP BY doc_id, tok),
+bits AS (SELECT doc_id, i, sum(w * (CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END)) AS s
+         FROM h CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY doc_id, i),
+sig AS (SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT) << i ELSE 0 END) AS UBIGINT) AS sig
+        FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS a, b.doc_id AS b
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact word-3-gram Jaccard ≥ 0.8 pairs. The Ray side buckets by
+    rarest-shingle anchors (pigeonhole-exact, no false negatives); the SQL
+    oracle is the brute-force all-pairs recomputation over shingle lists —
+    Jaccard over hashed shingles equals Jaccard over the strings."""
     docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
     out = dd.ngram_jaccard_pairs(docs).to_pandas()
     if out.empty:
         return pd.DataFrame({'a': pd.Series(dtype='int64'), 'b': pd.Series(dtype='int64')})
     return out[['a', 'b']]
+
+
+SQL_NGRAM_JACCARD = """
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                   ELSE list_distinct(list_transform(range(len(toks) - 2),
+                                                     i -> array_to_string(toks[i+1:i+3], ' ')))
+              END AS shingles FROM t)
+SELECT a.doc_id AS a, b.doc_id AS b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+      len(list_distinct(a.shingles || b.shingles)) >= 0.8
+"""
 
 
 def q_embedding_near_dups(sf_dir: str, threshold: float = 0.45):
@@ -385,8 +424,32 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 
 
 def q_doc_fingerprints(sf_dir: str):
+    """Winnowing fingerprints (8 smallest distinct rolling-16-char hashes)
+    with the md5-based hash, exploded to one row per (doc_id, fp) and
+    stringified (fp is a full uint64 — kept as VARCHAR on both sides)."""
+    from ..functions.hashing import md5_hash64
     docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
-    return ts.fingerprints(docs)
+    fps = ts.fingerprints(docs, hash_fn=md5_hash64)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, vals = [], []
+        for did, fp in zip(batch['doc_id'], batch['fingerprint']):
+            for h in fp:
+                ids.append(did)
+                vals.append(str(int(h)))
+        return pd.DataFrame({'doc_id': np.array(ids, dtype=np.int64), 'fp': vals})
+
+    return fps.map_batches(explode, batch_format='pandas')
+
+
+SQL_FINGERPRINTS = """
+WITH fps AS (SELECT doc_id,
+    CASE WHEN length(text) <= 16 THEN [md5_number_upper(text)]
+         ELSE list_sort(list_distinct(list_transform(range(length(text) - 15),
+                  i -> md5_number_upper(substr(text, i + 1, 16)))))[1:8]
+    END AS fp FROM documents)
+SELECT doc_id, CAST(unnest(fp) AS VARCHAR) AS fp FROM fps
+"""
 
 
 # --- similarity search ------------------------------------------------------
@@ -819,6 +882,9 @@ ORACLES: Dict[str, str] = {
     'quality_scores': SQL_QUALITY,
     'lang_id': SQL_LANG_ID,
     'dedup_exact': SQL_DEDUP_EXACT,
+    'simhash_pairs': SQL_SIMHASH,
+    'ngram_jaccard_pairs': SQL_NGRAM_JACCARD,
+    'doc_fingerprints': SQL_FINGERPRINTS,
     'embedding_near_dups': SQL_EMB_DUPS,
     'knn_topk': SQL_KNN,
     'taxonomy_edges': SQL_TAXONOMY_EDGES,
@@ -830,6 +896,7 @@ ORACLES: Dict[str, str] = {
     'normalized_customer_names': SQL_NORM_NAMES,
     'user_components': SQL_COMPONENTS,
     'alias_counts_docs': SQL_ALIAS_COUNTS,
-    # rows-only (non-SQL-expressible): minhash_dedup, simhash_pairs,
-    # ngram_jaccard_pairs, doc_fingerprints, lsh_topk, flagship_triples
+    # rows-only (non-SQL-expressible): minhash_dedup (banded blake2b
+    # signatures), lsh_topk (approximate), approx_distinct_users (HLL),
+    # flagship_triples (full KG pipeline)
 }

@@ -158,24 +158,28 @@ def pairs_to_groups(pairs_ds, all_ids: Optional[List[int]] = None) -> pd.DataFra
 
 
 def simhash_dedup_pairs(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
-                        max_hamming: int = SIMHASH_HAMMING_THRESHOLD):
+                        max_hamming: int = SIMHASH_HAMMING_THRESHOLD,
+                        token_hash=None):
     """SimHash near-dup pairs: 4×16-bit sub-key bucketing (pigeonhole over
-    hamming≤3) + exact hamming verify."""
+    hamming≤3) + exact hamming verify. ``token_hash=md5_hash64`` makes the
+    signatures bit-identical to a DuckDB recomputation (md5_number_upper)."""
     def sign(batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = [np.int64(simhash64([t for t in txt.split(' ') if t]) - (1 << 63))
+        sigs = [np.int64(simhash64([t for t in txt.split(' ') if t],
+                                   hash_fn=token_hash) - (1 << 63))
                 for txt in batch[text_col]]
         return pd.DataFrame({id_col: batch[id_col], 'sig': sigs})
 
     sig_ds = docs_ds.map_batches(sign, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
 
+    # NOTE: the int64↔uint64 offset must be pure-Python int arithmetic —
+    # np.int64 + (1 << 63) silently promotes to float64 and corrupts the
+    # low signature bits (wrong buckets AND wrong hamming)
     def band_fn(row):
-        h = int(np.uint64(np.int64(row['sig']) + (1 << 63)))
+        h = int(row['sig']) + (1 << 63)
         return [f'{i}:{(h >> (16 * i)) & 0xFFFF}' for i in range(4)]
 
     def verify(sa, sb):
-        ha = int(np.uint64(np.int64(sa) + (1 << 63)))
-        hb = int(np.uint64(np.int64(sb) + (1 << 63)))
-        d = hamming64(ha, hb)
+        d = hamming64(int(sa) + (1 << 63), int(sb) + (1 << 63))
         return d <= max_hamming, float(64 - d) / 64
 
     return _candidate_pairs_from_buckets(sig_ds, id_col, band_fn, verify)

@@ -97,9 +97,14 @@ def lang_id(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
 
 
 def fingerprints(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
-                 window: int = 16, keep: int = 8):
-    """Winnowing-style rolling-hash document fingerprints."""
+                 window: int = 16, keep: int = 8, hash_fn=None):
+    """Winnowing-style rolling-hash document fingerprints. Pass
+    ``hash_fn=md5_hash64`` for DuckDB-checkable signatures."""
+    from ..functions.hashing import stable_hash64
+    hf = hash_fn or stable_hash64
+
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
-        out = [rolling_fingerprint(t, window, keep) for t in batch[text_col]]
+        out = [rolling_fingerprint(t, window, keep, hash_fn=hf)
+               for t in batch[text_col]]
         return pd.DataFrame({id_col: batch[id_col], 'fingerprint': out})
     return docs_ds.map_batches(fp, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
