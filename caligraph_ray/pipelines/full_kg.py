@@ -78,6 +78,29 @@ def run_full_kg(pages_ds, categories_ds=None, facts_ds=None,
             axioms = extract_axioms(categories_ds, membership, facts_ds)
             streams.append(axioms_to_triples(axioms, membership))
 
+            # Cali2Ax: reuse the category patterns on the OUTPUT taxonomy
+            # nodes with each node's member property frequencies (A9 incl.
+            # transitive fallback) — reference cali2ax.py:26-94
+            from ..stages.entity_stats import cali2ax_axioms, cali2ax_triples
+            part_to_node = {part: n for n in hierarchy.content_nodes
+                            for part in hierarchy.parts(n)}
+            p2n_ref = ray.put(part_to_node)
+
+            def to_type_entities(batch: pd.DataFrame) -> pd.DataFrame:
+                from ..state.broadcast import get_broadcast
+                p2n = get_broadcast(p2n_ref)
+                nodes = [p2n.get(c) for c in batch['cat_name']]
+                out = pd.DataFrame({'entity': batch['member'], 'type': nodes})
+                return out.dropna(subset=['type'])
+
+            type_entities = membership.map_batches(to_type_entities,
+                                                   batch_format='pandas')
+            type_labels = {n: n for n in hierarchy.content_nodes}
+            ax2 = cali2ax_axioms(categories_ds, membership, facts_ds,
+                                 type_entities, type_labels,
+                                 hierarchy=hierarchy)
+            streams.append(cali2ax_triples(ax2, type_entities))
+
     # listing rules over subject-entity context — the entity-facts side is a
     # distributed hash join (aggregate_entity_facts ⋈ subjects), never a
     # driver dict: the per-entity dim does not fit one object at 10^12 rows

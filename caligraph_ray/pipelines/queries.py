@@ -548,6 +548,85 @@ SELECT node, anc FROM cl
 """
 
 
+# --- entity-store statistics (A8/A9) ----------------------------------------
+
+def q_type_property_frequencies(sf_dir: str):
+    """A9 per-type property frequencies over the part 'entity store':
+    entity = p_partkey, type = the part taxonomy leaf, properties = brand +
+    size. The no-hierarchy (direct) variant is the SQL-checkable contract;
+    the transitive fallback is pytest-golden'd."""
+    from ..stages.entity_stats import property_frequencies_per_type
+    part = rel.read_table(sf_dir, 'part',
+                          ['p_partkey', 'p_name', 'p_type', 'p_brand', 'p_size'])
+
+    types = part.map_batches(
+        lambda b: pd.DataFrame({'entity': b['p_partkey'],
+                                'type': b['p_type'] + ' ' + b['p_name']}),
+        batch_format='pandas')
+
+    def to_props(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([
+            pd.DataFrame({'entity': b['p_partkey'], 'pred': 'brand',
+                          'value': b['p_brand']}),
+            pd.DataFrame({'entity': b['p_partkey'], 'pred': 'size',
+                          'value': b['p_size'].astype(str)}),
+        ], ignore_index=True)
+
+    props = part.map_batches(to_props, batch_format='pandas')
+    freqs = property_frequencies_per_type(types, props)
+    rows = [{'type': t, 'pred': p, 'value': v, 'freq': _floor6(f)}
+            for t, pf in freqs.items() for (p, v), f in pf.items()]
+    return pd.DataFrame(rows, columns=['type', 'pred', 'value', 'freq'])
+
+
+SQL_TYPE_PROP_FREQ = """
+WITH t AS (SELECT p_partkey AS e, p_type || ' ' || p_name AS ty FROM part),
+ec AS (SELECT ty, count(*) AS n FROM t GROUP BY ty),
+pr AS (SELECT p_partkey AS e, 'brand' AS pred, p_brand AS value FROM part
+       UNION ALL
+       SELECT p_partkey, 'size', CAST(p_size AS VARCHAR) FROM part),
+pc AS (SELECT ty, pred, value, count(*) AS c
+       FROM t JOIN pr USING (e) GROUP BY ty, pred, value)
+SELECT ty AS type, pred, value,
+       floor(c * 1.0 / n * 1000000) / 1000000 AS freq
+FROM pc JOIN ec USING (ty)
+"""
+
+
+def q_tag_probabilities(sf_dir: str):
+    """A8 tag probabilities: P(event_type | user bucket) treating events as
+    tagged mentions (entity = user, tag = event_type) and user_id % 3 as
+    the entity's type."""
+    from ..stages.entity_stats import tag_probabilities
+    ev = rel.read_table(sf_dir, 'events', ['user_id', 'event_type'])
+    mentions = ev.map_batches(
+        lambda b: pd.DataFrame({'entity': b['user_id'], 'tag': b['event_type']}),
+        batch_format='pandas')
+    types = ev.map_batches(
+        lambda b: pd.DataFrame({'entity': b['user_id'],
+                                'type': 'U' + (b['user_id'] % 3).astype(str)}),
+        batch_format='pandas')
+    from ..stages.relational import two_phase_count
+    types = two_phase_count(types, ['entity', 'type'], 'c').drop_columns(['c'])
+    probas = tag_probabilities(mentions, types)
+    rows = [{'type': t, 'tag': tag, 'proba': _floor6(p)}
+            for t, tags in probas.items() for tag, p in tags.items()]
+    return pd.DataFrame(rows, columns=['type', 'tag', 'proba'])
+
+
+SQL_TAG_PROBAS = """
+WITH m AS (SELECT user_id AS e, event_type AS tag, count(*) AS n
+           FROM events GROUP BY user_id, event_type),
+ty AS (SELECT DISTINCT user_id AS e, 'U' || (user_id % 3) AS type FROM events),
+agg AS (SELECT ty.type, m.tag, sum(m.n) AS cnt
+        FROM m JOIN ty USING (e) GROUP BY ty.type, m.tag),
+tot AS (SELECT type, sum(cnt) AS total FROM agg GROUP BY type)
+SELECT agg.type, agg.tag,
+       floor(cnt * 1.0 / total * 1000000) / 1000000 AS proba
+FROM agg JOIN tot USING (type)
+"""
+
+
 # --- redirect canonicalization (D2) -----------------------------------------
 
 def q_redirect_resolution(sf_dir: str):
@@ -853,6 +932,8 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'lsh_topk': q_lsh_topk,
     'taxonomy_edges': q_taxonomy_edges,
     'type_closure': q_type_closure,
+    'type_property_frequencies': q_type_property_frequencies,
+    'tag_probabilities': q_tag_probabilities,
     'redirect_resolution': q_redirect_resolution,
     'linking_candidates_topk': q_linking_candidates_topk,
     'bm25_label_match': q_bm25_label_match,
@@ -889,6 +970,8 @@ ORACLES: Dict[str, str] = {
     'knn_topk': SQL_KNN,
     'taxonomy_edges': SQL_TAXONOMY_EDGES,
     'type_closure': SQL_TYPE_CLOSURE,
+    'type_property_frequencies': SQL_TYPE_PROP_FREQ,
+    'tag_probabilities': SQL_TAG_PROBAS,
     'redirect_resolution': SQL_REDIRECTS,
     'linking_candidates_topk': SQL_LINKING_CANDS,
     'bm25_label_match': SQL_BM25,
