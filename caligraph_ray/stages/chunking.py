@@ -1,0 +1,216 @@
+"""Mention-detection data path: transformer chunking (M18, reference
+…/mention_detection/data/chunking.py:91-179) + training-label heuristics
+(M19, …/mention_detection/labels/heuristics.py:17-74) — the pure token math
+and label rules a real MD transformer consumes, so dropping the model in is
+a constructor swap on the ST3 actor stage.
+
+Chunking semantics mirrored: every chunk =
+  [page-title ⧺ CTX ⧺ topsection ⧺ CTX ⧺ section ⧺ CTX(-END)
+   (⧺ header-cell ⧺ COL … for tables)] + up to MAX_ITEMS_PER_CHUNK items,
+each item prefixed with its depth/row special token and truncated to
+MAX_TOKENS_PER_ITEM; a chunk closes when it would exceed
+MAX_TOKENS_PER_CHUNK or MAX_ITEMS_PER_CHUNK; chunks with fewer than
+MIN_ITEMS_PER_CHUNK real items are dropped. Label channel: context tokens
+IGNORE (-100), item tokens NO_ENTITY (-2) unless a labels dict marks them.
+Deviation: our table rows are flattened token lists (the parser does not
+keep per-cell nesting), so rows get the TABLE_ROW prefix only.
+
+Execution: one ``grouped_map`` keyed (page_id, listing_idx) — a listing's
+items must meet in one task; everything else is per-listing token math.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Set, Tuple
+
+import pandas as pd
+
+from ..config import NEW_ENTITY, NO_ENTITY
+from ..functions.strings import tokenize
+
+MAX_TOKENS_PER_CHUNK = 300
+MIN_ITEMS_PER_CHUNK = 3
+MAX_ITEMS_PER_CHUNK = 16
+MAX_TOKENS_PER_ITEM = 30
+IGNORE = -100
+
+CTX_SEP = '[CTX]'
+CTX_END = '[CTXE]'
+TABLE_COL = '[COL]'
+TABLE_ROW = '[ROW]'
+
+
+def entry_token_by_depth(depth: int) -> str:
+    return f'[E{max(1, min(int(depth), 4))}]'
+
+
+def listing_context_tokens(page_title: str, topsection: str, section: str,
+                           ltype: str, header: List[str]) -> List[str]:
+    """Context prefix of every chunk of a listing (chunking.py:123-142)."""
+    toks: List[str] = []
+    toks.extend(tokenize(page_title or '') + [CTX_SEP])
+    toks.extend(tokenize(topsection or '') + [CTX_SEP])
+    toks.extend(tokenize(section or '') + [CTX_SEP])
+    if ltype == 'table' and header:
+        for cell in header:
+            toks.extend([cell, TABLE_COL])
+    toks[-1] = CTX_END
+    return toks
+
+
+def chunk_listing_items(context: List[str], items: List[dict],
+                        labels: Optional[Dict[int, List[int]]] = None
+                        ) -> List[dict]:
+    """One listing's item rows → chunk dicts (tokens, labels, item_idxs)."""
+    max_chunk = MAX_TOKENS_PER_CHUNK - len(context)
+    ctx_labels = [IGNORE] * len(context)
+    packed: List[List[Tuple[int, List[str], List[int]]]] = []
+    size = 0
+    for it in items:
+        toks = list(it['tokens'] or [])
+        if not toks:
+            continue
+        if labels is not None and it['item_idx'] not in labels:
+            continue
+        item_labels = (labels[it['item_idx']] if labels is not None
+                       else [NO_ENTITY] * len(toks))
+        prefix = TABLE_ROW if it.get('ltype') == 'table' \
+            else entry_token_by_depth(it.get('depth', 1))
+        toks = ([prefix] + toks)[:MAX_TOKENS_PER_ITEM]
+        item_labels = ([NO_ENTITY] + list(item_labels))[:MAX_TOKENS_PER_ITEM]
+        new_size = size + len(toks)
+        if not packed or new_size > max_chunk or len(packed[-1]) >= MAX_ITEMS_PER_CHUNK:
+            packed.append([(it['item_idx'], toks, item_labels)])
+            size = len(toks)
+        else:
+            packed[-1].append((it['item_idx'], toks, item_labels))
+            size = new_size
+    out = []
+    for chunk_idx, chunk in enumerate(packed):
+        if len(chunk) < MIN_ITEMS_PER_CHUNK:
+            continue
+        out.append({
+            'chunk_idx': chunk_idx,
+            'tokens': context + [t for _, toks, _ in chunk for t in toks],
+            'labels': ctx_labels + [l for _, _, lbls in chunk for l in lbls],
+            'item_idxs': [idx for idx, _, _ in chunk],
+        })
+    return out
+
+
+def chunk_listings(items_ds, labels_ref=None):
+    """items Dataset → chunk rows (page_id, listing_idx, chunk_idx, tokens,
+    labels, item_idxs). ``labels_ref``: optional ray.put'd
+    {(page_id, listing_idx): {item_idx: [token labels]}} from M19."""
+    import ray
+    from .relational import grouped_map
+
+    def per_listing(g: pd.DataFrame) -> Optional[pd.DataFrame]:
+        from ..state.broadcast import get_broadcast
+        g = g.sort_values('item_idx', kind='mergesort')
+        first = g.iloc[0]
+        context = listing_context_tokens(first.get('page_title', ''),
+                                         first['topsection'], first['section'],
+                                         first.get('ltype', ''),
+                                         list(first.get('header', []) or []))
+        items = g.to_dict('records')
+        labels = None
+        if labels_ref is not None:
+            all_labels = get_broadcast(labels_ref)
+            labels = all_labels.get((int(first['page_id']), int(first['listing_idx'])))
+            if labels is None:
+                return None
+        chunks = chunk_listing_items(context, items, labels)
+        if not chunks:
+            return None
+        df = pd.DataFrame(chunks)
+        df['page_id'] = first['page_id']
+        df['listing_idx'] = first['listing_idx']
+        return df[['page_id', 'listing_idx', 'chunk_idx', 'tokens', 'labels',
+                   'item_idxs']]
+
+    cols = ['page_id', 'listing_idx', 'item_idx', 'page_title', 'topsection',
+            'section', 'ltype', 'header', 'depth', 'tokens']
+    have = [c for c in cols if c in items_ds.schema().names]
+    return grouped_map(items_ds.select_columns(have),
+                       ['page_id', 'listing_idx'], per_listing)
+
+
+# --- M19: training-label heuristics -----------------------------------------
+
+def find_listing_training_labels(mentions_ds, min_entities: int = 5):
+    """Page-path label heuristic (labels/heuristics.py:24-32): a listing's
+    subject entities are consistent training positives iff the listing has
+    ≥ min_entities distinct subject entities and exactly ONE distinct NER
+    tag among them. Mentions may carry a 'tag' column (defaults to one
+    pseudo-tag when absent — tags arrive with a real MD model).
+    Returns (page_id, listing_idx, positives: list[str])."""
+    from .relational import grouped_map
+
+    def per_listing(g: pd.DataFrame) -> Optional[pd.DataFrame]:
+        subj = g[g['is_subject'] & g['entity'].notna()]
+        if subj.empty:
+            return None
+        positives = sorted(subj['entity'].unique())
+        tags = set(subj['tag'].unique()) if 'tag' in subj.columns else {'ENT'}
+        if len(positives) < min_entities or len(tags) != 1:
+            return None
+        return pd.DataFrame({'page_id': [g.iloc[0]['page_id']],
+                             'listing_idx': [g.iloc[0]['listing_idx']],
+                             'positives': [positives]})
+
+    cols = [c for c in ['page_id', 'listing_idx', 'entity', 'is_subject', 'tag']
+            if c in mentions_ds.schema().names]
+    return grouped_map(mentions_ds.select_columns(cols),
+                       ['page_id', 'listing_idx'], per_listing)
+
+
+def find_listpage_training_labels(mentions_ds, candidates_by_page: Dict[int, Set[str]],
+                                  disjoint_ents_by_page: Dict[int, Set[str]]):
+    """Listpage-path label heuristic (labels/heuristics.py:36-60): per
+    listing, positives = mentioned entities in the page's candidate set
+    (category descendants), negatives = entities carrying a type disjoint
+    with the page's types; listings whose positive count is 1 or 2 are
+    dropped (a single entity repeating). Candidate/disjoint dims broadcast.
+    Returns (page_id, listing_idx, positives, negatives)."""
+    import ray
+    from .relational import grouped_map
+    ref = ray.put((candidates_by_page, disjoint_ents_by_page))
+
+    def per_listing(g: pd.DataFrame) -> Optional[pd.DataFrame]:
+        from ..state.broadcast import get_broadcast
+        cands, disj = get_broadcast(ref)
+        pid = int(g.iloc[0]['page_id'])
+        page_cands = cands.get(pid, set())
+        page_disj = disj.get(pid, set())
+        ents = {e for e in g['entity'] if e}
+        positives = sorted(ents & page_cands)
+        negatives = sorted(ents & page_disj - set(positives))
+        if not positives and not negatives:
+            return None
+        if 0 < len(positives) <= 2:
+            return None
+        return pd.DataFrame({'page_id': [g.iloc[0]['page_id']],
+                             'listing_idx': [g.iloc[0]['listing_idx']],
+                             'positives': [positives],
+                             'negatives': [negatives]})
+
+    cols = [c for c in ['page_id', 'listing_idx', 'entity']
+            if c in mentions_ds.schema().names]
+    return grouped_map(mentions_ds.select_columns(cols),
+                       ['page_id', 'listing_idx'], per_listing)
+
+
+def token_labels_for_item(tokens: List[str], mentions: List[dict],
+                          positives: Set[str]) -> List[int]:
+    """Token labeling (labels/__init__.py:8-63): tokens inside a subject
+    mention span of a positive entity get NEW_ENTITY, all other tokens
+    NO_ENTITY — the target sequence for MD fine-tuning."""
+    out = [NO_ENTITY] * len(tokens)
+    for m in mentions:
+        name = m.get('name') or m.get('entity')
+        if name in positives:
+            for i in range(m['start'], min(m['end'], len(tokens))):
+                out[i] = NEW_ENTITY
+    return out
