@@ -242,7 +242,13 @@ def render_document_page(doc_id: int, text: str, lang: str, source: str) -> dict
 
 
 def documents_to_pages(docs_ds):
-    """driver documents Dataset → F1 pages Dataset (stateless map_batches)."""
+    """driver documents Dataset → F1 pages Dataset (stateless map_batches).
+
+    The driver tables are single parquet files → ONE input block → one
+    downstream parse task; split to ~512-row blocks first so the parse
+    fans out (a real crawl has thousands of files and skips this)."""
+    docs_ds = docs_ds.repartition(target_num_rows_per_block=512)
+
     def render(batch: pd.DataFrame) -> pa.Table:
         recs = [render_document_page(int(r.doc_id), r.text, r.lang, r.source)
                 for r in batch.itertuples()]

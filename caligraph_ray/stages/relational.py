@@ -94,14 +94,75 @@ def _coarse_key(batch: pd.DataFrame, keys: Sequence[str], coarse: int) -> pd.Ser
             % np.uint64(coarse)).astype('int32')
 
 
+# inputs at or below this size take the broadcast exchange instead of the
+# full Ray all-to-all (whose fixed setup cost is seconds at 32 CPUs): R
+# reducer tasks each read every block and keep their own hash range —
+# total reads R × size ≤ R × 128 MiB, fully parallel, nothing driver-side.
+# Above the gate the real sort-based shuffle runs (the only shape that
+# holds at 100 TB). A shuffle is a pipeline barrier either way, so the
+# materialize below does not change streaming semantics.
+SMALL_EXCHANGE_BYTES = 128 * 1024 * 1024
+
+
+def _to_plain_pandas(block) -> pd.DataFrame:
+    """Block → pandas with extension dtypes (Ray tensor arrays) demoted to
+    plain object columns so cross-block concat never trips on ragged data."""
+    from ray.data.block import BlockAccessor
+    df = BlockAccessor.for_block(block).to_pandas()
+    for c in df.columns:
+        if not isinstance(df[c].dtype, np.dtype):
+            df[c] = df[c].astype(object)
+    return df
+
+
+def _small_hash_exchange(mat_ds, keys: Sequence[str], bucket_fn, coarse: int):
+    import ray.data as rd
+    block_refs = [b for bundle in mat_ds.iter_internal_ref_bundles()
+                  for b in bundle.block_refs]
+    # one reducer per core (each reads every block — zero-copy plasma
+    # arrow reads — and keeps only its hash range), capped by bucket count
+    n_parts = max(1, min(default_coarse() // 4, coarse))
+    keys = list(keys)
+
+    @ray.remote
+    def reduce_part(part_id: int, *blocks) -> pd.DataFrame:
+        dfs = [d for d in map(_to_plain_pandas, blocks) if len(d)]
+        if not dfs:
+            return pd.DataFrame()
+        df = pd.concat(dfs, ignore_index=True)
+        df['_coarse'] = _coarse_key(df, keys, coarse)
+        sel = df[df['_coarse'] % n_parts == part_id]
+        outs = []
+        for _, g in sel.groupby('_coarse', sort=False):
+            r = bucket_fn(g.drop(columns=['_coarse']))
+            if r is not None and len(r):
+                outs.append(r)
+        if not outs:
+            return pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    refs = [reduce_part.remote(i, *block_refs) for i in range(n_parts)]
+    return rd.from_pandas_refs(refs)
+
+
 def bucketed_map(ds, keys: Sequence[str], bucket_fn, coarse: Optional[int] = None):
     """Shuffle rows once on hash(keys)%coarse and apply ``bucket_fn`` to each
     coarse bucket (a DataFrame containing complete groups). The bucket fn
     should use *vectorized* pandas groupby ops — this is the fast path for
-    high-cardinality keys where per-group Python calls dominate."""
+    high-cardinality keys where per-group Python calls dominate.
+
+    Small inputs (≤ SMALL_EXCHANGE_BYTES after the pre-shuffle barrier)
+    take a broadcast exchange (parallel reducers over the block refs)
+    instead of the sort-based all-to-all, whose fixed setup cost dominates
+    sub-second workloads; large inputs use the real shuffle."""
     keys = list(keys)
     if coarse is None:
         coarse = default_coarse()
+
+    mat = ds.materialize()
+    size = mat.size_bytes() or 0
+    if size <= SMALL_EXCHANGE_BYTES:
+        return _small_hash_exchange(mat, keys, bucket_fn, coarse)
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -111,8 +172,8 @@ def bucketed_map(ds, keys: Sequence[str], bucket_fn, coarse: Optional[int] = Non
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return bucket_fn(g.drop(columns=['_coarse']))
 
-    bucketed = ds.map_batches(add_bucket, batch_format='pandas',
-                              batch_size=AGG_BATCH_SIZE)
+    bucketed = mat.map_batches(add_bucket, batch_format='pandas',
+                               batch_size=AGG_BATCH_SIZE)
     return bucketed.groupby('_coarse').map_groups(per_bucket, batch_format='pandas')
 
 
