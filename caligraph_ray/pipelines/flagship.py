@@ -143,39 +143,63 @@ def _assemble_triples(linked, cats, me_threshold, mm_threshold, path_threshold,
     mm_score = MM_SCORE  # star-edge weight (build_alignment_edges default)
 
     def subject_triples(batch: pa.Table) -> pa.Table:
+        """Vectorized cluster resolution: the common branches (single-entity
+        surface, direct link, singleton) run as pandas map/mask kernels;
+        only the ambiguous multi-entity-surface rows (a small minority by
+        construction) take the closed-form per-row split."""
+        import numpy as np
         from ..state.broadcast import get_broadcast
         surf_label_, multi_info_, id_to_name_, _ = get_broadcast(state_ref)
-        uids = batch.column('mention_uid').to_pylist()
-        urls = batch.column('url').to_pylist()
-        entities = batch.column('entity').to_pylist()
-        scores = batch.column('link_score').to_pylist()
-        labels = batch.column('label').to_pylist()
-        surfs = batch.column('norm_surface').to_pylist()
-        subj, pred, obj, lit = [], [], [], []
-        for uid, url, ent, score, label, surf in zip(
-                uids, urls, entities, scores, labels, surfs):
-            if surf in multi_info_:                 # ambiguous component: closed-form split
+        df = batch.select(['mention_uid', 'url', 'entity', 'link_score',
+                           'label', 'norm_surface']).to_pandas()
+        n = len(df)
+        cluster = np.empty(n, dtype=object)
+
+        # object-dtype lookups: pandas map/dict paths would upcast the
+        # 63-bit cluster ids to float64 and corrupt them
+        single = np.array([surf_label_.get(s) for s in df['norm_surface']],
+                          dtype=object)
+        in_single = np.array([v is not None for v in single], dtype=bool)
+        in_multi = df['norm_surface'].isin(multi_info_).to_numpy() \
+            if multi_info_ else np.zeros(n, dtype=bool)
+        direct = ((~in_multi) & (~in_single) & df['entity'].notna().to_numpy()
+                  & (df['link_score'] > me_threshold).to_numpy())
+        rest = ~(in_multi | in_single | direct)
+
+        cluster[in_single] = single[in_single]
+        if direct.any():
+            cluster[direct] = [entity_node_id(e) for e in df.loc[direct, 'entity']]
+        cluster[rest] = [int(u) for u in df.loc[rest, 'mention_uid']]
+        if in_multi.any():
+            vals = []
+            for uid, ent, score, surf in zip(
+                    df.loc[in_multi, 'mention_uid'], df.loc[in_multi, 'entity'],
+                    df.loc[in_multi, 'link_score'], df.loc[in_multi, 'norm_surface']):
                 rep, s_rep, src, rep_assigned = multi_info_[surf]
                 s_direct = score if (ent is not None and score > me_threshold) else 0.0
                 s_via = s_rep * mm_score
                 if uid == rep:
-                    cluster = entity_node_id(src) if rep_assigned else rep
+                    c = entity_node_id(src) if rep_assigned else rep
                 elif max(s_direct, s_via) > path_threshold:
                     # ties favor the direct link (matches Dijkstra pop order)
-                    cluster = entity_node_id(ent if s_direct >= s_via else src)
+                    c = entity_node_id(ent if s_direct >= s_via else src)
                 else:
-                    cluster = rep if not rep_assigned else uid
-            elif surf in surf_label_:               # single-entity component
-                cluster = surf_label_[surf]
-            elif ent is not None and score > me_threshold:
-                cluster = entity_node_id(ent)       # direct link fallback
-            else:
-                cluster = uid                       # singleton NEW_ENTITY
-            canon = id_to_name_.get(cluster,
-                                    f'NE_{cluster & 0x7FFFFFFFFFFFFFFF:x}')
-            page = url.rsplit('/', 1)[-1].replace('_', ' ')
-            subj.append(canon); pred.append('mentionedIn'); obj.append(page); lit.append(False)
-            subj.append(canon); pred.append('label'); obj.append(label); lit.append(True)
+                    c = rep if not rep_assigned else uid
+                vals.append(c)
+            cluster[in_multi] = vals
+
+        canon = pd.Series(cluster, dtype=object).map(
+            lambda c: id_to_name_.get(c, f'NE_{int(c) & 0x7FFFFFFFFFFFFFFF:x}'))
+        page = df['url'].str.rsplit('/', n=1).str[-1].str.replace('_', ' ', regex=False)
+        subj = np.repeat(canon.to_numpy(), 2)
+        obj = np.empty(2 * n, dtype=object)
+        obj[0::2] = page.to_numpy()
+        obj[1::2] = df['label'].to_numpy()
+        pred = np.empty(2 * n, dtype=object)
+        pred[0::2] = 'mentionedIn'
+        pred[1::2] = 'label'
+        lit = np.zeros(2 * n, dtype=bool)
+        lit[1::2] = True
         return pa.Table.from_pydict(
             {'subj': subj, 'pred': pred, 'obj': obj, 'is_literal': lit},
             schema=TRIPLES_SCHEMA)

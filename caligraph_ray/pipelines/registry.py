@@ -85,5 +85,13 @@ def _register_builtin():
     def _edin(linked, **kw):
         return edin_clusters(linked, **kw)
 
+    # the bi-/cross-encoder matcher family (reference matching/util.py:16-26
+    # approaches enum): candidate top-k + rerank over mention labels —
+    # deterministic stand-ins behind the production actor interfaces
+    @register_matcher('biencoder_rerank')
+    def _scored(mentions, entity_labels=(), **kw):
+        from ..stages.ed import link_mentions_scored
+        return link_mentions_scored(mentions, list(entity_labels), **kw)
+
 
 _register_builtin()
