@@ -18,13 +18,15 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
 from ..config import NEW_ENTITY, TOKEN_BATCH_SIZE
 from ..functions.hashing import stable_hash64
-from ..functions.strings import normalize_surface, is_valid_entity_label
+from ..functions.strings import (is_valid_entity_label, normalize_surface,
+                                 normalize_surface_array)
 
 MENTIONS_SCHEMA = pa.schema([
     ('mention_uid', pa.int64()),
@@ -43,40 +45,85 @@ MENTIONS_SCHEMA = pa.schema([
 
 
 def _explode_mentions_batch(batch: pa.Table) -> pa.Table:
-    """Item rows → mention rows. The subject-entity heuristic (deterministic
-    stand-in for the reference's transformer mention detector ST3,
-    mention_detection/__init__.py): the first mention starting at token 0 of
-    a depth-1 item with a valid label is the item's subject entity."""
-    cols = {name: [] for name in MENTIONS_SCHEMA.names}
-    urls = batch.column('url').to_pylist()
-    page_ids = batch.column('page_id').to_pylist()
-    listing_idxs = batch.column('listing_idx').to_pylist()
-    item_idxs = batch.column('item_idx').to_pylist()
-    tops = batch.column('topsection').to_pylist()
-    secs = batch.column('section').to_pylist()
-    depths = batch.column('depth').to_pylist()
-    mentions_col = batch.column('mentions').to_pylist()
-    for url, pid, li, ii, top, sec, depth, mentions in zip(
-            urls, page_ids, listing_idxs, item_idxs, tops, secs, depths, mentions_col):
-        subject_assigned = False
-        for mi, m in enumerate(mentions):
-            label = m['label']
-            is_subj = (not subject_assigned and depth == 1 and m['start'] == 0
-                       and is_valid_entity_label(label))
-            subject_assigned = subject_assigned or is_subj
-            cols['mention_uid'].append(stable_hash64(f'{url}#{li}#{ii}#{mi}'))
-            cols['url'].append(url)
-            cols['page_id'].append(pid)
-            cols['listing_idx'].append(li)
-            cols['item_idx'].append(ii)
-            cols['mention_idx'].append(mi)
-            cols['topsection'].append(top)
-            cols['section'].append(sec)
-            cols['name'].append(m['name'])
-            cols['label'].append(label)
-            cols['norm_surface'].append(normalize_surface(label))
-            cols['is_subject'].append(is_subj)
-    return pa.Table.from_pydict(cols, schema=MENTIONS_SCHEMA)
+    """Item rows → mention rows, vectorized with Arrow list kernels
+    (list_flatten + parent indices + take); only the uid hash runs per row
+    (blake2b — the deterministic universal-key contract). The
+    subject-entity heuristic (deterministic stand-in for the reference's
+    transformer mention detector ST3, mention_detection/__init__.py): the
+    first mention starting at token 0 of a depth-1 item with a valid label
+    is the item's subject entity."""
+    import pyarrow.compute as pc
+    mcol = batch.column('mentions')
+    if mcol.num_chunks != 1:
+        mcol = mcol.combine_chunks()
+    marr = mcol.chunk(0) if isinstance(mcol, pa.ChunkedArray) else mcol
+    flat = pc.list_flatten(marr)
+    parents = pc.list_parent_indices(marr).to_numpy(zero_copy_only=False)
+    total = len(flat)
+    if total == 0:
+        return pa.Table.from_pydict({n: [] for n in MENTIONS_SCHEMA.names},
+                                    schema=MENTIONS_SCHEMA)
+    lengths = pc.list_value_length(marr).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(lengths.astype(np.float64)).astype(np.int64)
+    # mention index within its item: arange minus each segment's start
+    starts_of_seg = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    mention_idx = np.arange(total, dtype=np.int64) - np.repeat(starts_of_seg, lengths)
+
+    names = flat.field('name')
+    labels = flat.field('label')
+    m_start = flat.field('start').to_numpy(zero_copy_only=False)
+
+    def take_col(col_name):
+        c = batch.column(col_name)
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        return c.take(pa.array(parents))
+
+    urls = take_col('url')
+    depth_taken = take_col('depth').to_numpy(zero_copy_only=False)
+
+    # valid entity label, vectorized (len > 2, not purely numeric)
+    valid = pc.and_(
+        pc.greater(pc.utf8_length(labels), 3 - 1),
+        pc.invert(pc.match_substring_regex(labels, r'^\d+([.,]\d+)*$'))
+    ).to_numpy(zero_copy_only=False)
+    valid = np.nan_to_num(valid.astype(np.float64)).astype(bool)
+    candidate = valid & (m_start == 0) & (depth_taken == 1)
+
+    # first candidate per item: min mention_idx among candidates per segment
+    BIG = np.int64(1 << 62)
+    cand_idx = np.where(candidate, mention_idx, BIG)
+    nonempty = lengths > 0
+    if nonempty.any():
+        seg_min = np.minimum.reduceat(cand_idx, starts_of_seg[nonempty])
+        min_per_parent = np.full(len(lengths), BIG)
+        min_per_parent[nonempty] = seg_min
+    else:
+        min_per_parent = np.full(len(lengths), BIG)
+    is_subject = candidate & (mention_idx == min_per_parent[parents])
+
+    # per-row uid hash (deterministic key contract; cheap vs parse cost)
+    url_list = urls.to_pylist()
+    li_list = take_col('listing_idx').to_pylist()
+    ii_list = take_col('item_idx').to_pylist()
+    uids = np.fromiter(
+        (stable_hash64(f'{u}#{li}#{ii}#{mi}')
+         for u, li, ii, mi in zip(url_list, li_list, ii_list, mention_idx)),
+        dtype=np.int64, count=total)
+
+    return pa.Table.from_pydict({
+        'mention_uid': pa.array(uids, pa.int64()),
+        'url': urls,
+        'page_id': take_col('page_id'),
+        'listing_idx': take_col('listing_idx'),
+        'item_idx': take_col('item_idx'),
+        'mention_idx': pa.array(mention_idx, pa.int32()),
+        'topsection': take_col('topsection'),
+        'section': take_col('section'),
+        'name': names,
+        'label': labels,
+        'norm_surface': normalize_surface_array(labels),
+        'is_subject': pa.array(is_subject),
+    }, schema=MENTIONS_SCHEMA)
 
 
 def explode_mentions(items_ds):
@@ -163,24 +210,36 @@ class AliasLinker:
         return link_batch(batch, self.index)
 
 
+def _resolve_surface(index: AliasIndex, surf: str):
+    cands = index.get(surf)
+    if not cands:
+        return (None, 0.0)
+    total = sum(f for _, f in cands)
+    return (cands[0][0], cands[0][1] / total if total else 0.0)
+
+
 def link_batch(batch: pa.Table, index: AliasIndex) -> pa.Table:
-    names = batch.column('name').to_pylist()
+    """Vectorized: wikilinked rows keep their target (score 1) via masks;
+    unlinked rows resolve via ONE lookup per DISTINCT surface in the batch
+    (surfaces repeat heavily), then a vectorized map."""
+    import pyarrow.compute as pc
+    names = batch.column('name')
+    linked = pc.is_valid(names).to_numpy(zero_copy_only=False)
     surfaces = batch.column('norm_surface').to_pylist()
-    entities: List[Optional[str]] = []
-    scores: List[float] = []
-    for name, surf in zip(names, surfaces):
-        if name is not None:
-            entities.append(name)
-            scores.append(1.0)
-            continue
-        cands = index.get(surf)
-        if not cands:
-            entities.append(None)
-            scores.append(0.0)
-            continue
-        total = sum(f for _, f in cands)
-        entities.append(cands[0][0])
-        scores.append(cands[0][1] / total if total else 0.0)
+    n = batch.num_rows
+    entities = np.array(names.to_pylist(), dtype=object)
+    scores = np.where(linked, 1.0, 0.0)
+    null_idx = np.where(~linked)[0]
+    if len(null_idx):
+        uniq = {}
+        for i in null_idx:
+            s = surfaces[i]
+            if s not in uniq:
+                uniq[s] = _resolve_surface(index, s)
+        ents = np.array([uniq[surfaces[i]][0] for i in null_idx], dtype=object)
+        scs = np.array([uniq[surfaces[i]][1] for i in null_idx])
+        entities[null_idx] = ents
+        scores[null_idx] = scs
     out = batch.append_column('entity', pa.array(entities, pa.string()))
     return out.append_column('link_score', pa.array(scores, pa.float64()))
 
