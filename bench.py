@@ -156,7 +156,12 @@ def run_scaling() -> dict:
     _ensure_scale_corpus()
 
     def run_at(ncpu: int, mode: str) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE=mode)
+        # give Ray the recommended object-store share: the flagship pins
+        # parsed/mentions/linked between phases and the default 43% cap
+        # triggers avoidable spills at 2M pages
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE=mode,
+                   RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION=os.environ.get(
+                       'RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION', '0.5'))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
