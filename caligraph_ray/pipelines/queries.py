@@ -548,6 +548,93 @@ SELECT node, anc FROM cl
 """
 
 
+# --- text/graph heuristics ---------------------------------------------------
+
+def q_hearst_hypernyms(sf_dir: str):
+    """Hearst-pattern hypernym counts (M17/A1) over deterministic
+    'X is a Y'/'such as' sentences rendered from the part table (the random
+    document text contains no Hearst constructions). Rows-only: the pattern
+    inventory uses negative lookahead, which RE2 (DuckDB's engine) cannot
+    express; semantics are pytest-golden'd."""
+    from ..stages.heuristics import hypernym_counts
+    part = rel.read_table(sf_dir, 'part', ['p_name', 'p_type'])
+    sents = part.map_batches(
+        lambda b: pd.DataFrame({'text': 'Every ' + b['p_name'] + ' is a '
+                                        + b['p_type'].str.lower() + ' product.'}),
+        batch_format='pandas')
+    return hypernym_counts(sents)
+
+
+def q_listing_chunks(sf_dir: str):
+    """MD chunking (M18) over the rendered document listings: chunk counts +
+    token/item sizes per listing. Rows-only (token packing is not SQL);
+    packing semantics are pytest-golden'd."""
+    import ray.data as rd
+    from ..stages.chunking import chunk_listings
+    docs = rd.read_parquet(f'{sf_dir}/documents.parquet',
+                           columns=['doc_id', 'text', 'lang', 'source'])
+    items = parse_items(documents_to_pages(docs))
+    chunks = chunk_listings(items)
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'page_id': batch['page_id'],
+            'listing_idx': batch['listing_idx'],
+            'chunk_idx': batch['chunk_idx'],
+            'n_tokens': [len(t) for t in batch['tokens']],
+            'n_items': [len(i) for i in batch['item_idxs']],
+        })
+
+    return chunks.map_batches(summarize, batch_format='pandas')
+
+
+def q_type_disjointness(sf_dir: str):
+    """A11 type disjointness over the events log: each user is a 'type' and
+    event types are the predicate-usage vector; cosine of idf-weighted
+    vectors ≤ 0.132 → disjoint pair (users with unrelated behaviour). The
+    SQL oracle recomputes the weighted cosine; the float is excluded from
+    the gate (summation noise), the pair SET is compared exactly."""
+    from ..stages.heuristics import type_disjointness
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'user_id', 'ts'])
+    # predicate = event_type × hour-of-day: sparse per-user usage vectors
+    # (the raw 5 event types are used by everyone → idf degenerates to 0)
+    facts = ev.map_batches(
+        lambda b: pd.DataFrame({'subj': 'u' + b['user_id'].astype(str),
+                                'pred': b['event_type'] + '_'
+                                        + b['ts'].dt.hour.astype(str)}),
+        batch_format='pandas')
+    users = rel.two_phase_count(facts, ['subj'], 'c').drop_columns(['c']).take_all()
+    tbe = {r['subj']: [r['subj'].replace('u', 'U')] for r in users}
+    out = type_disjointness(facts, tbe, threshold=0.132)
+    return out[['type_a', 'type_b']] if len(out) else \
+        pd.DataFrame({'type_a': pd.Series(dtype='object'),
+                      'type_b': pd.Series(dtype='object')})
+
+
+SQL_TYPE_DISJOINT = """
+WITH ev AS (SELECT 'U' || user_id AS ty,
+            event_type || '_' || hour(ts) AS pred FROM events),
+cnt AS (SELECT ty, pred, count(*) AS c FROM ev GROUP BY ty, pred),
+nt AS (SELECT count(DISTINCT ty) AS n FROM cnt),
+df AS (SELECT pred, count(DISTINCT ty) AS d FROM cnt GROUP BY pred),
+w AS (SELECT c.ty, c.pred, c.c * ln(nt.n * 1.0 / df.d) AS wt
+      FROM cnt c JOIN df USING (pred) CROSS JOIN nt),
+norms AS (SELECT ty, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY ty),
+dots AS (SELECT a.ty AS type_a, b.ty AS type_b, sum(a.wt * b.wt) AS dot
+         FROM w a JOIN w b ON a.pred = b.pred AND a.ty < b.ty
+         GROUP BY a.ty, b.ty),
+allp AS (SELECT a.ty AS type_a, b.ty AS type_b
+          FROM norms a JOIN norms b ON a.ty < b.ty),
+pairs AS (SELECT p.type_a, p.type_b,
+                 coalesce(d.dot, 0) / (na.nrm * nb.nrm) AS cos
+          FROM allp p LEFT JOIN dots d
+                 ON d.type_a = p.type_a AND d.type_b = p.type_b
+               JOIN norms na ON na.ty = p.type_a
+               JOIN norms nb ON nb.ty = p.type_b)
+SELECT type_a, type_b FROM pairs WHERE cos <= 0.132
+"""
+
+
 # --- entity-store statistics (A8/A9) ----------------------------------------
 
 def q_type_property_frequencies(sf_dir: str):
@@ -932,6 +1019,9 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'lsh_topk': q_lsh_topk,
     'taxonomy_edges': q_taxonomy_edges,
     'type_closure': q_type_closure,
+    'hearst_hypernyms': q_hearst_hypernyms,
+    'listing_chunks': q_listing_chunks,
+    'type_disjointness': q_type_disjointness,
     'type_property_frequencies': q_type_property_frequencies,
     'tag_probabilities': q_tag_probabilities,
     'redirect_resolution': q_redirect_resolution,
@@ -970,6 +1060,7 @@ ORACLES: Dict[str, str] = {
     'knn_topk': SQL_KNN,
     'taxonomy_edges': SQL_TAXONOMY_EDGES,
     'type_closure': SQL_TYPE_CLOSURE,
+    'type_disjointness': SQL_TYPE_DISJOINT,
     'type_property_frequencies': SQL_TYPE_PROP_FREQ,
     'tag_probabilities': SQL_TAG_PROBAS,
     'redirect_resolution': SQL_REDIRECTS,

@@ -68,7 +68,8 @@ def chunk_listing_items(context: List[str], items: List[dict],
     packed: List[List[Tuple[int, List[str], List[int]]]] = []
     size = 0
     for it in items:
-        toks = list(it['tokens'] or [])
+        raw = it['tokens']
+        toks = list(raw) if raw is not None else []   # ndarray-safe
         if not toks:
             continue
         if labels is not None and it['item_idx'] not in labels:
