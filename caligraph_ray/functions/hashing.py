@@ -52,13 +52,16 @@ class MinHasher:
     computed in __init__, reused per batch).
     """
 
-    def __init__(self, num_perm: int = 64, shingle_size: int = 3, bands: int = 16, seed: int = 7):
+    def __init__(self, num_perm: int = 64, shingle_size: int = 3, bands: int = 16,
+                 seed: int = 7, shingle_hash=None):
         assert num_perm % bands == 0
         self.num_perm = num_perm
         self.shingle_size = shingle_size
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.a, self.b = _minhash_params(num_perm, seed)
+        # shingle_hash=md5_hash64 makes signatures SQL-recomputable
+        self.shingle_hash = shingle_hash or stable_hash64
 
     def shingles(self, tokens: List[str]) -> np.ndarray:
         k = self.shingle_size
@@ -66,7 +69,7 @@ class MinHasher:
             joined = [' '.join(tokens)] if tokens else ['']
         else:
             joined = [' '.join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
-        return np.unique(np.array([stable_hash64(s) for s in joined], dtype=np.uint64))
+        return np.unique(np.array([self.shingle_hash(s) for s in joined], dtype=np.uint64))
 
     def signature(self, tokens: List[str]) -> np.ndarray:
         sh = self.shingles(tokens)

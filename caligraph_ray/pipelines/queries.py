@@ -350,11 +350,50 @@ FROM documents GROUP BY md5(text)
 
 
 def q_minhash_dedup(sf_dir: str):
-    """MinHash-LSH near-dup groups (rows-only check; verified by pytest
-    goldens against exact n-gram Jaccard)."""
+    """MinHash-LSH near-dup groups, fully oracle-gated: with the md5-based
+    shingle hash the 64 permutation minima are recomputed bit-identically in
+    SQL, and with 16 bands x 4 rows the banding is LOSSLESS for accepted
+    pairs (est >= 0.8 -> <= 12 unequal rows -> >= 4 clean bands -> always a
+    candidate), so the oracle compares estimated Jaccard directly and
+    derives the same union-find groups via a recursive CTE."""
+    from ..functions.hashing import md5_hash64
     docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
-    pairs = dd.minhash_candidate_pairs(docs)
-    return dd.pairs_to_groups(pairs)
+    pairs = dd.minhash_candidate_pairs(docs, shingle_hash=md5_hash64)
+    out = dd.pairs_to_groups(pairs)
+    return out.rename(columns={'group': 'dup_group'})
+
+
+def _minhash_perm_values() -> str:
+    from ..functions.hashing import _minhash_params
+    a, b = _minhash_params(64)
+    return ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64))
+
+
+SQL_MINHASH_DEDUP = f"""
+WITH RECURSIVE perms(i, pa, pb) AS (VALUES {{perm_values}}),
+t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+sh AS (SELECT doc_id,
+    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(range(len(toks) - 2),
+                  i -> array_to_string(toks[i+1:i+3], ' ')))
+    END AS shingles FROM t),
+hv AS (SELECT doc_id, md5_number_upper(unnest(shingles)) AS h FROM sh),
+sig AS (SELECT doc_id, i,
+    min(CAST((CAST(pa AS HUGEINT) * h + pb) % 18446744073709551616
+             % {(1 << 61) - 1} AS UBIGINT)) AS s
+    FROM hv CROSS JOIN perms GROUP BY doc_id, i),
+est AS (SELECT a.doc_id AS a, b.doc_id AS b,
+               sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) / 64.0 AS e
+        FROM sig a JOIN sig b ON a.i = b.i AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+pairs AS (SELECT a, b FROM est WHERE e >= 0.8),
+sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+SELECT a AS doc_id, least(min(b), a) AS dup_group FROM reach GROUP BY a
+"""
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -1053,6 +1092,7 @@ ORACLES: Dict[str, str] = {
     'quality_scores': SQL_QUALITY,
     'lang_id': SQL_LANG_ID,
     'dedup_exact': SQL_DEDUP_EXACT,
+    'minhash_dedup': SQL_MINHASH_DEDUP.replace('{perm_values}', _minhash_perm_values()),
     'simhash_pairs': SQL_SIMHASH,
     'ngram_jaccard_pairs': SQL_NGRAM_JACCARD,
     'doc_fingerprints': SQL_FINGERPRINTS,

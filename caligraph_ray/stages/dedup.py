@@ -49,18 +49,20 @@ _MH_CACHE: dict = {}
 
 
 def _get_minhasher(num_perm=MINHASH_NUM_PERM, shingle=MINHASH_SHINGLE_SIZE,
-                   bands=MINHASH_BANDS) -> MinHasher:
+                   bands=MINHASH_BANDS, shingle_hash=None) -> MinHasher:
     """Process-local MinHasher cache: permutation params built once per
     worker process (actor-style amortization with task-pool elasticity)."""
-    key = (num_perm, shingle, bands)
+    key = (num_perm, shingle, bands, getattr(shingle_hash, '__name__', None))
     if key not in _MH_CACHE:
-        _MH_CACHE[key] = MinHasher(num_perm, shingle, bands)
+        _MH_CACHE[key] = MinHasher(num_perm, shingle, bands,
+                                   shingle_hash=shingle_hash)
     return _MH_CACHE[key]
 
 
-def minhash_signatures(docs_ds, id_col: str = 'doc_id', text_col: str = 'text'):
+def minhash_signatures(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
+                       shingle_hash=None):
     def sign(batch: pd.DataFrame) -> pd.DataFrame:
-        mh = _get_minhasher()
+        mh = _get_minhasher(shingle_hash=shingle_hash)
         sigs = [mh.signature([t for t in text.split(' ') if t]).astype(np.int64)
                 for text in batch[text_col]]
         return pd.DataFrame({id_col: batch[id_col], 'sig': sigs})
@@ -130,10 +132,15 @@ def _candidate_pairs_from_buckets(sig_ds, id_col: str, band_fn, verify_fn,
 
 
 def minhash_candidate_pairs(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
-                            jaccard_threshold: float = NGRAM_JACCARD_THRESHOLD):
-    """MinHash-LSH near-dup candidate pairs verified by estimated Jaccard."""
+                            jaccard_threshold: float = NGRAM_JACCARD_THRESHOLD,
+                            shingle_hash=None):
+    """MinHash-LSH near-dup candidate pairs verified by estimated Jaccard.
+    With the default 16 bands × 4 rows and threshold 0.8, banding is
+    LOSSLESS for accepted pairs (est ≥ 0.8 → ≤ 12 unequal rows → ≥ 4 clean
+    bands → always a candidate), so the SQL oracle can skip the banding and
+    compare estimated Jaccard directly."""
     mh = MinHasher(MINHASH_NUM_PERM, MINHASH_SHINGLE_SIZE, MINHASH_BANDS)
-    sigs = minhash_signatures(docs_ds, id_col, text_col)
+    sigs = minhash_signatures(docs_ds, id_col, text_col, shingle_hash=shingle_hash)
 
     def band_fn(row):
         return [f'{i}:{h}' for i, h in enumerate(mh.band_hashes(np.asarray(row['sig'], dtype=np.uint64)))]
@@ -150,9 +157,14 @@ def pairs_to_groups(pairs_ds, all_ids: Optional[List[int]] = None) -> pd.DataFra
     Driver-side tail of the distributed CC (pairs are already heavily
     pruned); unpaired ids become singleton groups when all_ids given."""
     uf = _UnionFind()
+    members: set = set(all_ids) if all_ids else set()
     for r in pairs_ds.take_all():
-        uf.union(int(r['a']), int(r['b']))
-    members = set(uf.parent) | (set(all_ids) if all_ids else set())
+        a, b = int(r['a']), int(r['b'])
+        uf.union(a, b)
+        # track every paired node explicitly: uf.parent only records union
+        # LOSERS, so component roots would otherwise be dropped
+        members.add(a)
+        members.add(b)
     rows = sorted((i, uf.find(i)) for i in members)
     return pd.DataFrame({'doc_id': [r[0] for r in rows], 'group': [r[1] for r in rows]})
 
