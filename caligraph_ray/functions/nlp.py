@@ -38,11 +38,25 @@ _PREPOSITIONS = frozenset({'in', 'from', 'of', 'by', 'at', 'on', 'for',
                            'to', 'with', 'about', 'during', 'near'})
 
 
+# words ending in -men that are not plurals of -man
+_NOT_MEN_PLURAL = frozenset({
+    'abdomen', 'specimen', 'regimen', 'ramen', 'stamen', 'acumen', 'albumen',
+    'lumen', 'hymen', 'omen', 'amen', 'semen', 'men',
+})
+
+
 def singularize(word: str) -> str:
-    """Singular form of an English noun (rule subset; deterministic)."""
+    """Singular form of an English noun (rule subset; deterministic).
+    Handles compound irregulars ('sportswomen' → 'sportswoman') the way the
+    reference gets them from the ``inflection`` package."""
     lw = word.lower()
     if lw in _IRREGULAR:
         return transfer_word_casing(word, _IRREGULAR[lw])
+    # compound -women/-men ('sportswomen', 'businessmen')
+    if lw.endswith('women'):
+        return word[:-5] + transfer_word_casing(word[-5:], 'woman')
+    if lw.endswith('men') and len(lw) > 4 and lw not in _NOT_MEN_PLURAL:
+        return word[:-3] + transfer_word_casing(word[-3:], 'man')
     if lw in _NOT_PLURAL or len(lw) < 3 or not lw.endswith('s'):
         return word
     if lw.endswith('ies') and len(lw) > 4:

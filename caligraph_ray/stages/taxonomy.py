@@ -371,6 +371,56 @@ class Hierarchy:
         return self
 
 
+def class_node_name(label: str) -> str:
+    """Category/list label → output class-node name (reference
+    _convert_label_to_clg_node, impl/caligraph/graph.py:262-266):
+    canonical label (by-phrase/alpha-split suffixes stripped) →
+    singularized head → capitalized. 'Engineering societies by country' →
+    'Engineering society'; 'List of sportswomen' → 'Sportswoman' via
+    ``list_label_to_class``."""
+    from ..functions.nlp import singularize_phrase
+    from ..functions.strings import capitalize as cap
+    return cap(singularize_phrase(get_canonical_label(label).strip()))
+
+
+import re as _re  # noqa: E402
+
+_LIST_OF_RE = _re.compile(r'^Lists? of\s+', _re.IGNORECASE)
+_CATEGORY_NS_RE = _re.compile(r'^Category:\s*')
+
+
+def list_label_to_class(label: str) -> str:
+    """'List of engineering societies' → 'Engineering society';
+    'Category:Engineering societies by country' → 'Engineering society'
+    (the list→class mapping of impl/listpage/mapping.py:35-111 reduced to
+    its deterministic label part)."""
+    label = _CATEGORY_NS_RE.sub('', label.replace('_', ' '))
+    label = _LIST_OF_RE.sub('', label)
+    return class_node_name(label)
+
+
+def build_class_hierarchy(edge_rows, merge: bool = True) -> Hierarchy:
+    """(child_label, parent_label) rows over RAW category/list labels →
+    class hierarchy: labels map through ``list_label_to_class`` so
+    'Engineering societies by country' and 'List of engineering societies'
+    land on ONE node 'Engineering society' whose parts carry the raw
+    sources (the CaLiGraph category+list merge surface,
+    impl/caligraph/graph.py:97-151)."""
+    h = Hierarchy()
+    for child, parent in sorted(edge_rows):
+        cn = list_label_to_class(child)
+        pn = list_label_to_class(parent)
+        h.add_node(cn, parts={child})
+        h.add_node(pn, parts={parent})
+        if cn != pn:
+            h.add_edge(pn, cn)
+    h.resolve_cycles()
+    if merge:
+        h.merge_nodes()
+    h.append_unconnected()
+    return h
+
+
 # --- distributed pieces -----------------------------------------------------
 
 def build_hierarchy(edges_ds, child_col: str = 'child', parent_col: str = 'parent',

@@ -147,3 +147,55 @@ def test_closure_pairs_distributed(ray_session):
     out = closure_pairs(rd.from_pandas(edges).repartition(2)).to_pandas()
     got = set(zip(out['node'], out['anc']))
     assert got == {('B', 'A'), ('C', 'A'), ('D', 'B'), ('D', 'C'), ('D', 'A')}
+
+
+def test_class_node_name_and_list_mapping():
+    from caligraph_ray.stages.taxonomy import class_node_name, list_label_to_class
+    # reference integration surface (test_final_graph.py: singularization,
+    # by-phrase removal, list/category → class mapping)
+    assert class_node_name('Engineering societies by country') == 'Engineering society'
+    assert list_label_to_class('List_of_engineering_societies') == 'Engineering society'
+    assert list_label_to_class('Category:Engineering_societies_by_country') == 'Engineering society'
+    assert list_label_to_class('List_of_sportswomen') == 'Sportswoman'
+    assert list_label_to_class('List_of_countries_by_vehicles_per_capita') == 'Country'
+    assert list_label_to_class('List_of_countries_by_number_of_households') == 'Country'
+    # 'List of caves' must NOT collapse to 'Cafe' (singularize is rule-based,
+    # not edit-distance-based)
+    assert list_label_to_class('List_of_caves') == 'Cave'
+
+
+def test_build_class_hierarchy_integration_surface():
+    """Mirrors the shape of the reference integration test
+    (tests/integration/caligraph/test_final_graph.py:8-82): presence,
+    parent-of / no-parent-of, ancestor-of, and parts assertions on the
+    assembled class graph."""
+    from caligraph_ray.stages.taxonomy import ROOT, build_class_hierarchy
+    edges = [
+        ('Air forces by country', 'Air forces'),
+        ('Disbanded air forces', 'Air forces'),
+        ('Category:Female bodybuilding competitions', 'Bodybuilding competitions'),
+        ('Bodybuilding competitions', 'Competitions'),
+        ('List_of_engineering_societies', 'Engineering societies by country'),
+        ('Engineering societies by country', 'Societies'),
+        ('Sportswomen', 'Women'),
+        ('List_of_sportswomen', 'Sportswomen'),
+    ]
+    h = build_class_hierarchy(edges)
+    # class presence + merge: the by-country category and the list page are
+    # ONE node with both raw sources as parts
+    assert 'Engineering society' in h.nodes
+    assert {'List_of_engineering_societies',
+            'Engineering societies by country'} <= h.parts('Engineering society')
+    # _is_parent_of / _is_no_parent_of
+    assert 'Air force' in h.parents('Disbanded air force')
+    assert 'Bodybuilding competition' in h.parents('Female bodybuilding competition')
+    assert 'Air force' not in h.parents('Female bodybuilding competition')
+    # 'Air forces by country' collapses INTO 'Air force' (canonical label
+    # merge), so no self-ish child remains
+    assert 'Air forces by country' in h.parts('Air force')
+    # ancestor chain: Woman → Sportswoman
+    assert 'Woman' in h.ancestors('Sportswoman')
+    assert 'List_of_sportswomen' in h.parts('Sportswoman')
+    # everything reachable from the root after append_unconnected
+    for n in h.content_nodes:
+        assert h.ancestors(n) & ({ROOT} | h.content_nodes)
