@@ -3,14 +3,17 @@ embedding-cosine near-dup (SURVEY.md §2.7 + training-data additions).
 
 Shapes:
 * exact      — content-hash column → hash-partition groupby → min-id rep
-* minhash    — signature per doc (actor pool) → explode (band, bucket) rows
-               → bucket groupby → candidate pairs → Jaccard verify →
-               connected components → (doc_id, dup_group)
+* minhash    — signature per doc (stateless tasks, process-cached params)
+               → explode (band, bucket) rows → bucket groupby → candidate
+               pairs → Jaccard verify → connected components →
+               (doc_id, dup_group)
 * simhash    — 64-bit signature → bucket by 4×16-bit sub-keys (hamming≤3
                guarantees a shared sub-key) → verify hamming → CC
-* ngram      — exact shingle-set Jaccard on minhash-candidate pairs
-* embedding  — brute-force cosine pairs over broadcast matrix (scale path:
-               LSH random-hyperplane buckets, same groupby shape)
+* ngram      — exact shingle-anchor buckets (pigeonhole-lossless) →
+               exact Jaccard verify
+* embedding  — EXACT block-pair matmul tasks over object-store blocks
+               (never a driver-side matrix); approximate sub-quadratic
+               variant via random-hyperplane LSH buckets
 """
 
 from __future__ import annotations
@@ -70,11 +73,6 @@ def minhash_signatures(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
     # stateless tasks: parallelism follows block count, no actor-pool cap
     return docs_ds.map_batches(sign, batch_format='pandas',
                                batch_size=AGG_BATCH_SIZE)
-
-
-_EMPTY_PAIRS = {'a': np.array([], dtype=np.int64),
-                'b': np.array([], dtype=np.int64),
-                'score': np.array([], dtype=np.float64)}
 
 
 def _candidate_pairs_from_buckets(sig_ds, id_col: str, band_fn, verify_fn,
