@@ -83,37 +83,65 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
 def run_flagship_checkpointed(pages_ds, root: str,
                               me_threshold: float = MENTION_ENTITY_THRESHOLD,
                               mm_threshold: float = MENTION_MENTION_THRESHOLD,
-                              path_threshold: float = PATH_THRESHOLD):
+                              path_threshold: float = PATH_THRESHOLD,
+                              linking: str = 'broadcast',
+                              redirects_ds=None):
     """Checkpointed flagship: every wide stage writes Parquet +
     _LINEAGE.json + _SUCCESS under ``root``; a rerun (after a crash or a
     partial run) skips completed stages (north-rule resumability). The final
-    triples land hash-partitioned under ``root``/triples_out."""
+    triples land hash-partitioned under ``root``/triples_out. Accepts the
+    same ``linking`` modes and optional ``redirects_ds`` as
+    ``run_flagship``."""
     import os
     from ..state.checkpoint import run_stage
-    from ..stages.alias import explode_mentions
+    from ..stages.alias import explode_mentions, link_mentions_join
     from ..stages.html_extract import cats_view, items_view, parse_pages
 
     # fingerprint: input size + thresholds — a rerun of the same root with a
     # different corpus or config invalidates stale checkpoints instead of
     # silently reusing them
     n_pages = pages_ds.count()
-    fp_in = {'n_pages': int(n_pages)}
-    fp_cfg = fp_in | {'me': me_threshold, 'mm': mm_threshold, 'path': path_threshold}
+    fp_in = {'n_pages': int(n_pages),
+             'redirects': redirects_ds is not None}
+    fp_link = fp_in | {'linking': linking}
+    fp_cfg = fp_link | {'me': me_threshold, 'mm': mm_threshold,
+                        'path': path_threshold}
 
     parsed = run_stage(root, '01_parsed', lambda: parse_pages(pages_ds),
                        fingerprint=fp_in)
     items = items_view(parsed)
     cats = run_stage(root, '02_categories', lambda: cats_view(parsed),
                      fingerprint=fp_in)
-    mentions = run_stage(root, '03_mentions', lambda: explode_mentions(items),
-                         fingerprint=fp_in)
-    index = build_alias_index_local(mentions)
-    index_ref = ray.put(index)
-    linked = run_stage(root, '04_linked', lambda: link_mentions(mentions, index_ref),
-                       fingerprint=fp_in)
+
+    def build_mentions():
+        m = explode_mentions(items)
+        if redirects_ds is not None:
+            from ..stages.redirects import fold_redirects
+            m = fold_redirects(m, redirects_ds, col='name')
+        return m
+
+    mentions = run_stage(root, '03_mentions', build_mentions, fingerprint=fp_in)
+    if linking == 'scored':
+        from ..stages.ed import link_mentions_scored
+        ent_names = sorted(n for n in mentions.unique('name') if n)
+        linked = run_stage(root, '04_linked',
+                           lambda: link_mentions_scored(mentions, ent_names),
+                           fingerprint=fp_link)
+    elif linking == 'join':
+        ent_names = None
+        linked = run_stage(root, '04_linked',
+                           lambda: link_mentions_join(mentions),
+                           fingerprint=fp_link)
+    else:
+        index = build_alias_index_local(mentions)
+        index_ref = ray.put(index)
+        ent_names = entity_names_from_index(index)
+        linked = run_stage(root, '04_linked',
+                           lambda: link_mentions(mentions, index_ref),
+                           fingerprint=fp_link)
     triples = run_stage(root, '05_triples', lambda: _assemble_triples(
         linked, cats, me_threshold, mm_threshold, path_threshold,
-        ent_names=entity_names_from_index(index)), fingerprint=fp_cfg)
+        ent_names=ent_names), fingerprint=fp_cfg)
     # materialize_triples is itself idempotent (wipe-or-skip via _SUCCESS),
     # so a resumed run can never double rows in the durable sink
     out_dir = os.path.join(root, 'triples_out')
