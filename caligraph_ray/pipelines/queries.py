@@ -753,6 +753,92 @@ FROM agg JOIN tot USING (type)
 """
 
 
+# --- evaluation harness ------------------------------------------------------
+
+def q_ed_metrics_events(sf_dir: str):
+    """The ED evaluation harness (functions/metrics.py) oracle-gated on a
+    deterministic clustering task: mentions = users, predicted label = the
+    user's modal event type (ties → lexicographic min), gold label = the
+    user's first event's type (ts, event_id order). Emits one row per
+    metric; CEAF-e is excluded (optimal assignment is not SQL)."""
+    from ..functions.metrics import ari, b_cubed, me_prf, muc, nmi
+    ev = rel.read_table(sf_dir, 'events', ['user_id', 'event_type', 'ts', 'event_id'])
+    pred_df = rel.mode_per_group(ev, 'user_id', 'event_type',
+                                 alias='pred').to_pandas()
+
+    def first_event(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.sort_values(['user_id', 'ts', 'event_id'], kind='mergesort')
+        s = s.drop_duplicates('user_id', keep='first')
+        return s[['user_id', 'event_type']].rename(columns={'event_type': 'gold'})
+
+    gold_df = rel.bucketed_map(ev, ['user_id'], first_event).to_pandas()
+    pred = dict(zip(pred_df['user_id'], pred_df['pred']))
+    gold = dict(zip(gold_df['user_id'], gold_df['gold']))
+    m = me_prf(pred, gold)
+    b3 = b_cubed(pred, gold)
+    mc = muc(pred, gold)
+    rows = [
+        ('me_precision', m['precision']), ('me_recall', m['recall']),
+        ('b3_precision', b3['precision']), ('b3_recall', b3['recall']),
+        ('muc_precision', mc['precision']), ('muc_recall', mc['recall']),
+        ('nmi', nmi(pred, gold)), ('ari', ari(pred, gold)),
+    ]
+    return pd.DataFrame({'metric': [r[0] for r in rows],
+                         'value': [_floor6(r[1]) for r in rows]})
+
+
+SQL_ED_METRICS = """
+WITH pred AS (
+    SELECT user_id, event_type AS p FROM (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY user_id, event_type)
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY cnt DESC, event_type) = 1),
+gold AS (
+    SELECT user_id, event_type AS g FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) = 1),
+m AS (SELECT pred.user_id, p, g FROM pred JOIN gold USING (user_id)),
+n AS (SELECT count(*) AS n FROM m),
+joint AS (SELECT p, g, count(*) AS c FROM m GROUP BY p, g),
+pc AS (SELECT p, count(*) AS cp FROM m GROUP BY p),
+gc AS (SELECT g, count(*) AS cg FROM m GROUP BY g),
+b3 AS (SELECT sum(c * c * 1.0 / cp) / max(n.n) AS prec,
+              sum(c * c * 1.0 / cg) / max(n.n) AS rec
+       FROM joint JOIN pc USING (p) JOIN gc USING (g) CROSS JOIN n),
+muc_p AS (SELECT sum(cp - parts) * 1.0 / sum(cp - 1) AS v FROM
+          (SELECT p, max(cp) AS cp, count(DISTINCT g) AS parts
+           FROM m JOIN pc USING (p) GROUP BY p)),
+muc_r AS (SELECT sum(cg - parts) * 1.0 / sum(cg - 1) AS v FROM
+          (SELECT g, max(cg) AS cg, count(DISTINCT p) AS parts
+           FROM m JOIN gc USING (g) GROUP BY g)),
+me AS (SELECT sum(CASE WHEN p = g THEN 1 ELSE 0 END) * 1.0 / max(n.n) AS v
+       FROM m CROSS JOIN n),
+mi AS (SELECT sum((c * 1.0 / n.n) * ln(n.n * c * 1.0 / (cp * cg))) AS v
+       FROM joint JOIN pc USING (p) JOIN gc USING (g) CROSS JOIN n),
+hp AS (SELECT -sum((cp * 1.0 / n.n) * ln(cp * 1.0 / n.n)) AS v FROM pc CROSS JOIN n),
+hg AS (SELECT -sum((cg * 1.0 / n.n) * ln(cg * 1.0 / n.n)) AS v FROM gc CROSS JOIN n),
+sums AS (SELECT
+    (SELECT sum(c * (c - 1) / 2.0) FROM joint) AS sij,
+    (SELECT sum(cp * (cp - 1) / 2.0) FROM pc) AS sp,
+    (SELECT sum(cg * (cg - 1) / 2.0) FROM gc) AS sg,
+    (SELECT max(n) * (max(n) - 1) / 2.0 FROM n) AS cn),
+ari AS (SELECT CASE WHEN (sp + sg) / 2.0 = sp * sg / cn THEN 1.0
+                    ELSE (sij - sp * sg / cn) / ((sp + sg) / 2.0 - sp * sg / cn)
+               END AS v FROM sums)
+SELECT * FROM (
+    SELECT 'me_precision' AS metric, floor(me.v * 1000000) / 1000000 AS value FROM me
+    UNION ALL SELECT 'me_recall', floor(me.v * 1000000) / 1000000 FROM me
+    UNION ALL SELECT 'b3_precision', floor(b3.prec * 1000000) / 1000000 FROM b3
+    UNION ALL SELECT 'b3_recall', floor(b3.rec * 1000000) / 1000000 FROM b3
+    UNION ALL SELECT 'muc_precision', floor(muc_p.v * 1000000) / 1000000 FROM muc_p
+    UNION ALL SELECT 'muc_recall', floor(muc_r.v * 1000000) / 1000000 FROM muc_r
+    UNION ALL SELECT 'nmi', floor(mi.v / ((hp.v + hg.v) / 2) * 1000000) / 1000000
+              FROM mi CROSS JOIN hp CROSS JOIN hg
+    UNION ALL SELECT 'ari', floor(ari.v * 1000000) / 1000000 FROM ari)
+"""
+
+
 # --- redirect canonicalization (D2) -----------------------------------------
 
 def q_redirect_resolution(sf_dir: str):
@@ -1063,6 +1149,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'type_disjointness': q_type_disjointness,
     'type_property_frequencies': q_type_property_frequencies,
     'tag_probabilities': q_tag_probabilities,
+    'ed_metrics_events': q_ed_metrics_events,
     'redirect_resolution': q_redirect_resolution,
     'linking_candidates_topk': q_linking_candidates_topk,
     'bm25_label_match': q_bm25_label_match,
@@ -1103,6 +1190,7 @@ ORACLES: Dict[str, str] = {
     'type_disjointness': SQL_TYPE_DISJOINT,
     'type_property_frequencies': SQL_TYPE_PROP_FREQ,
     'tag_probabilities': SQL_TAG_PROBAS,
+    'ed_metrics_events': SQL_ED_METRICS,
     'redirect_resolution': SQL_REDIRECTS,
     'linking_candidates_topk': SQL_LINKING_CANDS,
     'bm25_label_match': SQL_BM25,
