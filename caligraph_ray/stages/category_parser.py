@@ -56,12 +56,13 @@ def prepare_template_definitions(templates: Dict[str, str]) -> Dict[str, str]:
 
 
 def _filter_for_onlyinclude(text: str) -> str:
-    start_tag, end_tag = '<onlyinclude>', '</onlyinclude>'
-    if start_tag not in text:
+    """Keep only the <onlyinclude> section when the tag pair is present;
+    an unterminated start tag yields nothing (MediaWiki inclusion rule)."""
+    if '<onlyinclude>' not in text:
         return text
-    if end_tag not in text:
-        return ''   # start tag without end tag
-    return text[text.index(start_tag) + len(start_tag):text.index(end_tag)]
+    _, _, tail = text.partition('<onlyinclude>')
+    inner, sep, _ = tail.partition('</onlyinclude>')
+    return inner if sep else ''
 
 
 def _split_args(body: str) -> List[str]:
