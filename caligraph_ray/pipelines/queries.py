@@ -516,12 +516,14 @@ QUALIFY row_number() OVER (PARTITION BY q.query_idx
 
 
 def q_lsh_topk(sf_dir: str):
-    """Approximate LSH top-k (rows-only; recall measured in pytest)."""
+    """Approximate LSH top-k through the bucket INDEX (sub-linear probing;
+    rows-only — approximate by design, recall + scan-equivalence measured
+    in pytest)."""
     emb = rel.read_table(sf_dir, 'embeddings', ['vec_id', 'embedding'])
     qrows = emb.filter(lambda r: r['vec_id'] in (0, 1, 2)).take_all()
     qrows.sort(key=lambda r: r['vec_id'])
     qvecs = np.stack([np.asarray(r['embedding'], dtype=np.float64) for r in qrows])
-    return sim.lsh_topk(emb, qvecs, k=10)
+    return sim.lsh_index_topk(emb, qvecs, k=10)
 
 
 # --- taxonomy family --------------------------------------------------------

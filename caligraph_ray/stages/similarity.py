@@ -72,12 +72,108 @@ class HyperplaneLSH:
         return bits.astype(np.int64) @ weights
 
 
+class LshIndex:
+    """An ACTUAL sub-linear LSH index (ST5, the hnswlib role): corpus
+    vectors grouped into signature buckets once; a query probes only its
+    own signature plus every signature within ``probe_hamming`` bit flips
+    (multi-probe), scoring just those candidates — work per query scales
+    with bucket sizes, not corpus size. Built once per actor/process from
+    the broadcast corpus (reference builds hnswlib once,
+    transformer_util.py:75-89; shard the corpus per actor when it outgrows
+    one object)."""
+
+    def __init__(self, ids: np.ndarray, mat: np.ndarray, n_planes: int = 12,
+                 seed: int = 11):
+        self.lsh = HyperplaneLSH(mat.shape[1], n_planes, seed)
+        self.n_planes = n_planes
+        self.ids = np.asarray(ids)
+        self.mat = _normalize(np.asarray(mat, dtype=np.float64))
+        sigs = self.lsh.signature(self.mat)
+        order = np.argsort(sigs, kind='stable')
+        sorted_sigs = sigs[order]
+        uniq, starts = np.unique(sorted_sigs, return_index=True)
+        bounds = np.append(starts, len(sorted_sigs))
+        self.buckets = {int(s): order[bounds[i]:bounds[i + 1]]
+                        for i, s in enumerate(uniq)}
+
+    def _probe_sigs(self, sig: int, probe_hamming: int):
+        from itertools import combinations
+        yield sig
+        for r in range(1, probe_hamming + 1):
+            for flips in combinations(range(self.n_planes), r):
+                m = 0
+                for f in flips:
+                    m |= 1 << f
+                yield sig ^ m
+
+    def query(self, vec: np.ndarray, k: int, probe_hamming: int = 1):
+        """(ids, scores) of the top-k among probed buckets (score desc,
+        id asc)."""
+        v = np.asarray(vec, dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        sig = int(self.lsh.signature(v[None, :])[0])
+        cand_idx = [self.buckets[s] for s in self._probe_sigs(sig, probe_hamming)
+                    if s in self.buckets]
+        if not cand_idx:
+            return np.array([], dtype=self.ids.dtype), np.array([])
+        cand = np.unique(np.concatenate(cand_idx))
+        sims = self.mat[cand] @ v
+        order = np.lexsort((self.ids[cand], -sims))[:k]
+        return self.ids[cand][order], sims[order]
+
+
+def lsh_index_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
+                   n_planes: int = 12, id_col: str = 'vec_id',
+                   vec_col: str = 'embedding', round_decimals: int = 6,
+                   probe_hamming: int = 1) -> pd.DataFrame:
+    """Approximate cosine top-k through the ACTUAL LshIndex: the corpus is
+    broadcast once, each worker process builds the bucket index once
+    (process-local cache), and queries probe buckets — per-query work is
+    sub-linear in corpus size. Output shape matches brute_force_topk."""
+    import ray
+    from ..state.broadcast import get_broadcast
+    rows = emb_ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    corpus_ref = ray.put((ids, mat))
+    q = np.asarray(query_vecs, dtype=np.float64)
+    qref = ray.put(q)
+    import ray.data as rd
+    queries = rd.from_pandas(pd.DataFrame({'query_idx': np.arange(len(q))}))
+
+    _IDX_CACHE: dict = {}
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        key = corpus_ref.hex()
+        if key not in _IDX_CACHE:
+            cids, cmat = get_broadcast(corpus_ref)
+            _IDX_CACHE[key] = LshIndex(cids, cmat, n_planes)
+        index = _IDX_CACHE[key]
+        qm = get_broadcast(qref)
+        out_q, out_id, out_s = [], [], []
+        for qi in batch['query_idx']:
+            hit_ids, scores = index.query(qm[int(qi)], k, probe_hamming)
+            out_q.extend([int(qi)] * len(hit_ids))
+            out_id.extend(hit_ids)
+            out_s.extend(np.round(scores, round_decimals))
+        return pd.DataFrame({'query_idx': np.array(out_q, dtype=np.int64),
+                             id_col: np.array(out_id, dtype=np.int64),
+                             'score': np.array(out_s, dtype=np.float64)})
+
+    return queries.map_batches(probe, batch_format='pandas').to_pandas() \
+        .sort_values(['query_idx', 'score', id_col],
+                     ascending=[True, False, True],
+                     kind='mergesort').reset_index(drop=True)
+
+
 def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, n_planes: int = 12,
              id_col: str = 'vec_id', vec_col: str = 'embedding',
              round_decimals: int = 6, probe_hamming: int = 1) -> pd.DataFrame:
-    """Approximate cosine top-k: only corpus vectors whose hyperplane
-    signature is within `probe_hamming` bits of the query signature are
-    scored. Same output shape as brute_force_topk (recall < 1)."""
+    """Approximate cosine top-k, scan form: only corpus vectors whose
+    hyperplane signature is within `probe_hamming` bits of the query
+    signature are scored — O(N) per query batch but fully distributed with
+    no index object. Prefer ``lsh_index_topk`` (sub-linear probing) when
+    the corpus fits the broadcast budget. Same output shape (recall < 1)."""
     from ..state.broadcast import get_broadcast
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
     dim = q.shape[1]

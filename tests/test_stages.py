@@ -294,3 +294,24 @@ def test_seeded_split_and_sample_deterministic(ray_session, rd):
     s1 = sorted(seeded_sample(rd.from_pandas(df), 0.2, seed=3).to_pandas()['k'])
     s2 = sorted(seeded_sample(rd.from_pandas(df), 0.2, seed=3).to_pandas()['k'])
     assert s1 == s2 and 100 < len(s1) < 320
+
+
+def test_lsh_index_topk_matches_scan_and_is_sublinear(ray_session, rd):
+    from caligraph_ray.stages.similarity import LshIndex, lsh_index_topk, lsh_topk
+    rng = np.random.RandomState(9)
+    mat = rng.normal(size=(400, 24))
+    ds = rd.from_pandas(pd.DataFrame({'vec_id': np.arange(400),
+                                      'embedding': list(mat)}))
+    q = mat[:3]
+    idx_out = lsh_index_topk(ds, q, k=5, n_planes=10, probe_hamming=2)
+    scan_out = lsh_topk(ds, q, k=5, n_planes=10, probe_hamming=2)
+    # identical semantics: same buckets probed → same candidates → same top-k
+    key = lambda d: sorted(map(tuple, d[['query_idx', 'vec_id']].values.tolist()))
+    assert key(idx_out) == key(scan_out)
+    for qi in range(3):   # self-hit lands in its own bucket
+        assert qi in set(idx_out[idx_out['query_idx'] == qi]['vec_id'])
+    # sub-linearity: a query touches only its probed buckets' members
+    index = LshIndex(np.arange(400), mat, n_planes=10)
+    sig = int(index.lsh.signature(mat[:1] / np.linalg.norm(mat[0]))[0])
+    probed = sum(len(index.buckets.get(s, ())) for s in index._probe_sigs(sig, 2))
+    assert probed < 400   # strictly fewer candidates than the corpus
