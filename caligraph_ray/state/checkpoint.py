@@ -85,12 +85,22 @@ def run_stage(root: str, name: str, build: Callable[[], 'ray.data.Dataset'],
     ds = build()
     ds.write_parquet(d)
     out = rd.read_parquet(d)
-    n_rows = out.count()
-    files = [f for f in os.listdir(d) if f.endswith('.parquet')]
+    files = sorted(f for f in os.listdir(d) if f.endswith('.parquet'))
+    # per-partition lineage (north-rule): row count per output file from
+    # parquet footers — a resumed/debugged run can audit any partition
+    import pyarrow.parquet as pq
+    per_file = {}
+    for f in files:
+        try:
+            per_file[f] = int(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows)
+        except Exception:
+            per_file[f] = -1
+    n_rows = sum(v for v in per_file.values() if v >= 0)
     lineage = {
         'stage': name,
         'rows_out': int(n_rows),
         'n_files': len(files),
+        'rows_per_file': per_file,
         'wall_sec': round(time.time() - t0, 3),
         'completed_at': time.strftime('%Y-%m-%dT%H:%M:%S'),
     }
