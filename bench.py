@@ -62,6 +62,10 @@ def run_benchmarks() -> dict:
     timed('knn_topk', lambda: Q.q_knn_topk(SF_DIR))
     timed('embedding_near_dups', lambda: Q.q_embedding_near_dups(SF_DIR))
     timed('user_components', lambda: Q.q_user_components(SF_DIR))
+    # round-2 families
+    timed('type_closure', lambda: Q.q_type_closure(SF_DIR).to_pandas())
+    timed('linking_candidates_topk', lambda: Q.q_linking_candidates_topk(SF_DIR))
+    timed('redirect_resolution', lambda: Q.q_redirect_resolution(SF_DIR).to_pandas())
 
     total = round(sum(timings.values()), 3)
     result = {
