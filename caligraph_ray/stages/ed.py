@@ -37,6 +37,16 @@ from ..config import AGG_BATCH_SIZE
 from ..functions.hashing import stable_hash64
 
 
+def _pool_size() -> Tuple[int, int]:
+    """Default actor-pool bounds scaled to the cluster (a real model pool is
+    sized by accelerator count instead — pass concurrency explicitly)."""
+    try:
+        cpus = int(ray.cluster_resources().get('CPU', 8))
+    except Exception:
+        cpus = 8
+    return (1, max(8, cpus))
+
+
 # --- ST4: bi-encoder stand-in ----------------------------------------------
 
 def hash_embed(text: str, dim: int = 64) -> np.ndarray:
@@ -69,13 +79,14 @@ class HashEmbedder:
 
 
 def embed_texts(ds, text_col: str, out_col: str = 'embedding', dim: int = 64,
-                concurrency: Tuple[int, int] = (1, 8), batch_size: int = 384):
+                concurrency: Optional[Tuple[int, int]] = None, batch_size: int = 384):
     """Add an embedding column (actor pool; batch 384 mirrors the reference
     bi-encoder batch size, entity_disambiguation/__init__.py:54)."""
     return ds.map_batches(
         HashEmbedder,
         fn_constructor_kwargs={'text_col': text_col, 'out_col': out_col, 'dim': dim},
-        batch_format='pandas', batch_size=batch_size, concurrency=concurrency)
+        batch_format='pandas', batch_size=batch_size,
+        concurrency=concurrency or _pool_size())
 
 
 # --- ST8: BM25 --------------------------------------------------------------
@@ -127,7 +138,7 @@ class BM25Index:
 
 def bm25_topk(queries_ds, corpus_ids: List, corpus_texts: List[str],
               query_col: str = 'label', k: int = 4,
-              concurrency: Tuple[int, int] = (1, 8)):
+              concurrency: Optional[Tuple[int, int]] = None):
     """Per-query BM25 top-k: the index is built ONCE PER ACTOR from the
     broadcast corpus (reference builds fastbm25 once; per-actor replication
     is the documented ST8 scale answer — shard the corpus per actor when the
@@ -151,7 +162,7 @@ def bm25_topk(queries_ds, corpus_ids: List, corpus_texts: List[str],
 
     return queries_ds.map_batches(Searcher, batch_format='pandas',
                                   batch_size=AGG_BATCH_SIZE,
-                                  concurrency=concurrency)
+                                  concurrency=concurrency or _pool_size())
 
 
 # --- J7: candidate generation ----------------------------------------------
@@ -246,7 +257,7 @@ class CrossEncoderReranker:
 def rerank_candidates(pairs_ds, mention_id_col: str = 'mention_uid',
                       mention_col: str = 'label',
                       entity_col: str = 'entity_label',
-                      concurrency: Tuple[int, int] = (1, 8),
+                      concurrency: Optional[Tuple[int, int]] = None,
                       batch_size: int = 128):
     """Score every candidate pair (actor pool, batch 128 as the reference)
     then keep the argmax entity per mention (ties → lexicographically first
@@ -255,7 +266,8 @@ def rerank_candidates(pairs_ds, mention_id_col: str = 'mention_uid',
     scored = pairs_ds.map_batches(
         CrossEncoderReranker,
         fn_constructor_kwargs={'mention_col': mention_col, 'entity_col': entity_col},
-        batch_format='pandas', batch_size=batch_size, concurrency=concurrency)
+        batch_format='pandas', batch_size=batch_size,
+        concurrency=concurrency or _pool_size())
 
     def argmax(bucket: pd.DataFrame) -> pd.DataFrame:
         s = bucket.sort_values([mention_id_col, 'ce_score', entity_col],
@@ -326,4 +338,4 @@ def link_mentions_scored(mentions_ds, entity_labels: List[str], k: int = 4,
 
     return mentions_ds.map_batches(ScoredLinker, batch_format='pandas',
                                    batch_size=AGG_BATCH_SIZE,
-                                   concurrency=(1, 8))
+                                   concurrency=_pool_size())
