@@ -69,6 +69,53 @@ def hypernym_counts(docs_ds, text_col: str = 'text'):
     return two_phase_pandas_agg(partials, ['sub', 'hyper'], {'freq': ('cnt', 'sum')})
 
 
+# --- hypernymy evidence merge ------------------------------------------------
+
+# per-source evidence thresholds (reference impl/util/hypernymy.py:55-58)
+HYPERNYM_THRESHOLD_AXIOM = 10
+HYPERNYM_THRESHOLD_WIKI = 100
+HYPERNYM_THRESHOLD_WEB = 0.4
+
+
+def compute_hypernyms(axiom_counts: Dict[str, Dict[str, int]],
+                      wiki_counts: Dict[str, Dict[str, int]],
+                      web_confs: Dict[str, Dict[str, float]] = None
+                      ) -> Dict[str, set]:
+    """Merge hypernym evidence from the three sources (reference
+    impl/util/hypernymy.py:61-98): axiom matches count double (weight 2
+    when count ≥ 10), Wiki-corpus Hearst counts and WebIsALOD-style
+    confidences count once (count ≥ 100 / conf ≥ 0.4); a hypernym is kept
+    when its merged evidence weight exceeds 1 — i.e. at least axiom
+    evidence OR two independent corpus sources.
+
+    Inputs are {child_word: {parent_word: count|conf}} dims — the outputs
+    of the distributed ``hypernym_counts`` aggregation (A1) and a Cat2Ax
+    axiom-edge count; the merge itself is a per-word dim operation."""
+    web_confs = web_confs or {}
+    out: Dict[str, set] = {}
+    for child in set(axiom_counts) | set(wiki_counts) | set(web_confs):
+        weight: Counter = Counter()
+        for word, count in axiom_counts.get(child, {}).items():
+            if count >= HYPERNYM_THRESHOLD_AXIOM:
+                weight[word] += 2
+        for word, count in wiki_counts.get(child, {}).items():
+            if count >= HYPERNYM_THRESHOLD_WIKI:
+                weight[word] += 1
+        for word, conf in web_confs.get(child, {}).items():
+            if conf >= HYPERNYM_THRESHOLD_WEB:
+                weight[word] += 1
+        out[child] = {word for word, w in weight.items() if w > 1}
+    return out
+
+
+def is_hypernym(hypernyms: Dict[str, set], parent: str, child: str) -> bool:
+    """Reference hypernymy_util.is_hypernym: equal words are trivially
+    hypernyms; otherwise look the pair up in the merged evidence."""
+    if parent == child:
+        return True
+    return parent in hypernyms.get(child, ())
+
+
 # --- domain / range ---------------------------------------------------------
 
 def domain_range(facts_ds, types_by_ent: Dict[str, List[str]],

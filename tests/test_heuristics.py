@@ -121,3 +121,19 @@ def test_sunburst_and_stats(ray_session):
     stats = graph_statistics(ds)
     assert stats['n_triples'] == 4 and stats['n_subjects'] == 3
     assert stats['triples_per_predicate']['rdf:type'] == 3
+
+
+def test_compute_hypernyms_evidence_merge():
+    from caligraph_ray.stages.heuristics import compute_hypernyms, is_hypernym
+    axiom = {'city': {'place': 12, 'area': 3}}           # place: weight 2
+    wiki = {'city': {'settlement': 150, 'place': 40},    # settlement: weight 1
+            'dog': {'animal': 200}}
+    web = {'city': {'settlement': 0.9},                  # settlement: +1 → 2
+           'dog': {'animal': 0.5}}                       # animal: 1+1 = 2
+    h = compute_hypernyms(axiom, wiki, web)
+    assert h['city'] == {'place', 'settlement'}   # axiom alone OR two sources
+    assert 'area' in axiom['city'] and 'area' not in h['city']  # below threshold
+    assert h['dog'] == {'animal'}
+    assert is_hypernym(h, 'place', 'city')
+    assert is_hypernym(h, 'city', 'city')         # identity
+    assert not is_hypernym(h, 'animal', 'city')
