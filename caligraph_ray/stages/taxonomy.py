@@ -348,6 +348,31 @@ class Hierarchy:
                 self.remove_edge(p, c)
         return self
 
+    def remove_unrelated_edges(self, hypernyms: Dict[str, Set[str]]):
+        """Reference hierarchy_graph.py:154-161: drop edges whose parent and
+        child head nouns are neither equal (after singularization) nor in a
+        hypernym relation per the merged evidence (heuristics.compute_hypernyms);
+        orphans re-attach afterwards."""
+        from .heuristics import is_hypernym
+
+        def head(n: str):
+            h = lexical_head(self.label(n))
+            return singularize(h).lower() if h else None
+
+        to_remove = []
+        for p, c in self.edges():
+            if p == ROOT:
+                continue
+            ph, ch = head(p), head(c)
+            if ph is None or ch is None:
+                continue
+            if not is_hypernym(hypernyms, ph, ch):
+                to_remove.append((p, c))
+        for p, c in to_remove:
+            self.remove_edge(p, c)
+        self.append_unconnected()
+        return self
+
     def resolve_disjointness(self, disjoint_pairs: Iterable[Tuple[str, str]],
                              types_of: Dict[str, Set[str]]):
         """Reference graph.py:270-288 (_find_conflicting_edges) simplified to

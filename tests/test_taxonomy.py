@@ -199,3 +199,19 @@ def test_build_class_hierarchy_integration_surface():
     # everything reachable from the root after append_unconnected
     for n in h.content_nodes:
         assert h.ancestors(n) & ({ROOT} | h.content_nodes)
+
+
+def test_remove_unrelated_edges():
+    from caligraph_ray.stages.taxonomy import ROOT, Hierarchy
+    h = Hierarchy()
+    h.add_edge(ROOT, 'Places')
+    h.add_edge('Places', 'French cities')       # place ⊒ city (hypernym)
+    h.add_edge('Places', 'Famous etymologies')  # unrelated head
+    h.add_edge('French cities', 'Cities in Provence')  # same head
+    hypernyms = {'city': {'place'}}
+    h.remove_unrelated_edges(hypernyms)
+    assert ('Places', 'French cities') in h.edges()
+    assert ('Places', 'Famous etymologies') not in h.edges()
+    assert ('French cities', 'Cities in Provence') in h.edges()  # equal heads
+    # the cut node re-attached (root fallback)
+    assert ROOT in h.parents('Famous etymologies')
