@@ -449,11 +449,15 @@ def build_class_hierarchy(edge_rows, merge: bool = True) -> Hierarchy:
 # --- distributed pieces -----------------------------------------------------
 
 def build_hierarchy(edges_ds, child_col: str = 'child', parent_col: str = 'parent',
-                    merge: bool = True) -> Hierarchy:
+                    merge: bool = True, hypernyms: Optional[Dict[str, Set[str]]] = None
+                    ) -> Hierarchy:
     """Distinct (child, parent) edge Dataset → assembled Hierarchy:
-    cycle resolution → node merge → unconnected attachment. The edge dim is
+    cycle resolution → node merge → (optional) hypernym-guarded semantic
+    edge filter → unconnected attachment. The edge dim is
     |categories|-sized; the distinct-ing shuffle runs distributed and only
-    the deduplicated edges reach the driver."""
+    the deduplicated edges reach the driver. Pass ``hypernyms`` (merged
+    evidence from heuristics.compute_hypernyms) to also drop edges whose
+    head nouns are unrelated (reference remove_unrelated_edges)."""
     from .relational import two_phase_count
     edge_rows = two_phase_count(edges_ds, [child_col, parent_col], 'cnt') \
         .drop_columns(['cnt']).take_all()
@@ -463,6 +467,8 @@ def build_hierarchy(edges_ds, child_col: str = 'child', parent_col: str = 'paren
     h.resolve_cycles()
     if merge:
         h.merge_nodes()
+    if hypernyms is not None:
+        h.remove_unrelated_edges(hypernyms)
     h.append_unconnected()
     return h
 
