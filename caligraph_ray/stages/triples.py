@@ -102,16 +102,88 @@ def materialize_triples(triples_ds, out_dir: Optional[str] = None,
     return ds.drop_columns(['subj_bucket'])
 
 
-def sunburst_type_distribution(triples_ds, type_pred: str = 'rdf:type') -> dict:
+def sunburst_type_distribution(triples_ds, type_pred: str = 'rdf:type',
+                               hierarchy=None) -> dict:
     """Per-type entity counts as nested sunburst JSON (S9, reference
     serialize.py:306-342). Aggregation is distributed; the small result is
-    shaped driver-side."""
+    shaped driver-side. With a ``hierarchy`` (stages/taxonomy.Hierarchy)
+    the children nest along subClassOf edges as in the reference; without
+    one the distribution is flat under 'Thing'."""
     from .relational import two_phase_count
     typed = triples_ds.filter(lambda r: r['pred'] == type_pred)
-    counts = two_phase_count(typed, ['obj'], 'cnt').take_all()
-    children = [{'name': r['obj'], 'value': int(r['cnt'])}
-                for r in sorted(counts, key=lambda r: (-r['cnt'], r['obj']))]
-    return {'name': 'Thing', 'children': children}
+    counts = {r['obj']: int(r['cnt'])
+              for r in two_phase_count(typed, ['obj'], 'cnt').take_all()}
+    if hierarchy is None:
+        children = [{'name': t, 'value': c}
+                    for t, c in sorted(counts.items(), key=lambda x: (-x[1], x[0]))]
+        return {'name': 'Thing', 'children': children}
+
+    from .taxonomy import ROOT
+
+    def node_json(n: str):
+        kids = [node_json(c) for c in sorted(hierarchy.children(n))]
+        kids = [k for k in kids if k is not None]
+        value = counts.get(n, 0)
+        if not kids and value == 0:
+            return None
+        out = {'name': n if n != ROOT else 'Thing'}
+        if value:
+            out['value'] = value
+        if kids:
+            out['children'] = kids
+        return out
+
+    return node_json(ROOT) or {'name': 'Thing', 'children': []}
+
+
+# the reference serializes its KG into named result files by triple family
+# (impl/caligraph/serialize.py:21-52: ontology, types, labels, relations,
+# provenance, …); the registry below is the analogue over our predicates
+RESULT_FILE_REGISTRY = {
+    'ontology': lambda pred, lit: pred in ('rdfs:subClassOf', 'rdfs:subPropertyOf'),
+    'types': lambda pred, lit: pred == 'rdf:type',
+    'labels': lambda pred, lit: lit and pred == 'label',
+    'provenance': lambda pred, lit: pred in ('mentionedIn', 'subject'),
+    'relations': lambda pred, lit: True,    # fallback bucket
+}
+
+
+def serialize_kg(triples_ds, out_dir: str,
+                 base_uri: str = 'http://caligraph.org/resource/') -> dict:
+    """Write the triple set as NAMED N-Triples result files by family
+    (S8 registry analogue) plus a stats JSON; returns the per-file row
+    counts. Each family filter runs as a streaming pass; NT formatting is
+    the columnar to_nt_lines map."""
+    import json
+    import os
+    from ..sources.nt import write_nt
+    os.makedirs(out_dir, exist_ok=True)
+    counts = {}
+    for name in RESULT_FILE_REGISTRY:
+        # registry order is authoritative: a triple lands in the FIRST
+        # matching family (the fallback 'relations' catches the rest)
+        prior = list(RESULT_FILE_REGISTRY)[:list(RESULT_FILE_REGISTRY).index(name)]
+
+        def select(batch: pa.Table, name=name, prior=prior) -> pa.Table:
+            preds = batch.column('pred').to_pylist()
+            lits = batch.column('is_literal').to_pylist()
+            keep = []
+            for p, l in zip(preds, lits):
+                mine = RESULT_FILE_REGISTRY[name](p, l)
+                stolen = any(RESULT_FILE_REGISTRY[q](p, l) for q in prior)
+                keep.append(mine and not stolen)
+            return batch.filter(pa.array(keep))
+
+        part = triples_ds.map_batches(select, batch_format='pyarrow')
+        d = os.path.join(out_dir, name)
+        write_nt(part, d, base_uri=base_uri)
+        import ray.data as rd
+        counts[name] = sum(1 for f in os.listdir(d)
+                           for _ in open(os.path.join(d, f))) if os.path.isdir(d) else 0
+    stats = graph_statistics(triples_ds)
+    with open(os.path.join(out_dir, 'stats.json'), 'w') as f:
+        json.dump({'files': counts, **stats}, f, indent=2)
+    return counts
 
 
 def graph_statistics(triples_ds) -> dict:

@@ -137,3 +137,47 @@ def test_compute_hypernyms_evidence_merge():
     assert is_hypernym(h, 'place', 'city')
     assert is_hypernym(h, 'city', 'city')         # identity
     assert not is_hypernym(h, 'animal', 'city')
+
+
+def test_serialize_kg_result_files(ray_session, tmp_path):
+    import json
+    import os
+    import ray.data as rd
+    import pyarrow as pa
+    from caligraph_ray.stages.triples import serialize_kg
+    t = pa.Table.from_pydict({
+        'subj': ['A', 'A', 'B', 'B', 'C'],
+        'pred': ['rdf:type', 'label', 'rdfs:subClassOf', 'mentionedIn', 'bornIn'],
+        'obj': ['City', 'A label', 'Place', 'Page1', 'Paris'],
+        'is_literal': [False, True, False, False, False],
+    })
+    counts = serialize_kg(rd.from_arrow(t), str(tmp_path))
+    assert counts == {'ontology': 1, 'types': 1, 'labels': 1,
+                      'provenance': 1, 'relations': 1}
+    stats = json.load(open(tmp_path / 'stats.json'))
+    assert stats['n_triples'] == 5 and stats['files']['types'] == 1
+    # every family dir holds NT lines
+    line = open(os.path.join(tmp_path, 'types',
+                             os.listdir(tmp_path / 'types')[0])).read()
+    assert '<http://caligraph.org/resource/A>' in line and 'City' in line
+
+
+def test_sunburst_nested_with_hierarchy(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from caligraph_ray.stages.taxonomy import ROOT, Hierarchy
+    from caligraph_ray.stages.triples import sunburst_type_distribution
+    t = pa.Table.from_pydict({
+        'subj': ['a', 'b', 'c'],
+        'pred': ['rdf:type'] * 3,
+        'obj': ['City', 'City', 'Place'],
+        'is_literal': [False] * 3,
+    })
+    h = Hierarchy()
+    h.add_edge(ROOT, 'Place')
+    h.add_edge('Place', 'City')
+    out = sunburst_type_distribution(rd.from_arrow(t), hierarchy=h)
+    assert out['name'] == 'Thing'
+    place = out['children'][0]
+    assert place['name'] == 'Place' and place['value'] == 1
+    assert place['children'][0] == {'name': 'City', 'value': 2}
