@@ -83,9 +83,17 @@ AGG_BATCH_SIZE = 65536        # lightweight relational batches
 OUTPUT_PARTITIONS = 16        # hash(subj) partitions of the triple sink
 
 
+# --- listing-rule thresholds (reference config.yaml listing.*) ---
+LISTING_TYPE_MEAN_THRESHOLD = 0.9
+LISTING_TYPE_STD_THRESHOLD = 0.2
+LISTING_RELATION_MEAN_THRESHOLD = 0.85
+LISTING_RELATION_STD_THRESHOLD = 0.2
+
+
 @dataclass(frozen=True)
 class EngineConfig:
-    """Bag of knobs a pipeline invocation can override."""
+    """Bag of knobs a pipeline invocation can override (the analogue of the
+    reference's config.yaml:4-25 threshold block)."""
     min_enum_entries: int = MIN_ENUM_ENTRIES
     min_table_rows: int = MIN_TABLE_ROWS
     pattern_conf: float = CAT2AX_PATTERN_CONF
@@ -93,6 +101,16 @@ class EngineConfig:
     mm_threshold: float = MENTION_MENTION_THRESHOLD
     path_threshold: float = PATH_THRESHOLD
     output_partitions: int = OUTPUT_PARTITIONS
+    # round-2 surface
+    linking: str = 'auto'                     # broadcast | join | scored | auto
+    alias_broadcast_limit: int = ALIAS_BROADCAST_LIMIT
+    type_mean_threshold: float = LISTING_TYPE_MEAN_THRESHOLD
+    type_std_threshold: float = LISTING_TYPE_STD_THRESHOLD
+    relation_mean_threshold: float = LISTING_RELATION_MEAN_THRESHOLD
+    relation_std_threshold: float = LISTING_RELATION_STD_THRESHOLD
+    valid_tag_threshold: float = 0.35         # listing.valid_tag_threshold
+    redirect_guard: int = 2                   # levenshtein spelling guard
+    taxonomy_min_support: int = 5             # A9 transitive fallback gate
 
 
 DEFAULT_CONFIG = EngineConfig()
