@@ -408,8 +408,11 @@ class PageParser:
     Stateless apart from compiled module-level regexes, but run as a callable
     class so per-actor setup stays the pattern for heavier parser state.
     Per-row try/except keeps the reference's drop-bad-pages semantics
-    (page_parser.py:287-301) without failing whole Ray blocks; drops are
-    counted in the ``_parse_errors`` attribute and surfaced via lineage.
+    (page_parser.py:287-301) without failing whole Ray blocks; a dropped
+    page becomes a first-class ``kind='drop'`` row (url preserved), so drop
+    counts survive any execution plan and are queryable via
+    ``parse_drops`` — the lineage-visible drop record the north rule asks
+    for, with no side-channel counters.
     """
 
     def __init__(self):
@@ -439,6 +442,11 @@ class PageParser:
                 page = parse_page(url, html)
             except Exception:
                 self._parse_errors += 1
+                cols['url'].append(url)
+                cols['page_id'].append(stable_hash64(url))
+                cols['kind'].append('drop')
+                cols['cat_name'].append('')
+                blank_item_fields()
                 continue
             if page is None:
                 continue
@@ -470,6 +478,19 @@ class PageParser:
                         {'name': m.name, 'label': m.label, 'start': m.start, 'end': m.end}
                         for m in item.mentions])
         return pa.Table.from_pydict(cols, schema=PARSED_SCHEMA)
+
+
+def parse_drops(parsed_ds):
+    """(n_dropped, urls) of pages the parser dropped (kind='drop' rows)."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column('kind'), pa.scalar('drop')))
+        return t.select(['url'])
+
+    dropped = parsed_ds.map_batches(f, batch_format='pyarrow')
+    urls = [r['url'] for r in dropped.take_all()]
+    return len(urls), urls
 
 
 def parse_pages(pages_ds, concurrency: Optional[int] = None):

@@ -104,3 +104,29 @@ def test_page_parser_batch_schema():
                                      'tokens', 'mentions', 'topsection', 'kind'}
     kinds = set(out.column('kind').to_pylist())
     assert kinds == {'item', 'cat'}
+
+
+def test_parse_drops_are_first_class_rows(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from caligraph_ray.stages.html_extract import (cats_view, items_view,
+                                                   parse_drops, parse_pages)
+    t = pa.Table.from_pydict({
+        'url': ['https://ex.org/wiki/Good', 'https://ex.org/wiki/Bad'],
+        'warc_ts': pa.array([0, 0], pa.timestamp('us')),
+        'html': pa.array([b'<html><head><title>Good</title></head><body>'
+                          b'<h1>Good</h1><ul><li>a x</li><li>b y</li><li>c z</li></ul>'
+                          b'</body></html>',
+                          None],   # null payload → parser raises → drop row
+                         pa.binary()),
+        'text': ['', ''],
+        'lang': ['en', 'en'],
+    })
+    parsed = parse_pages(rd.from_arrow(t)).materialize()
+    n, urls = parse_drops(parsed)
+    assert n == 1 and urls == ['https://ex.org/wiki/Bad']
+    # drop rows never leak into the item/category views
+    assert all(r['url'] != 'https://ex.org/wiki/Bad'
+               for r in items_view(parsed).take_all())
+    assert all(r['url'] != 'https://ex.org/wiki/Bad'
+               for r in cats_view(parsed).take_all())
