@@ -109,6 +109,17 @@ def run_flagship_checkpointed(pages_ds, root: str,
 
     parsed = run_stage(root, '01_parsed', lambda: parse_pages(pages_ds),
                        fingerprint=fp_in)
+    # drop accounting (north rule): failed pages are kind='drop' rows;
+    # record the count next to the stage's lineage
+    from ..stages.html_extract import parse_drops
+    from ..state.checkpoint import read_lineage
+    lin = read_lineage(root, '01_parsed')
+    if lin is not None and 'parse_drops' not in lin:
+        import json as _json
+        n_drops, _ = parse_drops(parsed)
+        lin['parse_drops'] = int(n_drops)
+        with open(os.path.join(root, '01_parsed', '_LINEAGE.json'), 'w') as f:
+            _json.dump(lin, f, indent=2)
     items = items_view(parsed)
     cats = run_stage(root, '02_categories', lambda: cats_view(parsed),
                      fingerprint=fp_in)
