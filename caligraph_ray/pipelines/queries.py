@@ -293,6 +293,9 @@ GROUP BY t1.tok, t2.tok HAVING count(*) >= 10
 
 
 def q_quality_scores(sf_dir: str):
+    """Document quality signals (training-data filtering family): token
+    stats + stopword ratio + Gopher-style punctuation ratio and
+    repeated-token ratio (1 - distinct/total)."""
     docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
@@ -300,10 +303,14 @@ def q_quality_scores(sf_dir: str):
         for doc_id, text in zip(batch['doc_id'], batch['text']):
             toks = [t for t in text.split(' ') if t]
             n = len(toks)
+            n_chars = sum(map(len, toks))
+            n_punct = sum(1 for t in toks for c in t if not c.isalnum())
             rows.append({
                 'doc_id': doc_id, 'n_tokens': n, 'n_uniq_tokens': len(set(toks)),
-                'avg_token_len': _floor6(sum(map(len, toks)) / n) if n else 0.0,
+                'avg_token_len': _floor6(n_chars / n) if n else 0.0,
                 'stopword_ratio': _floor6(sum(t in ts.EN_STOPWORDS for t in toks) / n) if n else 0.0,
+                'punct_ratio': _floor6(n_punct / n_chars) if n_chars else 0.0,
+                'repeat_ratio': _floor6(1.0 - len(set(toks)) / n) if n else 0.0,
             })
         return pd.DataFrame(rows)
 
@@ -315,7 +322,10 @@ WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS 
            FROM documents)
 SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq_tokens,
        floor((list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)) * 1000000) / 1000000 AS avg_token_len,
-       floor((len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks)) * 1000000) / 1000000 AS stopword_ratio
+       floor((len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks)) * 1000000) / 1000000 AS stopword_ratio,
+       floor((list_sum(list_transform(toks, x -> length(regexp_replace(x, '[a-zA-Z0-9]', '', 'g')))) * 1.0
+              / list_sum(list_transform(toks, x -> length(x)))) * 1000000) / 1000000 AS punct_ratio,
+       floor((1.0 - len(list_distinct(toks)) * 1.0 / len(toks)) * 1000000) / 1000000 AS repeat_ratio
 FROM t
 """
 
