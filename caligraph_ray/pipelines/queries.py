@@ -330,6 +330,20 @@ FROM t
 """
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """Per-document BPE-ish pretoken counts (token budgeting for training
+    data); the oracle recounts with the same RE2-compatible pattern."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    return ts.bpe_token_counts(docs)
+
+
+SQL_BPE_COUNTS = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '{pat}')) AS n_pretokens
+FROM documents
+""".format(pat=ts.BPE_PRETOKEN_PATTERN.replace("\\s", "\\s").replace("'", "''"))
+
+
 def q_lang_id(sf_dir: str):
     docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
     return ts.lang_id(docs)
@@ -1146,6 +1160,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'bigram_counts': q_bigram_counts,
     'quality_scores': q_quality_scores,
     'lang_id': q_lang_id,
+    'bpe_token_counts': q_bpe_token_counts,
     'dedup_exact': q_dedup_exact,
     'minhash_dedup': q_minhash_dedup,
     'simhash_pairs': q_simhash_pairs,
@@ -1190,6 +1205,7 @@ ORACLES: Dict[str, str] = {
     'bigram_counts': SQL_BIGRAMS,
     'quality_scores': SQL_QUALITY,
     'lang_id': SQL_LANG_ID,
+    'bpe_token_counts': SQL_BPE_COUNTS,
     'dedup_exact': SQL_DEDUP_EXACT,
     'minhash_dedup': SQL_MINHASH_DEDUP.replace('{perm_values}', _minhash_perm_values()),
     'simhash_pairs': SQL_SIMHASH,

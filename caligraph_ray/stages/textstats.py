@@ -108,3 +108,32 @@ def fingerprints(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
                for t in batch[text_col]]
         return pd.DataFrame({id_col: batch[id_col], 'fingerprint': out})
     return docs_ds.map_batches(fp, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
+
+
+# BPE-style pretokenizer (ASCII simplification of the published GPT-2
+# pattern — contractions, letter runs, digit runs, symbol runs, each with an
+# optional leading space; RE2-compatible so the DuckDB oracle can recount)
+BPE_PRETOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+_BPE_RE = None
+
+
+def bpe_pretoken_count(text: str) -> int:
+    global _BPE_RE
+    if _BPE_RE is None:
+        import re
+        _BPE_RE = re.compile(BPE_PRETOKEN_PATTERN)
+    return len(_BPE_RE.findall(text))
+
+
+def bpe_token_counts(docs_ds, id_col: str = 'doc_id', text_col: str = 'text'):
+    """Per-document BPE-ish pretoken count (the training-data token-budget
+    signal; whitespace counts come from token_counts/quality scoring)."""
+    import pandas as pd
+
+    def count(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: batch[id_col],
+                             'n_pretokens': [bpe_pretoken_count(t)
+                                             for t in batch[text_col]]})
+
+    return docs_ds.map_batches(count, batch_format='pandas',
+                               batch_size=AGG_BATCH_SIZE)
