@@ -315,3 +315,28 @@ def test_lsh_index_topk_matches_scan_and_is_sublinear(ray_session, rd):
     sig = int(index.lsh.signature(mat[:1] / np.linalg.norm(mat[0]))[0])
     probed = sum(len(index.buckets.get(s, ())) for s in index._probe_sigs(sig, 2))
     assert probed < 400   # strictly fewer candidates than the corpus
+
+
+def test_bucketed_map_small_and_large_paths_agree(ray_session, rd, monkeypatch):
+    """The small-input broadcast exchange and the sort-based shuffle must be
+    semantically identical — force each path on the same input."""
+    import caligraph_ray.stages.relational as rel
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({'k': rng.choice(list('abcdefgh'), 2000),
+                       'v': rng.randint(0, 100, 2000)})
+
+    def agg(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby('k', sort=False)['v'].sum().reset_index()
+        return g
+
+    def run():
+        out = rel.bucketed_map(rd.from_pandas(df).repartition(5), ['k'], agg)
+        return out.to_pandas().sort_values('k').reset_index(drop=True)
+
+    small = run()
+    monkeypatch.setattr(rel, 'SMALL_EXCHANGE_BYTES', 0)   # force real shuffle
+    large = run()
+    pd.testing.assert_frame_equal(small, large, check_dtype=False)
+    want = df.groupby('k')['v'].sum().reset_index().sort_values('k').reset_index(drop=True)
+    pd.testing.assert_frame_equal(small.astype({'v': 'int64'}),
+                                  want.astype({'v': 'int64'}), check_dtype=False)
