@@ -119,9 +119,14 @@ def _small_hash_exchange(mat_ds, keys: Sequence[str], bucket_fn, coarse: int):
     import ray.data as rd
     block_refs = [b for bundle in mat_ds.iter_internal_ref_bundles()
                   for b in bundle.block_refs]
-    # one reducer per core (each reads every block — zero-copy plasma
-    # arrow reads — and keeps only its hash range), capped by bucket count
-    n_parts = max(1, min(default_coarse() // 4, coarse))
+    # reducers scale with input size (~8 MiB of input per reducer, one per
+    # core at the 128 MiB gate), capped by bucket count: every reducer reads
+    # every block (zero-copy plasma arrow reads) and keeps only its hash
+    # range, so over-provisioned reducers multiply total block fetches —
+    # at kilobyte scale ONE reducer reading each block once is optimal
+    size = mat_ds.size_bytes() or 0
+    n_parts = max(1, min(default_coarse() // 4, coarse,
+                         1 + size // (8 * 1024 * 1024)))
     keys = list(keys)
 
     @ray.remote
