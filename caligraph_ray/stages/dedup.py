@@ -76,31 +76,46 @@ def minhash_signatures(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
 
 
 def _candidate_pairs_from_buckets(sig_ds, id_col: str, band_fn, verify_fn,
-                                  max_bucket: int = 1000):
-    """Shared LSH shape: explode (bucket_key, id, payload) → coarse-bucket
-    grouped_map → per-bucket pairwise verify. Buckets are capped (sorted by
-    id, deterministic): an over-full bucket means a degenerate key; only the
-    first max_bucket members pair up — same contract as salting a hot key.
-    Truncations are never silent: each is logged with bucket key and the
-    dropped-member count (the repo's no-silent-caps rule)."""
-    import logging
-    from .relational import grouped_map
+                                  max_bucket: int = 1000,
+                                  sig_dtype: str = 'uint64'):
+    """Shared LSH shape: explode (bucket_key:int64, id, payload:binary) →
+    one coarse arrow-native exchange → singleton buckets dropped vectorized
+    → per-bucket pairwise verify.
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        # column-zip iteration (no iterrows Series construction per row)
-        all_keys = [band_fn({id_col: i, 'sig': s})
-                    for i, s in zip(batch[id_col].to_numpy(), batch['sig'])]
+    The exchange rows stay ARROW end-to-end: int64 bucket keys (``band_fn``
+    returns an int64 array per signature) and signatures packed to binary
+    (``np.asarray(sig).tobytes()``), so blocks are zero-copy in plasma and
+    no list-of-array pandas columns travel the wire. ``verify_fn`` receives
+    the two signatures re-materialized as ``np.frombuffer(.., sig_dtype)``.
+
+    Buckets are capped (sorted by id, deterministic): an over-full bucket
+    means a degenerate key; only the first max_bucket members pair up —
+    same contract as salting a hot key. Truncations are never silent: each
+    is logged with bucket key and the dropped-member count (the repo's
+    no-silent-caps rule)."""
+    import logging
+    from .relational import (SMALL_EXCHANGE_BYTES, _small_hash_exchange,
+                             bucketed_map, default_coarse)
+    coarse = default_coarse()
+
+    def explode(batch: pd.DataFrame) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        sig_list = list(batch['sig'])
+        all_keys = [np.asarray(band_fn(s), dtype=np.int64) for s in sig_list]
         counts = np.fromiter((len(k) for k in all_keys), dtype=np.int64,
                              count=len(all_keys))
-        return pd.DataFrame({
-            id_col: np.repeat(batch[id_col].to_numpy(), counts),
-            'bucket': np.concatenate(all_keys) if len(all_keys) else np.array([], dtype=object),
-            'sig': [s for s, c in zip(batch['sig'], counts) for _ in range(c)],
+        payload = np.array([np.asarray(s).tobytes() for s in sig_list],
+                           dtype=object)
+        buckets = (np.concatenate(all_keys) if all_keys
+                   else np.array([], dtype=np.int64))
+        return pa.Table.from_pydict({
+            id_col: pa.array(np.repeat(ids, counts).astype(np.int64)),
+            'bucket': pa.array(buckets, pa.int64()),
+            '_coarse': pa.array((buckets % coarse).astype(np.int32)),
+            'sig': pa.array(list(np.repeat(payload, counts)), pa.binary()),
         })
 
-    exploded = sig_ds.map_batches(explode, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pd.DataFrame) -> Optional[pd.DataFrame]:
         if len(g) < 2:
             return None
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
@@ -111,7 +126,7 @@ def _candidate_pairs_from_buckets(sig_ds, id_col: str, band_fn, verify_fn,
                 g['bucket'].iloc[0], len(g) - max_bucket, len(g))
             g = g.head(max_bucket)
         ids = g[id_col].to_numpy()
-        sigs = list(g['sig'])
+        sigs = [np.frombuffer(b, dtype=sig_dtype) for b in g['sig']]
         a_out, b_out, score_out = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -122,9 +137,35 @@ def _candidate_pairs_from_buckets(sig_ds, id_col: str, band_fn, verify_fn,
                              'b': np.array(b_out, dtype=np.int64),
                              'score': np.array(score_out, dtype=np.float64)})
 
-    found = grouped_map(exploded, ['bucket'], pairs)
+    def pairs_bucket(coarse_g: pd.DataFrame) -> pd.DataFrame:
+        # almost every LSH bucket is a singleton — drop those VECTORIZED
+        # before the per-group Python loop (a per-group call on tens of
+        # thousands of 1-row groups costs more than the real pair work)
+        if '_coarse' in coarse_g.columns:
+            coarse_g = coarse_g.drop(columns=['_coarse'])
+        dedup = coarse_g.drop_duplicates(subset=['bucket', id_col])
+        sizes = dedup['bucket'].map(dedup['bucket'].value_counts())
+        hot = dedup[sizes.to_numpy() >= 2]
+        if not len(hot):
+            return pd.DataFrame()
+        outs = [pairs(sub) for _, sub in hot.groupby('bucket', sort=False)]
+        outs = [o for o in outs if o is not None and len(o)]
+        if not outs:
+            return pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    # the exchange: _coarse is already on the rows (computed arrow-side in
+    # explode), so both the small broadcast exchange and the large sort
+    # shuffle skip the pandas re-keying pass entirely
+    mat = sig_ds.map_batches(explode, batch_format='pandas',
+                             batch_size=AGG_BATCH_SIZE).materialize()
+    size = mat.size_bytes() or 0
+    if size <= SMALL_EXCHANGE_BYTES:
+        found = _small_hash_exchange(mat, pairs_bucket, coarse)
+    else:
+        found = mat.groupby('_coarse').map_groups(pairs_bucket,
+                                                  batch_format='pandas')
     # cross-band duplicates of the same pair → keep one (coarse bucketed dedup)
-    from .relational import bucketed_map
     return bucketed_map(found, ['a', 'b'],
                         lambda b: b.drop_duplicates(subset=['a', 'b']))
 
@@ -140,14 +181,19 @@ def minhash_candidate_pairs(docs_ds, id_col: str = 'doc_id', text_col: str = 'te
     mh = MinHasher(MINHASH_NUM_PERM, MINHASH_SHINGLE_SIZE, MINHASH_BANDS)
     sigs = minhash_signatures(docs_ds, id_col, text_col, shingle_hash=shingle_hash)
 
-    def band_fn(row):
-        return [f'{i}:{h}' for i, h in enumerate(mh.band_hashes(np.asarray(row['sig'], dtype=np.uint64)))]
+    def band_fn(sig):
+        bh = mh.band_hashes(np.asarray(sig, dtype=np.uint64)).astype(np.uint64)
+        # salt each band index into its key so equal hashes in different
+        # bands never collide (splitmix golden-ratio multiplier, wrapping)
+        salt = np.arange(len(bh), dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return (bh ^ salt).astype(np.int64)
 
     def verify(sa, sb):
-        est = MinHasher.estimate_jaccard(np.asarray(sa), np.asarray(sb))
+        est = MinHasher.estimate_jaccard(sa, sb)
         return est >= jaccard_threshold, est
 
-    return _candidate_pairs_from_buckets(sigs, id_col, band_fn, verify)
+    return _candidate_pairs_from_buckets(sigs, id_col, band_fn, verify,
+                                         sig_dtype='uint64')
 
 
 def pairs_to_groups(pairs_ds, all_ids: Optional[List[int]] = None) -> pd.DataFrame:
@@ -184,15 +230,17 @@ def simhash_dedup_pairs(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
     # NOTE: the int64↔uint64 offset must be pure-Python int arithmetic —
     # np.int64 + (1 << 63) silently promotes to float64 and corrupts the
     # low signature bits (wrong buckets AND wrong hamming)
-    def band_fn(row):
-        h = int(row['sig']) + (1 << 63)
-        return [f'{i}:{(h >> (16 * i)) & 0xFFFF}' for i in range(4)]
+    def band_fn(sig):
+        h = int(sig) + (1 << 63)
+        return np.array([(i << 16) | ((h >> (16 * i)) & 0xFFFF)
+                         for i in range(4)], dtype=np.int64)
 
     def verify(sa, sb):
-        d = hamming64(int(sa) + (1 << 63), int(sb) + (1 << 63))
+        d = hamming64(int(sa[0]) + (1 << 63), int(sb[0]) + (1 << 63))
         return d <= max_hamming, float(64 - d) / 64
 
-    return _candidate_pairs_from_buckets(sig_ds, id_col, band_fn, verify)
+    return _candidate_pairs_from_buckets(sig_ds, id_col, band_fn, verify,
+                                         sig_dtype='int64')
 
 
 def ngram_jaccard_pairs(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
@@ -213,17 +261,18 @@ def ngram_jaccard_pairs(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
 
     sig_ds = docs_ds.map_batches(shingle_sets, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
 
-    def band_fn(row):
-        sh = np.asarray(row['sig'])
+    def band_fn(sig):
+        sh = np.asarray(sig)
         k = max(1, int(len(sh) * (1 - threshold)) + 1)  # pigeonhole: dup pair shares one of k smallest
-        return [f's:{int(h)}' for h in sh[:k]]
+        return sh[:k]
 
     def verify(sa, sb):
         a, b = set(map(int, sa)), set(map(int, sb))
         j = jaccard(a, b)
         return j >= threshold, j
 
-    return _candidate_pairs_from_buckets(sig_ds, id_col, band_fn, verify)
+    return _candidate_pairs_from_buckets(sig_ds, id_col, band_fn, verify,
+                                         sig_dtype='int64')
 
 
 def _pairs_from_sims(ids_a: np.ndarray, ids_b: np.ndarray, sims: np.ndarray,
@@ -330,16 +379,22 @@ def embedding_near_dup_pairs_lsh(emb_ds, id_col: str = 'vec_id',
     sig_ds = emb_ds.select_columns([id_col, vec_col]).map_batches(
         sign, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
 
-    def band_fn(row):
-        sig = np.asarray(row['sig'])
-        bits = sig[:n_planes].astype(np.int64)
-        return [f'{bi}:' + ''.join(map(str, bits[bi * rows_per_band:(bi + 1) * rows_per_band]))
-                for bi in range(bands)]
+    def band_fn(sig):
+        bits = np.asarray(sig)[:n_planes].astype(np.int64)
+        out = np.empty(bands, dtype=np.int64)
+        for bi in range(bands):
+            sub = bits[bi * rows_per_band:(bi + 1) * rows_per_band]
+            packed = 0
+            for b in sub:
+                packed = (packed << 1) | int(b)
+            out[bi] = (bi << 56) | packed
+        return out
 
     def verify(sa, sb):
-        va = np.asarray(sa)[n_planes:]
-        vb = np.asarray(sb)[n_planes:]
+        va = sa[n_planes:]
+        vb = sb[n_planes:]
         cos = float(va @ vb)
         return cos >= threshold, round(cos, 6)
 
-    return _candidate_pairs_from_buckets(sig_ds, id_col, band_fn, verify)
+    return _candidate_pairs_from_buckets(sig_ds, id_col, band_fn, verify,
+                                         sig_dtype='float64')

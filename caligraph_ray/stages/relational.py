@@ -115,7 +115,12 @@ def _to_plain_pandas(block) -> pd.DataFrame:
     return df
 
 
-def _small_hash_exchange(mat_ds, keys: Sequence[str], bucket_fn, coarse: int):
+def _small_hash_exchange(mat_ds, bucket_fn, coarse: int):
+    """Broadcast exchange over a materialized dataset that already carries an
+    int32 ``_coarse`` column: each reducer scans every block but filters
+    ARROW-side on the precomputed key before any pandas conversion, so the
+    expensive arrow→pandas work totals exactly one pass over the data across
+    all reducers (plus one cheap int-column scan per block per reducer)."""
     import ray.data as rd
     block_refs = [b for bundle in mat_ds.iter_internal_ref_bundles()
                   for b in bundle.block_refs]
@@ -127,18 +132,29 @@ def _small_hash_exchange(mat_ds, keys: Sequence[str], bucket_fn, coarse: int):
     size = mat_ds.size_bytes() or 0
     n_parts = max(1, min(default_coarse() // 4, coarse,
                          1 + size // (8 * 1024 * 1024)))
-    keys = list(keys)
 
     @ray.remote
     def reduce_part(part_id: int, *blocks) -> pd.DataFrame:
-        dfs = [d for d in map(_to_plain_pandas, blocks) if len(d)]
+        dfs = []
+        for b in blocks:
+            if isinstance(b, pa.Table):
+                if b.num_rows == 0:
+                    continue
+                ck = np.asarray(b.column('_coarse').combine_chunks())
+                mask = (ck % n_parts) == part_id
+                if not mask.any():
+                    continue
+                d = _to_plain_pandas(b.filter(pa.array(mask)))
+            else:
+                d = _to_plain_pandas(b)
+                d = d[d['_coarse'].to_numpy() % n_parts == part_id]
+            if len(d):
+                dfs.append(d)
         if not dfs:
             return pd.DataFrame()
         df = pd.concat(dfs, ignore_index=True)
-        df['_coarse'] = _coarse_key(df, keys, coarse)
-        sel = df[df['_coarse'] % n_parts == part_id]
         outs = []
-        for _, g in sel.groupby('_coarse', sort=False):
+        for _, g in df.groupby('_coarse', sort=False):
             r = bucket_fn(g.drop(columns=['_coarse']))
             if r is not None and len(r):
                 outs.append(r)
@@ -156,30 +172,45 @@ def bucketed_map(ds, keys: Sequence[str], bucket_fn, coarse: Optional[int] = Non
     should use *vectorized* pandas groupby ops — this is the fast path for
     high-cardinality keys where per-group Python calls dominate.
 
-    Small inputs (≤ SMALL_EXCHANGE_BYTES after the pre-shuffle barrier)
-    take a broadcast exchange (parallel reducers over the block refs)
-    instead of the sort-based all-to-all, whose fixed setup cost dominates
-    sub-second workloads; large inputs use the real shuffle."""
+    The coarse key is computed ONCE in a map stage fused into the
+    pre-barrier execution. Small inputs (≤ SMALL_EXCHANGE_BYTES after the
+    barrier) take a broadcast exchange (parallel reducers over the block
+    refs, arrow-side key filtering) instead of the sort-based all-to-all,
+    whose fixed setup cost dominates sub-second workloads; large inputs use
+    the real shuffle."""
     keys = list(keys)
     if coarse is None:
         coarse = default_coarse()
 
-    mat = ds.materialize()
-    size = mat.size_bytes() or 0
-    if size <= SMALL_EXCHANGE_BYTES:
-        return _small_hash_exchange(mat, keys, bucket_fn, coarse)
-
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(batch: pd.DataFrame):
         batch = batch.copy()
         batch['_coarse'] = _coarse_key(batch, keys, coarse)
-        return batch
+        # emit ARROW so the exchange blocks are arrow tables: reducers can
+        # then filter on the int key zero-copy before any pandas conversion.
+        # Nested (list-valued) object columns stay pandas: an arrow round
+        # trip would hand list values back as ragged ndarrays, which
+        # downstream pandas-block concat refuses to cast
+        for c in batch.columns:
+            if batch[c].dtype == object:
+                nn = batch[c].dropna()
+                first = nn.iloc[0] if len(nn) else None
+                if isinstance(first, (list, tuple, np.ndarray, dict)):
+                    return batch
+        try:
+            return pa.Table.from_pandas(batch, preserve_index=False)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            return batch
+
+    mat = ds.map_batches(add_bucket, batch_format='pandas',
+                         batch_size=AGG_BATCH_SIZE).materialize()
+    size = mat.size_bytes() or 0
+    if size <= SMALL_EXCHANGE_BYTES:
+        return _small_hash_exchange(mat, bucket_fn, coarse)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return bucket_fn(g.drop(columns=['_coarse']))
 
-    bucketed = mat.map_batches(add_bucket, batch_format='pandas',
-                               batch_size=AGG_BATCH_SIZE)
-    return bucketed.groupby('_coarse').map_groups(per_bucket, batch_format='pandas')
+    return mat.groupby('_coarse').map_groups(per_bucket, batch_format='pandas')
 
 
 def grouped_map(ds, keys: Sequence[str], fn, coarse: Optional[int] = None):
