@@ -115,8 +115,9 @@ def run_full_kg(pages_ds, categories_ds=None, facts_ds=None,
         subj_ctx = subjects.select_columns(
             ['url', 'page_id', 'topsection', 'section', 'entity'])
         ctx = build_context(subj_ctx, facts_ds=facts_ds).materialize()
-        trules = mine_type_rules(ctx, rule_mean_threshold, rule_min_pages).to_pandas()
-        rrules = mine_relation_rules(ctx, rule_mean_threshold, rule_min_pages).to_pandas()
+        from ..stages.relational import collect_pandas
+        trules = collect_pandas(mine_type_rules(ctx, rule_mean_threshold, rule_min_pages))
+        rrules = collect_pandas(mine_relation_rules(ctx, rule_mean_threshold, rule_min_pages))
         if len(trules) or len(rrules):
             streams.append(apply_rules(ctx, trules, rrules))
 

@@ -668,7 +668,7 @@ def q_type_disjointness(sf_dir: str):
                                 'pred': b['event_type'] + '_'
                                         + b['ts'].dt.hour.astype(str)}),
         batch_format='pandas')
-    users = rel.two_phase_count(facts, ['subj'], 'c').drop_columns(['c']).take_all()
+    users = rel.collect_rows(rel.two_phase_count(facts, ['subj'], 'c').drop_columns(['c']))
     tbe = {r['subj']: [r['subj'].replace('u', 'U')] for r in users}
     out = type_disjointness(facts, tbe, threshold=0.132)
     return out[['type_a', 'type_b']] if len(out) else \
@@ -962,7 +962,7 @@ def q_bm25_label_match(sf_dir: str):
     SQL from the same token statistics."""
     import ray.data as rd
     from ..stages.ed import bm25_topk
-    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text']).take_all()
+    docs = rel.collect_rows(rel.read_table(sf_dir, 'documents', ['doc_id', 'text']))
     ids = [r['doc_id'] for r in docs]
     texts = [r['text'] for r in docs]
     queries = rd.from_pandas(pd.DataFrame({'label': ['spark join stream',

@@ -174,7 +174,8 @@ def build_alias_index(mentions_ds) -> Tuple["ray.ObjectRef", int]:
 def build_alias_index_local(mentions_ds) -> AliasIndex:
     """Driver-side alias index dict (also the source of the known-entity
     dimension: every linked target appears as some surface's candidate)."""
-    rows = alias_counts(mentions_ds).take_all()
+    from .relational import collect_rows
+    rows = collect_rows(alias_counts(mentions_ds))
     index: AliasIndex = {}
     for r in rows:
         index.setdefault(r['norm_surface'], []).append((r['name'], int(r['freq'])))
@@ -326,10 +327,11 @@ def build_alias_index_sharded(mentions_ds, n_shards: int = 16) -> List["ray.Obje
         shard = [stable_hash64(s) % n_shards for s in surfs]
         return batch.append_column('shard', pa.array(shard, pa.int32()))
 
+    from .relational import collect_rows
     sharded = counts.map_batches(add_shard, batch_format='pyarrow').materialize()
     refs: List["ray.ObjectRef"] = []
     for i in range(n_shards):
-        rows = sharded.filter(lambda r, i=i: r['shard'] == i).take_all()
+        rows = collect_rows(sharded.filter(lambda r, i=i: r['shard'] == i))
         index: AliasIndex = {}
         for r in rows:
             index.setdefault(r['norm_surface'], []).append((r['name'], int(r['freq'])))

@@ -118,10 +118,10 @@ def build_alignment_edges(linked_mentions_ds,
     # aggregate, then star edges emitted in a zero-shuffle map_batches.
     # Head surfaces cost one partial row per batch, so no salting is needed.
     if total_rows is None or total_rows <= SURFACE_BROADCAST_LIMIT:
-        from .relational import two_phase_pandas_agg
-        reps_rows = two_phase_pandas_agg(
+        from .relational import collect_rows, two_phase_pandas_agg
+        reps_rows = collect_rows(two_phase_pandas_agg(
             linked_mentions_ds.select_columns(['mention_uid', 'norm_surface']),
-            ['norm_surface'], {'rep': ('mention_uid', 'min')}).take_all()
+            ['norm_surface'], {'rep': ('mention_uid', 'min')}))
         reps = {r['norm_surface']: int(r['rep']) for r in reps_rows}
         reps_ref = ray.put(reps)
 
@@ -150,6 +150,8 @@ def build_alignment_edges(linked_mentions_ds,
     # cheap two-phase count first
     from ray.data.aggregate import Sum
 
+    from .relational import collect_rows
+
     def partial_counts(batch: pa.Table) -> pa.Table:
         g = batch.select(['norm_surface']).group_by('norm_surface').aggregate([([], 'count_all')])
         return g.rename_columns(['norm_surface', 'cnt'])
@@ -157,7 +159,7 @@ def build_alignment_edges(linked_mentions_ds,
     counts = linked_mentions_ds.map_batches(partial_counts, batch_format='pyarrow') \
         .groupby('norm_surface').aggregate(Sum('cnt', alias_name='cnt'))
     hot = {r['norm_surface']: int(r['cnt'])
-           for r in counts.filter(lambda r: r['cnt'] > hot_threshold).take_all()}
+           for r in collect_rows(counts.filter(lambda r: r['cnt'] > hot_threshold))}
 
     from .relational import grouped_map
     ds = linked_mentions_ds.select_columns(['mention_uid', 'norm_surface'])
@@ -172,7 +174,7 @@ def build_alignment_edges(linked_mentions_ds,
     if hot:
         from ray.data.aggregate import Min
         reps = ds.groupby(['norm_surface', 'salt']).aggregate(Min('mention_uid', alias_name='rep'))
-        rep_rows = [r for r in reps.take_all() if r['norm_surface'] in hot]
+        rep_rows = [r for r in collect_rows(reps) if r['norm_surface'] in hot]
         by_surf: Dict[str, List[Tuple[int, int]]] = defaultdict(list)
         for r in rep_rows:
             by_surf[r['norm_surface']].append((r['salt'], int(r['rep'])))
@@ -260,7 +262,8 @@ def connected_components(edges_ds, contraction_passes: int = 2,
         ds = ds.map_batches(_contract_block, batch_format='pyarrow')
         parts = max(2, parts // 2)
         ds = ds.repartition(parts, shuffle=True)
-    rows = ds.take_all()
+    from .relational import collect_rows
+    rows = collect_rows(ds)
     if len(rows) > driver_limit:
         raise RuntimeError(
             f'connected_components tail too large for driver ({len(rows)}); '
@@ -429,7 +432,8 @@ def canonicalize_surface(linked_mentions_ds,
     from .relational import bucketed_map as _bmap
     partials = ds.select_columns(['mention_uid', 'norm_surface', 'entity', 'link_score']) \
         .map_batches(stats_partial, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
-    stat_rows = _bmap(partials, ['norm_surface'], stats_final).take_all()
+    from .relational import collect_rows as _crows
+    stat_rows = _crows(_bmap(partials, ['norm_surface'], stats_final))
 
     reps: Dict[str, int] = {}
     surf_n: Dict[str, int] = {}

@@ -32,7 +32,7 @@ import ray
 
 from ..config import AGG_BATCH_SIZE, CAT2AX_PATTERN_CONF
 from ..functions.strings import remove_by_phrase, tokenize
-from .relational import two_phase_count
+from .relational import collect_rows, two_phase_count
 
 # --- phase 0: per-category statistics (A3, reference category.py:222-237) ---
 
@@ -49,7 +49,7 @@ def category_statistics(membership_ds, facts_ds):
     dict in DbpCategoryStore)."""
     from .relational import shuffle_join
     member_counts = {r['cat_name']: int(r['cnt'])
-                     for r in two_phase_count(membership_ds, ['cat_name'], 'cnt').take_all()}
+                     for r in collect_rows(two_phase_count(membership_ds, ['cat_name'], 'cnt'))}
 
     joined = shuffle_join(membership_ds, facts_ds, 'member', 'subj', how='inner')
 
@@ -67,7 +67,7 @@ def category_statistics(membership_ds, facts_ds):
 
     exploded = joined.map_batches(to_kind, batch_format='pandas',
                                   batch_size=AGG_BATCH_SIZE)
-    counts = two_phase_count(exploded, ['cat_name', 'kind', 'k1', 'k2'], 'cnt').take_all()
+    counts = collect_rows(two_phase_count(exploded, ['cat_name', 'kind', 'k1', 'k2'], 'cnt'))
 
     stats: Dict[str, dict] = {}
     for cat, n in member_counts.items():
@@ -155,8 +155,8 @@ def build_type_lexicalisations(facts_ds) -> Dict[str, str]:
     Hearst-derived type lexicalisations, nif_parser.py:18-63): the lowercase
     type name and naive plural forms lexicalise the type. Only the DISTINCT
     type names (a small dim) reach the driver — never the fact rows."""
-    type_rows = two_phase_count(
-        facts_ds.filter(lambda r: r['pred'] == 'rdf:type'), ['obj'], 'cnt').take_all()
+    type_rows = collect_rows(two_phase_count(
+        facts_ds.filter(lambda r: r['pred'] == 'rdf:type'), ['obj'], 'cnt'))
     types = {r['obj'] for r in type_rows}
     lex: Dict[str, str] = {}
     irregular = {'Person': ['person', 'people', 'persons']}
@@ -381,7 +381,7 @@ def extract_axioms(categories_ds, membership_ds, facts_ds,
 
     stats = category_statistics(membership_ds, facts_ds)
     lex = build_type_lexicalisations(facts_ds)
-    sets_rows = category_sets(categories_ds).take_all()
+    sets_rows = collect_rows(category_sets(categories_ds))
     patterns = extract_patterns(sets_rows, stats, lex)
     tries = build_pattern_tries(patterns)
     state_ref = ray.put((tries, stats, lex))
@@ -409,7 +409,7 @@ def extract_axioms(categories_ds, membership_ds, facts_ds,
 def axioms_to_triples(axioms_ds, membership_ds):
     """Materialize axioms onto category members (entity.py:134-153):
     (member, pred, value) for each member of an axiom'd category."""
-    ax_rows = axioms_ds.take_all()
+    ax_rows = collect_rows(axioms_ds)
     by_cat: Dict[str, List[dict]] = defaultdict(list)
     for a in ax_rows:
         by_cat[a['cat_name']].append(a)

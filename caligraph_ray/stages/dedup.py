@@ -202,7 +202,8 @@ def pairs_to_groups(pairs_ds, all_ids: Optional[List[int]] = None) -> pd.DataFra
     pruned); unpaired ids become singleton groups when all_ids given."""
     uf = _UnionFind()
     members: set = set(all_ids) if all_ids else set()
-    for r in pairs_ds.take_all():
+    from .relational import collect_rows
+    for r in collect_rows(pairs_ds):
         a, b = int(r['a']), int(r['b'])
         uf.union(a, b)
         # track every paired node explicitly: uf.parent only records union

@@ -39,13 +39,13 @@ def property_frequencies_per_type(types_ds, props_ds, hierarchy=None,
     Counting runs distributed; the bottom-up rollup runs driver-side over
     the |types| dim: a type with < min_support direct entities uses its
     descendants' rolled-up counts (reference entity.py:335-352)."""
-    from .relational import shuffle_join, two_phase_count
+    from .relational import collect_rows, shuffle_join, two_phase_count
 
-    ec_rows = two_phase_count(types_ds, [type_col], 'n').take_all()
+    ec_rows = collect_rows(two_phase_count(types_ds, [type_col], 'n'))
     ent_count = {r[type_col]: int(r['n']) for r in ec_rows}
 
     joined = shuffle_join(types_ds, props_ds, entity_col, entity_col, how='inner')
-    pc_rows = two_phase_count(joined, [type_col, 'pred', 'value'], 'n').take_all()
+    pc_rows = collect_rows(two_phase_count(joined, [type_col, 'pred', 'value'], 'n'))
     prop_counts: Dict[str, Counter] = defaultdict(Counter)
     for r in pc_rows:
         prop_counts[r[type_col]][(r['pred'], r['value'])] = int(r['n'])
@@ -83,14 +83,14 @@ def tag_probabilities(tagged_mentions_ds, types_ds,
     """P(tag | type) over tagged mentions (A8, context.py:148-161):
     per-entity tag counts join the entity→type table; probability =
     type's tag occurrences / type's total mention count."""
-    from .relational import shuffle_join, two_phase_count
+    from .relational import collect_rows, shuffle_join, two_phase_count
 
-    from .relational import two_phase_sum
+    from .relational import collect_rows, two_phase_sum
     per_ent = two_phase_count(tagged_mentions_ds.select_columns([entity_col, tag_col]),
                               [entity_col, tag_col], 'n')
     joined = shuffle_join(per_ent, types_ds, entity_col, entity_col, how='inner')
     # sum of per-entity tag counts (mention multiplicity preserved)
-    sums = two_phase_sum(joined, [type_col, tag_col], 'n', alias='cnt').take_all()
+    sums = collect_rows(two_phase_sum(joined, [type_col, tag_col], 'n', alias='cnt'))
     tag_counter: Dict[str, Counter] = defaultdict(Counter)
     total: Counter = Counter()
     for r in sums:
@@ -146,10 +146,11 @@ def cali2ax_axioms(categories_ds, membership_ds, facts_ds,
     from .cat2ax import (apply_patterns_to_label, build_pattern_tries,
                          build_type_lexicalisations, category_sets,
                          category_statistics, extract_patterns)
+    from .relational import collect_rows
 
     stats = category_statistics(membership_ds, facts_ds)
     lex = build_type_lexicalisations(facts_ds)
-    sets_rows = category_sets(categories_ds).take_all()
+    sets_rows = collect_rows(category_sets(categories_ds))
     patterns = extract_patterns(sets_rows, stats, lex)
     tries = build_pattern_tries(patterns)
 
@@ -191,8 +192,9 @@ def cali2ax_triples(axioms_ds, type_entities_ds,
     axioms (the axiom dim is |types|-sized)."""
     import pyarrow as pa
     import ray
+    from .relational import collect_rows
     from .triples import TRIPLES_SCHEMA
-    ax_rows = axioms_ds.take_all()
+    ax_rows = collect_rows(axioms_ds)
     by_type: Dict[str, list] = defaultdict(list)
     for a in ax_rows:
         by_type[a['type']].append((a['pred'], a['value']))

@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..config import AGG_BATCH_SIZE, DOMAIN_THRESHOLD, RANGE_THRESHOLD
-from .relational import two_phase_count, two_phase_pandas_agg
+from .relational import collect_pandas, two_phase_count, two_phase_pandas_agg
 
 # --- Hearst patterns --------------------------------------------------------
 
@@ -142,7 +142,7 @@ def domain_range(facts_ds, types_by_ent: Dict[str, List[str]],
         return pd.DataFrame({'pred': preds, 'side': sides, 'type': types})
 
     ev = facts_ds.map_batches(explode, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
-    counts = two_phase_count(ev, ['pred', 'side', 'type'], 'cnt').to_pandas()
+    counts = collect_pandas(two_phase_count(ev, ['pred', 'side', 'type'], 'cnt'))
     out = []
     for pred, g in counts.groupby('pred'):
         row = {'pred': pred, 'domain': None, 'range': None}
@@ -178,7 +178,7 @@ def type_disjointness(facts_ds, types_by_ent: Dict[str, List[str]],
         return pd.DataFrame({'type': types, 'pred': preds})
 
     ev = facts_ds.map_batches(explode, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
-    counts = two_phase_count(ev, ['type', 'pred'], 'cnt').to_pandas()
+    counts = collect_pandas(two_phase_count(ev, ['type', 'pred'], 'cnt'))
     if counts.empty:
         return pd.DataFrame(columns=['type_a', 'type_b', 'cosine'])
     mat = counts.pivot_table(index='type', columns='pred', values='cnt',

@@ -489,7 +489,8 @@ def parse_drops(parsed_ds):
         return t.select(['url'])
 
     dropped = parsed_ds.map_batches(f, batch_format='pyarrow')
-    urls = [r['url'] for r in dropped.take_all()]
+    from .relational import collect_rows
+    urls = [r['url'] for r in collect_rows(dropped)]
     return len(urls), urls
 
 

@@ -73,7 +73,8 @@ def fold_redirects(ds, redirects_ds, col: str = 'name',
     (broadcast once, chased ≤ max_hops, spelling-guarded). Null values pass
     through. ``out_col`` defaults to replacing ``col`` in place."""
     out_col = out_col or col
-    rows = redirects_ds.select_columns([src_col, tgt_col]).take_all()
+    from .relational import collect_rows
+    rows = collect_rows(redirects_ds.select_columns([src_col, tgt_col]))
     rmap = {r[src_col]: r[tgt_col] for r in rows}
     ref = ray.put(rmap)
 

@@ -71,6 +71,41 @@ def semi_anti_join(ds, keys, col: str, anti: bool = False):
     return ds.map_batches(fn, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
 
 
+def collect_blocks(ds) -> List[pd.DataFrame]:
+    """Materialize ``ds`` and fetch its blocks as pandas frames directly via
+    the block refs. ``Dataset.take_all``/``to_pandas`` drain the streaming
+    output queue bundle-by-bundle with a 10 ms driver poll per pop — seconds
+    of pure latency on many-block datasets — while a materialize + bulk
+    ``ray.get`` of the refs costs one execution and one parallel fetch.
+    Driver-side collection: callers own the small-result contract."""
+    mat = ds if hasattr(ds, 'iter_internal_ref_bundles') and \
+        type(ds).__name__ == 'MaterializedDataset' else ds.materialize()
+    refs = [b for bundle in mat.iter_internal_ref_bundles()
+            for b in bundle.block_refs]
+    return [_to_plain_pandas(blk) for blk in ray.get(refs)]
+
+
+def collect_pandas(ds) -> pd.DataFrame:
+    """Driver-side ``to_pandas`` without the per-bundle output-queue drain."""
+    dfs = [d for d in collect_blocks(ds) if len(d)]
+    if not dfs:
+        return pd.DataFrame()
+    return pd.concat(dfs, ignore_index=True)
+
+
+def collect_rows(ds) -> List[dict]:
+    """Driver-side ``take_all`` without the per-bundle output-queue drain.
+    Row values mirror take_all semantics: list columns come back as Python
+    lists (not ndarrays) and nulls in object columns as None (not NaN)."""
+    df = collect_pandas(ds)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = [v.tolist() if isinstance(v, np.ndarray)
+                     else (None if v is None or (isinstance(v, float) and np.isnan(v)) else v)
+                     for v in df[c]]
+    return df.to_dict('records')
+
+
 def default_coarse() -> int:
     """Coarse-bucket count scaled to the cluster (4 tasks per CPU, clamped):
     final-merge parallelism and per-bucket memory both follow cluster size

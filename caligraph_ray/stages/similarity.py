@@ -51,7 +51,8 @@ def brute_force_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
     # parallelism follows the block count up to every core available
     partials = emb_ds.map_batches(partial_topk, batch_format='pandas',
                                   batch_size=4096)
-    df = partials.to_pandas()
+    from .relational import collect_pandas
+    df = collect_pandas(partials)
     df = df.sort_values(['query_idx', 'score', id_col],
                         ascending=[True, False, True], kind='mergesort')
     df = df.groupby('query_idx', group_keys=False).head(k).reset_index(drop=True)
@@ -132,7 +133,8 @@ def lsh_index_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
     sub-linear in corpus size. Output shape matches brute_force_topk."""
     import ray
     from ..state.broadcast import get_broadcast
-    rows = emb_ds.select_columns([id_col, vec_col]).take_all()
+    from .relational import collect_rows
+    rows = collect_rows(emb_ds.select_columns([id_col, vec_col]))
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     corpus_ref = ray.put((ids, mat))
@@ -206,7 +208,8 @@ def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, n_planes: int = 12,
 
     partials = emb_ds.map_batches(score_batch, batch_format='pandas',
                                   batch_size=4096)
-    df = partials.to_pandas()
+    from .relational import collect_pandas
+    df = collect_pandas(partials)
     if df.empty:
         return df
     df = df.sort_values(['query_idx', 'score', id_col],

@@ -458,9 +458,9 @@ def build_hierarchy(edges_ds, child_col: str = 'child', parent_col: str = 'paren
     the deduplicated edges reach the driver. Pass ``hypernyms`` (merged
     evidence from heuristics.compute_hypernyms) to also drop edges whose
     head nouns are unrelated (reference remove_unrelated_edges)."""
-    from .relational import two_phase_count
-    edge_rows = two_phase_count(edges_ds, [child_col, parent_col], 'cnt') \
-        .drop_columns(['cnt']).take_all()
+    from .relational import collect_rows, two_phase_count
+    edge_rows = collect_rows(two_phase_count(edges_ds, [child_col, parent_col], 'cnt')
+                             .drop_columns(['cnt']))
     h = Hierarchy()
     for r in sorted(edge_rows, key=lambda r: (r[child_col], r[parent_col])):
         h.add_edge(r[parent_col], r[child_col])
@@ -502,7 +502,7 @@ def closure_pairs(edges_ds, child_col: str = 'child', parent_col: str = 'parent'
     ancestor dict is broadcast once and each distinct node's closure rows
     are emitted inside map_batches — at 10^12 member rows downstream, the
     closure join cost is where the work is, and that stays in the cluster."""
-    from .relational import two_phase_count
+    from .relational import collect_rows, two_phase_count
     h = build_hierarchy(edges_ds, child_col, parent_col, merge=merge)
     anc = {n: sorted(s) for n, s in h.closure().items() if n != ROOT}
     anc_ref = ray.put(anc)

@@ -109,10 +109,10 @@ def sunburst_type_distribution(triples_ds, type_pred: str = 'rdf:type',
     shaped driver-side. With a ``hierarchy`` (stages/taxonomy.Hierarchy)
     the children nest along subClassOf edges as in the reference; without
     one the distribution is flat under 'Thing'."""
-    from .relational import two_phase_count
+    from .relational import collect_rows, two_phase_count
     typed = triples_ds.filter(lambda r: r['pred'] == type_pred)
     counts = {r['obj']: int(r['cnt'])
-              for r in two_phase_count(typed, ['obj'], 'cnt').take_all()}
+              for r in collect_rows(two_phase_count(typed, ['obj'], 'cnt'))}
     if hierarchy is None:
         children = [{'name': t, 'value': c}
                     for t, c in sorted(counts.items(), key=lambda x: (-x[1], x[0]))]
@@ -188,10 +188,10 @@ def serialize_kg(triples_ds, out_dir: str,
 
 def graph_statistics(triples_ds) -> dict:
     """Final-graph summary counts (A15, reference serialize.py:345-396)."""
-    from .relational import two_phase_count
+    from .relational import collect_rows, two_phase_count
     n_triples = triples_ds.count()
     per_pred = {r['pred']: int(r['cnt'])
-                for r in two_phase_count(triples_ds, ['pred'], 'cnt').take_all()}
+                for r in collect_rows(two_phase_count(triples_ds, ['pred'], 'cnt'))}
     n_subjects = two_phase_count(triples_ds, ['subj'], 'cnt').count()
     return {'n_triples': int(n_triples), 'n_subjects': int(n_subjects),
             'triples_per_predicate': per_pred}
