@@ -16,6 +16,7 @@ from typing import Callable, Dict
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..stages import relational as rel
@@ -520,7 +521,10 @@ SELECT doc_id, CAST(unnest(fp) AS VARCHAR) AS fp FROM fps
 def q_knn_topk(sf_dir: str):
     """Exact brute-force cosine top-10 for query vectors vec_id 0..2."""
     emb = rel.read_table(sf_dir, 'embeddings', ['vec_id', 'embedding'])
-    qrows = emb.filter(lambda r: r['vec_id'] in (0, 1, 2)).take_all()
+    qrows = rel.collect_rows(emb.map_batches(
+        lambda t: t.filter(pc.is_in(t.column('vec_id'),
+                                    value_set=pa.array([0, 1, 2]))),
+        batch_format='pyarrow'))
     qrows.sort(key=lambda r: r['vec_id'])
     qvecs = np.stack([np.asarray(r['embedding'], dtype=np.float64) for r in qrows])
     df = sim.brute_force_topk(emb, qvecs, k=10, round_decimals=4)
@@ -544,7 +548,10 @@ def q_lsh_topk(sf_dir: str):
     rows-only — approximate by design, recall + scan-equivalence measured
     in pytest)."""
     emb = rel.read_table(sf_dir, 'embeddings', ['vec_id', 'embedding'])
-    qrows = emb.filter(lambda r: r['vec_id'] in (0, 1, 2)).take_all()
+    qrows = rel.collect_rows(emb.map_batches(
+        lambda t: t.filter(pc.is_in(t.column('vec_id'),
+                                    value_set=pa.array([0, 1, 2]))),
+        batch_format='pyarrow'))
     qrows.sort(key=lambda r: r['vec_id'])
     qvecs = np.stack([np.asarray(r['embedding'], dtype=np.float64) for r in qrows])
     return sim.lsh_index_topk(emb, qvecs, k=10)
@@ -918,6 +925,11 @@ FROM hop
 
 # --- entity-disambiguation family -------------------------------------------
 
+def _vec_mod7(t):
+    """vec_id % 7 as an arrow array (numpy kernel, zero-copy read)."""
+    return pa.array(t.column('vec_id').to_numpy() % 7)
+
+
 def q_linking_candidates_topk(sf_dir: str):
     """ME candidate generation (J7/ST5): per mention vector, the top-4
     entity vectors by cosine within a ≥0.1 score window. Entities are the
@@ -926,10 +938,12 @@ def q_linking_candidates_topk(sf_dir: str):
     per-batch matmul)."""
     from ..stages.ed import me_candidates_topk
     emb = rel.read_table(sf_dir, 'embeddings', ['vec_id', 'embedding'])
-    ents = emb.filter(lambda r: r['vec_id'] % 7 == 0).take_all()
+    ents = rel.collect_rows(emb.map_batches(
+        lambda t: t.filter(pc.equal(_vec_mod7(t), 0)), batch_format='pyarrow'))
     eids = np.array([r['vec_id'] for r in ents], dtype=np.int64)
     emat = np.stack([np.asarray(r['embedding'], dtype=np.float64) for r in ents])
-    mentions = emb.filter(lambda r: r['vec_id'] % 7 != 0)
+    mentions = emb.map_batches(
+        lambda t: t.filter(pc.not_equal(_vec_mod7(t), 0)), batch_format='pyarrow')
     out = me_candidates_topk(mentions, eids, emat, k=4,
                              mention_vec_col='embedding',
                              mention_id_col='vec_id', min_score=0.1).to_pandas()
