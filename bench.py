@@ -66,6 +66,12 @@ def run_benchmarks() -> dict:
     timed('type_closure', lambda: Q.q_type_closure(SF_DIR).to_pandas())
     timed('linking_candidates_topk', lambda: Q.q_linking_candidates_topk(SF_DIR))
     timed('redirect_resolution', lambda: Q.q_redirect_resolution(SF_DIR).to_pandas())
+    # temporal/ordered + IVF families
+    timed('asof_latest_order', lambda: Q.q_asof_latest_order(SF_DIR))
+    timed('event_pairs_window', lambda: Q.q_event_pairs_window(SF_DIR))
+    timed('user_sessions', lambda: Q.q_user_sessions(SF_DIR))
+    timed('rolling_user_value', lambda: Q.q_rolling_user_value(SF_DIR))
+    timed('ivf_topk', lambda: Q.q_ivf_topk(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

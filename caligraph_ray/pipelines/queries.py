@@ -1155,9 +1155,158 @@ def q_flagship_triples(sf_dir: str):
     return run_flagship_on_documents(sf_dir)
 
 
+# --- temporal / ordered operators (as-of, range, sessions, rolling) ---------
+
+def q_asof_latest_order(sf_dir: str):
+    """As-of join (the DuckDB ASOF JOIN contract): every event matched to
+    the user's most recent order at event time. Order-date ties are
+    pre-reduced to max(o_orderkey) so the match is unique on both engines."""
+    from ..stages.temporal import asof_join
+    ev = rel.read_table(sf_dir, 'events', ['event_id', 'ts', 'user_id'])
+    orders = rel.read_table(sf_dir, 'orders',
+                            ['o_orderkey', 'o_custkey', 'o_orderdate'])
+    ded = rel.two_phase_pandas_agg(orders, ['o_custkey', 'o_orderdate'],
+                                   {'o_orderkey': ('o_orderkey', 'max')})
+    out = rel.collect_pandas(asof_join(
+        ev, ded, 'user_id', 'o_custkey', 'ts', 'o_orderdate',
+        right_cols=['o_orderkey'], inner=True))
+    out = out[['event_id', 'o_orderkey']].astype('int64')
+    return out.sort_values(['event_id']).reset_index(drop=True)
+
+
+SQL_ASOF = """
+WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2)
+SELECT e.event_id, o.o_orderkey
+FROM events e ASOF JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_event_pairs_window(sf_dir: str):
+    """Range (interval) join: all same-user event pairs where the later
+    event falls strictly within 12 hours after the earlier one."""
+    from ..stages.temporal import range_join
+    ev = rel.read_table(sf_dir, 'events', ['event_id', 'ts', 'user_id'])
+    prior = rel.read_table(sf_dir, 'events', ['event_id', 'ts', 'user_id']) \
+        .map_batches(lambda b: b.rename(columns={'event_id': 'prior_event_id'}),
+                     batch_format='pandas')
+    out = rel.collect_pandas(range_join(
+        ev, prior, 'user_id', 'user_id', 'ts', 'ts',
+        right_cols=['prior_event_id'], low_us=1,
+        high_us=12 * 3600 * 1_000_000))
+    out = out[['event_id', 'prior_event_id']].astype('int64')
+    return out.sort_values(['event_id', 'prior_event_id']).reset_index(drop=True)
+
+
+SQL_EVENT_PAIRS = """
+SELECT a.event_id, b.event_id AS prior_event_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.ts > b.ts
+     AND a.ts < b.ts + INTERVAL 12 HOUR
+"""
+
+
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (30-minute inactivity gap) per user:
+    session index, event count and span."""
+    from ..stages.temporal import sessionize
+    ev = rel.read_table(sf_dir, 'events', ['event_id', 'ts', 'user_id'])
+    out = rel.collect_pandas(sessionize(ev))
+    out['session_idx'] = out['session_idx'].astype('int64')
+    out['n_events'] = out['n_events'].astype('int64')
+    out['user_id'] = out['user_id'].astype('int64')
+    return out.sort_values(['user_id', 'session_idx']).reset_index(drop=True)
+
+
+SQL_SESSIONS = """
+WITH x AS (SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+y AS (SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM x)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM y GROUP BY 1, 2
+"""
+
+
+def q_rolling_user_value(sf_dir: str):
+    """Per-user rolling window (current + 3 preceding rows in (ts, event_id)
+    order): exact integer-cents sum + row count — the SQL ROWS frame,
+    with floor-to-cents making the sums float-order-independent."""
+    from ..stages.temporal import rolling_window
+    ev = rel.read_table(sf_dir, 'events', ['event_id', 'ts', 'user_id', 'value'])
+    out = rel.collect_pandas(rolling_window(ev))
+    out = out.astype({'user_id': 'int64', 'event_id': 'int64',
+                      'roll_sum': 'int64', 'roll_n': 'int64'})
+    return out.sort_values(['user_id', 'event_id']).reset_index(drop=True)
+
+
+SQL_ROLLING = """
+SELECT user_id, event_id,
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS roll_sum,
+  CAST(COUNT(*) OVER w AS BIGINT) AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF-style ANN (deterministic id-prefix centroids, nprobe=4): the
+    sub-linear scale path of the similarity family, fully replayed in SQL
+    (assignment, probe set and ranking are all deterministic)."""
+    from ..stages.similarity import ivf_topk
+    emb = rel.read_table(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    qrows = rel.collect_rows(emb.map_batches(
+        lambda t: t.filter(pc.is_in(t.column('vec_id'),
+                                    value_set=pa.array([0, 1, 2]))),
+        batch_format='pyarrow'))
+    qrows.sort(key=lambda r: r['vec_id'])
+    qvecs = np.stack([np.asarray(r['embedding'], dtype=np.float64)
+                      for r in qrows])
+    out = ivf_topk(emb, qvecs, k=10, n_centroids=16, nprobe=4)
+    out['query_idx'] = np.array([qrows[i]['vec_id'] for i in out['query_idx']],
+                                dtype=np.int64)
+    return out.reset_index(drop=True)
+
+
+SQL_IVF = """
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+c AS (SELECT vec_id AS cid, ev AS cv FROM e0 WHERE vec_id < 16),
+assign AS (
+  SELECT e0.vec_id, e0.ev, c.cid
+  FROM e0 CROSS JOIN c
+  QUALIFY row_number() OVER (PARTITION BY e0.vec_id
+      ORDER BY list_cosine_similarity(e0.ev, c.cv) DESC, c.cid) = 1),
+q AS (SELECT vec_id AS query_idx, ev AS qv FROM e0 WHERE vec_id IN (0, 1, 2)),
+probe AS (
+  SELECT q.query_idx, q.qv, c.cid
+  FROM q CROSS JOIN c
+  QUALIFY row_number() OVER (PARTITION BY q.query_idx
+      ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) <= 4)
+SELECT p.query_idx, a.vec_id,
+       round(list_cosine_similarity(p.qv, a.ev), 4) AS score
+FROM probe p JOIN assign a ON a.cid = p.cid
+QUALIFY row_number() OVER (PARTITION BY p.query_idx
+    ORDER BY list_cosine_similarity(p.qv, a.ev) DESC, a.vec_id) <= 10
+"""
+
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[str], object]] = {
+    'asof_latest_order': q_asof_latest_order,
+    'event_pairs_window': q_event_pairs_window,
+    'user_sessions': q_user_sessions,
+    'rolling_user_value': q_rolling_user_value,
+    'ivf_topk': q_ivf_topk,
     'pricing_summary': q_pricing_summary,
     'revenue_by_nation': q_revenue_by_nation,
     'revenue_by_region': q_revenue_by_region,
@@ -1203,6 +1352,11 @@ QUERIES: Dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: Dict[str, str] = {
+    'asof_latest_order': SQL_ASOF,
+    'event_pairs_window': SQL_EVENT_PAIRS,
+    'user_sessions': SQL_SESSIONS,
+    'rolling_user_value': SQL_ROLLING,
+    'ivf_topk': SQL_IVF,
     'pricing_summary': SQL_PRICING,
     'revenue_by_nation': SQL_REVENUE,
     'revenue_by_region': SQL_REVENUE_REGION,

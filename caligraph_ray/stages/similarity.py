@@ -217,3 +217,80 @@ def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, n_planes: int = 12,
     df = df.groupby('query_idx', group_keys=False).head(k).reset_index(drop=True)
     df['score'] = df['score'].round(round_decimals)
     return df
+
+
+def ivf_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = 'vec_id', vec_col: str = 'embedding',
+             round_decimals: int = 4) -> pd.DataFrame:
+    """IVF-style approximate top-k: the scale path of the ANN family.
+
+    Deterministic coarse quantizer so the whole algorithm is replayable in
+    SQL: the centroids are the corpus vectors with the ``n_centroids``
+    smallest ids; every corpus vector is assigned to its argmax-cosine
+    centroid (ties → smaller centroid id) building inverted lists; a query
+    probes its ``nprobe`` best centroids and scans ONLY their lists —
+    per-query work is |corpus| × nprobe / n_centroids on average. A real
+    deployment swaps the id-prefix centroids for k-means centroids; the
+    distributed shape (broadcast centroids + one assignment map + masked
+    partial top-k per batch, no shuffle) is identical.
+
+    Output shape matches brute_force_topk: (query_idx, vec_id, score)."""
+    import ray
+
+    from ..state.broadcast import get_broadcast
+    from .relational import collect_pandas, collect_rows
+
+    crows = collect_rows(
+        emb_ds.map_batches(
+            lambda t: t.filter(pa.compute.less(t.column(id_col),
+                                               pa.scalar(n_centroids))),
+            batch_format='pyarrow').select_columns([id_col, vec_col]))
+    crows.sort(key=lambda r: r[id_col])
+    cids = np.array([r[id_col] for r in crows], dtype=np.int64)
+    cmat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                                for r in crows]))
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    # probe set per query: top-nprobe centroids by (cosine desc, cid asc)
+    probes = []
+    qsims = q @ cmat.T
+    for qi in range(len(q)):
+        order = np.lexsort((cids, -qsims[qi]))[:nprobe]
+        probes.append(frozenset(int(cids[i]) for i in order))
+    state_ref = ray.put((cids, cmat, q, probes))
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        cids_, cmat_, qm, probes_ = get_broadcast(state_ref)
+        ids = batch[id_col].to_numpy()
+        mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                   for v in batch[vec_col]]))
+        # assignment: argmax cosine, ties → smaller centroid id (cids are
+        # sorted asc so argmax picks the first = smallest on exact ties)
+        assign = cids_[np.argmax(mat @ cmat_.T, axis=1)]
+        sims = qm @ mat.T
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            mask = np.isin(assign, list(probes_[qi]))
+            if not mask.any():
+                continue
+            ids_m, sims_m = ids[mask], sims[qi][mask]
+            idx = np.lexsort((ids_m, -sims_m))[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids_m[idx])
+            out_s.extend(sims_m[idx])
+        return pd.DataFrame({'query_idx': np.array(out_q, dtype=np.int64),
+                             id_col: np.array(out_id, dtype=np.int64),
+                             'score': np.array(out_s, dtype=np.float64)})
+
+    partials = emb_ds.map_batches(scan, batch_format='pandas', batch_size=4096)
+    df = collect_pandas(partials)
+    if df.empty:
+        return pd.DataFrame({'query_idx': pd.Series(dtype='int64'),
+                             id_col: pd.Series(dtype='int64'),
+                             'score': pd.Series(dtype='float64')})
+    df = df.sort_values(['query_idx', 'score', id_col],
+                        ascending=[True, False, True], kind='mergesort')
+    df = df.groupby('query_idx', group_keys=False).head(k).reset_index(drop=True)
+    df['score'] = df['score'].round(round_decimals)
+    return df

@@ -1,0 +1,203 @@
+"""Temporal / ordered-data operators: as-of join, range join,
+sessionization, per-key rolling windows.
+
+These are operators the reference lacks but a large-scale training-data /
+event pipeline needs (SURVEY.md §2 additions; the as-of and range joins are
+the custom operators called out in the build brief). All are expressed as
+compositions of the repo's one-shuffle primitives:
+
+* co-partition both sides on the equality key with ONE tagged-union
+  exchange (``bucketed_map``), then run the vectorized pandas kernel
+  (``merge_asof`` / interval mask / ``groupby`` + ``rolling``) inside each
+  bucket — complete key groups per bucket is the only partitioning
+  assumption, the same contract as ``shuffle_join``.
+* per-key skew: a single hot key lands in one bucket; salt upstream if one
+  key's rows exceed a task's heap (documented in relational.bucketed_map).
+
+Timestamps travel the exchange as int64 epoch-micros (tagged-union columns
+are None-padded, which would demote datetime64 to object), and are restored
+on emit.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from ..config import AGG_BATCH_SIZE
+
+
+def _ts_to_int(s: pd.Series) -> pd.Series:
+    """datetime64[*] → int64 epoch-micros (no-op for integer columns)."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return s.astype('datetime64[us]').astype('int64')
+    return s.astype('int64')
+
+
+def _tagged_union(left_ds, right_ds, key_left: str, key_right: str,
+                  lcols: List[str], rcols: List[str],
+                  ts_left: str, ts_right: str):
+    """Project both sides onto a shared schema with a ``_side`` tag, the
+    equality key as ``_k`` and the (int64) order column as ``_ts`` — one
+    Dataset that travels one exchange."""
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+
+    def tag(side: str, key_col: str, ts_col: str, own: List[str]):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame()
+            for c in all_cols:
+                out[c] = batch[c] if c in own else None
+            out['_side'] = side
+            out['_k'] = batch[key_col]
+            out['_ts'] = _ts_to_int(batch[ts_col])
+            return out
+        return fn
+
+    return left_ds.map_batches(tag('l', key_left, ts_left, lcols),
+                               batch_format='pandas',
+                               batch_size=AGG_BATCH_SIZE).union(
+        right_ds.map_batches(tag('r', key_right, ts_right, rcols),
+                             batch_format='pandas',
+                             batch_size=AGG_BATCH_SIZE))
+
+
+def asof_join(left_ds, right_ds, key_left: str, key_right: str,
+              ts_left: str, ts_right: str,
+              right_cols: Sequence[str], direction: str = 'backward',
+              inner: bool = True):
+    """As-of join: for every left row, the single right row of the same key
+    whose timestamp is the latest ≤ the left timestamp (``backward``; the
+    DuckDB ``ASOF JOIN`` contract) or earliest ≥ (``forward``).
+
+    Right-side timestamp ties must be resolved upstream (one row per
+    (key, ts)); with ties the winner is the last row in (ts, input) order.
+    Returns the left columns plus ``right_cols``; ``inner`` drops left rows
+    without a match (ASOF LEFT JOIN when False)."""
+    from .relational import bucketed_map
+    lcols = list(left_ds.schema().names)
+    rkeep = [c for c in right_cols]
+    tagged = _tagged_union(left_ds, right_ds, key_left, key_right,
+                           lcols, rkeep, ts_left, ts_right)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        l = bucket[bucket['_side'] == 'l']
+        r = bucket[bucket['_side'] == 'r']
+        if not len(l):
+            return pd.DataFrame()
+        l = l.sort_values(['_ts'], kind='mergesort')
+        r = r.sort_values(['_ts'], kind='mergesort')
+        merged = pd.merge_asof(
+            l[lcols + ['_k', '_ts']], r[rkeep + ['_k', '_ts']],
+            on='_ts', by='_k', direction=direction,
+            allow_exact_matches=True, suffixes=('', '_r'))
+        if inner:
+            merged = merged.dropna(subset=[rkeep[0]])
+        return merged[lcols + rkeep]
+
+    return bucketed_map(tagged, ['_k'], merge)
+
+
+def range_join(left_ds, right_ds, key_left: str, key_right: str,
+               ts_left: str, ts_right: str,
+               right_cols: Sequence[str],
+               low_us: int, high_us: int):
+    """Interval join: all (left, right) pairs of the same key with
+    ``low_us ≤ ts_left − ts_right < high_us`` (timestamps in micros).
+    One co-partitioning exchange, then a per-bucket vectorized equi-merge +
+    interval mask."""
+    from .relational import bucketed_map
+    lcols = list(left_ds.schema().names)
+    rkeep = [c for c in right_cols]
+    tagged = _tagged_union(left_ds, right_ds, key_left, key_right,
+                           lcols, rkeep, ts_left, ts_right)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        l = bucket[bucket['_side'] == 'l']
+        r = bucket[bucket['_side'] == 'r']
+        if not len(l) or not len(r):
+            return pd.DataFrame()
+        merged = l[lcols + ['_k', '_ts']].merge(
+            r[rkeep + ['_k', '_ts']], on='_k', suffixes=('', '_r'))
+        delta = merged['_ts'] - merged['_ts_r']
+        mask = (delta >= low_us) & (delta < high_us)
+        return merged.loc[mask, lcols + rkeep]
+
+    return bucketed_map(tagged, ['_k'], merge)
+
+
+def sessionize(events_ds, key_col: str = 'user_id', ts_col: str = 'ts',
+               order_col: str = 'event_id', gap_us: int = 30 * 60 * 1_000_000):
+    """Gap-based sessionization: per key, rows ordered by (ts, order_col);
+    a gap > ``gap_us`` micros starts a new session. Returns one row per
+    session: (key, session_idx [1-based per key], n_events, start_ts,
+    end_ts) with timestamps restored to datetime64[us]."""
+    from .relational import bucketed_map
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key_col: batch[key_col],
+            '_ts': _ts_to_int(batch[ts_col]),
+            order_col: batch[order_col],
+        })
+
+    prepped = events_ds.map_batches(prep, batch_format='pandas',
+                                    batch_size=AGG_BATCH_SIZE)
+
+    def sess(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values([key_col, '_ts', order_col], kind='mergesort')
+        new_key = b[key_col].ne(b[key_col].shift())
+        gap = b['_ts'] - b['_ts'].shift()
+        new_sess = (new_key | (gap > gap_us)).to_numpy()
+        sess_global = np.cumsum(new_sess)
+        b = b.assign(_sg=sess_global)
+        g = b.groupby([key_col, '_sg'], sort=False)
+        out = g.agg(n_events=('_ts', 'size'), start_ts=('_ts', 'min'),
+                    end_ts=('_ts', 'max')).reset_index()
+        out['session_idx'] = out.groupby(key_col, sort=False).cumcount() + 1
+        out['start_ts'] = out['start_ts'].astype('datetime64[us]')
+        out['end_ts'] = out['end_ts'].astype('datetime64[us]')
+        return out[[key_col, 'session_idx', 'n_events', 'start_ts', 'end_ts']]
+
+    return bucketed_map(prepped, [key_col], sess)
+
+
+def rolling_window(events_ds, key_col: str = 'user_id', ts_col: str = 'ts',
+                   order_col: str = 'event_id', value_col: str = 'value',
+                   window_rows: int = 4, cents: bool = True):
+    """Per-key rolling-window aggregate over (ts, order_col) order:
+    sum + count of the current row and the ``window_rows − 1`` preceding
+    rows (the SQL ``ROWS BETWEEN n PRECEDING AND CURRENT ROW`` frame).
+    With ``cents`` the value is floored to integer cents first, so the
+    rolling sums are exact integers (no float summation-order ambiguity
+    between engines)."""
+    from .relational import bucketed_map
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].astype('float64')
+        vals = np.floor(v.to_numpy() * 100).astype('int64') if cents \
+            else v.to_numpy()
+        return pd.DataFrame({
+            key_col: batch[key_col],
+            '_ts': _ts_to_int(batch[ts_col]),
+            order_col: batch[order_col],
+            '_v': vals,
+        })
+
+    prepped = events_ds.map_batches(prep, batch_format='pandas',
+                                    batch_size=AGG_BATCH_SIZE)
+
+    def roll(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values([key_col, '_ts', order_col], kind='mergesort')
+        g = b.groupby(key_col, sort=False)['_v']
+        rsum = g.rolling(window_rows, min_periods=1).sum() \
+            .reset_index(drop=True).astype('int64')
+        rcnt = g.rolling(window_rows, min_periods=1).count() \
+            .reset_index(drop=True).astype('int64')
+        out = b.reset_index(drop=True)
+        out['roll_sum'] = rsum
+        out['roll_n'] = rcnt
+        return out[[key_col, order_col, 'roll_sum', 'roll_n']]
+
+    return bucketed_map(prepped, [key_col], roll)

@@ -1,0 +1,125 @@
+"""Temporal operators: as-of join, range join, sessionization, rolling
+windows (stages/temporal.py) and the IVF ANN variant (similarity.ivf_topk).
+
+The SQL-oracle gate covers these end-to-end on the driver tables
+(asof_latest_order, event_pairs_window, user_sessions, rolling_user_value,
+ivf_topk); here the semantics are pinned on small crafted inputs where the
+expected output is hand-checkable."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from caligraph_ray.stages.relational import collect_pandas
+from caligraph_ray.stages.temporal import (asof_join, range_join, rolling_window,
+                                           sessionize)
+
+US = 1_000_000
+
+
+def _events(rows):
+    df = pd.DataFrame(rows, columns=['event_id', 'ts', 'user_id', 'value'])
+    df['ts'] = pd.to_datetime(df['ts'], unit='s').astype('datetime64[us]')
+    return rd.from_pandas(df)
+
+
+def test_asof_join_backward_exact_and_miss():
+    left = _events([(1, 100, 7, 0.0), (2, 200, 7, 0.0), (3, 50, 8, 0.0)])
+    right = pd.DataFrame({'okey': [10, 11, 12],
+                          'cust': [7, 7, 9],
+                          'odate': pd.to_datetime([100, 150, 40], unit='s')
+                          .astype('datetime64[us]')})
+    out = collect_pandas(asof_join(
+        left, rd.from_pandas(right), 'user_id', 'cust', 'ts', 'odate',
+        right_cols=['okey'], inner=True))
+    got = {int(r.event_id): int(r.okey) for r in out.itertuples()}
+    # event 1 at t=100 matches order 10 (exact match allowed);
+    # event 2 at t=200 matches the later order 11 (t=150);
+    # event 3 (user 8) has no order → dropped by inner
+    assert got == {1: 10, 2: 11}
+
+
+def test_asof_join_left_keeps_misses():
+    left = _events([(1, 100, 7, 0.0), (3, 50, 8, 0.0)])
+    right = pd.DataFrame({'okey': [10], 'cust': [7],
+                          'odate': pd.to_datetime([90], unit='s')
+                          .astype('datetime64[us]')})
+    out = collect_pandas(asof_join(
+        left, rd.from_pandas(right), 'user_id', 'cust', 'ts', 'odate',
+        right_cols=['okey'], inner=False))
+    assert len(out) == 2
+    by_ev = {int(r['event_id']): r['okey'] for _, r in out.iterrows()}
+    assert int(by_ev[1]) == 10
+    assert pd.isna(by_ev[3])
+
+
+def test_range_join_window_boundaries():
+    # pairs with 1us <= delta < 100s
+    left = _events([(1, 1000, 7, 0.0), (2, 1099, 7, 0.0), (3, 1100, 7, 0.0)])
+    right = _events([(9, 1000, 7, 0.0)])
+    out = collect_pandas(range_join(
+        left, right.map_batches(
+            lambda b: b.rename(columns={'event_id': 'prior'}),
+            batch_format='pandas'),
+        'user_id', 'user_id', 'ts', 'ts',
+        right_cols=['prior'], low_us=1, high_us=100 * US))
+    # event 1: delta 0 → excluded (strictly after); event 2: 99s → in;
+    # event 3: 100s → excluded (half-open)
+    assert sorted(out['event_id'].astype(int)) == [2]
+
+
+def test_sessionize_gap_splits():
+    # user 7: events at 0s, 10s, 100s with gap threshold 60s → 2 sessions
+    ev = _events([(1, 0, 7, 0.0), (2, 10, 7, 0.0), (3, 100, 7, 0.0),
+                  (4, 5, 8, 0.0)])
+    out = collect_pandas(sessionize(ev, gap_us=60 * US)) \
+        .sort_values(['user_id', 'session_idx']).reset_index(drop=True)
+    u7 = out[out['user_id'] == 7]
+    assert list(u7['n_events'].astype(int)) == [2, 1]
+    assert list(u7['session_idx'].astype(int)) == [1, 2]
+    assert len(out[out['user_id'] == 8]) == 1
+
+
+def test_rolling_window_frame():
+    ev = _events([(i, i, 7, float(i)) for i in range(1, 7)])
+    out = collect_pandas(rolling_window(ev, window_rows=3, cents=True)) \
+        .sort_values('event_id').reset_index(drop=True)
+    # floor(value*100): 100, 200, ... → rolling 3-row sums
+    assert list(out['roll_sum'].astype(int)) == [100, 300, 600, 900, 1200, 1500]
+    assert list(out['roll_n'].astype(int)) == [1, 2, 3, 3, 3, 3]
+
+
+def test_ivf_full_probe_equals_brute_force():
+    from caligraph_ray.stages.similarity import brute_force_topk, ivf_topk
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(80, 16))
+    emb = rd.from_pandas(pd.DataFrame({
+        'vec_id': np.arange(80, dtype=np.int64),
+        'embedding': [list(map(float, v)) for v in mat]}))
+    q = mat[:2]
+    # probing EVERY centroid makes IVF exhaustive → identical to brute force
+    ivf = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8, round_decimals=6)
+    bf = brute_force_topk(emb, q, k=5, round_decimals=6)
+    pd.testing.assert_frame_equal(ivf.reset_index(drop=True),
+                                  bf.reset_index(drop=True))
+
+
+def test_ivf_partial_probe_recall():
+    from caligraph_ray.stages.similarity import brute_force_topk, ivf_topk
+    rng = np.random.default_rng(6)
+    mat = rng.normal(size=(200, 16))
+    emb = rd.from_pandas(pd.DataFrame({
+        'vec_id': np.arange(200, dtype=np.int64),
+        'embedding': [list(map(float, v)) for v in mat]}))
+    q = mat[:3]
+    ivf = ivf_topk(emb, q, k=5, n_centroids=16, nprobe=6)
+    bf = brute_force_topk(emb, q, k=5)
+    hits = 0
+    for qi in range(3):
+        got = set(ivf[ivf['query_idx'] == qi]['vec_id'])
+        want = set(bf[bf['query_idx'] == qi]['vec_id'])
+        hits += len(got & want)
+    # each query's own vector (cosine 1.0) always lands in a probed list,
+    # and random gaussians at nprobe=6/16 keep most of the top-5
+    assert hits >= 8
