@@ -72,6 +72,7 @@ def run_benchmarks() -> dict:
     timed('user_sessions', lambda: Q.q_user_sessions(SF_DIR))
     timed('rolling_user_value', lambda: Q.q_rolling_user_value(SF_DIR))
     timed('ivf_topk', lambda: Q.q_ivf_topk(SF_DIR))
+    timed('value_quantiles_by_type', lambda: Q.q_value_quantiles_by_type(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -1299,10 +1299,70 @@ QUALIFY row_number() OVER (PARTITION BY p.query_idx
 
 
 
+# --- exact quantiles + deterministic hash split -----------------------------
+
+def q_value_quantiles_by_type(sf_dir: str):
+    """EXACT distributed quantiles (p50/p90/p99) of event value per type via
+    a (group, cents) histogram — the shuffle is bounded by the distinct
+    value dim, never the row count; floor-to-cents makes the domain
+    discrete so both engines agree bit-for-bit."""
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'value'])
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'event_type': batch['event_type'],
+            'cents': np.floor(batch['value'].to_numpy() * 100).astype('int64'),
+        })
+
+    cents = ev.map_batches(to_cents, batch_format='pandas')
+    out = rel.collect_pandas(rel.grouped_quantiles_exact(
+        cents, ['event_type'], 'cents', qs=(0.5, 0.9, 0.99)))
+    out = out.astype({'q50': 'int64', 'q90': 'int64', 'q99': 'int64'})
+    return out.sort_values('event_type').reset_index(drop=True)
+
+
+SQL_QUANTILES = """
+SELECT event_type,
+       quantile_disc(c, 0.5) AS q50,
+       quantile_disc(c, 0.9) AS q90,
+       quantile_disc(c, 0.99) AS q99
+FROM (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c FROM events)
+GROUP BY event_type
+"""
+
+
+def q_hash_split_counts(sf_dir: str):
+    """Deterministic train/val/test-style hash split (O5 at scale: no
+    shuffle, no seed state — split is a pure function of the id, identical
+    on any engine): md5-based split index % 10 with per-split counts."""
+    from ..functions.hashing import md5_hash64
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id'])
+
+    def split(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'split': [md5_hash64(str(int(d))) % 10 for d in batch['doc_id']]})
+
+    out = rel.collect_pandas(rel.two_phase_count(
+        docs.map_batches(split, batch_format='pandas'), ['split'],
+        alias='n_docs'))
+    out = out.astype({'split': 'int64', 'n_docs': 'int64'})
+    return out.sort_values('split').reset_index(drop=True)
+
+
+SQL_HASH_SPLIT = """
+SELECT CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 10 AS BIGINT) AS split,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[str], object]] = {
     'asof_latest_order': q_asof_latest_order,
+    'value_quantiles_by_type': q_value_quantiles_by_type,
+    'hash_split_counts': q_hash_split_counts,
     'event_pairs_window': q_event_pairs_window,
     'user_sessions': q_user_sessions,
     'rolling_user_value': q_rolling_user_value,
@@ -1353,6 +1413,8 @@ QUERIES: Dict[str, Callable[[str], object]] = {
 
 ORACLES: Dict[str, str] = {
     'asof_latest_order': SQL_ASOF,
+    'value_quantiles_by_type': SQL_QUANTILES,
+    'hash_split_counts': SQL_HASH_SPLIT,
     'event_pairs_window': SQL_EVENT_PAIRS,
     'user_sessions': SQL_SESSIONS,
     'rolling_user_value': SQL_ROLLING,

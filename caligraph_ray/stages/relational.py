@@ -394,3 +394,36 @@ def functional_keys(ds, key_col: str, subject_col: str, threshold: float = 0.95)
         return out.drop(columns=['_ones'])
 
     return bucketed_map(per_subj, [key_col], ratio)
+
+
+def grouped_quantiles_exact(ds, group_cols: Sequence[str], value_col: str,
+                            qs: Sequence[float] = (0.5, 0.9, 0.99),
+                            alias_prefix: str = 'q'):
+    """EXACT distributed quantiles over a discrete value domain: a two-phase
+    (group, value) histogram count bounds the shuffle by the distinct-value
+    dim (not the row count), then one exchange computes each group's
+    discrete quantiles from its full histogram via cumsum. ``quantile_disc``
+    semantics: the smallest value whose cumulative count reaches
+    ``ceil(q·n)``. Quantize continuous values upstream (e.g. floor to
+    cents) — that is what keeps the histogram, and therefore the shuffle,
+    bounded at any row count."""
+    group_cols = list(group_cols)
+
+    def quants(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for key, g in bucket.groupby(group_cols, sort=False):
+            g = g.sort_values(value_col, kind='mergesort')
+            cum = g['cnt'].cumsum().to_numpy()
+            n = int(cum[-1])
+            vals = g[value_col].to_numpy()
+            row = {c: v for c, v in zip(group_cols,
+                                        key if isinstance(key, tuple) else (key,))}
+            for q in qs:
+                target = max(1, int(np.ceil(q * n)))
+                row[f'{alias_prefix}{int(round(q * 100))}'] = vals[
+                    int(np.searchsorted(cum, target))]
+            outs.append(row)
+        return pd.DataFrame(outs)
+
+    hist = two_phase_count(ds, group_cols + [value_col], alias='cnt')
+    return bucketed_map(hist, group_cols, quants)

@@ -123,3 +123,27 @@ def test_ivf_partial_probe_recall():
     # each query's own vector (cosine 1.0) always lands in a probed list,
     # and random gaussians at nprobe=6/16 keep most of the top-5
     assert hits >= 8
+
+
+def test_grouped_quantiles_exact_semantics():
+    from caligraph_ray.stages.relational import grouped_quantiles_exact
+    # group 'a': values 1..10 → p50 = 5 (ceil(0.5*10)=5th), p90 = 9, p99 = 10
+    df = pd.DataFrame({'g': ['a'] * 10 + ['b'] * 3,
+                       'v': list(range(1, 11)) + [7, 7, 9]})
+    ds = rd.from_pandas(df)
+    out = collect_pandas(grouped_quantiles_exact(ds, ['g'], 'v')) \
+        .sort_values('g').reset_index(drop=True)
+    a = out[out['g'] == 'a'].iloc[0]
+    assert (int(a['q50']), int(a['q90']), int(a['q99'])) == (5, 9, 10)
+    b = out[out['g'] == 'b'].iloc[0]
+    # group 'b': sorted [7,7,9]; ceil(.5*3)=2 → 7; ceil(.9*3)=3 → 9
+    assert (int(b['q50']), int(b['q90']), int(b['q99'])) == (7, 9, 9)
+
+
+def test_hash_split_deterministic_and_total():
+    from caligraph_ray.functions.hashing import md5_hash64
+    # pure function of the id: same id → same split on any engine/run
+    s1 = [md5_hash64(str(i)) % 10 for i in range(100)]
+    s2 = [md5_hash64(str(i)) % 10 for i in range(100)]
+    assert s1 == s2
+    assert set(s1) <= set(range(10))
