@@ -1357,12 +1357,75 @@ FROM documents GROUP BY 1
 
 
 
+# --- corpus-LM scoring + contamination check --------------------------------
+
+def q_unigram_logprob_scores(sf_dir: str):
+    """Unigram-LM document scores (integer micro-nats, so the sums are
+    exact): corpus token counts → broadcast logprob table → stateless
+    scoring map."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    out = rel.collect_pandas(ts.unigram_logprob_scores(docs))
+    out = out.astype({'doc_id': 'int64', 'logprob_micro': 'int64',
+                      'n_tokens': 'int64'})
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
+SQL_UNIGRAM_LP = """
+WITH toks AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+    FROM documents),
+cnt AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS n FROM cnt),
+lp AS (SELECT tok,
+        CAST(round(ln(CAST(freq AS DOUBLE) / (SELECT n FROM tot)) * 1000000)
+             AS BIGINT) AS lp
+    FROM cnt)
+SELECT t.doc_id, SUM(lp.lp) AS logprob_micro, COUNT(*) AS n_tokens
+FROM toks t JOIN lp ON t.tok = lp.tok GROUP BY t.doc_id
+"""
+
+
+def q_split_contamination(sf_dir: str):
+    """Train/test contamination: held-out (md5 split 0) documents sharing
+    ≥1 distinct 5-gram shingle with any training-split document, with the
+    shared-shingle count. One shingle-keyed exchange — the scale shape of
+    decontamination sweeps."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    out = rel.collect_pandas(ts.split_contamination(docs))
+    if out.empty:
+        return pd.DataFrame({'doc_id': pd.Series(dtype='int64'),
+                             'shared_shingles': pd.Series(dtype='int64')})
+    out = out.astype({'doc_id': 'int64', 'shared_shingles': 'int64'})
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
+SQL_CONTAMINATION = """
+WITH base AS (SELECT doc_id,
+        CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 10 AS BIGINT) AS split,
+        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents),
+sh AS (SELECT doc_id, split,
+    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(range(len(toks) - 4),
+              i -> array_to_string(toks[i+1:i+5], ' '))) END AS shingles
+    FROM base),
+hv AS (SELECT DISTINCT doc_id, split, md5_number_upper(unnest(shingles)) AS h
+       FROM sh),
+tr AS (SELECT DISTINCT h FROM hv WHERE split <> 0)
+SELECT v.doc_id, count(DISTINCT v.h) AS shared_shingles
+FROM hv v JOIN tr ON v.h = tr.h WHERE v.split = 0 GROUP BY v.doc_id
+"""
+
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[str], object]] = {
     'asof_latest_order': q_asof_latest_order,
     'value_quantiles_by_type': q_value_quantiles_by_type,
     'hash_split_counts': q_hash_split_counts,
+    'unigram_logprob_scores': q_unigram_logprob_scores,
+    'split_contamination': q_split_contamination,
     'event_pairs_window': q_event_pairs_window,
     'user_sessions': q_user_sessions,
     'rolling_user_value': q_rolling_user_value,
@@ -1415,6 +1478,8 @@ ORACLES: Dict[str, str] = {
     'asof_latest_order': SQL_ASOF,
     'value_quantiles_by_type': SQL_QUANTILES,
     'hash_split_counts': SQL_HASH_SPLIT,
+    'unigram_logprob_scores': SQL_UNIGRAM_LP,
+    'split_contamination': SQL_CONTAMINATION,
     'event_pairs_window': SQL_EVENT_PAIRS,
     'user_sessions': SQL_SESSIONS,
     'rolling_user_value': SQL_ROLLING,

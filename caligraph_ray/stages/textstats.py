@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections import Counter
 from typing import List, Optional
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -137,3 +138,95 @@ def bpe_token_counts(docs_ds, id_col: str = 'doc_id', text_col: str = 'text'):
 
     return docs_ds.map_batches(count, batch_format='pandas',
                                batch_size=AGG_BATCH_SIZE)
+
+
+def unigram_logprob_scores(docs_ds, id_col: str = 'doc_id',
+                           text_col: str = 'text'):
+    """Corpus-statistics quality scoring: per-document sum of unigram log
+    probabilities (the KenLM-style fluency/rarity signal of training-data
+    filters), computed distributed in two passes:
+
+    1. corpus token counts (two-phase; vocab-dim shuffle),
+    2. one broadcast of the token → logprob table, then a stateless scoring
+       map over the documents.
+
+    Per-token logprobs are quantized to integer micro-nats
+    (round(ln(freq/N)·1e6)) BEFORE summation, so document scores are exact
+    integer sums — float summation order can never flip a comparison, and a
+    SQL engine replays them bit-for-bit."""
+    import math
+
+    import ray
+
+    from ..state.broadcast import get_broadcast
+    from .relational import collect_pandas
+
+    counts = collect_pandas(token_counts(docs_ds, text_col=text_col))
+    n_total = float(counts['freq'].sum())
+    lp = {t: int(round(math.log(float(f) / n_total) * 1_000_000))
+          for t, f in zip(counts['token'], counts['freq'])}
+    ref = ray.put(lp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lp_ = get_broadcast(ref)
+        ids, sums, ns = [], [], []
+        for i, text in zip(batch.column(id_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            toks = _split_tokens(text)
+            ids.append(i)
+            sums.append(sum(lp_.get(t, 0) for t in toks))
+            ns.append(len(toks))
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids, pa.int64()),
+            'logprob_micro': pa.array(sums, pa.int64()),
+            'n_tokens': pa.array(ns, pa.int64()),
+        })
+
+    return docs_ds.map_batches(score, batch_format='pyarrow',
+                               batch_size=AGG_BATCH_SIZE)
+
+
+def split_contamination(docs_ds, id_col: str = 'doc_id',
+                        text_col: str = 'text', shingle_size: int = 5,
+                        test_split: int = 0, n_splits: int = 10):
+    """Train/test contamination check: for every document of the held-out
+    hash split, the number of distinct ``shingle_size``-gram shingles it
+    shares with ANY training-split document. The split is the pure-md5 hash
+    split (engine-independent); shingle hashes are md5-based so a SQL
+    engine replays the whole check. One shingle-keyed exchange; the shingle
+    dim is bounded by distinct n-grams, not document pairs."""
+    import pandas as pd
+
+    from ..functions.hashing import MinHasher, md5_hash64
+    from .relational import bucketed_map, two_phase_count
+
+    mh = MinHasher(shingle_size=shingle_size, shingle_hash=md5_hash64)
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        ids, splits, hs = [], [], []
+        for i, text in zip(batch.column(id_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            split = md5_hash64(str(int(i))) % n_splits
+            for h in mh.shingles(_split_tokens(text)):
+                ids.append(i)
+                splits.append(split)
+                hs.append(np.int64(np.uint64(h) - (1 << 63)))
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids, pa.int64()),
+            'split': pa.array(splits, pa.int64()),
+            'h': pa.array(hs, pa.int64()),
+        })
+
+    sh = docs_ds.map_batches(shingles, batch_format='pyarrow',
+                             batch_size=AGG_BATCH_SIZE)
+
+    def contaminated(bucket: pd.DataFrame) -> pd.DataFrame:
+        train_hs = set(bucket.loc[bucket['split'] != test_split, 'h'])
+        if not train_hs:
+            return pd.DataFrame()
+        hit = bucket[(bucket['split'] == test_split)
+                     & bucket['h'].isin(train_hs)]
+        return hit[[id_col, 'h']].drop_duplicates()
+
+    hits = bucketed_map(sh, ['h'], contaminated)
+    return two_phase_count(hits, [id_col], alias='shared_shingles')

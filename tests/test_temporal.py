@@ -147,3 +147,35 @@ def test_hash_split_deterministic_and_total():
     s2 = [md5_hash64(str(i)) % 10 for i in range(100)]
     assert s1 == s2
     assert set(s1) <= set(range(10))
+
+
+def test_unigram_logprob_scores_exact():
+    from caligraph_ray.stages.textstats import unigram_logprob_scores
+    import math
+    docs = rd.from_pandas(pd.DataFrame({
+        'doc_id': [1, 2], 'text': ['a a b', 'b c']}))
+    out = collect_pandas(unigram_logprob_scores(docs)) \
+        .sort_values('doc_id').reset_index(drop=True)
+    # corpus: a:2 b:2 c:1, N=5
+    lp = {t: int(round(math.log(f / 5) * 1_000_000))
+          for t, f in {'a': 2, 'b': 2, 'c': 1}.items()}
+    assert int(out.loc[0, 'logprob_micro']) == 2 * lp['a'] + lp['b']
+    assert int(out.loc[1, 'logprob_micro']) == lp['b'] + lp['c']
+    assert list(out['n_tokens'].astype(int)) == [3, 2]
+
+
+def test_split_contamination_detects_copies():
+    from caligraph_ray.functions.hashing import md5_hash64
+    from caligraph_ray.stages.textstats import split_contamination
+    # find a test-split id (md5 % 10 == 0) and a train-split id
+    test_id = next(i for i in range(1000) if md5_hash64(str(i)) % 10 == 0)
+    train_id = next(i for i in range(1000) if md5_hash64(str(i)) % 10 != 0)
+    clean_id = next(i for i in range(1000)
+                    if md5_hash64(str(i)) % 10 == 0 and i != test_id)
+    shared = 'one two three four five six'          # 2 distinct 5-grams
+    docs = rd.from_pandas(pd.DataFrame({
+        'doc_id': [test_id, train_id, clean_id],
+        'text': [shared, shared + ' seven', 'totally different words here now']}))
+    out = collect_pandas(split_contamination(docs))
+    assert list(out['doc_id'].astype(int)) == [test_id]
+    assert int(out['shared_shingles'].iloc[0]) == 2
