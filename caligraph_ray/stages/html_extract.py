@@ -52,6 +52,45 @@ _TABLE_RE = re.compile(r'<table\b[^>]*>(.*?)</table>', re.S | re.I)
 _TR_RE = re.compile(r'<tr>(.*?)</tr>', re.S)
 _CELL_RE = re.compile(r'<(t[dh])>(.*?)</t[dh]>', re.S)
 _CATDIV_RE = re.compile(r'<div id="catlinks">(.*?)</div>', re.S)
+_COLUMNS_DIV_RE = re.compile(
+    r'<div class="columns-list">(.*?)</div>', re.S | re.I)
+_LIST_TAG_RE = re.compile(r'</?(?:ul|ol)\b[^>]*>', re.I)
+
+
+def _convert_columns_lists(s: str) -> str:
+    """M3 analogue (reference page_parser.py:261-271 `columns-list`
+    template expansion): a multi-column list container renders one LOGICAL
+    list split across several <ul> blocks; splice them back into a single
+    enum so the ≥3-entries validity rule sees the whole list, exactly as
+    the reference splices the template's list argument into the page.
+    Nested depth inside a columns container is flattened (the template's
+    argument is a flat list)."""
+    def merge(m: "re.Match[str]") -> str:
+        return '<ul>' + _LIST_TAG_RE.sub('', m.group(1)) + '</ul>'
+    return _COLUMNS_DIV_RE.sub(merge, s)
+
+
+def _remove_enums_within_tables(frag: str) -> str:
+    """M3 analogue (reference page_parser.py:275-285): enumeration markup
+    inside a table is layout, not a listing — drop it so neither the
+    standalone-enum scan nor the cell text sees it."""
+    def strip_lists(m: "re.Match[str]") -> str:
+        inner = m.group(0)
+        out = []
+        depth = 0
+        pos = 0
+        for lm in re.finditer(r'<(/?)(ul|ol)\b[^>]*>', inner, re.I):
+            if lm.group(1) != '/':
+                if depth == 0:
+                    out.append(inner[pos:lm.start()])
+                depth += 1
+            else:
+                depth -= 1
+                if depth == 0:
+                    pos = lm.end()
+        out.append(inner[pos:])
+        return ''.join(out)
+    return _TABLE_RE.sub(strip_lists, frag)
 
 
 def _pre_clean(s: str) -> str:
@@ -277,6 +316,8 @@ def parse_page(url: str, html: bytes) -> Optional[ParsedPage]:
             if m.group(1).startswith('Category:'):
                 categories.append(m.group(1)[len('Category:'):].replace('_', ' '))
     body = _CATDIV_RE.sub('', s)
+    # M3: multi-column list containers splice into one logical enum
+    body = _convert_columns_lists(body)
 
     label_index = _build_label_index(_anchors(body), title)
 
@@ -301,6 +342,9 @@ def parse_page(url: str, html: bytes) -> Optional[ParsedPage]:
     for top, sec, frag in sections:
         if top.lower() in META_SECTIONS:
             continue  # drop listings under meta top-sections (page_parser.py:344)
+        # M3: enumeration markup inside tables is layout — remove it before
+        # BOTH the standalone-enum scan and the table-cell text parse
+        frag = _remove_enums_within_tables(frag)
         for block in _top_level_list_blocks(frag):
             raw_items = _parse_enum_block(block)
             items: List[Item] = []

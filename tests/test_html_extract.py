@@ -130,3 +130,38 @@ def test_parse_drops_are_first_class_rows(ray_session):
                for r in items_view(parsed).take_all())
     assert all(r['url'] != 'https://ex.org/wiki/Bad'
                for r in cats_view(parsed).take_all())
+
+
+def test_columns_list_merges_into_one_enum():
+    # three 2-item columns: individually below the >=3 filter, together one
+    # logical 6-item enum (reference _convert_special_enums semantics)
+    cols = ''.join(f'<ul><li>item {i}a</li><li>item {i}b</li></ul>'
+                   for i in range(3))
+    html = ('<html><head><title>Cols</title></head><body><h1>Cols</h1>'
+            f'<h2>Content</h2><div class="columns-list">{cols}</div>'
+            '</body></html>').encode()
+    page = parse_page('https://ex.org/wiki/Cols', html)
+    assert page is not None
+    enums = [l for l in page.listings if l.ltype == 'enum']
+    assert len(enums) == 1
+    assert len(enums[0].items) == 6
+    assert enums[0].items[0].text == 'item 0a'
+    assert enums[0].items[5].text == 'item 2b'
+
+
+def test_enum_inside_table_is_not_a_listing():
+    # a <ul> inside a table cell is layout: it must neither count as a
+    # standalone enum nor leak into the cell text (reference
+    # _remove_enums_within_tables)
+    rows = ''.join(
+        f'<tr><td>name {i}<ul><li>x</li><li>y</li><li>z</li></ul></td>'
+        f'<td>val {i}</td></tr>' for i in range(4))
+    html = ('<html><head><title>Tbl</title></head><body><h1>Tbl</h1>'
+            '<h2>Content</h2><table><tr><th>Name</th><th>Value</th></tr>'
+            f'{rows}</table></body></html>').encode()
+    page = parse_page('https://ex.org/wiki/Tbl', html)
+    assert page is not None
+    assert [l.ltype for l in page.listings] == ['table']
+    table = page.listings[0]
+    assert table.items[0].text.startswith('name 0')
+    assert 'x' not in table.items[0].text.split()
