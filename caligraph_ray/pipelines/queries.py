@@ -1418,6 +1418,63 @@ FROM hv v JOIN tr ON v.h = tr.h WHERE v.split = 0 GROUP BY v.doc_id
 
 
 
+# --- multimodal binary-payload pipeline (oracle-gated) ----------------------
+
+def q_multimodal_image_stats(sf_dir: str):
+    """End-to-end binary-column pipeline through the REAL multimodal
+    kernels: a deterministic 8×8 RGB image per document is PPM-encoded
+    (binary payload column), resized 8×8 → 4×4 by the nearest-neighbour
+    actor-pool stage, re-decoded, and reduced to exact integer pixel sums.
+    Because every pixel is a closed-form function of doc_id, the oracle
+    replays encode → resize → decode → aggregate arithmetically in SQL —
+    gating the actual bytes that travelled the object store."""
+    from ..stages.multimodal import decode_ppm, encode_ppm, resize_images
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id'])
+
+    def synth(batch: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for d in batch['doc_id']:
+            d = int(d)
+            y, x, c = np.meshgrid(np.arange(8), np.arange(8), np.arange(3),
+                                  indexing='ij')
+            img = ((d * 31 + x * 7 + y * 13 + c * 17) % 256).astype(np.uint8)
+            payloads.append(encode_ppm(img))
+        return pd.DataFrame({'media_id': batch['doc_id'],
+                             'url': [f'img://{int(d)}' for d in batch['doc_id']],
+                             'payload': payloads})
+
+    media = docs.map_batches(synth, batch_format='pandas')
+    resized = resize_images(media, out_w=4, out_h=4)
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        sums = [int(decode_ppm(p).astype(np.int64).sum())
+                for p in batch['payload']]
+        return pd.DataFrame({'doc_id': batch['media_id'],
+                             'orig_width': batch['orig_width'],
+                             'orig_height': batch['orig_height'],
+                             'pixel_sum': sums})
+
+    out = rel.collect_pandas(resized.map_batches(stats, batch_format='pandas'))
+    out = out.astype({'doc_id': 'int64', 'orig_width': 'int64',
+                      'orig_height': 'int64', 'pixel_sum': 'int64'})
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
+SQL_MM_IMAGE = """
+WITH px AS (
+  SELECT d.doc_id, x.x, y.y, c.c,
+         (d.doc_id * 31 + (2 * x.x) * 7 + (2 * y.y) * 13 + c.c * 17) % 256 AS v
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(range(4)) AS x) x
+  CROSS JOIN (SELECT unnest(range(4)) AS y) y
+  CROSS JOIN (SELECT unnest(range(3)) AS c) c)
+SELECT doc_id, 8 AS orig_width, 8 AS orig_height,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id
+"""
+
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[str], object]] = {
@@ -1426,6 +1483,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'hash_split_counts': q_hash_split_counts,
     'unigram_logprob_scores': q_unigram_logprob_scores,
     'split_contamination': q_split_contamination,
+    'multimodal_image_stats': q_multimodal_image_stats,
     'event_pairs_window': q_event_pairs_window,
     'user_sessions': q_user_sessions,
     'rolling_user_value': q_rolling_user_value,
@@ -1480,6 +1538,7 @@ ORACLES: Dict[str, str] = {
     'hash_split_counts': SQL_HASH_SPLIT,
     'unigram_logprob_scores': SQL_UNIGRAM_LP,
     'split_contamination': SQL_CONTAMINATION,
+    'multimodal_image_stats': SQL_MM_IMAGE,
     'event_pairs_window': SQL_EVENT_PAIRS,
     'user_sessions': SQL_SESSIONS,
     'rolling_user_value': SQL_ROLLING,
