@@ -50,8 +50,9 @@ class HyperLogLog:
                 break
         np.maximum.at(self.registers, idx, ranks)
 
-    def add(self, values: Iterable[str]):
-        hs = np.fromiter((stable_hash64(v) for v in values), dtype=np.uint64)
+    def add(self, values: Iterable[str], hash_fn=None):
+        fn = hash_fn or stable_hash64
+        hs = np.fromiter((fn(v) for v in values), dtype=np.uint64)
         if len(hs):
             self.add_hashes(hs)
 
@@ -80,19 +81,38 @@ class HyperLogLog:
         return out
 
 
-def approx_distinct(ds, column: str, p: int = 12) -> float:
-    """Distributed approximate distinct count: one HLL sketch per batch
-    (map_batches), merged on the driver (sketches are tiny and mergeable —
-    the shuffle-free alternative to ds.unique at head cardinalities)."""
+def _merged_sketch(ds, column: str, p: int = 12, hash_fn=None) -> 'HyperLogLog':
+    """One HLL sketch per batch (map_batches), merged on the driver —
+    sketches are tiny and mergeable, the shuffle-free alternative to
+    ds.unique at head cardinalities."""
     import pandas as pd
 
     def sketch(batch: pd.DataFrame) -> pd.DataFrame:
         h = HyperLogLog(p)
-        h.add(str(v) for v in batch[column])
+        h.add((str(v) for v in batch[column]), hash_fn=hash_fn)
         return pd.DataFrame({'sketch': [h.to_bytes()]})
 
     parts = ds.select_columns([column]).map_batches(sketch, batch_format='pandas')
+    from ..stages.relational import collect_rows
     merged = HyperLogLog(p)
-    for r in parts.take_all():
+    for r in collect_rows(parts):
         merged = merged.merge(HyperLogLog.from_bytes(r['sketch'], p))
-    return merged.cardinality()
+    return merged
+
+
+def approx_distinct(ds, column: str, p: int = 12) -> float:
+    """Distributed approximate distinct count via per-batch HLL sketches."""
+    return _merged_sketch(ds, column, p).cardinality()
+
+
+def hll_registers(ds, column: str, p: int = 12, hash_fn=None):
+    """The merged HLL REGISTER STATE as a (bucket, rank) table (nonzero
+    buckets only). With an md5-based ``hash_fn`` the registers are
+    bit-identical to a SQL replay (md5_number_upper + splitmix remix in
+    mod-2^64 HUGEINT arithmetic) — gating the sketch's mergeable state
+    exactly even though the final cardinality estimate is a float."""
+    import pandas as pd
+    merged = _merged_sketch(ds, column, p, hash_fn=hash_fn)
+    nz = np.nonzero(merged.registers)[0]
+    return pd.DataFrame({'bucket': nz.astype(np.int64),
+                         'rank': merged.registers[nz].astype(np.int64)})

@@ -1475,6 +1475,38 @@ FROM px GROUP BY doc_id
 
 
 
+# --- HLL register-state gate ------------------------------------------------
+
+def q_hll_user_registers(sf_dir: str):
+    """The HLL sketch's merged REGISTER STATE over distinct event users
+    (md5-hashed, splitmix-remixed): per-batch sketches merged driver-side,
+    nonzero (bucket, max rank) rows out. The register table IS the
+    mergeable sketch, and with the md5 hash it replays bit-identically in
+    SQL — so the approximate-distinct machinery is exactness-gated even
+    though its final estimate is a float."""
+    from ..functions.hashing import md5_hash64
+    from ..functions.sketches import hll_registers
+    ev = rel.read_table(sf_dir, 'events', ['user_id'])
+    out = hll_registers(ev, 'user_id', p=12, hash_fn=md5_hash64)
+    return out.sort_values('bucket').reset_index(drop=True)
+
+
+SQL_HLL_REGISTERS = """
+WITH vals AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events),
+h0 AS (SELECT md5_number_upper(v) AS h FROM vals),
+h1 AS (SELECT (((((h) >> 32) * CAST(11400714819323198485 AS HUGEINT)) % 4294967296) * 4294967296 + ((h) % 4294967296) * CAST(11400714819323198485 AS HUGEINT)) % 18446744073709551616 AS h FROM h0),
+h2 AS (SELECT xor(h, h >> 31) AS h FROM h1),
+h3 AS (SELECT (((((h) >> 32) * CAST(13787848793156543929 AS HUGEINT)) % 4294967296) * 4294967296 + ((h) % 4294967296) * CAST(13787848793156543929 AS HUGEINT)) % 18446744073709551616 AS h FROM h2),
+h4 AS (SELECT xor(h, h >> 27) AS h FROM h3),
+fin AS (SELECT h >> 52 AS bucket,
+        ((h % 4503599627370496) * 4096 + 2048) AS rest FROM h4)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(max(65 - length(bin(CAST(rest AS UBIGINT)))) AS BIGINT) AS rank
+FROM fin GROUP BY bucket
+"""
+
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[str], object]] = {
@@ -1484,6 +1516,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'unigram_logprob_scores': q_unigram_logprob_scores,
     'split_contamination': q_split_contamination,
     'multimodal_image_stats': q_multimodal_image_stats,
+    'hll_user_registers': q_hll_user_registers,
     'event_pairs_window': q_event_pairs_window,
     'user_sessions': q_user_sessions,
     'rolling_user_value': q_rolling_user_value,
@@ -1539,6 +1572,7 @@ ORACLES: Dict[str, str] = {
     'unigram_logprob_scores': SQL_UNIGRAM_LP,
     'split_contamination': SQL_CONTAMINATION,
     'multimodal_image_stats': SQL_MM_IMAGE,
+    'hll_user_registers': SQL_HLL_REGISTERS,
     'event_pairs_window': SQL_EVENT_PAIRS,
     'user_sessions': SQL_SESSIONS,
     'rolling_user_value': SQL_ROLLING,

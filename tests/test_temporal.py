@@ -179,3 +179,20 @@ def test_split_contamination_detects_copies():
     out = collect_pandas(split_contamination(docs))
     assert list(out['doc_id'].astype(int)) == [test_id]
     assert int(out['shared_shingles'].iloc[0]) == 2
+
+
+def test_hll_registers_match_direct_sketch():
+    from caligraph_ray.functions.hashing import md5_hash64
+    from caligraph_ray.functions.sketches import HyperLogLog, hll_registers
+    vals = [f'user_{i}' for i in range(500)]
+    ds = rd.from_pandas(pd.DataFrame({'u': vals}))
+    regs = hll_registers(ds, 'u', p=12, hash_fn=md5_hash64)
+    # single-process reference sketch
+    ref = HyperLogLog(12)
+    ref.add(vals, hash_fn=md5_hash64)
+    nz = np.nonzero(ref.registers)[0]
+    assert list(regs['bucket']) == list(nz)
+    assert list(regs['rank']) == list(ref.registers[nz])
+    # register state is the sketch: estimate within the usual HLL error
+    est = ref.cardinality()
+    assert abs(est - 500) / 500 < 0.1
