@@ -83,9 +83,8 @@ def tag_probabilities(tagged_mentions_ds, types_ds,
     """P(tag | type) over tagged mentions (A8, context.py:148-161):
     per-entity tag counts join the entity→type table; probability =
     type's tag occurrences / type's total mention count."""
-    from .relational import collect_rows, shuffle_join, two_phase_count
-
-    from .relational import collect_rows, two_phase_sum
+    from .relational import (collect_rows, shuffle_join, two_phase_count,
+                             two_phase_sum)
     per_ent = two_phase_count(tagged_mentions_ds.select_columns([entity_col, tag_col]),
                               [entity_col, tag_col], 'n')
     joined = shuffle_join(per_ent, types_ds, entity_col, entity_col, how='inner')

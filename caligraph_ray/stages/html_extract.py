@@ -52,9 +52,10 @@ _TABLE_RE = re.compile(r'<table\b[^>]*>(.*?)</table>', re.S | re.I)
 _TR_RE = re.compile(r'<tr>(.*?)</tr>', re.S)
 _CELL_RE = re.compile(r'<(t[dh])>(.*?)</t[dh]>', re.S)
 _CATDIV_RE = re.compile(r'<div id="catlinks">(.*?)</div>', re.S)
-_COLUMNS_DIV_RE = re.compile(
-    r'<div class="columns-list">(.*?)</div>', re.S | re.I)
+_COLUMNS_OPEN_RE = re.compile(r'<div class="columns-list">', re.I)
+_DIV_TAG_RE = re.compile(r'<(/?)div\b[^>]*>', re.I)
 _LIST_TAG_RE = re.compile(r'</?(?:ul|ol)\b[^>]*>', re.I)
+_DIV_ANY_RE = re.compile(r'</?div\b[^>]*>', re.I)
 
 
 def _convert_columns_lists(s: str) -> str:
@@ -63,11 +64,30 @@ def _convert_columns_lists(s: str) -> str:
     list split across several <ul> blocks; splice them back into a single
     enum so the ≥3-entries validity rule sees the whole list, exactly as
     the reference splices the template's list argument into the page.
-    Nested depth inside a columns container is flattened (the template's
-    argument is a flat list)."""
-    def merge(m: "re.Match[str]") -> str:
-        return '<ul>' + _LIST_TAG_RE.sub('', m.group(1)) + '</ul>'
-    return _COLUMNS_DIV_RE.sub(merge, s)
+    Container spans are found by BALANCED div counting (columns are often
+    wrapped in their own inner <div>s); nested list depth inside the
+    container is flattened (the template's argument is a flat list)."""
+    out = []
+    pos = 0
+    while True:
+        m = _COLUMNS_OPEN_RE.search(s, pos)
+        if not m:
+            out.append(s[pos:])
+            break
+        out.append(s[pos:m.start()])
+        depth = 1
+        end = len(s)
+        for dm in _DIV_TAG_RE.finditer(s, m.end()):
+            depth += -1 if dm.group(1) == '/' else 1
+            if depth == 0:
+                end = dm.start()
+                pos = dm.end()
+                break
+        else:
+            pos = len(s)
+        inner = _DIV_ANY_RE.sub('', s[m.end():end])
+        out.append('<ul>' + _LIST_TAG_RE.sub('', inner) + '</ul>')
+    return ''.join(out)
 
 
 def _remove_enums_within_tables(frag: str) -> str:

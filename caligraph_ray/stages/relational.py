@@ -182,6 +182,8 @@ def _small_hash_exchange(mat_ds, bucket_fn, coarse: int):
                 d = _to_plain_pandas(b.filter(pa.array(mask)))
             else:
                 d = _to_plain_pandas(b)
+                if '_coarse' not in d.columns:
+                    continue   # schema-less empty block (e.g. empty result)
                 d = d[d['_coarse'].to_numpy() % n_parts == part_id]
             if len(d):
                 dfs.append(d)
@@ -201,7 +203,8 @@ def _small_hash_exchange(mat_ds, bucket_fn, coarse: int):
     return rd.from_pandas_refs(refs)
 
 
-def bucketed_map(ds, keys: Sequence[str], bucket_fn, coarse: Optional[int] = None):
+def bucketed_map(ds, keys: Sequence[str], bucket_fn, coarse: Optional[int] = None,
+                 arrow_blocks: bool = True):
     """Shuffle rows once on hash(keys)%coarse and apply ``bucket_fn`` to each
     coarse bucket (a DataFrame containing complete groups). The bucket fn
     should use *vectorized* pandas groupby ops — this is the fast path for
@@ -212,14 +215,23 @@ def bucketed_map(ds, keys: Sequence[str], bucket_fn, coarse: Optional[int] = Non
     barrier) take a broadcast exchange (parallel reducers over the block
     refs, arrow-side key filtering) instead of the sort-based all-to-all,
     whose fixed setup cost dominates sub-second workloads; large inputs use
-    the real shuffle."""
+    the real shuffle.
+
+    ``arrow_blocks=False`` keeps the exchange blocks pandas (pickled —
+    exact python values, no arrow round trip): required when object columns
+    carry nullable int64 payloads, which arrow→pandas would demote to
+    float64 and corrupt above 2^53."""
     keys = list(keys)
     if coarse is None:
         coarse = default_coarse()
 
     def add_bucket(batch: pd.DataFrame):
+        if not len(batch) and keys[0] not in batch.columns:
+            return batch   # schema-less empty block from an empty upstream
         batch = batch.copy()
         batch['_coarse'] = _coarse_key(batch, keys, coarse)
+        if not arrow_blocks:
+            return batch
         # emit ARROW so the exchange blocks are arrow tables: reducers can
         # then filter on the int key zero-copy before any pandas conversion.
         # Nested (list-valued) object columns stay pandas: an arrow round

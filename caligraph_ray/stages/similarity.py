@@ -246,6 +246,11 @@ def ivf_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
             lambda t: t.filter(pa.compute.less(t.column(id_col),
                                                pa.scalar(n_centroids))),
             batch_format='pyarrow').select_columns([id_col, vec_col]))
+    if not crows:
+        raise ValueError(
+            f'ivf_topk centroid contract: no corpus rows with {id_col} < '
+            f'{n_centroids} — the deterministic quantizer takes the id-prefix '
+            'vectors as centroids; re-id the corpus or lower n_centroids')
     crows.sort(key=lambda r: r[id_col])
     cids = np.array([r[id_col] for r in crows], dtype=np.int64)
     cmat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64)

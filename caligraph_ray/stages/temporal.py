@@ -48,7 +48,12 @@ def _tagged_union(left_ds, right_ds, key_left: str, key_right: str,
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame()
             for c in all_cols:
-                out[c] = batch[c] if c in own else None
+                # OBJECT dtype for payload columns: None-padding the other
+                # side would otherwise demote int64 ids to float64 and
+                # corrupt values above 2^53 (the exchange ships these
+                # blocks as pandas — exact python values, no arrow round
+                # trip; see bucketed_map(arrow_blocks=False))
+                out[c] = batch[c].astype(object) if c in own else None
             out['_side'] = side
             out['_k'] = batch[key_col]
             out['_ts'] = _ts_to_int(batch[ts_col])
@@ -74,7 +79,9 @@ def asof_join(left_ds, right_ds, key_left: str, key_right: str,
     Right-side timestamp ties must be resolved upstream (one row per
     (key, ts)); with ties the winner is the last row in (ts, input) order.
     Returns the left columns plus ``right_cols``; ``inner`` drops left rows
-    without a match (ASOF LEFT JOIN when False)."""
+    without a match (ASOF LEFT JOIN when False). Match/no-match is decided
+    by an internal marker, not by payload nullness — a matched right row
+    with NULL payload columns survives an inner join, as in SQL."""
     from .relational import bucketed_map
     lcols = list(left_ds.schema().names)
     rkeep = [c for c in right_cols]
@@ -83,20 +90,21 @@ def asof_join(left_ds, right_ds, key_left: str, key_right: str,
 
     def merge(bucket: pd.DataFrame) -> pd.DataFrame:
         l = bucket[bucket['_side'] == 'l']
-        r = bucket[bucket['_side'] == 'r']
+        r = bucket[bucket['_side'] == 'r'].copy()
         if not len(l):
             return pd.DataFrame()
+        r['_rmatch'] = True
         l = l.sort_values(['_ts'], kind='mergesort')
         r = r.sort_values(['_ts'], kind='mergesort')
         merged = pd.merge_asof(
-            l[lcols + ['_k', '_ts']], r[rkeep + ['_k', '_ts']],
+            l[lcols + ['_k', '_ts']], r[rkeep + ['_k', '_ts', '_rmatch']],
             on='_ts', by='_k', direction=direction,
             allow_exact_matches=True, suffixes=('', '_r'))
         if inner:
-            merged = merged.dropna(subset=[rkeep[0]])
+            merged = merged[merged['_rmatch'].notna()]
         return merged[lcols + rkeep]
 
-    return bucketed_map(tagged, ['_k'], merge)
+    return bucketed_map(tagged, ['_k'], merge, arrow_blocks=False)
 
 
 def range_join(left_ds, right_ds, key_left: str, key_right: str,
@@ -124,7 +132,7 @@ def range_join(left_ds, right_ds, key_left: str, key_right: str,
         mask = (delta >= low_us) & (delta < high_us)
         return merged.loc[mask, lcols + rkeep]
 
-    return bucketed_map(tagged, ['_k'], merge)
+    return bucketed_map(tagged, ['_k'], merge, arrow_blocks=False)
 
 
 def sessionize(events_ds, key_col: str = 'user_id', ts_col: str = 'ts',
@@ -192,7 +200,9 @@ def rolling_window(events_ds, key_col: str = 'user_id', ts_col: str = 'ts',
         b = bucket.sort_values([key_col, '_ts', order_col], kind='mergesort')
         g = b.groupby(key_col, sort=False)['_v']
         rsum = g.rolling(window_rows, min_periods=1).sum() \
-            .reset_index(drop=True).astype('int64')
+            .reset_index(drop=True)
+        if cents:   # integer-cents mode: sums are exact integers
+            rsum = rsum.astype('int64')
         rcnt = g.rolling(window_rows, min_periods=1).count() \
             .reset_index(drop=True).astype('int64')
         out = b.reset_index(drop=True)

@@ -173,6 +173,8 @@ def unigram_logprob_scores(docs_ds, id_col: str = 'doc_id',
         for i, text in zip(batch.column(id_col).to_pylist(),
                            batch.column(text_col).to_pylist()):
             toks = _split_tokens(text)
+            if not toks:
+                continue   # token-less docs have no LM score (SQL inner join)
             ids.append(i)
             sums.append(sum(lp_.get(t, 0) for t in toks))
             ns.append(len(toks))

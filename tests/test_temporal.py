@@ -196,3 +196,64 @@ def test_hll_registers_match_direct_sketch():
     # register state is the sketch: estimate within the usual HLL error
     est = ref.cardinality()
     assert abs(est - 500) / 500 < 0.1
+
+
+def test_minhash_no_duplicates_returns_empty_not_crash():
+    # all-distinct corpus → zero pairs; the empty result must flow through
+    # the exchange (schema-less empty blocks) without crashing
+    from caligraph_ray.stages import dedup as dd
+    docs = rd.from_pandas(pd.DataFrame({
+        'doc_id': np.arange(6, dtype=np.int64),
+        'text': [f'completely unique text number {i} with words {i*7} {i*13}'
+                 for i in range(6)]}))
+    pairs = dd.minhash_candidate_pairs(docs)
+    out = collect_pandas(pairs)
+    assert len(out) == 0
+
+
+def test_asof_join_preserves_big_ids():
+    # ids above 2^53 must survive the exchange exactly (no float64 round
+    # trip through None-padded columns)
+    big = (1 << 60) + 12345
+    left = _events([(big, 100, 7, 0.0)])
+    right = pd.DataFrame({'okey': [big + 1], 'cust': [7],
+                          'odate': pd.to_datetime([90], unit='s')
+                          .astype('datetime64[us]')})
+    out = collect_pandas(asof_join(
+        left, rd.from_pandas(right), 'user_id', 'cust', 'ts', 'odate',
+        right_cols=['okey'], inner=True))
+    assert int(out['event_id'].iloc[0]) == big
+    assert int(out['okey'].iloc[0]) == big + 1
+
+
+def test_asof_inner_keeps_matched_null_payload():
+    # matched right row with NULL payload survives an inner asof join
+    left = _events([(1, 100, 7, 0.0)])
+    right = pd.DataFrame({'okey': [None], 'cust': [7],
+                          'odate': pd.to_datetime([90], unit='s')
+                          .astype('datetime64[us]')})
+    out = collect_pandas(asof_join(
+        left, rd.from_pandas(right), 'user_id', 'cust', 'ts', 'odate',
+        right_cols=['okey'], inner=True))
+    assert len(out) == 1
+    assert pd.isna(out['okey'].iloc[0])
+
+
+def test_rolling_window_float_mode():
+    ev = _events([(i, i, 7, 0.5) for i in range(1, 4)])
+    out = collect_pandas(rolling_window(ev, window_rows=2, cents=False)) \
+        .sort_values('event_id').reset_index(drop=True)
+    assert list(out['roll_sum']) == [0.5, 1.0, 1.0]
+
+
+def test_columns_list_with_inner_divs():
+    from caligraph_ray.stages.html_extract import parse_page
+    cols = ''.join(f'<div class="div-col"><ul><li>item {i}a</li>'
+                   f'<li>item {i}b</li></ul></div>' for i in range(3))
+    html = ('<html><head><title>Cols</title></head><body><h1>Cols</h1>'
+            f'<h2>Content</h2><div class="columns-list">{cols}</div>'
+            '</body></html>').encode()
+    page = parse_page('https://ex.org/wiki/Cols', html)
+    assert page is not None
+    enums = [l for l in page.listings if l.ltype == 'enum']
+    assert len(enums) == 1 and len(enums[0].items) == 6
