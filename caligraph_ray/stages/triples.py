@@ -87,10 +87,17 @@ def materialize_triples(triples_ds, out_dir: Optional[str] = None,
 
     def finish_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=keys)
-        return g.sort_values(sort_cols, kind='mergesort') if sort else g
+        # a coarse bucket may hold several subj_buckets; the global sort by
+        # (bucket, subj, pred, obj) keeps every subj_bucket's rows
+        # contiguous AND internally sorted, which the partitioned write and
+        # the per-partition-sorted contract both preserve
+        return g.sort_values(['subj_bucket'] + sort_cols,
+                             kind='mergesort') if sort else g
 
-    ds = bucketed.groupby('subj_bucket').map_groups(finish_bucket,
-                                                    batch_format='pandas')
+    # same size-gated exchange as every other keyed stage: broadcast
+    # exchange under the gate (sub-second), real sort shuffle above it
+    from .relational import bucketed_map
+    ds = bucketed_map(bucketed, ['subj_bucket'], finish_bucket)
     if out_dir:
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)  # partial output from a crashed run
