@@ -105,6 +105,24 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
     return _merged_sketch(ds, column, p).cardinality()
 
 
+def hll_estimate_deterministic(ranks, p: int = 12) -> float:
+    """Closed-form HLL estimate from the nonzero register ranks, computed
+    with an EXACT integer register sum (Σ 2^(63-reg), zeros contribute
+    2^63) and a fixed double operation order, so a SQL replay (HUGEINT sum
+    → DOUBLE) reproduces the float bit-for-bit. Semantically identical to
+    ``HyperLogLog.cardinality`` — only the summation is exact instead of
+    float-accumulated."""
+    import math
+    m = 1 << p
+    zeros = m - len(ranks)
+    s = sum(1 << (63 - int(r)) for r in ranks) + zeros * (1 << 63)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * float(m) * float(m) * 9223372036854775808.0 / float(s)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est
+
+
 def hll_registers(ds, column: str, p: int = 12, hash_fn=None):
     """The merged HLL REGISTER STATE as a (bucket, rank) table (nonzero
     buckets only). With an md5-based ``hash_fn`` the registers are

@@ -624,10 +624,12 @@ SELECT node, anc FROM cl
 
 def q_hearst_hypernyms(sf_dir: str):
     """Hearst-pattern hypernym counts (M17/A1) over deterministic
-    'X is a Y'/'such as' sentences rendered from the part table (the random
-    document text contains no Hearst constructions). Rows-only: the pattern
-    inventory uses negative lookahead, which RE2 (DuckDB's engine) cannot
-    express; semantics are pytest-golden'd."""
+    'X is a Y' sentences rendered from the part table (the random document
+    text contains no Hearst constructions). The general pattern inventory
+    uses negative lookahead (inexpressible in RE2/DuckDB), but on this
+    corpus the is-a match has a closed form — greedy ≤3-word NPs reduce to
+    ('every '+p_name, p_type+' product') — which SQL_HEARST replays
+    exactly; the full pattern semantics stay pytest-golden'd."""
     from ..stages.heuristics import hypernym_counts
     part = rel.read_table(sf_dir, 'part', ['p_name', 'p_type'])
     sents = part.map_batches(
@@ -635,6 +637,20 @@ def q_hearst_hypernyms(sf_dir: str):
                                         + b['p_type'].str.lower() + ' product.'}),
         batch_format='pandas')
     return hypernym_counts(sents)
+
+
+# Closed form of the is-a Hearst match on the rendered part corpus
+# ('Every {p_name} is a {p_type} product.'): p_name is always 2 non-function
+# words and p_type 1, so the greedy ≤3-word NP before 'is a' is
+# 'Every '||p_name and the NP after is p_type||' product' (the trailing '.'
+# stops the word run); hypernym_counts lowercases both sides.
+SQL_HEARST = """
+SELECT sub, hyper, CAST(count(*) AS BIGINT) AS freq
+FROM (SELECT 'every ' || lower(p_name) AS sub,
+             lower(p_type) || ' product' AS hyper
+      FROM part)
+GROUP BY sub, hyper
+"""
 
 
 def q_listing_chunks(sf_dir: str):
@@ -1081,12 +1097,17 @@ FROM customer
 
 
 def q_approx_distinct_users(sf_dir: str):
-    """HLL approximate distinct (mergeable sketch per batch; rows-only —
-    accuracy asserted in pytest against the exact count)."""
-    from ..functions.sketches import approx_distinct
+    """HLL approximate distinct over event users. Oracle-gated end to end:
+    the md5-hashed register state replays exactly in SQL
+    (SQL_HLL_REGISTERS), and the estimate uses the deterministic
+    exact-integer-sum form so the float matches the DuckDB replay
+    bit-for-bit (accuracy vs the exact count is asserted in pytest)."""
+    from ..functions.hashing import md5_hash64
+    from ..functions.sketches import hll_estimate_deterministic, hll_registers
     ev = rel.read_table(sf_dir, 'events', ['user_id'])
-    est = approx_distinct(ev, 'user_id')
-    return pd.DataFrame({'approx_distinct_users': [round(est)]})
+    regs = hll_registers(ev, 'user_id', p=12, hash_fn=md5_hash64)
+    est = hll_estimate_deterministic(regs['rank'].tolist(), p=12)
+    return pd.DataFrame({'approx_distinct_users': [round(est, 6)]})
 
 
 def q_user_components(sf_dir: str):
@@ -1505,6 +1526,28 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
 FROM fin GROUP BY bucket
 """
 
+# The HLL cardinality estimate replayed end-to-end: exact HUGEINT register
+# sum (zeros contribute 2^63 each) then the same fixed-order DOUBLE formula
+# as functions/sketches.hll_estimate_deterministic — float-bit parity.
+SQL_APPROX_DISTINCT = f"""
+WITH regs AS ({SQL_HLL_REGISTERS}),
+agg AS (SELECT count(*) AS nonzero,
+               sum(CAST(1 AS BIGINT) << (63 - rank)) AS s_nz
+        FROM regs),
+calc AS (SELECT (4096 - nonzero) AS zeros,
+                CAST(coalesce(s_nz, 0) AS HUGEINT)
+                  + CAST(4096 - nonzero AS HUGEINT) * 9223372036854775808 AS s
+         FROM agg),
+est0 AS (SELECT zeros,
+                (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                  * 9223372036854775808.0 / CAST(s AS DOUBLE) AS raw
+         FROM calc)
+SELECT round(CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0
+                  THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END, 6)
+       AS approx_distinct_users
+FROM est0
+"""
+
 
 
 # --- registry ---------------------------------------------------------------
@@ -1614,7 +1657,10 @@ ORACLES: Dict[str, str] = {
     'normalized_customer_names': SQL_NORM_NAMES,
     'user_components': SQL_COMPONENTS,
     'alias_counts_docs': SQL_ALIAS_COUNTS,
-    # rows-only (non-SQL-expressible): minhash_dedup (banded blake2b
-    # signatures), lsh_topk (approximate), approx_distinct_users (HLL),
-    # flagship_triples (full KG pipeline)
+    'approx_distinct_users': SQL_APPROX_DISTINCT,
+    'hearst_hypernyms': SQL_HEARST,
+    # rows-only (non-SQL-expressible): lsh_topk (approximate by design —
+    # Gaussian-RNG hyperplanes), listing_chunks (render→parse→tokenize→pack
+    # pipeline), flagship_triples (full KG pipeline; gated instead by the
+    # single-process oracle in tests/oracle_kg.py)
 }
