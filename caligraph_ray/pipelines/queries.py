@@ -293,6 +293,67 @@ GROUP BY t1.tok, t2.tok HAVING count(*) >= 10
 """
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII scrubbing (training-data hygiene family, stages/pii.py): contact
+    lines rendered deterministically from the customer table (email from
+    c_name, phone/IP from c_custkey residues) are redacted by the
+    vectorized RE2-compatible pattern set; the SQL oracle replays both the
+    per-category counts and the scrubbed strings exactly."""
+    from ..stages.pii import scrub_pii
+    cust = rel.read_table(sf_dir, 'customer', ['c_custkey', 'c_name'])
+
+    def render(b: pd.DataFrame) -> pd.DataFrame:
+        k = b['c_custkey'].astype('int64')
+        email = b['c_name'].str.replace('#', '.', regex=False).str.lower() \
+            + '@example.com'
+        phone = ('+1-' + (k % 1000).astype(str).str.zfill(3) + '-'
+                 + ((k * 7) % 1000).astype(str).str.zfill(3) + '-'
+                 + (k % 10000).astype(str).str.zfill(4))
+        ip = ('10.' + (k % 256).astype(str) + '.'
+              + ((k * 13) % 256).astype(str) + '.'
+              + ((k * 29) % 256).astype(str))
+        text = ('Contact ' + b['c_name'] + ' at ' + email
+                + (' or call ' + phone).where(k % 3 == 0, '')
+                + (' from ' + ip).where(k % 5 == 0, ''))
+        return pd.DataFrame({'c_custkey': k, 'text': text})
+
+    out = scrub_pii(cust.map_batches(render, batch_format='pandas'))
+    return out.map_batches(
+        lambda b: b[['c_custkey', 'n_email', 'n_phone', 'n_ip', 'scrubbed']],
+        batch_format='pandas')
+
+
+SQL_PII = """
+WITH base AS (
+  SELECT c_custkey,
+         'Contact ' || c_name || ' at ' || lower(replace(c_name, '#', '.'))
+         || '@example.com'
+         || CASE WHEN c_custkey % 3 = 0 THEN ' or call +1-'
+              || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+         || CASE WHEN c_custkey % 5 = 0 THEN ' from 10.'
+              || CAST(c_custkey % 256 AS VARCHAR) || '.'
+              || CAST((c_custkey * 13) % 256 AS VARCHAR) || '.'
+              || CAST((c_custkey * 29) % 256 AS VARCHAR)
+            ELSE '' END AS text
+  FROM customer)
+SELECT c_custkey,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text,
+            '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text,
+            '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ip,
+       regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+            '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IP]', 'g') AS scrubbed
+FROM base
+"""
+
+
 def q_quality_scores(sf_dir: str):
     """Document quality signals (training-data filtering family): token
     stats + stopword ratio + Gopher-style punctuation ratio and
@@ -1578,6 +1639,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'token_frequencies': q_token_frequencies,
     'frequent_labels': q_frequent_labels,
     'bigram_counts': q_bigram_counts,
+    'pii_scrub': q_pii_scrub,
     'quality_scores': q_quality_scores,
     'lang_id': q_lang_id,
     'bpe_token_counts': q_bpe_token_counts,
@@ -1634,6 +1696,7 @@ ORACLES: Dict[str, str] = {
     'token_frequencies': SQL_TOKEN_FREQ,
     'frequent_labels': SQL_FREQ_LABELS,
     'bigram_counts': SQL_BIGRAMS,
+    'pii_scrub': SQL_PII,
     'quality_scores': SQL_QUALITY,
     'lang_id': SQL_LANG_ID,
     'bpe_token_counts': SQL_BPE_COUNTS,
