@@ -293,6 +293,58 @@ GROUP BY t1.tok, t2.tok HAVING count(*) >= 10
 """
 
 
+def q_url_canonical_dedup(sf_dir: str):
+    """URL canonicalization + exact dedup by canonical form (web-corpus
+    identity family, functions/urls.py): messy URLs rendered
+    deterministically from documents (scheme/www/port/trailing-slash/
+    tracking-param/fragment variants) collapse to
+    scheme://host/path?id=N; per canonical URL keep the min doc_id and
+    the duplicate count. The SQL oracle replays the render→canonical
+    composition in closed form."""
+    from ..functions.urls import canonicalize_batch
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'source'])
+
+    def render(b: pd.DataFrame) -> pd.DataFrame:
+        d = b['doc_id'].astype('int64')
+        scheme = np.where(d % 2 == 0, 'https', 'http')
+        www = np.where(d % 3 == 0, 'WWW.', '')
+        port = np.where(d % 5 == 0,
+                        np.where(d % 2 == 0, ':443', ':80'), '')
+        slash = np.where(d % 7 == 0, '/', '')
+        frag = np.where(d % 4 == 0, '#top', '')
+        url = (pd.Series(scheme, index=b.index) + '://' + www + b['source']
+               + '.Example.COM' + port + '/docs/' + (d % 200).astype(str)
+               + slash + '?id=' + (d % 100).astype(str)
+               + '&utm_source=feed&gclid=x' + frag)
+        return pd.DataFrame({'doc_id': d, 'url': url})
+
+    urls = docs.map_batches(render, batch_format='pandas')
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(canonical_url=canonicalize_batch(list(b['url'])))
+        g = b.groupby('canonical_url')['doc_id'].agg(['min', 'count'])
+        return g.reset_index().rename(columns={'min': 'keeper',
+                                               'count': 'cnt'})
+
+    partials = urls.map_batches(partial, batch_format='pandas')
+    return rel.two_phase_pandas_agg(
+        partials, ['canonical_url'],
+        {'keeper': ('keeper', 'min'), 'n_dups': ('cnt', 'sum')})
+
+
+SQL_URL_CANONICAL = """
+SELECT canonical_url, min(doc_id) AS keeper,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM (SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END
+             || '://' || lower(source) || '.example.com/docs/'
+             || CAST(doc_id % 200 AS VARCHAR)
+             || '?id=' || CAST(doc_id % 100 AS VARCHAR) AS canonical_url
+      FROM documents)
+GROUP BY canonical_url
+"""
+
+
 def q_pii_scrub(sf_dir: str):
     """PII scrubbing (training-data hygiene family, stages/pii.py): contact
     lines rendered deterministically from the customer table (email from
@@ -1639,6 +1691,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'token_frequencies': q_token_frequencies,
     'frequent_labels': q_frequent_labels,
     'bigram_counts': q_bigram_counts,
+    'url_canonical_dedup': q_url_canonical_dedup,
     'pii_scrub': q_pii_scrub,
     'quality_scores': q_quality_scores,
     'lang_id': q_lang_id,
@@ -1696,6 +1749,7 @@ ORACLES: Dict[str, str] = {
     'token_frequencies': SQL_TOKEN_FREQ,
     'frequent_labels': SQL_FREQ_LABELS,
     'bigram_counts': SQL_BIGRAMS,
+    'url_canonical_dedup': SQL_URL_CANONICAL,
     'pii_scrub': SQL_PII,
     'quality_scores': SQL_QUALITY,
     'lang_id': SQL_LANG_ID,
