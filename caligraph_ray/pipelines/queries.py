@@ -293,6 +293,58 @@ GROUP BY t1.tok, t2.tok HAVING count(*) >= 10
 """
 
 
+def q_boilerplate_removal(sf_dir: str):
+    """Per-source boilerplate line removal (stages/boilerplate.py): docs are
+    wrapped with shared nav/subscribe/copyright lines plus a rare Ref line;
+    lines appearing in ≥5 docs of one source are stripped via two-phase
+    count + hash-partitioned anti join + grouped reassembly. Fully generic
+    SQL oracle (no closed form — the same counting/join/agg in DuckDB)."""
+    from ..stages.boilerplate import remove_boilerplate
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text', 'source'])
+
+    def render(b: pd.DataFrame) -> pd.DataFrame:
+        d = b['doc_id'].astype('int64')
+        sub = ('Subscribe to ' + b['source'] + '\n').where(d % 2 == 0, '')
+        text = ('HOME | ' + b['source'] + ' NAV\n' + sub + b['text'] + '\n'
+                + 'Ref ' + (d % 97).astype(str) + '\n'
+                + 'Copyright ' + b['source'])
+        return pd.DataFrame({'doc_id': d, 'source': b['source'],
+                             'text': text})
+
+    wrapped = docs.map_batches(render, batch_format='pandas')
+    return remove_boilerplate(wrapped, min_docs=5)
+
+
+SQL_BOILERPLATE = """
+WITH docs2 AS (
+  SELECT doc_id, source,
+         'HOME | ' || source || ' NAV' || chr(10)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN 'Subscribe to ' || source || chr(10) ELSE '' END
+         || text || chr(10) || 'Ref ' || CAST(doc_id % 97 AS VARCHAR)
+         || chr(10) || 'Copyright ' || source AS t
+  FROM documents),
+lines AS (
+  SELECT doc_id, source,
+         unnest(string_split(t, chr(10))) AS line,
+         generate_subscripts(string_split(t, chr(10)), 1) AS pos
+  FROM docs2),
+bp AS (
+  SELECT source, line FROM lines
+  GROUP BY source, line HAVING count(DISTINCT doc_id) >= 5),
+kept AS (
+  SELECT l.doc_id, l.line, l.pos FROM lines l
+  LEFT JOIN bp b ON l.source = b.source AND l.line = b.line
+  WHERE b.line IS NULL),
+nl AS (SELECT doc_id, count(*) AS n FROM lines GROUP BY doc_id)
+SELECT k.doc_id,
+       string_agg(k.line, chr(10) ORDER BY k.pos) AS cleaned,
+       CAST(max(nl.n) - count(*) AS BIGINT) AS n_removed
+FROM kept k JOIN nl ON k.doc_id = nl.doc_id
+GROUP BY k.doc_id
+"""
+
+
 def q_url_canonical_dedup(sf_dir: str):
     """URL canonicalization + exact dedup by canonical form (web-corpus
     identity family, functions/urls.py): messy URLs rendered
@@ -1691,6 +1743,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'token_frequencies': q_token_frequencies,
     'frequent_labels': q_frequent_labels,
     'bigram_counts': q_bigram_counts,
+    'boilerplate_removal': q_boilerplate_removal,
     'url_canonical_dedup': q_url_canonical_dedup,
     'pii_scrub': q_pii_scrub,
     'quality_scores': q_quality_scores,
@@ -1749,6 +1802,7 @@ ORACLES: Dict[str, str] = {
     'token_frequencies': SQL_TOKEN_FREQ,
     'frequent_labels': SQL_FREQ_LABELS,
     'bigram_counts': SQL_BIGRAMS,
+    'boilerplate_removal': SQL_BOILERPLATE,
     'url_canonical_dedup': SQL_URL_CANONICAL,
     'pii_scrub': SQL_PII,
     'quality_scores': SQL_QUALITY,
