@@ -19,10 +19,16 @@ import pyarrow.compute as pc
 # the reference's spaCy tokenizer, impl/util/spacy/__init__.py)
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
 
-# by-phrase: trailing " by <words>" organisational suffix
-# (deterministic stand-in for the spaCy BY_PHRASE tagger,
-#  reference impl/util/spacy/components.py:77-117 / nlp.py:129-140)
-_BY_PHRASE_RE = re.compile(r"\s+by\s+\w[\w\s,-]*$", re.IGNORECASE)
+# by-phrase guards (reference impl/util/spacy/components.py:73-117)
+_BY_PHRASE_EXCEPTIONS = frozenset({
+    'bell hooks', 'DBC Pierre', 'KT Tunstall', 'U-Wei Saari',
+    "`Abdu'l-Bahá", 'ibn Hazm', '2XL Games'})
+# past-participle stand-in for the spaCy VBN tag (word before 'by')
+_VBN_IRREGULAR = frozenset({
+    'written', 'sung', 'held', 'made', 'built', 'won', 'drawn', 'given',
+    'taken', 'known', 'seen', 'born', 'chosen', 'found', 'set', 'run',
+    'begun', 'broadcast', 'shown', 'thrown', 'driven', 'kept', 'led',
+    'left', 'lost', 'sold', 'spent', 'told', 'brought', 'bought'})
 
 _NON_ALNUM_RE = re.compile(r"[^A-Za-z0-9 ]+")
 _NUMERIC_RE = re.compile(r"^\d+([.,]\d+)*$")
@@ -85,12 +91,53 @@ def remove_bracket_content(text: str, bracket_type: str = '(', substitute: str =
 
 
 def remove_by_phrase(text: str) -> str:
-    """Drop a trailing organisational by-phrase: 'People by country' -> 'People'.
+    """Drop an organisational by-phrase: 'People by country' -> 'People'.
 
-    Deterministic regex stand-in for the reference's spaCy-based
-    remove_by_phrase (nlp.py:129-140).
-    """
-    return _BY_PHRASE_RE.sub('', text)
+    Faithful token-rule port of the reference's spaCy tagger + remover
+    (components.py:77-117 tag_by_phrase, nlp.py:129-140 remove_by_phrase),
+    replaying its unit fixtures (tests/unit/util/test_nlp.py): authorship
+    ('Work by Roy Lichtenstein', 'by L. J. Smith') and verb-governed
+    ('Song recorded by ABBA') by-phrases are kept, a trailing 'in X' /
+    'from X' clause survives removal ('Alumni by university or college in
+    Honduras' -> 'Alumni in Honduras'). Deviations from spaCy: NNS =
+    lowercase plural (via nlp.is_plural), VBN = -ed / irregular list; the
+    lexical-head-in-tail guard is vacuous under our head rule (the head
+    always precedes the first preposition) and is omitted."""
+    tokens = text.split()
+    by_idx = [i for i, t in enumerate(tokens) if t == 'by']
+    if not by_idx:
+        return text
+    end = len(tokens)
+    last = by_idx[-1]
+    tail = tokens[last:]
+    if 'in' in tail:
+        end = last + tail.index('in')
+    if 'from' in tail:
+        end = last + tail.index('from')
+    from .nlp import is_plural   # lazy: nlp imports strings at load time
+    for k, bi in enumerate(by_idx):
+        if bi == 0 or bi == len(tokens) - 1:
+            continue
+        cur = tokens[:end] if k == len(by_idx) - 1 else tokens[:by_idx[k + 1]]
+        after = cur[bi + 1:]
+        if not after:
+            continue
+        if ' '.join(after) in _BY_PHRASE_EXCEPTIONS:
+            continue
+        w = after[0]
+        if w[0].isupper() and (w.endswith('.') or not w.isupper()):
+            continue   # capitalized name / abbreviation → authorship
+        if any(t[:1].islower() and is_plural(t) for t in tokens[bi + 1:]):
+            continue   # NNS in the tail
+        before = tokens[bi - 1]
+        if before.lower().endswith('ed') or before.lower() in _VBN_IRREGULAR:
+            continue   # verb-governed 'by' (agent phrase)
+        if w in ('a', 'an', 'the'):
+            continue
+        start = bi - 1 if tokens[bi - 1] == '(' else bi
+        kept = tokens[:start] + (tokens[end:] if end < len(tokens) else [])
+        return ' '.join(kept)
+    return text
 
 
 def get_canonical_label(text: str) -> str:
@@ -151,8 +198,12 @@ def normalize_surface_array(arr: pa.Array) -> pa.Array:
 
 
 def canonical_label_array(arr: pa.Array) -> pa.Array:
-    """Vectorized get_canonical_label (regex chain kept in exact order)."""
-    out = pc.replace_substring_regex(arr, pattern="(?i)" + _BY_PHRASE_RE.pattern, replacement="")
+    """Vectorized get_canonical_label. The by-phrase step is token-rule
+    based (not one regex), so it runs as a Python map over the column —
+    labels are short; the suffix regexes stay Arrow-kernel vectorized."""
+    stripped = pa.array([remove_by_phrase(s) if s is not None else None
+                         for s in arr.to_pylist()], pa.string())
+    out = stripped
     for rx in _CANONICAL_RES:
         out = pc.replace_substring_regex(out, pattern=rx.pattern, replacement="")
     out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")

@@ -18,12 +18,39 @@ _OBJ_RE = re.compile(r'^<([^>]+)> <([^>]+)> <([^>]+)> \.\s*$')
 _LIT_RE = re.compile(r'^<([^>]+)> <([^>]+)> "(.*)"(?:\^\^<[^>]+>|@[\w-]+)? \.\s*$')
 
 
+# percent-encoding exceptions kept readable in IRIs (reference
+# impl/util/serialize.py:16 RESOURCE_ENCODING_EXCEPTIONS)
+RESOURCE_ENCODING_EXCEPTIONS = ['#', ':', ',', ';', '(', ')', "'", '&',
+                                '!', '*', '=', '$']
+
+
+def encode_resource_name(name: str) -> str:
+    """Reference _encode_resource (serialize.py:63-71): space → '_', then
+    percent-encode everything except the exception chars. Replays the
+    tests/unit/util/test_serialize.py fixture ('12\"/50 caliber Mark 8 gun'
+    → 12%22%2F50_caliber_Mark_8_gun) — which the reference's own
+    _resource_to_string soft-fails on due to its prefix split at the last
+    '/'; we encode the whole name."""
+    from urllib.parse import quote
+    enc = quote(name.replace(' ', '_'), safe='')
+    for ch in RESOURCE_ENCODING_EXCEPTIONS:
+        enc = enc.replace(quote(ch, safe=''), ch)
+    return enc
+
+
+def escape_literal(literal: str) -> str:
+    """Reference _encode_literal_string (serialize.py:74-77): backslash-
+    escape \\ and \" ('12\"/50 caliber' → 12\\\"/50 caliber)."""
+    return literal.replace('\\', '\\\\').replace('"', '\\"')
+
+
 def uri_to_name(uri: str) -> str:
-    return uri.rsplit('/', 1)[-1].replace('_', ' ')
+    from urllib.parse import unquote
+    return unquote(uri.rsplit('/', 1)[-1]).replace('_', ' ')
 
 
 def name_to_uri(name: str, base: str = 'http://caligraph.org/resource/') -> str:
-    return base + name.replace(' ', '_').replace('"', '%22')
+    return base + encode_resource_name(name)
 
 
 def parse_nt_lines(batch) -> pa.Table:

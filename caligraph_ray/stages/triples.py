@@ -207,8 +207,10 @@ def graph_statistics(triples_ds) -> dict:
 def to_nt_lines(batch: pa.Table, base_uri: str = 'http://caligraph.org/resource/') -> pa.Table:
     """Columnar N-Triples formatting (reference impl/util/serialize.py:20-77):
     subject/predicate as URIs, object as URI or escaped literal."""
+    from ..sources.nt import encode_resource_name, escape_literal
+
     def uri(name: str) -> str:
-        return '<' + base_uri + name.replace(' ', '_').replace('"', '%22') + '>'
+        return '<' + base_uri + encode_resource_name(name) + '>'
     subs = batch.column('subj').to_pylist()
     preds = batch.column('pred').to_pylist()
     objs = batch.column('obj').to_pylist()
@@ -216,7 +218,7 @@ def to_nt_lines(batch: pa.Table, base_uri: str = 'http://caligraph.org/resource/
     lines = []
     for s, p, o, lit in zip(subs, preds, objs, lits):
         if lit:
-            o_str = '"' + o.replace('\\', '\\\\').replace('"', '\\"') + '"'
+            o_str = '"' + escape_literal(o) + '"'
         else:
             o_str = uri(o)
         lines.append(f'{uri(s)} {uri(p)} {o_str} .')
