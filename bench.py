@@ -73,6 +73,12 @@ def run_benchmarks() -> dict:
     timed('rolling_user_value', lambda: Q.q_rolling_user_value(SF_DIR))
     timed('ivf_topk', lambda: Q.q_ivf_topk(SF_DIR))
     timed('value_quantiles_by_type', lambda: Q.q_value_quantiles_by_type(SF_DIR))
+    # web-text hygiene family
+    timed('boilerplate_removal',
+          lambda: Q.q_boilerplate_removal(SF_DIR).to_pandas())
+    timed('pii_scrub', lambda: Q.q_pii_scrub(SF_DIR).to_pandas())
+    timed('url_canonical_dedup',
+          lambda: Q.q_url_canonical_dedup(SF_DIR).to_pandas())
 
     total = round(sum(timings.values()), 3)
     result = {
