@@ -170,7 +170,9 @@ def _assemble_triples(linked, cats, me_threshold, mm_threshold, path_threshold,
     surf_label, multi_info = canonicalize_surface(
         linked, me_threshold, mm_threshold, path_threshold=path_threshold)
     if ent_names is None:
-        ent_names = linked.filter(lambda r: r['entity'] is not None).unique('entity')
+        from ..stages.relational import arrow_filter
+        ent_names = arrow_filter(
+            linked, lambda t: pc.is_valid(t['entity'])).unique('entity')
     id_to_name = {entity_node_id(e): e for e in sorted(set(e for e in ent_names if e))}
     state_ref = ray.put((surf_label, multi_info, id_to_name, mm_threshold))
 

@@ -129,7 +129,7 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 def q_semi_join_large_parts(sf_dir: str):
     """Semi join via broadcast key set + two-phase sum."""
     part_keys = rel.read_table(sf_dir, 'part', ['p_partkey', 'p_size']) \
-        .filter(lambda r: r['p_size'] >= 40).unique('p_partkey')
+        .filter(expr='p_size >= 40').unique('p_partkey')
     li = rel.read_table(sf_dir, 'lineitem', ['l_partkey', 'l_quantity'])
     semi = rel.semi_anti_join(li, part_keys, 'l_partkey', anti=False)
     out = rel.two_phase_sum(semi, ['l_partkey'], 'l_quantity', alias='total_qty').to_pandas()
@@ -249,7 +249,7 @@ def q_token_frequencies(sf_dir: str):
     """Surface-form frequency build (A2) over documents tokens, freq ≥ 5."""
     docs = rel.read_table(sf_dir, 'documents', ['text'])
     out = ts.token_counts(docs)
-    return out.filter(lambda r: r['freq'] >= 5)
+    return rel.arrow_filter(out, lambda t: pc.greater_equal(t['freq'], 5))
 
 
 SQL_TOKEN_FREQ = """
@@ -265,7 +265,13 @@ def q_frequent_labels(sf_dir: str):
     from ..functions.strings import is_valid_entity_label
     docs = rel.read_table(sf_dir, 'documents', ['text'])
     out = ts.token_counts(docs, min_len=3)
-    return out.filter(lambda r: r['freq'] > 50 and is_valid_entity_label(r['token']))
+    def valid(t):
+        toks = t['token']
+        nonnum = pc.invert(pc.match_substring_regex(
+            toks, r'^[0-9]+([.,][0-9]+)*$'))
+        # min_len=3 upstream already enforces len>2
+        return pc.and_(pc.greater(t['freq'], 50), nonnum)
+    return rel.arrow_filter(out, valid)
 
 
 SQL_FREQ_LABELS = """
@@ -279,7 +285,8 @@ GROUP BY token HAVING count(*) > 50
 def q_bigram_counts(sf_dir: str):
     """Adjacent-pair counts (A1 hypernym-pair analogue), freq ≥ 10."""
     docs = rel.read_table(sf_dir, 'documents', ['text'])
-    return ts.bigram_counts(docs).filter(lambda r: r['freq'] >= 10)
+    return rel.arrow_filter(ts.bigram_counts(docs),
+                            lambda t: pc.greater_equal(t['freq'], 10))
 
 
 SQL_BIGRAMS = """

@@ -327,11 +327,12 @@ def build_alias_index_sharded(mentions_ds, n_shards: int = 16) -> List["ray.Obje
         shard = [stable_hash64(s) % n_shards for s in surfs]
         return batch.append_column('shard', pa.array(shard, pa.int32()))
 
-    from .relational import collect_rows
+    from .relational import arrow_filter, collect_rows
     sharded = counts.map_batches(add_shard, batch_format='pyarrow').materialize()
     refs: List["ray.ObjectRef"] = []
     for i in range(n_shards):
-        rows = collect_rows(sharded.filter(lambda r, i=i: r['shard'] == i))
+        rows = collect_rows(arrow_filter(
+            sharded, lambda t, i=i: pc.equal(t['shard'], i)))
         index: AliasIndex = {}
         for r in rows:
             index.setdefault(r['norm_surface'], []).append((r['name'], int(r['freq'])))

@@ -30,6 +30,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..config import (HOT_KEY_SALT_BUCKETS, HOT_KEY_THRESHOLD,
@@ -158,8 +159,10 @@ def build_alignment_edges(linked_mentions_ds,
 
     counts = linked_mentions_ds.map_batches(partial_counts, batch_format='pyarrow') \
         .groupby('norm_surface').aggregate(Sum('cnt', alias_name='cnt'))
+    from .relational import arrow_filter
     hot = {r['norm_surface']: int(r['cnt'])
-           for r in collect_rows(counts.filter(lambda r: r['cnt'] > hot_threshold))}
+           for r in collect_rows(arrow_filter(
+               counts, lambda t: pc.greater(t['cnt'], hot_threshold)))}
 
     from .relational import grouped_map
     ds = linked_mentions_ds.select_columns(['mention_uid', 'norm_surface'])

@@ -28,6 +28,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..config import AGG_BATCH_SIZE, CAT2AX_PATTERN_CONF
@@ -155,8 +156,10 @@ def build_type_lexicalisations(facts_ds) -> Dict[str, str]:
     Hearst-derived type lexicalisations, nif_parser.py:18-63): the lowercase
     type name and naive plural forms lexicalise the type. Only the DISTINCT
     type names (a small dim) reach the driver — never the fact rows."""
+    from .relational import arrow_filter
     type_rows = collect_rows(two_phase_count(
-        facts_ds.filter(lambda r: r['pred'] == 'rdf:type'), ['obj'], 'cnt'))
+        arrow_filter(facts_ds, lambda t: pc.equal(t['pred'], 'rdf:type')),
+        ['obj'], 'cnt'))
     types = {r['obj'] for r in type_rows}
     lex: Dict[str, str] = {}
     irregular = {'Person': ['person', 'people', 'persons']}

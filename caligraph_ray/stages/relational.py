@@ -57,6 +57,21 @@ def broadcast_join(ds, small_df: pd.DataFrame, left_on: str, right_on: str,
                           batch_size=AGG_BATCH_SIZE)
 
 
+def arrow_filter(ds, mask_fn):
+    """Vectorized row filter: ``mask_fn(table) -> pyarrow BooleanArray``.
+
+    Ray's row-lambda ``Dataset.filter(fn)`` costs ~1 ms/row of per-row
+    Python dispatch; this applies one Arrow compute mask per batch instead
+    (measured 8.5 s → <0.2 s on a 7k-row dim at sf0.1). Use for every
+    predicate expressible with ``pyarrow.compute`` kernels."""
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.filter(mask_fn(t))
+
+    return ds.map_batches(fn, batch_format='pyarrow', batch_size=AGG_BATCH_SIZE)
+
+
 def semi_anti_join(ds, keys, col: str, anti: bool = False):
     """Semi/anti join against a broadcast key set (reference anti-join idiom
     extract.py:286-289; at larger key cardinality the set becomes a Bloom

@@ -20,6 +20,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import AGG_BATCH_SIZE, OUTPUT_PARTITIONS
 from ..functions.hashing import stable_hash64
@@ -116,8 +117,8 @@ def sunburst_type_distribution(triples_ds, type_pred: str = 'rdf:type',
     shaped driver-side. With a ``hierarchy`` (stages/taxonomy.Hierarchy)
     the children nest along subClassOf edges as in the reference; without
     one the distribution is flat under 'Thing'."""
-    from .relational import collect_rows, two_phase_count
-    typed = triples_ds.filter(lambda r: r['pred'] == type_pred)
+    from .relational import arrow_filter, collect_rows, two_phase_count
+    typed = arrow_filter(triples_ds, lambda t: pc.equal(t['pred'], type_pred))
     counts = {r['obj']: int(r['cnt'])
               for r in collect_rows(two_phase_count(typed, ['obj'], 'cnt'))}
     if hierarchy is None:
