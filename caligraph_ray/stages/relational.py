@@ -218,6 +218,73 @@ def _small_hash_exchange(mat_ds, bucket_fn, coarse: int):
     return rd.from_pandas_refs(refs)
 
 
+def _small_arrow_exchange(mat_ds, bucket_fn, coarse: int):
+    """Arrow-native twin of ``_small_hash_exchange``: blocks already carry
+    ``_coarse`` and STAY Arrow through the exchange; ``bucket_fn`` receives
+    the ``pa.Table`` of one coarse bucket (minus the key column)."""
+    import ray.data as rd
+    block_refs = [b for bundle in mat_ds.iter_internal_ref_bundles()
+                  for b in bundle.block_refs]
+    size = mat_ds.size_bytes() or 0
+    n_parts = max(1, min(default_coarse() // 4, coarse,
+                         1 + size // (8 * 1024 * 1024)))
+
+    @ray.remote
+    def reduce_part(part_id: int, *blocks) -> pd.DataFrame:
+        tabs = []
+        for b in blocks:
+            if not isinstance(b, pa.Table):
+                if not len(b) or '_coarse' not in b.columns:
+                    continue
+                b = pa.Table.from_pandas(b, preserve_index=False)
+            if b.num_rows == 0:
+                continue
+            ck = np.asarray(b.column('_coarse').combine_chunks())
+            mask = (ck % n_parts) == part_id
+            if not mask.any():
+                continue
+            tabs.append(b.filter(pa.array(mask)))
+        if not tabs:
+            return pd.DataFrame()
+        t = pa.concat_tables(tabs, promote_options='default')
+        ck = np.asarray(t.column('_coarse').combine_chunks())
+        outs = []
+        for cv in np.unique(ck):
+            sub = t.filter(pa.array(ck == cv)).drop_columns(['_coarse'])
+            r = bucket_fn(sub)
+            if r is not None and len(r):
+                outs.append(r)
+        if not outs:
+            return pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    refs = [reduce_part.remote(i, *block_refs) for i in range(n_parts)]
+    return rd.from_pandas_refs(refs)
+
+
+def bucketed_map_arrow(ds, bucket_fn, coarse: Optional[int] = None):
+    """Exchange for Datasets whose blocks ALREADY carry an int32 ``_coarse``
+    column as Arrow tables (typed null padding instead of object columns).
+    Same size-gated small/large paths as ``bucketed_map``, but blocks stay
+    Arrow end-to-end and ``bucket_fn`` receives the ``pa.Table`` of one
+    coarse bucket. Splitting sides/columns BEFORE converting to pandas keeps
+    null-free int64 columns exact — the null-padded values that would demote
+    to float64 are dropped arrow-side (see stages/temporal)."""
+    if coarse is None:
+        coarse = default_coarse()
+    mat = ds.materialize()
+    size = mat.size_bytes() or 0
+    if size <= SMALL_EXCHANGE_BYTES:
+        return _small_arrow_exchange(mat, bucket_fn, coarse)
+
+    def per_group(t: pa.Table):
+        if '_coarse' in t.column_names:
+            t = t.drop_columns(['_coarse'])
+        return bucket_fn(t)
+
+    return mat.groupby('_coarse').map_groups(per_group, batch_format='pyarrow')
+
+
 def bucketed_map(ds, keys: Sequence[str], bucket_fn, coarse: Optional[int] = None,
                  arrow_blocks: bool = True):
     """Shuffle rows once on hash(keys)%coarse and apply ``bucket_fn`` to each

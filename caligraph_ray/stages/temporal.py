@@ -14,9 +14,10 @@ compositions of the repo's one-shuffle primitives:
 * per-key skew: a single hot key lands in one bucket; salt upstream if one
   key's rows exceed a task's heap (documented in relational.bucketed_map).
 
-Timestamps travel the exchange as int64 epoch-micros (tagged-union columns
-are None-padded, which would demote datetime64 to object), and are restored
-on emit.
+Timestamps travel the exchange as int64 epoch-micros and are restored on
+emit. The tagged union ships ARROW blocks with typed null padding (never
+object columns); each bucket splits sides arrow-side before converting to
+pandas, so null-free int64 payloads stay exact through the exchange.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..config import AGG_BATCH_SIZE
 
@@ -38,26 +40,60 @@ def _ts_to_int(s: pd.Series) -> pd.Series:
 
 def _tagged_union(left_ds, right_ds, key_left: str, key_right: str,
                   lcols: List[str], rcols: List[str],
-                  ts_left: str, ts_right: str):
-    """Project both sides onto a shared schema with a ``_side`` tag, the
-    equality key as ``_k`` and the (int64) order column as ``_ts`` — one
-    Dataset that travels one exchange."""
+                  ts_left: str, ts_right: str, coarse: int):
+    """Project both sides onto a shared ARROW schema with a ``_side`` tag,
+    the equality key as ``_k``, the (int64) order column as ``_ts`` and the
+    exchange key precomputed as ``_coarse`` — one Dataset that travels one
+    ``bucketed_map_arrow`` exchange. The other side's payload columns are
+    TYPED null padding (pa.nulls), never object columns: int64 stays int64
+    through the exchange, and the bucket fn drops the padded values
+    arrow-side before any pandas conversion, so nothing ever demotes to
+    float64 (exactness above 2^53 preserved)."""
+    from .relational import _coarse_key
+
+    def _pa_type(t):
+        # Ray reports pandas-backed blocks' types as numpy/Python types;
+        # object (incl. all-null) columns travel as string
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, ValueError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    ltypes = {n: _pa_type(t) for n, t in
+              zip(left_ds.schema().names, left_ds.schema().types)}
+    rtypes = {n: _pa_type(t) for n, t in
+              zip(right_ds.schema().names, right_ds.schema().types)}
     all_cols = lcols + [c for c in rcols if c not in lcols]
+    types = {**{c: rtypes[c] for c in rcols}, **{c: ltypes[c] for c in lcols}}
+    # the two sides' key columns must concat to ONE type: int64 when both
+    # are integers, else string
+    both_int = (pa.types.is_integer(ltypes[key_left])
+                and pa.types.is_integer(rtypes[key_right]))
+    ktype = pa.int64() if both_int else pa.string()
 
     def tag(side: str, key_col: str, ts_col: str, own: List[str]):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame()
+        def fn(batch: pd.DataFrame) -> pa.Table:
+            n = len(batch)
+            cols, names = [], []
             for c in all_cols:
-                # OBJECT dtype for payload columns: None-padding the other
-                # side would otherwise demote int64 ids to float64 and
-                # corrupt values above 2^53 (the exchange ships these
-                # blocks as pandas — exact python values, no arrow round
-                # trip; see bucketed_map(arrow_blocks=False))
-                out[c] = batch[c].astype(object) if c in own else None
-            out['_side'] = side
-            out['_k'] = batch[key_col]
-            out['_ts'] = _ts_to_int(batch[ts_col])
-            return out
+                names.append(c)
+                if c in own:
+                    cols.append(pa.array(batch[c], type=types[c],
+                                         from_pandas=True))
+                else:
+                    cols.append(pa.nulls(n, type=types[c]))
+            key = batch[key_col] if both_int else batch[key_col].astype(str)
+            names += ['_side', '_k', '_ts', '_coarse']
+            cols += [
+                pa.nulls(n, pa.string()).fill_null(side),
+                pa.array(key, type=ktype, from_pandas=True),
+                pa.array(_ts_to_int(batch[ts_col]), type=pa.int64()),
+                pa.array(_coarse_key(pd.DataFrame({'_k': key}), ['_k'],
+                                     coarse), type=pa.int32()),
+            ]
+            return pa.Table.from_arrays(cols, names=names)
         return fn
 
     return left_ds.map_batches(tag('l', key_left, ts_left, lcols),
@@ -66,6 +102,16 @@ def _tagged_union(left_ds, right_ds, key_left: str, key_right: str,
         right_ds.map_batches(tag('r', key_right, ts_right, rcols),
                              batch_format='pandas',
                              batch_size=AGG_BATCH_SIZE))
+
+
+def _split_sides(t: "pa.Table", lkeep: List[str], rkeep: List[str]):
+    """Bucket table → (left_df, right_df), converting each side to pandas
+    only AFTER selecting its own (null-free) columns."""
+    import pyarrow.compute as pc
+    mask = pc.equal(t.column('_side'), 'l')
+    l = t.filter(mask).select(lkeep).to_pandas()
+    r = t.filter(pc.invert(mask)).select(rkeep).to_pandas()
+    return l, r
 
 
 def asof_join(left_ds, right_ds, key_left: str, key_right: str,
@@ -82,29 +128,28 @@ def asof_join(left_ds, right_ds, key_left: str, key_right: str,
     without a match (ASOF LEFT JOIN when False). Match/no-match is decided
     by an internal marker, not by payload nullness — a matched right row
     with NULL payload columns survives an inner join, as in SQL."""
-    from .relational import bucketed_map
+    from .relational import bucketed_map_arrow, default_coarse
     lcols = list(left_ds.schema().names)
     rkeep = [c for c in right_cols]
+    coarse = default_coarse()
     tagged = _tagged_union(left_ds, right_ds, key_left, key_right,
-                           lcols, rkeep, ts_left, ts_right)
+                           lcols, rkeep, ts_left, ts_right, coarse)
 
-    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
-        l = bucket[bucket['_side'] == 'l']
-        r = bucket[bucket['_side'] == 'r'].copy()
+    def merge(t) -> pd.DataFrame:
+        l, r = _split_sides(t, lcols + ['_k', '_ts'], rkeep + ['_k', '_ts'])
         if not len(l):
             return pd.DataFrame()
         r['_rmatch'] = True
         l = l.sort_values(['_ts'], kind='mergesort')
         r = r.sort_values(['_ts'], kind='mergesort')
         merged = pd.merge_asof(
-            l[lcols + ['_k', '_ts']], r[rkeep + ['_k', '_ts', '_rmatch']],
-            on='_ts', by='_k', direction=direction,
+            l, r, on='_ts', by='_k', direction=direction,
             allow_exact_matches=True, suffixes=('', '_r'))
         if inner:
             merged = merged[merged['_rmatch'].notna()]
         return merged[lcols + rkeep]
 
-    return bucketed_map(tagged, ['_k'], merge, arrow_blocks=False)
+    return bucketed_map_arrow(tagged, merge, coarse=coarse)
 
 
 def range_join(left_ds, right_ds, key_left: str, key_right: str,
@@ -115,24 +160,23 @@ def range_join(left_ds, right_ds, key_left: str, key_right: str,
     ``low_us ≤ ts_left − ts_right < high_us`` (timestamps in micros).
     One co-partitioning exchange, then a per-bucket vectorized equi-merge +
     interval mask."""
-    from .relational import bucketed_map
+    from .relational import bucketed_map_arrow, default_coarse
     lcols = list(left_ds.schema().names)
     rkeep = [c for c in right_cols]
+    coarse = default_coarse()
     tagged = _tagged_union(left_ds, right_ds, key_left, key_right,
-                           lcols, rkeep, ts_left, ts_right)
+                           lcols, rkeep, ts_left, ts_right, coarse)
 
-    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
-        l = bucket[bucket['_side'] == 'l']
-        r = bucket[bucket['_side'] == 'r']
+    def merge(t) -> pd.DataFrame:
+        l, r = _split_sides(t, lcols + ['_k', '_ts'], rkeep + ['_k', '_ts'])
         if not len(l) or not len(r):
             return pd.DataFrame()
-        merged = l[lcols + ['_k', '_ts']].merge(
-            r[rkeep + ['_k', '_ts']], on='_k', suffixes=('', '_r'))
+        merged = l.merge(r, on='_k', suffixes=('', '_r'))
         delta = merged['_ts'] - merged['_ts_r']
         mask = (delta >= low_us) & (delta < high_us)
         return merged.loc[mask, lcols + rkeep]
 
-    return bucketed_map(tagged, ['_k'], merge, arrow_blocks=False)
+    return bucketed_map_arrow(tagged, merge, coarse=coarse)
 
 
 def sessionize(events_ds, key_col: str = 'user_id', ts_col: str = 'ts',
