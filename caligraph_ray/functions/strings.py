@@ -102,7 +102,17 @@ def remove_by_phrase(text: str) -> str:
     Honduras' -> 'Alumni in Honduras'). Deviations from spaCy: NNS =
     lowercase plural (via nlp.is_plural), VBN = -ed / irregular list; the
     lexical-head-in-tail guard is vacuous under our head rule (the head
-    always precedes the first preposition) and is omitted."""
+    always precedes the first preposition) and is omitted.
+
+    Reference QUIRKS deliberately preserved (components.py:83-89, 103):
+    * when both 'in' and 'from' follow the last 'by', 'from' wins the cut
+      point unconditionally — 'A by B in C from D' -> 'A from D' (the in-
+      clause is removed with the by-phrase);
+    * the cut point is computed from the LAST by-phrase only, so removing
+      an earlier 'by' spans through any later one — 'Books by author in
+      France by decade' -> 'Books';
+    * the NNS guard scans to the END of the label (not just the by-phrase
+      span), so a plural inside a kept in/from clause vetoes removal."""
     tokens = text.split()
     by_idx = [i for i, t in enumerate(tokens) if t == 'by']
     if not by_idx:

@@ -19,15 +19,22 @@ _DEFAULT_PORTS = {'http': 80, 'https': 443}
 
 
 def canonicalize_url(url: str) -> str:
-    """One URL → its canonical form (pure scalar function)."""
-    parts = urlsplit(url.strip())
+    """One URL → its canonical form (pure scalar function). A URL that
+    urlsplit cannot parse, or whose port is malformed (``:80abc``,
+    ``:99999``), comes back stripped-but-otherwise-unchanged — one junk URL
+    in a web corpus must never kill a whole map_batches task."""
+    try:
+        parts = urlsplit(url.strip())
+        port = parts.port   # raises ValueError on malformed/out-of-range
+        host = (parts.hostname or '').lower()
+    except ValueError:
+        return url.strip()
     scheme = parts.scheme.lower()
-    host = (parts.hostname or '').lower()
     if host.startswith('www.'):
         host = host[4:]
     netloc = host
-    if parts.port is not None and parts.port != _DEFAULT_PORTS.get(scheme):
-        netloc = f'{host}:{parts.port}'
+    if port is not None and port != _DEFAULT_PORTS.get(scheme):
+        netloc = f'{host}:{port}'
     path = parts.path
     if path.endswith('/'):
         path = path.rstrip('/')

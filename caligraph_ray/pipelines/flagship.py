@@ -16,6 +16,7 @@ from typing import Optional
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..config import (MENTION_ENTITY_THRESHOLD, MENTION_MENTION_THRESHOLD,
@@ -176,7 +177,6 @@ def _assemble_triples(linked, cats, me_threshold, mm_threshold, path_threshold,
     id_to_name = {entity_node_id(e): e for e in sorted(set(e for e in ent_names if e))}
     state_ref = ray.put((surf_label, multi_info, id_to_name, mm_threshold))
 
-    import pyarrow.compute as pc
     linked_subjects = linked.map_batches(
         lambda t: t.filter(pc.equal(t.column('is_subject'), pa.scalar(True))),
         batch_format='pyarrow')

@@ -27,31 +27,22 @@ from .relational import (arrow_filter, bucketed_map, two_phase_count)
 _SEP = '\x00'
 
 
-def explode_lines(docs_ds, text_col: str = 'text', id_col: str = 'doc_id',
-                  group_col: str = 'source'):
-    """Docs → one row per line: (id, group, pos, line, n_lines)."""
-
-    def explode(b: pd.DataFrame) -> pd.DataFrame:
-        parts = b[text_col].str.split('\n')
-        out = b[[id_col, group_col]].copy()
-        out['line'] = parts
-        out['n_lines'] = parts.str.len()
-        out = out.explode('line', ignore_index=True)
-        out['pos'] = out.groupby(id_col).cumcount()
-        return out
-
-    return docs_ds.map_batches(explode, batch_format='pandas')
-
-
-def boilerplate_lines(lines_ds, group_col: str = 'source',
-                      id_col: str = 'doc_id', min_docs: int = 5):
+def boilerplate_lines(docs_ds, group_col: str = 'source',
+                      id_col: str = 'doc_id', min_docs: int = 5,
+                      text_col: str = 'text'):
     """(group, line) pairs appearing in ≥ min_docs distinct docs of that
-    group. Distinctness is resolved per batch (a doc's lines never split
-    across batches — explode_lines emits them together)."""
-    deduped = lines_ds.map_batches(
-        lambda b: b.drop_duplicates([id_col, group_col, 'line'])[
-            [group_col, 'line']],
-        batch_format='pandas')
+    group. Explode AND per-doc dedup happen inside ONE map UDF over whole
+    documents, so per-doc distinctness never depends on where Ray splits
+    output blocks — a doc contributes each (group, line) at most once by
+    construction (count(DISTINCT doc) exactly)."""
+    def distinct_doc_lines(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[id_col, group_col]].copy()
+        out['line'] = b[text_col].str.split('\n')
+        out = out.explode('line', ignore_index=True)
+        return out.drop_duplicates([id_col, group_col, 'line'])[
+            [group_col, 'line']]
+
+    deduped = docs_ds.map_batches(distinct_doc_lines, batch_format='pandas')
     counts = two_phase_count(deduped, [group_col, 'line'], 'cnt')
     return arrow_filter(counts,
                         lambda t: pc.greater_equal(t['cnt'], min_docs))
@@ -67,8 +58,7 @@ def remove_boilerplate(docs_ds, text_col: str = 'text',
 
     ONE exchange: docs salted on ``(group, hash(id) % salt_buckets)``, the
     boilerplate dim replicated into each salt sub-bucket (see module doc)."""
-    lines = explode_lines(docs_ds, text_col, id_col, group_col)
-    bp = boilerplate_lines(lines, group_col, id_col, min_docs)
+    bp = boilerplate_lines(docs_ds, group_col, id_col, min_docs, text_col)
     id_kind = str(dict(zip(docs_ds.schema().names,
                            docs_ds.schema().types))[id_col])
 

@@ -65,6 +65,13 @@ def _tagged_union(left_ds, right_ds, key_left: str, key_right: str,
               zip(left_ds.schema().names, left_ds.schema().types)}
     rtypes = {n: _pa_type(t) for n, t in
               zip(right_ds.schema().names, right_ds.schema().types)}
+    clash = [c for c in rcols if c in lcols]
+    if clash:
+        # one transit column per name cannot carry two sides' payloads;
+        # callers rename upstream (the output would collide anyway)
+        raise ValueError(
+            f'right_cols {clash} also exist on the left side — rename the '
+            f'right columns before the join (select_columns + map_batches)')
     all_cols = lcols + [c for c in rcols if c not in lcols]
     types = {**{c: rtypes[c] for c in rcols}, **{c: ltypes[c] for c in lcols}}
     # the two sides' key columns must concat to ONE type: int64 when both
@@ -139,14 +146,36 @@ def asof_join(left_ds, right_ds, key_left: str, key_right: str,
         l, r = _split_sides(t, lcols + ['_k', '_ts'], rkeep + ['_k', '_ts'])
         if not len(l):
             return pd.DataFrame()
-        r['_rmatch'] = True
         l = l.sort_values(['_ts'], kind='mergesort')
-        r = r.sort_values(['_ts'], kind='mergesort')
+        r = r.sort_values(['_ts'], kind='mergesort').reset_index(drop=True)
+        # only an int64 row POSITION travels through merge_asof: unmatched
+        # left rows NaN-fill the merged column (demoting it to float64), but
+        # a row index is always < 2^53 so the demotion is lossless — the
+        # actual right payloads are gathered afterwards by position, keeping
+        # int64 columns exact (the old object-dtype exchange's guarantee)
+        rpos = r[['_k', '_ts']].copy()
+        rpos['_ri'] = np.arange(len(rpos), dtype=np.int64)
         merged = pd.merge_asof(
-            l, r, on='_ts', by='_k', direction=direction,
-            allow_exact_matches=True, suffixes=('', '_r'))
+            l, rpos, on='_ts', by='_k', direction=direction,
+            allow_exact_matches=True)
+        matched = merged['_ri'].notna()
         if inner:
-            merged = merged[merged['_rmatch'].notna()]
+            merged = merged[matched]
+            idx = merged['_ri'].to_numpy(dtype=np.int64)
+            for c in rkeep:
+                merged[c] = r[c].to_numpy()[idx] if len(r) else None
+            return merged[lcols + rkeep]
+        idx = merged['_ri'].fillna(0).to_numpy(dtype=np.int64)
+        m = matched.to_numpy()
+        for c in rkeep:
+            if len(r) and m.all():
+                merged[c] = r[c].to_numpy()[idx]
+            else:
+                vals = np.empty(len(merged), dtype=object)
+                if len(r):
+                    vals[m] = r[c].to_numpy()[idx[m]]
+                vals[~m] = None
+                merged[c] = vals
         return merged[lcols + rkeep]
 
     return bucketed_map_arrow(tagged, merge, coarse=coarse)

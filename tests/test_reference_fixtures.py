@@ -33,6 +33,21 @@ def test_remove_by_phrase_reference_fixtures():
         assert remove_by_phrase(src).lower() == expected.lower(), src
 
 
+def test_remove_by_phrase_reference_quirks():
+    # deliberate reference-parity quirks (components.py:83-89, 103), pinned
+    # so a "fix" can't silently diverge from the reference:
+    # 'from' overrides 'in' as the cut point → the in-clause is removed too
+    assert remove_by_phrase(
+        'Alumni by university in Honduras from 1990') == 'Alumni from 1990'
+    # the cut point comes from the LAST by-phrase, so removing an earlier
+    # 'by' spans through the later one
+    assert remove_by_phrase('Books by author in France by decade') == 'Books'
+    # the NNS guard scans to end-of-label: a plural in the kept in-clause
+    # vetoes removal entirely
+    assert remove_by_phrase(
+        'Paintings by year in museums') == 'Paintings by year in museums'
+
+
 def test_plural_lexhead_reference_fixtures():
     # tests/unit/util/test_nlp.py:31-36
     assert has_plural_head('Reptiles')

@@ -257,3 +257,35 @@ def test_columns_list_with_inner_divs():
     assert page is not None
     enums = [l for l in page.listings if l.ltype == 'enum']
     assert len(enums) == 1 and len(enums[0].items) == 6
+
+
+def test_asof_right_payload_exact_above_2_53():
+    # the merge carries only an int64 row position; right payloads above
+    # 2^53 must survive the NaN-fill float demotion path exactly, for both
+    # matched-with-misses inner joins and left joins
+    big = (1 << 53) + 1
+    left = _events([(1, 100, 7, 0.0), (2, 50, 8, 0.0)])   # user 8: no match
+    right = pd.DataFrame({'okey': [big], 'cust': [7],
+                          'odate': pd.to_datetime([90], unit='s')
+                          .astype('datetime64[us]')})
+    inner = collect_pandas(asof_join(
+        left, rd.from_pandas(right), 'user_id', 'cust', 'ts', 'odate',
+        right_cols=['okey'], inner=True))
+    assert len(inner) == 1 and int(inner['okey'].iloc[0]) == big
+    outer = collect_pandas(asof_join(
+        left, rd.from_pandas(right), 'user_id', 'cust', 'ts', 'odate',
+        right_cols=['okey'], inner=False)).sort_values('event_id')
+    assert len(outer) == 2
+    assert int(outer['okey'].iloc[0]) == big
+    assert pd.isna(outer['okey'].iloc[1])
+
+
+def test_asof_overlapping_payload_name_rejected():
+    import pytest
+    left = _events([(1, 100, 7, 0.0)])
+    right = pd.DataFrame({'value': [1.0], 'cust': [7],
+                          'odate': pd.to_datetime([90], unit='s')
+                          .astype('datetime64[us]')})
+    with pytest.raises(ValueError, match='rename'):
+        asof_join(left, rd.from_pandas(right), 'user_id', 'cust', 'ts',
+                  'odate', right_cols=['value'])

@@ -23,3 +23,12 @@ def test_host_and_domain():
     assert url_host('https://WWW.news.Site.co/x') == 'news.site.co'
     assert registered_domain('a.b.example.org') == 'example.org'
     assert registered_domain('localhost') == 'localhost'
+
+
+def test_malformed_port_passthrough():
+    # junk URLs in a web corpus must not kill a map_batches task: malformed
+    # or out-of-range ports come back stripped-but-unchanged
+    assert canonicalize_url('http://example.com:80abc/x') == \
+        'http://example.com:80abc/x'
+    assert canonicalize_url(' http://example.com:99999/x ') == \
+        'http://example.com:99999/x'
