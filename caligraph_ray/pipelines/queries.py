@@ -1549,6 +1549,24 @@ FROM documents GROUP BY 1
 """
 
 
+def q_hash_sample_docs(sf_dir: str):
+    """Deterministic 10% Bernoulli sample of documents (O5 at scale:
+    sample membership is a pure salted-hash function of the id — no RNG
+    state, identical on any engine; the actual sampled ids are gated, not
+    just their count)."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'lang'])
+    out = rel.collect_pandas(rel.hash_sample(docs, 'doc_id', 100))
+    out = out.astype({'doc_id': 'int64'})
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE md5_number_upper('sample:42:' || CAST(doc_id AS VARCHAR)) % 1000 < 100
+ORDER BY doc_id
+"""
+
+
 
 # --- corpus-LM scoring + contamination check --------------------------------
 
@@ -1728,6 +1746,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'asof_latest_order': q_asof_latest_order,
     'value_quantiles_by_type': q_value_quantiles_by_type,
     'hash_split_counts': q_hash_split_counts,
+    'hash_sample_docs': q_hash_sample_docs,
     'unigram_logprob_scores': q_unigram_logprob_scores,
     'split_contamination': q_split_contamination,
     'multimodal_image_stats': q_multimodal_image_stats,
@@ -1787,6 +1806,7 @@ ORACLES: Dict[str, str] = {
     'asof_latest_order': SQL_ASOF,
     'value_quantiles_by_type': SQL_QUANTILES,
     'hash_split_counts': SQL_HASH_SPLIT,
+    'hash_sample_docs': SQL_HASH_SAMPLE,
     'unigram_logprob_scores': SQL_UNIGRAM_LP,
     'split_contamination': SQL_CONTAMINATION,
     'multimodal_image_stats': SQL_MM_IMAGE,

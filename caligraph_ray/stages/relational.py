@@ -34,6 +34,24 @@ def seeded_sample(ds, fraction: float, seed: int = 42):
     return ds.random_sample(fraction, seed=seed)
 
 
+def hash_sample(ds, id_col: str, rate_permille: int, salt: str = 'sample:42'):
+    """Deterministic Bernoulli sample: keep rows where
+    ``md5(salt + ':' + id) % 1000 < rate_permille`` — a pure function of the
+    id, so the sample is identical on any engine, any run, any partitioning
+    (the O5 shape that holds at 10^12 rows: no shuffle, no RNG state, and a
+    resumed run re-selects exactly the same rows). Distinct salts give
+    independent samples of the same table."""
+    from ..functions.hashing import md5_hash64
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        mask = [md5_hash64(f'{salt}:{v}') % 1000 < rate_permille
+                for v in batch[id_col]]
+        return batch[pd.Series(mask, index=batch.index)]
+
+    return ds.map_batches(keep, batch_format='pandas',
+                          batch_size=AGG_BATCH_SIZE)
+
+
 def read_table(sf_dir: str, name: str, columns: Optional[List[str]] = None):
     """Column-pruned parquet read of a driver testdata table."""
     import ray.data as rd
