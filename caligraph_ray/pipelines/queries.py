@@ -688,6 +688,38 @@ SELECT doc_id, CAST(unnest(fp) AS VARCHAR) AS fp FROM fps
 """
 
 
+def q_fingerprint_overlap_pairs(sf_dir: str):
+    """Passage-level near-dup pairs: documents sharing ≥ 2 winnowing
+    fingerprints, with the exact shared count (dedup.py
+    fingerprint_overlap_pairs over the md5-based hash so DuckDB can replay
+    the fingerprints AND the pair counts)."""
+    from ..functions.hashing import md5_hash64
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    out = rel.collect_pandas(dd.fingerprint_overlap_pairs(
+        docs, min_shared=2, hash_fn=md5_hash64))
+    if out.empty:
+        return pd.DataFrame({'a': pd.Series(dtype='int64'),
+                             'b': pd.Series(dtype='int64'),
+                             'shared': pd.Series(dtype='int64')})
+    out['shared'] = out['score'].astype('int64')
+    out = out[['a', 'b', 'shared']].astype('int64')
+    return out.sort_values(['a', 'b']).reset_index(drop=True)
+
+
+SQL_FP_OVERLAP = """
+WITH fps AS (SELECT doc_id,
+    CASE WHEN length(text) <= 16 THEN [md5_number_upper(text)]
+         ELSE list_sort(list_distinct(list_transform(range(length(text) - 15),
+                  i -> md5_number_upper(substr(text, i + 1, 16)))))[1:8]
+    END AS fp FROM documents),
+ex AS (SELECT doc_id, unnest(fp) AS fp FROM fps)
+SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY 1, 2
+"""
+
+
 # --- similarity search ------------------------------------------------------
 
 def q_knn_topk(sf_dir: str):
@@ -1781,6 +1813,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'ngram_jaccard_pairs': q_ngram_jaccard_pairs,
     'embedding_near_dups': q_embedding_near_dups,
     'doc_fingerprints': q_doc_fingerprints,
+    'fingerprint_overlap_pairs': q_fingerprint_overlap_pairs,
     'knn_topk': q_knn_topk,
     'lsh_topk': q_lsh_topk,
     'taxonomy_edges': q_taxonomy_edges,
@@ -1840,6 +1873,7 @@ ORACLES: Dict[str, str] = {
     'simhash_pairs': SQL_SIMHASH,
     'ngram_jaccard_pairs': SQL_NGRAM_JACCARD,
     'doc_fingerprints': SQL_FINGERPRINTS,
+    'fingerprint_overlap_pairs': SQL_FP_OVERLAP,
     'embedding_near_dups': SQL_EMB_DUPS,
     'knn_topk': SQL_KNN,
     'taxonomy_edges': SQL_TAXONOMY_EDGES,

@@ -244,6 +244,42 @@ def simhash_dedup_pairs(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
                                          sig_dtype='int64')
 
 
+def fingerprint_overlap_pairs(docs_ds, id_col: str = 'doc_id',
+                              text_col: str = 'text', min_shared: int = 4,
+                              window: int = 16, keep: int = 8, hash_fn=None):
+    """Passage-level near-dup pairs via shared winnowing fingerprints (the
+    MOSS candidate shape): each of a doc's ``keep`` fingerprints IS an LSH
+    bucket key, and a candidate pair is kept when the EXACT fingerprint
+    overlap reaches ``min_shared``. Rides the shared LSH machinery
+    (arrow-native exchange, singleton-bucket vectorized drop, capped +
+    logged degenerate buckets, cross-bucket pair dedup). Catches copied
+    passages that whole-document MinHash misses at low overall similarity.
+    ``hash_fn=md5_hash64`` makes the result DuckDB-replayable."""
+    from .textstats import fingerprints
+    fps = fingerprints(docs_ds, id_col=id_col, text_col=text_col,
+                       window=window, keep=keep, hash_fn=hash_fn)
+
+    def to_sigs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col],
+            'sig': [np.asarray(sorted(int(h) for h in fp), dtype=np.uint64)
+                    for fp in b['fingerprint']]})
+
+    sig_ds = fps.map_batches(to_sigs, batch_format='pandas',
+                             batch_size=AGG_BATCH_SIZE)
+
+    def band_fn(sig):
+        # each fingerprint is its own bucket key (bit-reinterpret to int64)
+        return np.asarray(sig, dtype=np.uint64).view(np.int64)
+
+    def verify(sa, sb):
+        shared = len(np.intersect1d(sa, sb))
+        return shared >= min_shared, float(shared)
+
+    return _candidate_pairs_from_buckets(sig_ds, id_col, band_fn, verify,
+                                         sig_dtype='uint64')
+
+
 def ngram_jaccard_pairs(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
                         n: int = MINHASH_SHINGLE_SIZE,
                         threshold: float = NGRAM_JACCARD_THRESHOLD):

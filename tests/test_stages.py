@@ -112,6 +112,24 @@ def test_simhash_pairs_planted(ray_session, rd):
     assert (1, 2) in got and (1, 3) not in got
 
 
+def test_fingerprint_overlap_pairs_planted(ray_session, rd):
+    from caligraph_ray.stages.dedup import fingerprint_overlap_pairs
+    base = ('the quick brown fox jumps over the lazy dog and then runs far '
+            'away into the deep dark forest before midnight strikes twice')
+    # doc 2 copies a long passage of doc 1 (shares many 16-char windows);
+    # doc 3 is unrelated text of similar length
+    near = base[:80] + ' completely different tail content here'
+    far = ('zebra xylophone quartz jackdaw vexing wizard brew grumpy night '
+           'owls fly south every single winter without fail or pause')
+    docs = pd.DataFrame({'doc_id': [1, 2, 3], 'text': [base, near, far]})
+    pairs = fingerprint_overlap_pairs(rd.from_pandas(docs),
+                                      min_shared=2).to_pandas()
+    got = set(zip(pairs['a'], pairs['b']))
+    assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+    shared = pairs.set_index(['a', 'b'])['score'].loc[(1, 2)]
+    assert 2 <= shared <= 8
+
+
 def test_brute_force_topk_matches_numpy(ray_session, rd):
     from caligraph_ray.stages.similarity import brute_force_topk
     rng = np.random.RandomState(3)
