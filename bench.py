@@ -59,6 +59,7 @@ def run_benchmarks() -> dict:
     timed('token_frequencies', lambda: Q.q_token_frequencies(SF_DIR).to_pandas())
     timed('dedup_exact', lambda: Q.q_dedup_exact(SF_DIR).to_pandas())
     timed('minhash_dedup', lambda: Q.q_minhash_dedup(SF_DIR))
+    timed('fingerprint_overlap', lambda: Q.q_fingerprint_overlap_pairs(SF_DIR))
     timed('knn_topk', lambda: Q.q_knn_topk(SF_DIR))
     timed('embedding_near_dups', lambda: Q.q_embedding_near_dups(SF_DIR))
     timed('user_components', lambda: Q.q_user_components(SF_DIR))
