@@ -76,7 +76,7 @@ def run_full_kg(pages_ds, categories_ds=None, facts_ds=None,
         # Cat2Ax over the category hierarchy + membership (member = page title)
         if facts_ds is not None:
             axioms = extract_axioms(categories_ds, membership, facts_ds)
-            streams.append(axioms_to_triples(axioms, membership))
+            streams.append(axioms_to_triples(axioms, membership, facts_ds))
 
             # Cali2Ax: reuse the category patterns on the OUTPUT taxonomy
             # nodes with each node's member property frequencies (A9 incl.

@@ -55,15 +55,15 @@ def category_statistics(membership_ds, facts_ds):
     joined = shuffle_join(membership_ds, facts_ds, 'member', 'subj', how='inner')
 
     def to_kind(batch: pd.DataFrame) -> pd.DataFrame:
-        is_type = batch['pred'] == 'rdf:type'
-        keep = is_type | (~batch['is_literal'].astype(bool))
-        b = batch[keep]
-        it = b['pred'] == 'rdf:type'
+        # literal-valued props STAY in the stats: the reference mines
+        # patterns over res.get_properties() which includes datatype facts
+        # (category.py:229-230) — year/number axioms are Cat2Ax's showcase
+        it = batch['pred'] == 'rdf:type'
         return pd.DataFrame({
-            'cat_name': b['cat_name'],
+            'cat_name': batch['cat_name'],
             'kind': np.where(it, 't', 'p'),
-            'k1': np.where(it, b['obj'], b['pred']),
-            'k2': np.where(it, '', b['obj']),
+            'k1': np.where(it, batch['obj'], batch['pred']),
+            'k2': np.where(it, '', batch['obj']),
         })
 
     exploded = joined.map_batches(to_kind, batch_format='pandas',
@@ -409,24 +409,53 @@ def extract_axioms(categories_ds, membership_ds, facts_ds,
                             batch_size=AGG_BATCH_SIZE)
 
 
-def axioms_to_triples(axioms_ds, membership_ds):
+def literal_flags_for_pairs(facts_ds, pairs) -> Dict[Tuple[str, str], bool]:
+    """(pred, obj) → is_literal for a SMALL set of pairs, looked up in the
+    fact table with a broadcast filter (only matching rows leave the
+    cluster). Lets axiom materialization emit mined literal values as
+    literal triples, exactly as the facts state them."""
+    from .relational import two_phase_count
+    if not pairs:
+        return {}
+    pairs_ref = ray.put(set(pairs))
+
+    def flags(batch: pd.DataFrame) -> pd.DataFrame:
+        pp = ray.get(pairs_ref)
+        keep = pd.Series([k in pp for k in zip(batch['pred'], batch['obj'])],
+                         index=batch.index)
+        b = batch[keep]
+        return pd.DataFrame({'pred': b['pred'], 'value': b['obj'],
+                             'lit': b['is_literal'].astype(bool)})
+
+    rows = collect_rows(two_phase_count(
+        facts_ds.map_batches(flags, batch_format='pandas'),
+        ['pred', 'value', 'lit'], 'n'))
+    return {(r['pred'], r['value']): bool(r['lit']) for r in rows}
+
+
+def axioms_to_triples(axioms_ds, membership_ds, facts_ds=None):
     """Materialize axioms onto category members (entity.py:134-153):
-    (member, pred, value) for each member of an axiom'd category."""
+    (member, pred, value) for each member of an axiom'd category. With
+    ``facts_ds`` the mined values inherit the literal flag of the facts
+    they were mined from; without it every axiom emits as a resource."""
     ax_rows = collect_rows(axioms_ds)
+    lit_map = literal_flags_for_pairs(
+        facts_ds, {(a['pred'], a['value']) for a in ax_rows}) \
+        if facts_ds is not None else {}
     by_cat: Dict[str, List[dict]] = defaultdict(list)
     for a in ax_rows:
         by_cat[a['cat_name']].append(a)
-    ref = ray.put(dict(by_cat))
+    ref = ray.put((dict(by_cat), lit_map))
 
     def emit(batch: pd.DataFrame) -> pa.Table:
-        axioms = ray.get(ref)
+        axioms, lits = ray.get(ref)
         subj, pred, obj, lit = [], [], [], []
         for cat, member in zip(batch['cat_name'], batch['member']):
             for a in axioms.get(cat, ()):  # axioms per member's category
                 subj.append(member)
                 pred.append(a['pred'])
                 obj.append(a['value'])
-                lit.append(False)
+                lit.append(lits.get((a['pred'], a['value']), False))
         from .triples import TRIPLES_SCHEMA
         return pa.Table.from_pydict({'subj': subj, 'pred': pred, 'obj': obj,
                                      'is_literal': lit}, schema=TRIPLES_SCHEMA)

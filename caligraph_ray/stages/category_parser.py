@@ -25,7 +25,8 @@ _INCLUDEONLY_RE = re.compile(r'</?includeonly>')
 _NOINCLUDE_RE = re.compile(r'<noinclude>(.|\n)*?</noinclude>')
 _PARAM_RE = re.compile(r'\{\{\{([^{}]*?)\}\}\}')
 _INNER_TEMPLATE_RE = re.compile(r'\{\{([^{}]*?)\}\}')
-_CATEGORY_LINK_RE = re.compile(r'\[\[\s*Category:([^\[\]|]+)(?:\|[^\[\]]*)?\]\]')
+_CATEGORY_LINK_RE = re.compile(
+    r'\[\[\s*Category:([^\[\]|]+)(?:\|[^\[\]]*)?\]\]', re.IGNORECASE)
 
 MAX_EXPANSION_ROUNDS = 50
 
@@ -45,13 +46,30 @@ def prepare_template_definitions(templates: Dict[str, str]) -> Dict[str, str]:
         content = _NOINCLUDE_RE.sub('', content)
         content = _filter_for_onlyinclude(content)
         defs[name] = content
+    def redirect_target(content: str):
+        # MediaWiki matches the redirect keyword case-insensitively
+        if not content[:9].upper().startswith('#REDIRECT'):
+            return None
+        m = re.search(r'\[\[\s*Template:([^\[\]|]+)\s*\]\]', content[9:],
+                      re.IGNORECASE)
+        return capitalize(m.group(1).strip().replace('_', ' ')) if m else ''
+
     for name in list(defs):
+        # chase chains to a fixpoint, order-independently (a single pass
+        # left earlier-iterated names pointing at raw '#REDIRECT' text when
+        # the chain had length >= 2); the seen-set guards redirect cycles
+        seen = {name}
         content = defs[name]
-        if content.startswith('#REDIRECT'):
-            m = re.search(r'\[\[\s*Template:([^\[\]|]+)\s*\]\]',
-                          content[len('#REDIRECT'):])
-            target = capitalize(m.group(1).strip().replace('_', ' ')) if m else None
-            defs[name] = defs.get(target, '') if target else ''
+        while True:
+            target = redirect_target(content)
+            if target is None:
+                break
+            if not target or target in seen:
+                content = ''
+                break
+            seen.add(target)
+            content = defs.get(target, '')
+        defs[name] = content
     return defs
 
 

@@ -55,6 +55,8 @@ def listing_context_tokens(page_title: str, topsection: str, section: str,
     if ltype == 'table' and header:
         for cell in header:
             toks.extend([cell, TABLE_COL])
+    # reference parity (chunking.py:140): CONTEXT_END REPLACES the final
+    # token — for a table that is the last header cell's [COL] marker
     toks[-1] = CTX_END
     return toks
 
@@ -112,7 +114,8 @@ def chunk_listings(items_ds, labels_ref=None):
         g = g.sort_values('item_idx', kind='mergesort')
         first = g.iloc[0]
         context = listing_context_tokens(first.get('page_title', ''),
-                                         first['topsection'], first['section'],
+                                         first.get('topsection', ''),
+                                         first.get('section', ''),
                                          first.get('ltype', ''),
                                          list(first.get('header', []) or []))
         items = g.to_dict('records')

@@ -183,6 +183,10 @@ def me_candidates_topk(mentions_ds, entity_ids: np.ndarray,
     state = ray.put((np.asarray(entity_ids), mat))
 
     def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({mention_id_col: pd.Series(dtype='int64'),
+                                 'entity_id': pd.Series(dtype='int64'),
+                                 'score': pd.Series(dtype='float64')})
         ids, emat = get_broadcast(state)
         q = np.stack([np.asarray(v, dtype=np.float64)
                       for v in batch[mention_vec_col]])
@@ -291,12 +295,15 @@ def link_mentions_scored(mentions_ds, entity_labels: List[str], k: int = 4,
     ``entity_labels``: the known-entity dim (small side, broadcast once)."""
     ents = sorted(set(e for e in entity_labels if e))
     if not ents:
-        import pyarrow.compute as pc  # noqa: F401 — keep contract columns
-        def nil(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            out = batch.append_column('entity', pa.array([None] * n, pa.string()))
-            return out.append_column('link_score', pa.array([0.0] * n, pa.float64()))
-        return mentions_ds.map_batches(nil, batch_format='pyarrow')
+        # no known-entity dim: wikilinked mentions still keep their target
+        # at score 1.0 (the documented contract); only unlinked go NIL
+        def nil(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.copy()
+            linked = out['name'].notna()
+            out['entity'] = out['name'].where(linked, None)
+            out['link_score'] = np.where(linked, 1.0, 0.0)
+            return out
+        return mentions_ds.map_batches(nil, batch_format='pandas')
 
     emat = np.stack([hash_embed(e, dim) for e in ents])
     emat = emat / np.maximum(np.linalg.norm(emat, axis=1, keepdims=True), 1e-12)
@@ -314,6 +321,11 @@ def link_mentions_scored(mentions_ds, entity_labels: List[str], k: int = 4,
             self.rr = CrossEncoderReranker()
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                out = batch.copy()
+                out['entity'] = pd.Series(dtype=object)
+                out['link_score'] = pd.Series(dtype='float64')
+                return out
             q = np.stack([hash_embed(l or '', dim) for l in batch['label']])
             sims = q @ self.emat.T
             entities: List[Optional[str]] = []

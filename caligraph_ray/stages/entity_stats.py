@@ -59,6 +59,10 @@ def property_frequencies_per_type(types_ds, props_ds, hierarchy=None,
             trans_ec[node] = ent_count.get(node, 0)
             trans_pc[node] = prop_counts.get(node, Counter()).copy()
             if ent_count.get(node, 0) < min_support:  # reference entity.py:343
+                # reference parity (entity.py:343-346), quirks included: a
+                # child ABOVE min_support contributes only its direct
+                # counts (its own rollup is frozen), and in a DAG a shared
+                # descendant is summed once per parent path (double count)
                 for c in hierarchy.children(node):
                     trans_ec[node] = trans_ec[node] + trans_ec.get(c, 0)
                     trans_pc[node] = trans_pc[node] + trans_pc.get(c, Counter())
@@ -113,6 +117,9 @@ def valid_tags_for_types(tag_probas: Dict[str, Dict[str, float]],
         def resolve(t: str, seen: frozenset) -> Set[str]:
             tags = valid.get(t)
             if tags is None:
+                # reference parity (context.py:166-167): an ancestor with NO
+                # mention data at all contributes nothing — the climb does
+                # not continue past it to grandparents
                 return set()
             if tags:
                 return tags
@@ -180,7 +187,17 @@ def cali2ax_axioms(categories_ds, membership_ds, facts_ds,
         return rd.from_pandas(pd.DataFrame(
             {'type': pd.Series(dtype='object'), 'pred': pd.Series(dtype='object'),
              'value': pd.Series(dtype='object'),
-             'confidence': pd.Series(dtype='float64')}))
+             'confidence': pd.Series(dtype='float64'),
+             'is_literal': pd.Series(dtype='bool')}))
+
+    # mined values inherit the literal flag of the facts they came from (a
+    # birth-year axiom must materialize as a literal triple, exactly as the
+    # fact table states it)
+    from .cat2ax import literal_flags_for_pairs
+    lit_map = literal_flags_for_pairs(
+        facts_ds, {(r['pred'], r['value']) for r in rows})
+    for r in rows:
+        r['is_literal'] = lit_map.get((r['pred'], r['value']), False)
     return rd.from_pandas(pd.DataFrame(rows))
 
 
@@ -196,20 +213,22 @@ def cali2ax_triples(axioms_ds, type_entities_ds,
     ax_rows = collect_rows(axioms_ds)
     by_type: Dict[str, list] = defaultdict(list)
     for a in ax_rows:
-        by_type[a['type']].append((a['pred'], a['value']))
+        by_type[a['type']].append((a['pred'], a['value'],
+                                   bool(a.get('is_literal', False))))
     ref = ray.put(dict(by_type))
 
     def emit(batch: pd.DataFrame) -> pa.Table:
         from ..state.broadcast import get_broadcast
         axioms = get_broadcast(ref)
-        subj, pred, obj = [], [], []
+        subj, pred, obj, lit = [], [], [], []
         for ent, t in zip(batch[entity_col], batch[type_col]):
-            for (p, v) in axioms.get(t, ()):
+            for (p, v, is_lit) in axioms.get(t, ()):
                 subj.append(ent)
                 pred.append(p)
                 obj.append(v)
+                lit.append(is_lit)
         return pa.Table.from_pydict({'subj': subj, 'pred': pred, 'obj': obj,
-                                     'is_literal': [False] * len(subj)},
+                                     'is_literal': lit},
                                     schema=TRIPLES_SCHEMA)
 
     return type_entities_ds.map_batches(emit, batch_format='pandas')

@@ -502,18 +502,33 @@ def closure_pairs(edges_ds, child_col: str = 'child', parent_col: str = 'parent'
     ancestor dict is broadcast once and each distinct node's closure rows
     are emitted inside map_batches — at 10^12 member rows downstream, the
     closure join cost is where the work is, and that stays in the cluster."""
-    from .relational import collect_rows, two_phase_count
+    from .relational import two_phase_count
     h = build_hierarchy(edges_ds, child_col, parent_col, merge=merge)
     anc = {n: sorted(s) for n, s in h.closure().items() if n != ROOT}
-    anc_ref = ray.put(anc)
+    # raw label → (possibly merged) hierarchy node, so merge=True callers
+    # get the merged taxonomy's closure instead of silent empty lookups
+    raw_to_node = {part: n for n in h.content_nodes for part in h.parts(n)}
+    anc_ref = ray.put((anc, raw_to_node))
 
-    nodes = two_phase_count(edges_ds, [child_col], 'cnt').drop_columns(['cnt'])
+    # closure domain = every node of the taxonomy, so parent-only
+    # (top-level) nodes emit their ancestry too — the node stream is the
+    # distinct union of both edge endpoints, mapped raw→node BEFORE the
+    # distinct so merged raw labels collapse to one closure row set
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import get_broadcast
+        _, raw_ = get_broadcast(anc_ref)
+        raws = pd.concat([b[child_col], b[parent_col]], ignore_index=True)
+        return pd.DataFrame({'_n': raws.map(lambda r: raw_.get(r, r))})
+
+    nodes = two_phase_count(
+        edges_ds.map_batches(endpoints, batch_format='pandas'),
+        ['_n'], 'cnt').drop_columns(['cnt'])
 
     def emit(batch: pd.DataFrame) -> pd.DataFrame:
         from ..state.broadcast import get_broadcast
-        anc_ = get_broadcast(anc_ref)
+        anc_, _ = get_broadcast(anc_ref)
         out_n, out_a = [], []
-        for n in batch[child_col]:
+        for n in batch['_n']:
             for a in anc_.get(n, ()):
                 out_n.append(n)
                 out_a.append(a)

@@ -77,3 +77,26 @@ def test_parent_stage(ray_session):
     assert ('German cities', 'Cities') in got
     assert ('German cities', 'German categories') in got
     assert not any(c == 'Weird cat' for c, _ in got)
+
+
+def test_redirect_chain_order_independent():
+    # chains of length >= 2 resolve to the final target regardless of dict
+    # iteration order; cycles resolve to empty
+    from caligraph_ray.stages.category_parser import (
+        extract_parent_categories, prepare_template_definitions)
+    defs = prepare_template_definitions({
+        'A': '#REDIRECT [[Template:B]]',
+        'B': '#REDIRECT [[Template:C]]',
+        'C': '[[Category:X]]',
+        'Loop1': '#REDIRECT [[Template:Loop2]]',
+        'Loop2': '#REDIRECT [[Template:Loop1]]',
+        'LowerR': '#redirect [[template:C]]',
+    })
+    assert defs['A'] == '[[Category:X]]'
+    assert defs['B'] == '[[Category:X]]'
+    assert defs['Loop1'] == '' and defs['Loop2'] == ''
+    assert defs['LowerR'] == '[[Category:X]]'     # case-insensitive keyword
+    assert extract_parent_categories('{{A}}', defs) == {'X'}
+    # MediaWiki matches the Category namespace case-insensitively too
+    assert extract_parent_categories('[[category:Living people]]', defs) == \
+        {'Living people'}

@@ -109,3 +109,35 @@ def test_cali2ax_reuses_patterns_on_types(ray_session, rd):
                               rd.from_pandas(type_ents)).to_pandas()
     got = set(zip(triples['subj'], triples['pred'], triples['obj']))
     assert got == {(f'N{i}', 'birthPlace', 'Madrid') for i in range(3)}
+
+
+def test_cali2ax_literal_axiom_keeps_literal_flag(ray_session, rd):
+    """An axiom mined from literal-valued facts must materialize literal
+    triples (is_literal=True), exactly as the fact table states them."""
+    from caligraph_ray.stages.entity_stats import (cali2ax_axioms,
+                                                   cali2ax_triples)
+    cats, members, facts = [], [], []
+    for c in ['1990', '1991', '1992']:
+        cat = f'People from {c}'
+        cats.append({'cat_name': cat, 'parent_cat': 'People by year'})
+        for i in range(3):
+            e = f'P{c}{i}'
+            members.append({'cat_name': cat, 'member': e})
+            facts.append({'subj': e, 'pred': 'birthYear', 'obj': c,
+                          'is_literal': True})
+            facts.append({'subj': e, 'pred': 'rdf:type', 'obj': 'Person',
+                          'is_literal': False})
+    type_ents = pd.DataFrame({'entity': ['N0', 'N1'],
+                              'type': ['People from 1995'] * 2})
+    facts += [{'subj': n, 'pred': 'birthYear', 'obj': '1995',
+               'is_literal': True} for n in ['N0', 'N1']]
+    axioms = cali2ax_axioms(
+        rd.from_pandas(pd.DataFrame(cats)),
+        rd.from_pandas(pd.DataFrame(members)),
+        rd.from_pandas(pd.DataFrame(facts)),
+        rd.from_pandas(type_ents),
+        type_labels={'People from 1995': 'People from 1995'}).to_pandas()
+    assert len(axioms) == 1 and bool(axioms.iloc[0]['is_literal'])
+    triples = cali2ax_triples(rd.from_pandas(axioms),
+                              rd.from_pandas(type_ents)).to_pandas()
+    assert len(triples) == 2 and triples['is_literal'].all()
