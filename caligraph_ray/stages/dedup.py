@@ -299,8 +299,13 @@ def ngram_jaccard_pairs(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
     sig_ds = docs_ds.map_batches(shingle_sets, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
 
     def band_fn(sig):
+        import math
         sh = np.asarray(sig)
-        k = max(1, int(len(sh) * (1 - threshold)) + 1)  # pigeonhole: dup pair shares one of k smallest
+        # prefix filtering: p = n - ceil(t*n) + 1 smallest shingles. The
+        # epsilon guards float noise — int(n*(1-t))+1 under-counted by one
+        # whenever t*n is an exact integer (n=10, t=0.8 → 2 instead of 3),
+        # silently dropping pairs whose Jaccard EQUALS the threshold
+        k = max(1, len(sh) - math.ceil(threshold * len(sh) - 1e-9) + 1)
         return sh[:k]
 
     def verify(sa, sb):
@@ -354,6 +359,10 @@ def embedding_near_dup_pairs(emb_ds, id_col: str = 'vec_id', vec_col: str = 'emb
     import ray.data as rd
 
     def normalize_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict({
+                'id': pa.array([], pa.int64()),
+                'vec': pa.array([], pa.list_(pa.float64()))})
         mat = np.stack([np.asarray(v, dtype=np.float64)
                         for v in batch.column(vec_col).to_pylist()])
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
@@ -403,6 +412,9 @@ def embedding_near_dup_pairs_lsh(emb_ds, id_col: str = 'vec_id',
     rows_per_band = n_planes // bands
 
     def sign(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({id_col: pd.Series(dtype='int64'),
+                                 'sig': pd.Series(dtype=object)})
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         lsh_key = ('hp', n_planes, mat.shape[1])

@@ -65,6 +65,10 @@ def broadcast_join(ds, small_df: pd.DataFrame, left_on: str, right_on: str,
     + process-local broadcast cache (one deserialize per worker process, no
     actor-pool cap — scales to every core the cluster has)."""
     from ..state.broadcast import get_broadcast
+    if how not in ('inner', 'left'):
+        # a per-batch right/outer merge would re-emit every unmatched dim
+        # row once per batch — only stream-side-preserving joins are safe
+        raise ValueError(f"broadcast_join supports how='inner'/'left', got {how!r}")
     ref = ray.put(small_df)
 
     def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -94,10 +98,11 @@ def semi_anti_join(ds, keys, col: str, anti: bool = False):
     """Semi/anti join against a broadcast key set (reference anti-join idiom
     extract.py:286-289; at larger key cardinality the set becomes a Bloom
     filter shard — same shape)."""
+    from ..state.broadcast import get_broadcast
     ref = ray.put(frozenset(keys))
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        keyset = ray.get(ref)
+        keyset = get_broadcast(ref)   # one deserialize per worker process
         mask = batch[col].isin(keyset)
         return batch[~mask] if anti else batch[mask]
 
@@ -371,7 +376,8 @@ def grouped_map(ds, keys: Sequence[str], fn, coarse: Optional[int] = None):
     skewed keys: a hot key still lands in one bucket, so pair it with
     salting upstream when a single group can exceed a task's memory."""
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        outs = [fn(sub) for _, sub in g.groupby(list(keys), sort=False)]
+        outs = [fn(sub) for _, sub in g.groupby(list(keys), sort=False,
+                                                dropna=False)]
         outs = [o for o in outs if o is not None]
         if not outs:
             return pd.DataFrame()
@@ -393,6 +399,8 @@ def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
     Columns from both sides are preserved (pandas ``_x``/``_y`` suffixes on
     clashes). Implementation: each side is projected onto the union schema
     with a ``_side`` tag so the two Datasets can travel one shuffle."""
+    if how not in ('inner', 'left'):
+        raise ValueError(f"shuffle_join supports how='inner'/'left', got {how!r}")
     if coarse is None:
         coarse = default_coarse()
     lcols = list(left_ds.schema().names)
@@ -400,6 +408,77 @@ def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
     shared = [c for c in lcols if c in rcols]
     all_cols = lcols + [c for c in rcols if c not in lcols]
 
+    def _pa_type_or_none(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except Exception:
+            return None   # object/unknown — take the exact pandas path
+
+    ltypes = {n: _pa_type_or_none(t) for n, t in
+              zip(lcols, left_ds.schema().types)}
+    rtypes = {n: _pa_type_or_none(t) for n, t in
+              zip(rcols, right_ds.schema().types)}
+    types, arrow_ok = {}, True
+    for c in all_cols:
+        lt, rt = ltypes.get(c), rtypes.get(c)
+        t = lt if lt is not None else rt
+        if t is None or (lt is not None and rt is not None and lt != rt):
+            arrow_ok = False
+            break
+        types[c] = t
+
+    def merge_sides(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if how == 'left':
+            # a left join NaN-fills right columns for misses, which would
+            # demote int64 payloads to float64 (lossy above 2^53) — object
+            # dtype keeps exact ints + None, matching SQL NULL semantics
+            r = r.astype(object)
+        if shared:
+            return l.merge(r, how=how, left_on=left_on, right_on=right_on,
+                           suffixes=('_x', '_y'))
+        return l.merge(r, how=how, left_on=left_on, right_on=right_on)
+
+    if arrow_ok:
+        # ARROW path: typed null padding travels the exchange (int64 stays
+        # int64 end-to-end); sides are split arrow-side per bucket, so the
+        # padded values never reach pandas and nothing demotes to float64
+        def tag_arrow(side: str, key_col: str, own):
+            def fn(batch: pd.DataFrame) -> pa.Table:
+                n = len(batch)
+                cols, names = [], []
+                for c in all_cols:
+                    names.append(c)
+                    cols.append(pa.array(batch[c], type=types[c],
+                                         from_pandas=True)
+                                if c in own else pa.nulls(n, types[c]))
+                ck = _coarse_key(pd.DataFrame(
+                    {'_k': batch[key_col].astype(str)}), ['_k'], coarse)
+                names += ['_side', '_coarse']
+                cols += [pa.nulls(n, pa.string()).fill_null(side),
+                         pa.array(ck, type=pa.int32())]
+                return pa.Table.from_arrays(cols, names=names)
+            return fn
+
+        tagged = left_ds.map_batches(
+            tag_arrow('l', left_on, set(lcols)), batch_format='pandas',
+            batch_size=AGG_BATCH_SIZE).union(
+            right_ds.map_batches(
+                tag_arrow('r', right_on, set(rcols)), batch_format='pandas',
+                batch_size=AGG_BATCH_SIZE))
+
+        def merge_bucket_arrow(t: pa.Table) -> pd.DataFrame:
+            import pyarrow.compute as pc
+            mask = pc.equal(t.column('_side'), 'l')
+            l = t.filter(mask).select(lcols).to_pandas()
+            r = t.filter(pc.invert(mask)).select(rcols).to_pandas()
+            return merge_sides(l, r)
+
+        return bucketed_map_arrow(tagged, merge_bucket_arrow, coarse=coarse)
+
+    # PANDAS fallback (object columns / mismatched types): pickled pandas
+    # blocks keep exact python values — slower exchange, never demotes
     def tag(side: str, key_col: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             out = batch.copy()
@@ -417,14 +496,11 @@ def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
                              batch_size=AGG_BATCH_SIZE))
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g['_side'] == 'l'][lcols]
-        r = g[g['_side'] == 'r'][rcols]
-        merged = l.merge(r, how=how, left_on=left_on, right_on=right_on,
-                         suffixes=('_x', '_y')) if shared else \
-            l.merge(r, how=how, left_on=left_on, right_on=right_on)
-        return merged
+        return merge_sides(g[g['_side'] == 'l'][lcols],
+                           g[g['_side'] == 'r'][rcols])
 
-    return bucketed_map(tagged, ['_jk'], merge_bucket, coarse=coarse)
+    return bucketed_map(tagged, ['_jk'], merge_bucket, coarse=coarse,
+                        arrow_blocks=False)
 
 
 _AGG_COMBINE = {'sum': 'sum', 'count': 'sum', 'max': 'max', 'min': 'min'}
@@ -439,7 +515,9 @@ def two_phase_pandas_agg(ds, keys: Sequence[str], spec: Dict[str, Tuple[Optional
     keys = list(keys)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(keys, sort=False)
+        # dropna=False: SQL GROUP BY keeps a NULL group; pandas' default
+        # silently drops those rows and undercounts
+        g = batch.groupby(keys, sort=False, dropna=False)
         cols = {}
         for out, (src, how) in spec.items():
             cols[out] = g.size() if how == 'count' else g[src].agg(how)
@@ -448,7 +526,7 @@ def two_phase_pandas_agg(ds, keys: Sequence[str], spec: Dict[str, Tuple[Optional
     partials = ds.map_batches(partial, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
 
     def final(bucket: pd.DataFrame) -> pd.DataFrame:
-        g = bucket.groupby(keys, sort=False)
+        g = bucket.groupby(keys, sort=False, dropna=False)
         cols = {out: g[out].agg(_AGG_COMBINE[how]) for out, (src, how) in spec.items()}
         return pd.DataFrame(cols).reset_index()
 
@@ -473,7 +551,7 @@ def topk_per_group(ds, group_key: str, sort_cols: List[str],
     total."""
     def head(bucket: pd.DataFrame) -> pd.DataFrame:
         s = bucket.sort_values(sort_cols, ascending=ascending, kind='mergesort')
-        return s.groupby(group_key, sort=False).head(k)
+        return s.groupby(group_key, sort=False, dropna=False).head(k)
 
     return bucketed_map(ds, [group_key], head)
 
@@ -500,7 +578,7 @@ def functional_keys(ds, key_col: str, subject_col: str, threshold: float = 0.95)
 
     def ratio(bucket: pd.DataFrame) -> pd.DataFrame:
         bucket = bucket.assign(_one=(bucket['n'] == 1).astype('int64'))
-        g = bucket.groupby(key_col, sort=False)
+        g = bucket.groupby(key_col, sort=False, dropna=False)
         out = pd.DataFrame({'n_subjects': g.size(), '_ones': g['_one'].sum()}).reset_index()
         out['functional_ratio'] = (out['_ones'] / out['n_subjects']).round(6)
         return out.drop(columns=['_ones'])
@@ -523,7 +601,7 @@ def grouped_quantiles_exact(ds, group_cols: Sequence[str], value_col: str,
 
     def quants(bucket: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for key, g in bucket.groupby(group_cols, sort=False):
+        for key, g in bucket.groupby(group_cols, sort=False, dropna=False):
             g = g.sort_values(value_col, kind='mergesort')
             cum = g['cnt'].cumsum().to_numpy()
             n = int(cum[-1])

@@ -30,6 +30,10 @@ def brute_force_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
     qref = ray.put(q)
 
     def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({'query_idx': pd.Series(dtype='int64'),
+                                 id_col: pd.Series(dtype='int64'),
+                                 'score': pd.Series(dtype='float64')})
         qm = get_broadcast(qref)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
         mat = _normalize(mat)
@@ -53,6 +57,10 @@ def brute_force_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
                                   batch_size=4096)
     from .relational import collect_pandas
     df = collect_pandas(partials)
+    if df.empty:
+        return pd.DataFrame({'query_idx': pd.Series(dtype='int64'),
+                             id_col: pd.Series(dtype='int64'),
+                             'score': pd.Series(dtype='float64')})
     df = df.sort_values(['query_idx', 'score', id_col],
                         ascending=[True, False, True], kind='mergesort')
     df = df.groupby('query_idx', group_keys=False).head(k).reset_index(drop=True)
@@ -123,6 +131,12 @@ class LshIndex:
         return self.ids[cand][order], sims[order]
 
 
+# process-level cache: one LshIndex build per worker PROCESS (a
+# closure-local dict would be reserialized per task, rebuilding the index
+# for every task and voiding the sub-linearity claim)
+_IDX_CACHE: dict = {}
+
+
 def lsh_index_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
                    n_planes: int = 12, id_col: str = 'vec_id',
                    vec_col: str = 'embedding', round_decimals: int = 6,
@@ -142,8 +156,6 @@ def lsh_index_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
     qref = ray.put(q)
     import ray.data as rd
     queries = rd.from_pandas(pd.DataFrame({'query_idx': np.arange(len(q))}))
-
-    _IDX_CACHE: dict = {}
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
         key = corpus_ref.hex()
@@ -184,6 +196,10 @@ def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, n_planes: int = 12,
     state = ray.put((q, qsig, lsh.planes))
 
     def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({'query_idx': pd.Series(dtype='int64'),
+                                 id_col: pd.Series(dtype='int64'),
+                                 'score': pd.Series(dtype='float64')})
         qm, qsigs, planes = get_broadcast(state)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
         mat = _normalize(mat)
@@ -265,6 +281,10 @@ def ivf_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
     state_ref = ray.put((cids, cmat, q, probes))
 
     def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({'query_idx': pd.Series(dtype='int64'),
+                                 id_col: pd.Series(dtype='int64'),
+                                 'score': pd.Series(dtype='float64')})
         cids_, cmat_, qm, probes_ = get_broadcast(state_ref)
         ids = batch[id_col].to_numpy()
         mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
