@@ -39,6 +39,7 @@ def boilerplate_lines(docs_ds, group_col: str = 'source',
         out = b[[id_col, group_col]].copy()
         out['line'] = b[text_col].str.split('\n')
         out = out.explode('line', ignore_index=True)
+        out = out[out['line'].notna()]   # NULL-text docs contribute no lines
         return out.drop_duplicates([id_col, group_col, 'line'])[
             [group_col, 'line']]
 
@@ -65,6 +66,9 @@ def remove_boilerplate(docs_ds, text_col: str = 'text',
     # transit schema is all-string so the doc and dim sides union cleanly;
     # the id is cast back to its source dtype after the exchange
     def salt_docs(b: pd.DataFrame) -> pd.DataFrame:
+        # NULL text = no lines: the doc drops out (the SQL unnest shape);
+        # kept in, its NaN line would TypeError the whole bucket's join
+        b = b[b[text_col].notna()]
         salt = (pd.util.hash_pandas_object(b[id_col], index=False)
                 % salt_buckets).astype(str)
         return pd.DataFrame({

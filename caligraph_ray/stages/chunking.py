@@ -24,6 +24,7 @@ from __future__ import annotations
 from collections import defaultdict
 from typing import Dict, List, Optional, Set, Tuple
 
+import numpy as np
 import pandas as pd
 
 from ..config import NEW_ENTITY, NO_ENTITY
@@ -65,6 +66,14 @@ def chunk_listing_items(context: List[str], items: List[dict],
                         labels: Optional[Dict[int, List[int]]] = None
                         ) -> List[dict]:
     """One listing's item rows → chunk dicts (tokens, labels, item_idxs)."""
+    # a pathological context (e.g. a 100-column table header) would leave
+    # max_chunk below every item's length — each item then opens its own
+    # sub-minimum chunk and the listing silently vanishes, or the chunks
+    # kept would overflow the transformer budget the constant enforces;
+    # truncate the context so one max-length item always fits
+    max_ctx = MAX_TOKENS_PER_CHUNK - MAX_TOKENS_PER_ITEM
+    if len(context) > max_ctx:
+        context = context[:max_ctx - 1] + [CTX_END]
     max_chunk = MAX_TOKENS_PER_CHUNK - len(context)
     ctx_labels = [IGNORE] * len(context)
     packed: List[List[Tuple[int, List[str], List[int]]]] = []
@@ -113,11 +122,14 @@ def chunk_listings(items_ds, labels_ref=None):
         from ..state.broadcast import get_broadcast
         g = g.sort_values('item_idx', kind='mergesort')
         first = g.iloc[0]
+        hdr = first.get('header')
+        if hdr is None or (np.isscalar(hdr) and pd.isna(hdr)):
+            hdr = []   # Arrow list columns arrive as ndarray: `or []` on
+        hdr = list(hdr)  # one would raise 'truth value ... is ambiguous'
         context = listing_context_tokens(first.get('page_title', ''),
                                          first.get('topsection', ''),
                                          first.get('section', ''),
-                                         first.get('ltype', ''),
-                                         list(first.get('header', []) or []))
+                                         first.get('ltype', ''), hdr)
         items = g.to_dict('records')
         labels = None
         if labels_ref is not None:
@@ -153,7 +165,10 @@ def find_listing_training_labels(mentions_ds, min_entities: int = 5):
     from .relational import grouped_map
 
     def per_listing(g: pd.DataFrame) -> Optional[pd.DataFrame]:
-        subj = g[g['is_subject'] & g['entity'].notna()]
+        mask = g['entity'].notna()
+        if 'is_subject' in g.columns:   # optional, like 'tag' below — the
+            mask &= g['is_subject']     # projection already treats it so
+        subj = g[mask]
         if subj.empty:
             return None
         positives = sorted(subj['entity'].unique())

@@ -42,11 +42,14 @@ def scrub_pii(ds, text_col: str = 'text', out_col: str = 'scrubbed'):
     original text). Pure streaming map — no shuffle, no state."""
 
     def scrub(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[text_col].astype(str)
+        # .str ops propagate NULL; astype(str) would rewrite NULL text as
+        # the literal string 'None' in the scrubbed column (and diverge
+        # from a DuckDB regexp_replace replay, which keeps NULL)
+        s = batch[text_col]
         out = batch.copy()
         scrubbed = s
         for name, rx, repl in _COMPILED:
-            out[f'n_{name}'] = s.str.count(rx).astype('int64')
+            out[f'n_{name}'] = s.str.count(rx).fillna(0).astype('int64')
             scrubbed = scrubbed.str.replace(rx, repl, regex=True)
         out[out_col] = scrubbed
         return out

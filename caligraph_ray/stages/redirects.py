@@ -81,9 +81,18 @@ def fold_redirects(ds, redirects_ds, col: str = 'name',
     def fold(batch: pd.DataFrame) -> pd.DataFrame:
         from ..state.broadcast import get_broadcast
         rm = get_broadcast(ref)
-        batch[out_col] = [resolve_name(n, rm, max_hops, guard)
-                          if isinstance(n, str) else n
-                          for n in batch[col]]
+        vals = batch[col]
+        # only names that ARE redirect sources can change, and corpora
+        # repeat surfaces massively: chase + Levenshtein-guard once per
+        # distinct redirecting name in the batch, not once per row
+        uniq = {n for n in vals.dropna().unique()
+                if isinstance(n, str) and n in rm}
+        mapping = {n: resolve_name(n, rm, max_hops, guard) for n in uniq}
+        if mapping:
+            m = vals.map(mapping)
+            batch[out_col] = m.where(m.notna(), vals)
+        else:
+            batch[out_col] = vals
         return batch
 
     return ds.map_batches(fold, batch_format='pandas', batch_size=AGG_BATCH_SIZE)

@@ -69,7 +69,10 @@ def broadcast_join(ds, small_df: pd.DataFrame, left_on: str, right_on: str,
         # a per-batch right/outer merge would re-emit every unmatched dim
         # row once per batch — only stream-side-preserving joins are safe
         raise ValueError(f"broadcast_join supports how='inner'/'left', got {how!r}")
-    ref = ray.put(small_df)
+    # SQL equality never matches NULL = NULL; pandas merge would. With the
+    # dim's null keys dropped, a null stream key simply finds no match
+    # (dropped by inner, NaN-padded by left) — exactly the SQL outcome.
+    ref = ray.put(small_df[small_df[right_on].notna()])
 
     def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.merge(get_broadcast(ref), how=how,
@@ -155,10 +158,28 @@ def default_coarse() -> int:
     return int(min(512, max(16, 4 * cpus)))
 
 
+def pad_to_union(batch: pd.DataFrame, all_cols: Sequence[str],
+                 types: Dict[str, "pa.DataType"], own) -> tuple:
+    """Project a pandas batch onto a union schema as Arrow arrays: the
+    batch's own columns are converted with their declared type, the other
+    side's columns become TYPED null padding (``pa.nulls``) — int64 stays
+    int64 through a tagged-union exchange instead of demoting to
+    object/float64. Shared by ``shuffle_join`` and ``temporal._tagged_union``
+    so null/typing fixes reach both. Returns (names, arrays)."""
+    n = len(batch)
+    names, cols = [], []
+    for c in all_cols:
+        names.append(c)
+        cols.append(pa.array(batch[c], type=types[c], from_pandas=True)
+                    if c in own else pa.nulls(n, types[c]))
+    return names, cols
+
+
 def _coarse_key(batch: pd.DataFrame, keys: Sequence[str], coarse: int) -> pd.Series:
     """Deterministic hash(keys) % coarse (siphash via pandas, fixed key)."""
     k0 = batch[keys[0]]
-    if len(keys) == 1 and pd.api.types.is_integer_dtype(k0):
+    if (len(keys) == 1 and pd.api.types.is_integer_dtype(k0)
+            and not k0.isna().any()):   # nullable Int64 + NA → string path
         return (k0.astype('int64') % coarse).astype('int32')
     s = k0.astype(str)
     for k in keys[1:]:
@@ -430,6 +451,10 @@ def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
         types[c] = t
 
     def merge_sides(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        # SQL equality never matches NULL = NULL; pandas merge would join
+        # NaN keys to each other. Null right keys can match nothing; a null
+        # left key then finds no match (inner drops it, left NaN-pads it).
+        r = r[r[right_on].notna()]
         if how == 'left':
             # a left join NaN-fills right columns for misses, which would
             # demote int64 payloads to float64 (lossy above 2^53) — object
@@ -447,12 +472,7 @@ def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
         def tag_arrow(side: str, key_col: str, own):
             def fn(batch: pd.DataFrame) -> pa.Table:
                 n = len(batch)
-                cols, names = [], []
-                for c in all_cols:
-                    names.append(c)
-                    cols.append(pa.array(batch[c], type=types[c],
-                                         from_pandas=True)
-                                if c in own else pa.nulls(n, types[c]))
+                names, cols = pad_to_union(batch, all_cols, types, own)
                 ck = _coarse_key(pd.DataFrame(
                     {'_k': batch[key_col].astype(str)}), ['_k'], coarse)
                 names += ['_side', '_coarse']

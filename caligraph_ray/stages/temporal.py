@@ -32,10 +32,17 @@ from ..config import AGG_BATCH_SIZE
 
 
 def _ts_to_int(s: pd.Series) -> pd.Series:
-    """datetime64[*] → int64 epoch-micros (no-op for integer columns)."""
+    """datetime64[*] → nullable Int64 epoch-micros (no-op for integer
+    columns). tz-aware columns are converted to UTC then made naive
+    (pandas 2.x refuses a direct astype); NaT becomes <NA>, never the iNaT
+    sentinel (-2^63) — a NULL timestamp must not sort/match as year
+    -290308."""
+    if isinstance(s.dtype, pd.DatetimeTZDtype):
+        s = s.dt.tz_convert('UTC').dt.tz_localize(None)
     if pd.api.types.is_datetime64_any_dtype(s):
-        return s.astype('datetime64[us]').astype('int64')
-    return s.astype('int64')
+        vals = s.astype('datetime64[us]').astype('int64')   # NaT → iNaT
+        return vals.astype('Int64').mask(s.isna())
+    return s.astype('Int64')
 
 
 def _tagged_union(left_ds, right_ds, key_left: str, key_right: str,
@@ -82,21 +89,22 @@ def _tagged_union(left_ds, right_ds, key_left: str, key_right: str,
 
     def tag(side: str, key_col: str, ts_col: str, own: List[str]):
         def fn(batch: pd.DataFrame) -> pa.Table:
+            from .relational import pad_to_union
             n = len(batch)
-            cols, names = [], []
-            for c in all_cols:
-                names.append(c)
-                if c in own:
-                    cols.append(pa.array(batch[c], type=types[c],
-                                         from_pandas=True))
-                else:
-                    cols.append(pa.nulls(n, type=types[c]))
-            key = batch[key_col] if both_int else batch[key_col].astype(str)
+            names, cols = pad_to_union(batch, all_cols, types, set(own))
+            if both_int:
+                key = batch[key_col]
+            else:
+                # astype(str) would stringify NULL as 'nan'/'None', making
+                # null keys equal to each other and to those literal strings
+                key = batch[key_col].astype(str).where(
+                    batch[key_col].notna(), None)
             names += ['_side', '_k', '_ts', '_coarse']
             cols += [
                 pa.nulls(n, pa.string()).fill_null(side),
                 pa.array(key, type=ktype, from_pandas=True),
-                pa.array(_ts_to_int(batch[ts_col]), type=pa.int64()),
+                pa.array(_ts_to_int(batch[ts_col]), type=pa.int64(),
+                         from_pandas=True),
                 pa.array(_coarse_key(pd.DataFrame({'_k': key}), ['_k'],
                                      coarse), type=pa.int32()),
             ]
@@ -119,6 +127,17 @@ def _split_sides(t: "pa.Table", lkeep: List[str], rkeep: List[str]):
     l = t.filter(mask).select(lkeep).to_pandas()
     r = t.filter(pc.invert(mask)).select(rkeep).to_pandas()
     return l, r
+
+
+def _norm_transit(df: pd.DataFrame) -> pd.DataFrame:
+    """After the null filters: each side converted to pandas independently,
+    so a side whose slice held nulls came back float64 while the other
+    stayed int64 — pandas merge/merge_asof refuses mismatched key dtypes.
+    Post-filter the values are whole numbers < 2^53, so the cast is exact."""
+    out = {'_ts': df['_ts'].astype('int64')}
+    if pd.api.types.is_float_dtype(df['_k']):
+        out['_k'] = df['_k'].astype('int64')
+    return df.assign(**out)
 
 
 def asof_join(left_ds, right_ds, key_left: str, key_right: str,
@@ -146,6 +165,13 @@ def asof_join(left_ds, right_ds, key_left: str, key_right: str,
         l, r = _split_sides(t, lcols + ['_k', '_ts'], rkeep + ['_k', '_ts'])
         if not len(l):
             return pd.DataFrame()
+        # SQL comparison semantics: a NULL key or NULL timestamp matches
+        # nothing (pandas would instead raise on null merge_asof keys /
+        # join NaN==NaN); unmatchable left rows survive only a left join
+        l_ok = l['_k'].notna() & l['_ts'].notna()
+        l_null = l[~l_ok]
+        l = _norm_transit(l[l_ok])
+        r = _norm_transit(r[r['_k'].notna() & r['_ts'].notna()])
         l = l.sort_values(['_ts'], kind='mergesort')
         r = r.sort_values(['_ts'], kind='mergesort').reset_index(drop=True)
         # only an int64 row POSITION travels through merge_asof: unmatched
@@ -176,7 +202,13 @@ def asof_join(left_ds, right_ds, key_left: str, key_right: str,
                     vals[m] = r[c].to_numpy()[idx[m]]
                 vals[~m] = None
                 merged[c] = vals
-        return merged[lcols + rkeep]
+        out = merged[lcols + rkeep]
+        if len(l_null):   # left join keeps null-key/null-ts rows unmatched
+            pad = l_null[lcols].copy()
+            for c in rkeep:
+                pad[c] = None
+            out = pd.concat([out, pad], ignore_index=True)
+        return out
 
     return bucketed_map_arrow(tagged, merge, coarse=coarse)
 
@@ -198,6 +230,10 @@ def range_join(left_ds, right_ds, key_left: str, key_right: str,
 
     def merge(t) -> pd.DataFrame:
         l, r = _split_sides(t, lcols + ['_k', '_ts'], rkeep + ['_k', '_ts'])
+        # NULL key/ts pairs with nothing in SQL; pandas merge would join
+        # NaN == NaN
+        l = _norm_transit(l[l['_k'].notna() & l['_ts'].notna()])
+        r = _norm_transit(r[r['_k'].notna() & r['_ts'].notna()])
         if not len(l) or not len(r):
             return pd.DataFrame()
         merged = l.merge(r, on='_k', suffixes=('', '_r'))
@@ -228,17 +264,22 @@ def sessionize(events_ds, key_col: str = 'user_id', ts_col: str = 'ts',
 
     def sess(bucket: pd.DataFrame) -> pd.DataFrame:
         b = bucket.sort_values([key_col, '_ts', order_col], kind='mergesort')
-        new_key = b[key_col].ne(b[key_col].shift())
+        kv, ks = b[key_col], b[key_col].shift()
+        # NaN.ne(NaN) is True, which would fragment the NULL-key partition
+        # into one session per row; SQL PARTITION BY keeps NULLs as ONE
+        # partition (NULLs sort last, NULL gaps never exceed gap_us)
+        new_key = kv.ne(ks) & ~(kv.isna() & ks.isna())
         gap = b['_ts'] - b['_ts'].shift()
-        new_sess = (new_key | (gap > gap_us)).to_numpy()
+        new_sess = (new_key | (gap > gap_us)).fillna(False).to_numpy()
         sess_global = np.cumsum(new_sess)
         b = b.assign(_sg=sess_global)
-        g = b.groupby([key_col, '_sg'], sort=False)
+        g = b.groupby([key_col, '_sg'], sort=False, dropna=False)
         out = g.agg(n_events=('_ts', 'size'), start_ts=('_ts', 'min'),
                     end_ts=('_ts', 'max')).reset_index()
-        out['session_idx'] = out.groupby(key_col, sort=False).cumcount() + 1
-        out['start_ts'] = out['start_ts'].astype('datetime64[us]')
-        out['end_ts'] = out['end_ts'].astype('datetime64[us]')
+        out['session_idx'] = out.groupby(
+            key_col, sort=False, dropna=False).cumcount() + 1
+        for c in ('start_ts', 'end_ts'):   # float-safe: NaN → NaT
+            out[c] = pd.to_datetime(out[c], unit='us').astype('datetime64[us]')
         return out[[key_col, 'session_idx', 'n_events', 'start_ts', 'end_ts']]
 
     return bucketed_map(prepped, [key_col], sess)
@@ -271,7 +312,10 @@ def rolling_window(events_ds, key_col: str = 'user_id', ts_col: str = 'ts',
 
     def roll(bucket: pd.DataFrame) -> pd.DataFrame:
         b = bucket.sort_values([key_col, '_ts', order_col], kind='mergesort')
-        g = b.groupby(key_col, sort=False)['_v']
+        # dropna=False: the default would omit NULL-key rows from the
+        # rolling result, NaN-fill them on alignment and break the int64
+        # cast; SQL windows over the NULL partition like any other
+        g = b.groupby(key_col, sort=False, dropna=False)['_v']
         rsum = g.rolling(window_rows, min_periods=1).sum() \
             .reset_index(drop=True)
         if cents:   # integer-cents mode: sums are exact integers

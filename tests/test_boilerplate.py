@@ -32,3 +32,18 @@ def test_remove_boilerplate_per_group(ray_session, rd):
     b = out[out.doc_id >= 10]
     assert list(b['cleaned']) == ['NAV\nbody B0', 'NAV\nbody B1']
     assert list(b['n_removed']) == [0, 0]
+
+
+def test_remove_boilerplate_null_text_doc_dropped(ray_session, rd):
+    # one NULL-text doc must not TypeError its whole bucket; it simply
+    # contributes no lines (the SQL unnest shape) and drops out
+    docs = pd.DataFrame({
+        'doc_id': [1, 2, 3, 4, 5, 6, 7],
+        'source': ['h'] * 7,
+        'text': ['nav\nbody1', 'nav\nbody2', 'nav\nbody3', 'nav\nbody4',
+                 'nav\nbody5', 'nav\nbody6', None]})
+    out = remove_boilerplate(rd.from_pandas(docs), min_docs=5) \
+        .to_pandas().sort_values('doc_id').reset_index(drop=True)
+    assert list(out['doc_id'].astype(int)) == [1, 2, 3, 4, 5, 6]
+    assert set(out['cleaned']) == {f'body{i}' for i in range(1, 7)}
+    assert (out['n_removed'] == 1).all()

@@ -106,3 +106,58 @@ def test_token_labels_for_item():
                 {'name': 'Paris', 'start': 4, 'end': 5}]
     labels = token_labels_for_item(tokens, mentions, {'John Smith'})
     assert labels == [NEW_ENTITY, NEW_ENTITY, NO_ENTITY, NO_ENTITY, NO_ENTITY]
+
+
+def test_chunk_listings_table_header_ndarray(ray_session):
+    # Arrow list<string> header columns arrive in pandas batches as
+    # ndarrays; a multi-cell header must not crash on truthiness and must
+    # contribute cell+[COL] context
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from caligraph_ray.stages.chunking import TABLE_COL, chunk_listings
+    items = pa.table({
+        'page_id': pa.array([1] * 4, pa.int64()),
+        'listing_idx': pa.array([0] * 4, pa.int64()),
+        'item_idx': pa.array([0, 1, 2, 3], pa.int64()),
+        'page_title': pa.array(['T'] * 4),
+        'topsection': pa.array(['S'] * 4),
+        'section': pa.array(['s'] * 4),
+        'ltype': pa.array(['table'] * 4),
+        'header': pa.array([['Name', 'Year']] * 4, pa.list_(pa.string())),
+        'depth': pa.array([1] * 4, pa.int64()),
+        'tokens': pa.array([['a', 'b']] * 4, pa.list_(pa.string())),
+    })
+    out = chunk_listings(rd.from_arrow(items)).take_all()
+    assert len(out) == 1
+    toks = list(out[0]['tokens'])
+    assert 'Name' in toks and TABLE_COL in toks
+
+
+def test_chunk_context_overflow_truncated():
+    # a pathological 300-token context must not make every chunk overflow
+    # or silently drop the listing
+    from caligraph_ray.stages.chunking import (CTX_END, MAX_TOKENS_PER_CHUNK,
+                                               chunk_listing_items)
+    ctx = [f'c{i}' for i in range(400)] + [CTX_END]
+    items = [{'item_idx': i, 'tokens': ['x', 'y'], 'depth': 1}
+             for i in range(4)]
+    chunks = chunk_listing_items(ctx, items)
+    assert chunks, 'listing must not vanish under a huge context'
+    for ch in chunks:
+        assert len(ch['tokens']) <= MAX_TOKENS_PER_CHUNK
+        assert CTX_END in ch['tokens']
+
+
+def test_training_labels_without_is_subject_column(ray_session):
+    # is_subject is optional like tag: absent column means every mention
+    # counts, not a KeyError in every task
+    import ray.data as rd
+    from caligraph_ray.stages.chunking import find_listing_training_labels
+    df = pd.DataFrame({
+        'page_id': [1] * 6, 'listing_idx': [0] * 6,
+        'entity': ['A', 'B', 'C', 'D', 'E', None]})
+    out = find_listing_training_labels(rd.from_pandas(df),
+                                       min_entities=5).take_all()
+    assert len(out) == 1
+    assert sorted(out[0]['positives']) == ['A', 'B', 'C', 'D', 'E']

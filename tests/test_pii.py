@@ -37,3 +37,14 @@ def test_scrub_pii_distributed_matches_scalar(ray_session, rd):
         assert r['scrubbed'] == exp_scrubbed
         for k, v in exp_counts.items():
             assert r[k] == v, (r['text'], k)
+
+
+def test_scrub_pii_null_text_stays_null(ray_session, rd):
+    df = pd.DataFrame({'doc_id': [1, 2],
+                       'text': ['mail me a@b.com', None]})
+    out = scrub_pii(rd.from_pandas(df)).to_pandas() \
+        .sort_values('doc_id').reset_index(drop=True)
+    assert out['scrubbed'].iloc[0] == 'mail me [EMAIL]'
+    # NULL text must stay NULL, not the literal string 'None'
+    assert pd.isna(out['scrubbed'].iloc[1])
+    assert int(out['n_email'].iloc[1]) == 0

@@ -44,3 +44,23 @@ def test_fold_redirects_merges_aliases(ray_session):
     # 'Colour' folds into 'Color' (lev 1) → the two surfaces now share one
     # entity before any grouping; 'NYC' is guard-rejected; nulls pass through
     assert out['name'].tolist() == ['Color', 'Color', 'Color', None, 'NYC']
+
+
+def test_fold_redirects_distinct_name_fast_path(ray_session):
+    # the per-distinct-name fold must equal the per-row fold, including
+    # guard rejections, non-redirecting names and nulls
+    import ray.data as rdata
+    from caligraph_ray.stages.redirects import fold_redirects
+    redirects = pd.DataFrame({
+        'src': ['Colour', 'Colouur', 'Jump'],
+        'tgt': ['Color', 'Colour', 'CompletelyDifferentName']})
+    ds = rdata.from_pandas(pd.DataFrame({
+        'name': ['Colour', 'Colour', 'Colouur', 'Jump', 'Plain', None]}))
+    out = fold_redirects(ds, rdata.from_pandas(redirects),
+                         max_hops=2, guard=2).to_pandas()
+    got = list(out['name'])
+    assert got[:2] == ['Color', 'Color']       # spelling redirect folds
+    assert got[2] == 'Color'                   # chain chased, guard ≤ 2 ok
+    assert got[3] == 'Jump'                    # guard rejects a far target
+    assert got[4] == 'Plain'                   # not a redirect source
+    assert got[5] is None or pd.isna(got[5])   # null passes through

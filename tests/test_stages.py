@@ -358,3 +358,30 @@ def test_bucketed_map_small_and_large_paths_agree(ray_session, rd, monkeypatch):
     want = df.groupby('k')['v'].sum().reset_index().sort_values('k').reset_index(drop=True)
     pd.testing.assert_frame_equal(small.astype({'v': 'int64'}),
                                   want.astype({'v': 'int64'}), check_dtype=False)
+
+
+def test_joins_null_keys_never_match(ray_session, rd):
+    # SQL: NULL = NULL is not true — a null key must match nothing in an
+    # inner join and stay unmatched (NaN-padded) in a left join, for both
+    # the shuffle and the broadcast implementation; pandas merge alone
+    # would happily join NaN keys to each other
+    from caligraph_ray.stages.relational import broadcast_join, shuffle_join
+    l = pd.DataFrame({'k': ['a', None, 'b'], 'x': [1, 2, 3]})
+    r = pd.DataFrame({'kk': ['a', None], 'y': [10, 20]})
+
+    got = shuffle_join(rd.from_pandas(l), rd.from_pandas(r),
+                       'k', 'kk').to_pandas()
+    assert sorted(map(tuple, got[['k', 'x', 'y']].values.tolist())) == \
+        [('a', 1, 10)]
+    got_l = shuffle_join(rd.from_pandas(l), rd.from_pandas(r), 'k', 'kk',
+                         how='left').to_pandas().sort_values('x')
+    assert len(got_l) == 3
+    assert [v if pd.notna(v) else None for v in got_l['y']] == [10, None, None]
+
+    got_b = broadcast_join(rd.from_pandas(l), r, 'k', 'kk').to_pandas()
+    assert sorted(map(tuple, got_b[['k', 'x', 'y']].values.tolist())) == \
+        [('a', 1, 10)]
+    got_bl = broadcast_join(rd.from_pandas(l), r, 'k', 'kk',
+                            how='left').to_pandas().sort_values('x')
+    assert len(got_bl) == 3
+    assert [v if pd.notna(v) else None for v in got_bl['y']] == [10, None, None]

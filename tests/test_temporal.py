@@ -289,3 +289,83 @@ def test_asof_overlapping_payload_name_rejected():
     with pytest.raises(ValueError, match='rename'):
         asof_join(left, rd.from_pandas(right), 'user_id', 'cust', 'ts',
                   'odate', right_cols=['value'])
+
+
+def test_ts_to_int_tz_aware_and_nat():
+    from caligraph_ray.stages.temporal import _ts_to_int
+    tz = pd.Series(pd.to_datetime(['2020-01-01 00:00:00', None])) \
+        .dt.tz_localize('UTC').dt.tz_convert('US/Eastern')
+    out = _ts_to_int(tz)
+    # tz-aware converts via UTC (pandas 2.x raises on a direct astype);
+    # NaT becomes <NA>, never the iNaT sentinel (-2^63)
+    assert int(out.iloc[0]) == 1577836800000000
+    assert out.iloc[1] is pd.NA
+
+
+def test_asof_join_null_key_and_null_ts_unmatchable():
+    # SQL: NULL keys / timestamps match nothing; left join keeps them
+    left_df = pd.DataFrame({
+        'event_id': [1, 2, 3],
+        'ts': pd.to_datetime([100, 100, None], unit='s')
+        .astype('datetime64[us]'),
+        'user_id': ['a', None, 'a']})
+    right = pd.DataFrame({'okey': [10], 'cust': ['a'],
+                          'odate': pd.to_datetime([90], unit='s')
+                          .astype('datetime64[us]')})
+    inner = collect_pandas(asof_join(
+        rd.from_pandas(left_df), rd.from_pandas(right), 'user_id', 'cust',
+        'ts', 'odate', right_cols=['okey'], inner=True))
+    assert sorted(inner['event_id'].astype(int)) == [1]
+    outer = collect_pandas(asof_join(
+        rd.from_pandas(left_df), rd.from_pandas(right), 'user_id', 'cust',
+        'ts', 'odate', right_cols=['okey'], inner=False)) \
+        .sort_values('event_id').reset_index(drop=True)
+    assert len(outer) == 3
+    assert int(outer['okey'].iloc[0]) == 10
+    assert pd.isna(outer['okey'].iloc[1]) and pd.isna(outer['okey'].iloc[2])
+
+
+def test_range_join_null_keys_never_pair():
+    left_df = pd.DataFrame({
+        'event_id': [1, 2],
+        'ts': pd.to_datetime([1010, 1010], unit='s').astype('datetime64[us]'),
+        'user_id': [None, 'u']})
+    right_df = pd.DataFrame({
+        'prior': [8, 9],
+        'rts': pd.to_datetime([1000, 1000], unit='s').astype('datetime64[us]'),
+        'ruser': [None, 'u']})
+    out = collect_pandas(range_join(
+        rd.from_pandas(left_df), rd.from_pandas(right_df),
+        'user_id', 'ruser', 'ts', 'rts',
+        right_cols=['prior'], low_us=1, high_us=100 * US))
+    # only the non-null key pairs; NaN == NaN must NOT join
+    assert len(out) == 1
+    assert int(out['event_id'].iloc[0]) == 2 and int(out['prior'].iloc[0]) == 9
+
+
+def test_sessionize_null_key_one_partition():
+    # SQL PARTITION BY: all NULL keys form ONE partition, not one session
+    # per row, and are not dropped
+    df = pd.DataFrame({
+        'event_id': [1, 2, 3, 4],
+        'ts': pd.to_datetime([0, 10, 5, 200], unit='s')
+        .astype('datetime64[us]'),
+        'user_id': [None, None, 'u', None]})
+    out = collect_pandas(sessionize(rd.from_pandas(df), gap_us=60 * US))
+    nul = out[out['user_id'].isna()].sort_values('session_idx')
+    assert list(nul['n_events'].astype(int)) == [2, 1]   # (0,10) then 200
+    assert len(out[out['user_id'] == 'u']) == 1
+
+
+def test_rolling_window_null_key_rows_kept():
+    df = pd.DataFrame({
+        'event_id': [1, 2, 3],
+        'ts': pd.to_datetime([0, 10, 20], unit='s').astype('datetime64[us]'),
+        'user_id': [None, None, 'u'],
+        'value': [1.0, 2.0, 3.0]})
+    out = collect_pandas(rolling_window(
+        rd.from_pandas(df), window_rows=2, cents=True)) \
+        .sort_values('event_id').reset_index(drop=True)
+    # NULL-key rows window over the NULL partition (not NaN-dropped)
+    assert list(out['roll_sum'].astype(int)) == [100, 300, 300]
+    assert list(out['roll_n'].astype(int)) == [1, 2, 1]
