@@ -169,7 +169,8 @@ def _assemble_triples(linked, cats, me_threshold, mm_threshold, path_threshold,
     from ..stages.canonicalize import canonicalize_surface
 
     surf_label, multi_info = canonicalize_surface(
-        linked, me_threshold, mm_threshold, path_threshold=path_threshold)
+        linked, me_threshold, mm_threshold, path_threshold=path_threshold,
+        total_rows=total_rows)
     if ent_names is None:
         from ..stages.relational import arrow_filter
         ent_names = arrow_filter(

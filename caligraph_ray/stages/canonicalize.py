@@ -346,7 +346,8 @@ def canonicalize_surface(linked_mentions_ds,
                          me_threshold: float = MENTION_ENTITY_THRESHOLD,
                          mm_threshold: float = MENTION_MENTION_THRESHOLD,
                          mm_score: float = MM_SCORE,
-                         path_threshold: float = PATH_THRESHOLD):
+                         path_threshold: float = PATH_THRESHOLD,
+                         total_rows: Optional[int] = None):
     """Surface-collapsed canonicalization — the mention-level semantics of
     ``canonicalize`` (verified by the flagship oracle test) at a fraction of
     the cost, exact up to score ties: on an exact path-score tie the closed
@@ -432,11 +433,21 @@ def canonicalize_surface(linked_mentions_ds,
         return pd.concat([s2[cols], p[cols]], ignore_index=True)
 
     from ..config import AGG_BATCH_SIZE
-    from .relational import bucketed_map as _bmap
+    from .relational import bucketed_map as _bmap, default_coarse
+    # ``total_rows`` (free on a materialized input) scales the stats
+    # exchange with mention volume (~4M mentions per coarse bucket) instead
+    # of the CPU-derived default. The collected result is per-SURFACE (one
+    # row per distinct surface + per qualifying (surface, entity) pair) —
+    # sublinear in mentions and the same driver/object-store budget class
+    # as the alias index; that dim, not the mention count, bounds this
+    # algorithm. Beyond it, use canonicalize() + a labels join.
+    coarse = None if total_rows is None else \
+        max(default_coarse(), min(4096, int(total_rows) // 4_000_000))
     partials = ds.select_columns(['mention_uid', 'norm_surface', 'entity', 'link_score']) \
         .map_batches(stats_partial, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
     from .relational import collect_rows as _crows
-    stat_rows = _crows(_bmap(partials, ['norm_surface'], stats_final))
+    stat_rows = _crows(_bmap(partials, ['norm_surface'], stats_final,
+                             coarse=coarse))
 
     reps: Dict[str, int] = {}
     surf_n: Dict[str, int] = {}

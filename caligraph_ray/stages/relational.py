@@ -175,17 +175,48 @@ def pad_to_union(batch: pd.DataFrame, all_cols: Sequence[str],
     return names, cols
 
 
+def _col_hash(s: pd.Series) -> np.ndarray:
+    """Per-value uint64 hash that is a function of the VALUE ONLY, not of
+    the batch's physical dtype. Arrow→pandas demotes an int64 block with a
+    null to float64, so the same logical key column arrives as int64 in one
+    batch and float64 in another; any dtype-dependent path (int fast-mod vs
+    stringify, '1' vs '1.0') then scatters one key over several coarse
+    buckets and every bucketed consumer emits duplicate/partial groups.
+    Canonical forms: numeric → the float64 value (identical for an int64
+    block and its null-demoted sibling; +0.0 folds -0.0 into +0.0; NaN is
+    the null), everything else → str with an explicit null sentinel (object
+    columns can carry None AND np.nan for the same logical NULL)."""
+    if pd.api.types.is_numeric_dtype(s) and not pd.api.types.is_bool_dtype(s):
+        v = s.astype('float64') + 0.0
+        return pd.util.hash_pandas_object(v, index=False) \
+            .to_numpy(dtype='uint64')
+    st = s.astype(str)
+    na = s.isna()
+    if na.any():
+        st = st.where(~na, '\x00null')
+    return pd.util.hash_pandas_object(st, index=False) \
+        .to_numpy(dtype='uint64')
+
+
+def _canon_key_str(s: pd.Series) -> pd.Series:
+    """Value-canonical string rendering of a key column (same motivation as
+    _col_hash): numeric columns render through float64 so an int64 block
+    ('1') and its null-demoted float64 sibling ('1.0') agree."""
+    if pd.api.types.is_numeric_dtype(s) and not pd.api.types.is_bool_dtype(s):
+        return (s.astype('float64') + 0.0).astype(str)
+    st = s.astype(str)
+    na = s.isna()
+    return st.where(~na, '\x00null') if na.any() else st
+
+
 def _coarse_key(batch: pd.DataFrame, keys: Sequence[str], coarse: int) -> pd.Series:
-    """Deterministic hash(keys) % coarse (siphash via pandas, fixed key)."""
-    k0 = batch[keys[0]]
-    if (len(keys) == 1 and pd.api.types.is_integer_dtype(k0)
-            and not k0.isna().any()):   # nullable Int64 + NA → string path
-        return (k0.astype('int64') % coarse).astype('int32')
-    s = k0.astype(str)
+    """Deterministic hash(keys) % coarse (siphash via pandas, fixed key),
+    stable across batches regardless of physical dtype (see _col_hash)."""
+    h = _col_hash(batch[keys[0]])
     for k in keys[1:]:
-        s = s + '\x1f' + batch[k].astype(str)
-    return (pd.util.hash_pandas_object(s, index=False).astype('uint64')
-            % np.uint64(coarse)).astype('int32')
+        h = h * np.uint64(1000003) + _col_hash(batch[k])
+    return pd.Series(h % np.uint64(coarse), index=batch.index,
+                     dtype='int32', name='_coarse')
 
 
 # inputs at or below this size take the broadcast exchange instead of the
@@ -458,8 +489,13 @@ def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
         if how == 'left':
             # a left join NaN-fills right columns for misses, which would
             # demote int64 payloads to float64 (lossy above 2^53) — object
-            # dtype keeps exact ints + None, matching SQL NULL semantics
-            r = r.astype(object)
+            # dtype keeps exact ints + None, matching SQL NULL semantics.
+            # Only integer columns need the (O(rows×cols) boxing) shield;
+            # floats/strings/datetimes NaN-fill losslessly already.
+            int_cols = {c: object for c in r.columns
+                        if pd.api.types.is_integer_dtype(r[c])}
+            if int_cols:
+                r = r.astype(int_cols)
         if shared:
             return l.merge(r, how=how, left_on=left_on, right_on=right_on,
                            suffixes=('_x', '_y'))
@@ -473,8 +509,10 @@ def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
             def fn(batch: pd.DataFrame) -> pa.Table:
                 n = len(batch)
                 names, cols = pad_to_union(batch, all_cols, types, own)
+                # hash the RAW key: pre-stringifying would reintroduce the
+                # '1' vs '1.0' dtype flip _col_hash exists to prevent
                 ck = _coarse_key(pd.DataFrame(
-                    {'_k': batch[key_col].astype(str)}), ['_k'], coarse)
+                    {'_k': batch[key_col]}), ['_k'], coarse)
                 names += ['_side', '_coarse']
                 cols += [pa.nulls(n, pa.string()).fill_null(side),
                          pa.array(ck, type=pa.int32())]
@@ -506,7 +544,7 @@ def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
                 if c not in out.columns:
                     out[c] = None
             out['_side'] = side
-            out['_jk'] = batch[key_col].astype(str)
+            out['_jk'] = _canon_key_str(batch[key_col])
             return out[all_cols + ['_side', '_jk']]
         return fn
 

@@ -133,8 +133,17 @@ class LshIndex:
 
 # process-level cache: one LshIndex build per worker PROCESS (a
 # closure-local dict would be reserialized per task, rebuilding the index
-# for every task and voiding the sub-linearity claim)
+# for every task and voiding the sub-linearity claim). ONE entry only —
+# keyed caching would retain a full corpus copy per distinct corpus ever
+# queried in every long-lived worker, a monotonic leak.
 _IDX_CACHE: dict = {}
+
+
+def _cached_index(key: str, build):
+    if _IDX_CACHE.get('key') != key:
+        _IDX_CACHE['key'] = key
+        _IDX_CACHE['idx'] = build()
+    return _IDX_CACHE['idx']
 
 
 def lsh_index_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
@@ -158,11 +167,10 @@ def lsh_index_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
     queries = rd.from_pandas(pd.DataFrame({'query_idx': np.arange(len(q))}))
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
-        key = corpus_ref.hex()
-        if key not in _IDX_CACHE:
+        def build():
             cids, cmat = get_broadcast(corpus_ref)
-            _IDX_CACHE[key] = LshIndex(cids, cmat, n_planes)
-        index = _IDX_CACHE[key]
+            return LshIndex(cids, cmat, n_planes)
+        index = _cached_index(corpus_ref.hex(), build)
         qm = get_broadcast(qref)
         out_q, out_id, out_s = [], [], []
         for qi in batch['query_idx']:
@@ -226,8 +234,10 @@ def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, n_planes: int = 12,
                                   batch_size=4096)
     from .relational import collect_pandas
     df = collect_pandas(partials)
-    if df.empty:
-        return df
+    if df.empty:   # typed empty frame, same schema as the other topk fns
+        return pd.DataFrame({'query_idx': pd.Series(dtype='int64'),
+                             id_col: pd.Series(dtype='int64'),
+                             'score': pd.Series(dtype='float64')})
     df = df.sort_values(['query_idx', 'score', id_col],
                         ascending=[True, False, True], kind='mergesort')
     df = df.groupby('query_idx', group_keys=False).head(k).reset_index(drop=True)

@@ -95,9 +95,12 @@ def _tagged_union(left_ds, right_ds, key_left: str, key_right: str,
             if both_int:
                 key = batch[key_col]
             else:
-                # astype(str) would stringify NULL as 'nan'/'None', making
-                # null keys equal to each other and to those literal strings
-                key = batch[key_col].astype(str).where(
+                # canonical stringify (not astype(str)): a null must not
+                # become the literal 'nan'/'None', and a numeric column
+                # must render identically from an int64 block and its
+                # null-demoted float64 sibling ('1' vs '1.0')
+                from .relational import _canon_key_str
+                key = _canon_key_str(batch[key_col]).where(
                     batch[key_col].notna(), None)
             names += ['_side', '_k', '_ts', '_coarse']
             cols += [

@@ -164,31 +164,43 @@ def serialize_kg(triples_ds, out_dir: str,
     the columnar to_nt_lines map."""
     import json
     import os
+
+    import pyarrow.compute as pc
+
     from ..sources.nt import write_nt
     os.makedirs(out_dir, exist_ok=True)
+
+    # ONE upstream execution: materialize the input, assign each triple its
+    # family ONCE (first registry match; memoized per distinct (pred, lit)
+    # since predicate cardinality is tiny), then each family pass is a
+    # vectorized equality filter over the materialized blocks. The naive
+    # shape — five filter+write passes over a LAZY dataset plus the stats
+    # aggregations — re-ran the whole producing pipeline 8×, then re-counted
+    # rows by re-reading every written NT file line-by-line on the driver.
+    def tag(batch: pa.Table) -> pa.Table:
+        preds = batch.column('pred').to_pylist()
+        lits = batch.column('is_literal').to_pylist()
+        memo: dict = {}
+
+        def fam_of(p, l):
+            for fname, fn in RESULT_FILE_REGISTRY.items():
+                if fn(p, l):
+                    return fname
+            return 'relations'
+        fam = [memo.get((p, l)) or memo.setdefault((p, l), fam_of(p, l))
+               for p, l in zip(preds, lits)]
+        return batch.append_column('family', pa.array(fam, pa.string()))
+
+    tagged = triples_ds.map_batches(tag, batch_format='pyarrow').materialize()
     counts = {}
     for name in RESULT_FILE_REGISTRY:
-        # registry order is authoritative: a triple lands in the FIRST
-        # matching family (the fallback 'relations' catches the rest)
-        prior = list(RESULT_FILE_REGISTRY)[:list(RESULT_FILE_REGISTRY).index(name)]
-
-        def select(batch: pa.Table, name=name, prior=prior) -> pa.Table:
-            preds = batch.column('pred').to_pylist()
-            lits = batch.column('is_literal').to_pylist()
-            keep = []
-            for p, l in zip(preds, lits):
-                mine = RESULT_FILE_REGISTRY[name](p, l)
-                stolen = any(RESULT_FILE_REGISTRY[q](p, l) for q in prior)
-                keep.append(mine and not stolen)
-            return batch.filter(pa.array(keep))
-
-        part = triples_ds.map_batches(select, batch_format='pyarrow')
-        d = os.path.join(out_dir, name)
-        write_nt(part, d, base_uri=base_uri)
-        import ray.data as rd
-        counts[name] = sum(1 for f in os.listdir(d)
-                           for _ in open(os.path.join(d, f))) if os.path.isdir(d) else 0
-    stats = graph_statistics(triples_ds)
+        part = tagged.map_batches(
+            lambda b, name=name: b.filter(
+                pc.equal(b.column('family'), name)).drop_columns(['family']),
+            batch_format='pyarrow').materialize()
+        counts[name] = part.count()
+        write_nt(part, os.path.join(out_dir, name), base_uri=base_uri)
+    stats = graph_statistics(tagged.drop_columns(['family']))
     with open(os.path.join(out_dir, 'stats.json'), 'w') as f:
         json.dump({'files': counts, **stats}, f, indent=2)
     return counts

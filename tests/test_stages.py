@@ -385,3 +385,36 @@ def test_joins_null_keys_never_match(ray_session, rd):
                             how='left').to_pandas().sort_values('x')
     assert len(got_bl) == 3
     assert [v if pd.notna(v) else None for v in got_bl['y']] == [10, None, None]
+
+
+def test_shuffle_join_int_keys_with_nulls(ray_session, rd):
+    # arrow→pandas demotes an int64 block containing a null to float64;
+    # the coarse key must hash by VALUE so '1' (int block) and '1.0'
+    # (float block) land in the same bucket — a dtype-dependent key split
+    # every match out of existence
+    l = pd.DataFrame({'k': pd.array([1, 2, 3], dtype='int64'),
+                      'x': [10, 20, 30]})
+    r = pd.DataFrame({'kk': pd.array([1, 2, None], dtype='Int64'),
+                      'y': [100, 200, 300]})
+    got = shuffle_join_import()(rd.from_pandas(l), rd.from_pandas(r),
+                                'k', 'kk').to_pandas()
+    assert sorted(map(tuple, got[['x', 'y']].values.tolist())) == \
+        [(10, 100), (20, 200)]
+
+
+def shuffle_join_import():
+    from caligraph_ray.stages.relational import shuffle_join
+    return shuffle_join
+
+
+def test_two_phase_count_int_keys_with_null_batches(ray_session, rd):
+    # one union side carries a null (float64-demoted int keys), the other
+    # does not (int64): the same key value must aggregate into ONE row
+    from caligraph_ray.stages.relational import two_phase_count
+    a = pd.DataFrame({'k': pd.array([0, 1, 2], dtype='int64')})
+    b = pd.DataFrame({'k': pd.array([0, 1, None], dtype='Int64')})
+    ds = rd.from_pandas(a).union(rd.from_pandas(b))
+    out = two_phase_count(ds, ['k'], 'cnt').to_pandas()
+    by_key = {(-1 if pd.isna(r['k']) else int(r['k'])): int(r['cnt'])
+              for _, r in out.iterrows()}
+    assert by_key == {0: 2, 1: 2, 2: 1, -1: 1}
