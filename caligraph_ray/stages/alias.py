@@ -327,16 +327,28 @@ def build_alias_index_sharded(mentions_ds, n_shards: int = 16) -> List["ray.Obje
         shard = [stable_hash64(s) % n_shards for s in surfs]
         return batch.append_column('shard', pa.array(shard, pa.int32()))
 
-    from .relational import arrow_filter, collect_rows
     sharded = counts.map_batches(add_shard, batch_format='pyarrow').materialize()
-    refs: List["ray.ObjectRef"] = []
-    for i in range(n_shards):
-        rows = collect_rows(arrow_filter(
-            sharded, lambda t, i=i: pc.equal(t['shard'], i)))
+    block_refs = [b for bundle in sharded.iter_internal_ref_bundles()
+                  for b in bundle.block_refs]
+
+    # each shard's dict is assembled INSIDE a Ray task from zero-copy arrow
+    # block reads and returned (task returns live in the object store, so
+    # the returned ref IS the broadcast shard): the driver never holds a
+    # single row, and the n_shards scans run in parallel on workers instead
+    # of as n_shards serial driver-side collect passes
+    @ray.remote
+    def build_shard(i: int, *blocks) -> AliasIndex:
         index: AliasIndex = {}
-        for r in rows:
-            index.setdefault(r['norm_surface'], []).append((r['name'], int(r['freq'])))
+        for b in blocks:
+            if not isinstance(b, pa.Table) or b.num_rows == 0:
+                continue
+            t = b.filter(pc.equal(b.column('shard'), i))
+            for surf, name, freq in zip(t.column('norm_surface').to_pylist(),
+                                        t.column('name').to_pylist(),
+                                        t.column('freq').to_pylist()):
+                index.setdefault(surf, []).append((name, int(freq)))
         for k in index:
             index[k].sort(key=lambda x: (-x[1], x[0]))
-        refs.append(ray.put(index))
-    return refs
+        return index
+
+    return [build_shard.remote(i, *block_refs) for i in range(n_shards)]

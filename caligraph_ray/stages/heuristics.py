@@ -61,8 +61,13 @@ def hypernym_counts(docs_ds, text_col: str = 'text'):
         for text in batch[text_col]:
             for sub, hyper in hearst_matches(text):
                 c[(sub.lower(), hyper.lower())] += 1
-        return pd.DataFrame({'sub': [k[0] for k in c], 'hyper': [k[1] for k in c],
-                             'cnt': np.fromiter(c.values(), dtype=np.int64, count=len(c))})
+        # typed arrays: a zero-match batch must emit string key columns,
+        # not the float64/null schema pandas infers for empty frames (which
+        # the aggregation exchange cannot unify with string blocks at scale)
+        return pa.Table.from_pydict({
+            'sub': pa.array([k[0] for k in c], pa.string()),
+            'hyper': pa.array([k[1] for k in c], pa.string()),
+            'cnt': pa.array(list(c.values()), pa.int64())})
 
     partials = docs_ds.map_batches(partial, batch_format='pandas',
                                    batch_size=AGG_BATCH_SIZE)
@@ -127,6 +132,8 @@ def domain_range(facts_ds, types_by_ent: Dict[str, List[str]],
     import ray
     tref = ray.put(types_by_ent)
 
+    _INST = '\x00inst'   # per-instance marker row: the share denominator
+
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         tbe = ray.get(tref)
         preds, sides, types = [], [], []
@@ -135,11 +142,26 @@ def domain_range(facts_ds, types_by_ent: Dict[str, List[str]],
         for p, s, o, lit in zip(batch['pred'], batch['subj'], batch['obj'], lits):
             if lit:
                 continue
-            for t in tbe.get(s, ()):   # subject types → domain evidence
+            # the share denominator is the number of typed INSTANCES, not
+            # the number of type rows: a subject typed [Person, Agent,
+            # Thing] is one instance that is 100% Person — dividing by the
+            # summed type rows (1/3) would make the .96 threshold
+            # unreachable for any multi-typed KB (reference
+            # impl/dbpedia/heuristics.py:38-62 argmax over instance share)
+            ts = tbe.get(s, ())
+            for t in ts:   # subject types → domain evidence
                 preds.append(p); sides.append('d'); types.append(t)
-            for t in tbe.get(o, ()):
+            if ts:
+                preds.append(p); sides.append('d'); types.append(_INST)
+            to = tbe.get(o, ())
+            for t in to:
                 preds.append(p); sides.append('r'); types.append(t)
-        return pd.DataFrame({'pred': preds, 'side': sides, 'type': types})
+            if to:
+                preds.append(p); sides.append('r'); types.append(_INST)
+        return pa.Table.from_pydict({
+            'pred': pa.array(preds, pa.string()),
+            'side': pa.array(sides, pa.string()),
+            'type': pa.array(types, pa.string())})
 
     ev = facts_ds.map_batches(explode, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
     counts = collect_pandas(two_phase_count(ev, ['pred', 'side', 'type'], 'cnt'))
@@ -149,9 +171,11 @@ def domain_range(facts_ds, types_by_ent: Dict[str, List[str]],
         for side, col, thr in [('d', 'domain', domain_threshold),
                                ('r', 'range', range_threshold)]:
             sg = g[g['side'] == side]
-            if sg.empty:
+            inst = sg[sg['type'] == _INST]
+            sg = sg[sg['type'] != _INST]
+            if sg.empty or inst.empty:
                 continue
-            total = sg['cnt'].sum()
+            total = int(inst['cnt'].iloc[0])
             best = sg.sort_values(['cnt', 'type'], ascending=[False, True]).iloc[0]
             if best['cnt'] / total >= thr:
                 row[col] = best['type']
@@ -190,9 +214,16 @@ def type_disjointness(facts_ds, types_by_ent: Dict[str, List[str]],
     normed = weighted.div(np.maximum(norms, 1e-12), axis=0)
     sims = normed @ normed.T
     types = list(mat.index)
+    nz = norms > 1e-12
     rows = []
     for i, a in enumerate(types):
         for j in range(i + 1, len(types)):
+            # a type whose idf-damped vector is all-zero carries ZERO
+            # discriminative evidence — declaring it disjoint from
+            # everything (cos 0.0 ≤ threshold) is wrong, and the SQL
+            # replay's 0/0 → NULL excludes such pairs; match it
+            if not (nz[i] and nz[j]):
+                continue
             cos = float(sims.iloc[i, j])
             if cos <= threshold:
                 rows.append({'type_a': a, 'type_b': types[j], 'cosine': round(cos, 6)})

@@ -134,11 +134,12 @@ def _mine(ctx_ds, target_col: str, mean_threshold: float, min_pages: int,
     # level 1, vectorized: totals via group size, hits via explode
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         keys = RULE_KEY + ['page_id']
-        tot = batch.groupby(keys, sort=False).size().rename('n_total').reset_index()
+        tot = batch.groupby(keys, sort=False, dropna=False).size().rename('n_total').reset_index()
         tot['target'] = ''
         tot['n_hit'] = 0
         ex = batch[keys + [target_col]].explode(target_col).dropna(subset=[target_col])
-        hit = ex.groupby(keys + [target_col], sort=False).size() \
+        hit = ex.groupby(keys + [target_col], sort=False,
+                         dropna=False).size() \
             .rename('n_hit').reset_index().rename(columns={target_col: 'target'})
         hit['n_total'] = 0
         cols = keys + ['target', 'n_total', 'n_hit']
@@ -151,7 +152,9 @@ def _mine(ctx_ds, target_col: str, mean_threshold: float, min_pages: int,
 
     def level2(bucket: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
-        for key, g in bucket.groupby(RULE_KEY, sort=False):
+        # dropna=False: a NULL rule-key (nullable topsection/section) still
+        # contributes totals and rules, matching the SQL NULL-group convention
+        for key, g in bucket.groupby(RULE_KEY, sort=False, dropna=False):
             totals = g[g['target'] == ''].drop_duplicates('page_id') \
                 .set_index('page_id')['n_total']
             totals = totals[totals >= min_page_entities]

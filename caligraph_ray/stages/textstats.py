@@ -38,7 +38,9 @@ def token_counts(docs_ds, text_col: str = 'text', min_len: int = 0,
             for t in _split_tokens(text):
                 if len(t) >= min_len and (vocab is None or t in vocab):
                     c[t] += 1
-        return pa.Table.from_pydict({'token': list(c.keys()),
+        # explicit string type: from an empty Counter, pyarrow would infer
+        # token: null and hand the groupby schema-divergent blocks
+        return pa.Table.from_pydict({'token': pa.array(list(c.keys()), pa.string()),
                                      'cnt': pa.array(list(c.values()), pa.int64())})
 
     pre = docs_ds.map_batches(partial, batch_format='pyarrow', batch_size=AGG_BATCH_SIZE)
@@ -55,8 +57,8 @@ def bigram_counts(docs_ds, text_col: str = 'text'):
             toks = _split_tokens(text)
             for i in range(len(toks) - 1):
                 c[(toks[i], toks[i + 1])] += 1
-        w1 = [k[0] for k in c]
-        w2 = [k[1] for k in c]
+        w1 = pa.array([k[0] for k in c], pa.string())
+        w2 = pa.array([k[1] for k in c], pa.string())
         return pa.Table.from_pydict({'w1': w1, 'w2': w2,
                                      'cnt': pa.array(list(c.values()), pa.int64())})
 

@@ -181,3 +181,42 @@ def test_sunburst_nested_with_hierarchy(ray_session):
     place = out['children'][0]
     assert place['name'] == 'Place' and place['value'] == 1
     assert place['children'][0] == {'name': 'City', 'value': 2}
+
+
+def test_domain_range_multi_type_instances(ray_session):
+    # the share denominator is typed INSTANCES, not type rows: every
+    # subject typed [Person, Agent, Thing] is 100% Person, so Person must
+    # clear the 0.96 domain bar (dividing by summed type rows gave 1/3)
+    import ray.data as rd
+    facts = pd.DataFrame([
+        {'subj': f'P{i}', 'pred': 'birthPlace', 'obj': f'C{i % 3}',
+         'is_literal': False} for i in range(10)])
+    types = {f'P{i}': ['Person', 'Agent', 'Thing'] for i in range(10)}
+    types.update({f'C{i}': ['City', 'Place'] for i in range(3)})
+    out = domain_range(rd.from_pandas(facts), types)
+    row = out[out['pred'] == 'birthPlace'].iloc[0]
+    # all three subject types tie at share 1.0; the deterministic
+    # tie-break is alphabetical — the point is a domain IS found
+    assert row['domain'] == 'Agent'
+    assert row['range'] == 'City'
+
+
+def test_type_disjointness_zero_vector_excluded(ray_session):
+    # a type whose idf-damped vector is all-zero (only ubiquitous
+    # predicates) has no discriminative evidence and must not be declared
+    # disjoint from everything (the SQL replay's 0/0 → NULL excludes it)
+    import ray.data as rd
+    rows = []
+    for t, preds in [('A', ['common', 'onlyA']),
+                     ('B', ['common', 'onlyB']),
+                     ('Z', ['common'])]:   # Z: ubiquitous-only → zero vector
+        for i in range(5):
+            for p in preds:
+                rows.append({'subj': f'{t}{i}', 'pred': p})
+    types = {f'{t}{i}': [t] for t in 'ABZ' for i in range(5)}
+    facts = pd.DataFrame(rows)
+    facts['obj'] = 'o'
+    out = type_disjointness(rd.from_pandas(facts), types)
+    pairs = {tuple(sorted((r['type_a'], r['type_b']))) for _, r in out.iterrows()}
+    assert ('A', 'B') in pairs          # genuinely disjoint evidence
+    assert not any('Z' in p for p in pairs)
