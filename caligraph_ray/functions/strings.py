@@ -31,7 +31,10 @@ _VBN_IRREGULAR = frozenset({
     'left', 'lost', 'sold', 'spent', 'told', 'brought', 'bought'})
 
 _NON_ALNUM_RE = re.compile(r"[^A-Za-z0-9 ]+")
-_NUMERIC_RE = re.compile(r"^\d+([.,]\d+)*$")
+# shared with the vectorized pyarrow filter and the SQL oracle replay
+# (pipelines/queries.py q_frequent_labels) — one canonical pattern
+NUMERIC_TOKEN_PATTERN = r"^[0-9]+([.,][0-9]+)*$"
+_NUMERIC_RE = re.compile(NUMERIC_TOKEN_PATTERN)
 
 # canonical-label cleanup regexes (reference impl/util/nlp.py:89-101, same order)
 _CANONICAL_RES = [

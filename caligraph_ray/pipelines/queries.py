@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from ..functions.strings import NUMERIC_TOKEN_PATTERN
 from ..stages import relational as rel
 from ..stages import textstats as ts
 from ..stages import dedup as dd
@@ -50,7 +51,10 @@ def q_pricing_summary(sf_dir: str):
          'sum_price': ('l_extendedprice', 'sum'),
          'count_order': (None, 'count')})
     df = out.to_pandas()
-    df['avg_qty'] = (df['sum_qty'] / df['count_order']).round(4)
+    # ratio → floor-scaling (module convention): pandas round() is
+    # half-even, DuckDB round() half-away — they differ on exact midpoints
+    # (power-of-two group counts); floor agrees bit-for-bit
+    df['avg_qty'] = np.floor(df['sum_qty'] / df['count_order'] * 1e4) / 1e4
     df['sum_qty'] = df['sum_qty'].round(2)
     df['sum_price'] = df['sum_price'].round(2)
     return df
@@ -60,7 +64,7 @@ SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_price,
-       round(avg(l_quantity), 4) AS avg_qty,
+       floor(sum(l_quantity) * 1.0 / count(*) * 10000) / 10000 AS avg_qty,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -188,7 +192,8 @@ def q_functional_event_types(sf_dir: str):
 
 SQL_FUNCTIONAL = """
 SELECT event_type, count(*) AS n_subjects,
-       round(count(*) FILTER (n = 1) * 1.0 / count(*), 6) AS functional_ratio
+       floor(count(*) FILTER (n = 1) * 1.0 / count(*) * 1e6) / 1e6
+           AS functional_ratio
 FROM (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY event_type, user_id)
 GROUP BY event_type
 """
@@ -262,22 +267,22 @@ WHERE token <> '' GROUP BY token HAVING count(*) >= 5
 def q_frequent_labels(sf_dir: str):
     """Too-frequent unknown-label filter (A13/M20): valid entity labels
     (len>2, non-numeric) with freq > 50."""
-    from ..functions.strings import is_valid_entity_label
     docs = rel.read_table(sf_dir, 'documents', ['text'])
     out = ts.token_counts(docs, min_len=3)
+
     def valid(t):
-        toks = t['token']
+        # the vectorized form of strings.is_valid_entity_label: same
+        # canonical pattern, len>2 enforced by min_len=3 upstream
         nonnum = pc.invert(pc.match_substring_regex(
-            toks, r'^[0-9]+([.,][0-9]+)*$'))
-        # min_len=3 upstream already enforces len>2
+            t['token'], NUMERIC_TOKEN_PATTERN))
         return pc.and_(pc.greater(t['freq'], 50), nonnum)
     return rel.arrow_filter(out, valid)
 
 
-SQL_FREQ_LABELS = """
+SQL_FREQ_LABELS = f"""
 SELECT token, count(*) AS freq
 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-WHERE length(token) > 2 AND NOT regexp_matches(token, '^[0-9]+([.,][0-9]+)*$')
+WHERE length(token) > 2 AND NOT regexp_matches(token, '{NUMERIC_TOKEN_PATTERN}')
 GROUP BY token HAVING count(*) > 50
 """
 
@@ -290,10 +295,16 @@ def q_bigram_counts(sf_dir: str):
 
 
 SQL_BIGRAMS = """
-WITH toks AS (
+WITH raw AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
            generate_subscripts(string_split(text, ' '), 1) AS pos
-    FROM documents)
+    FROM documents),
+toks AS (
+    -- drop empty tokens BEFORE pairing and renumber, exactly like the
+    -- Python _split_tokens: 'a  b' pairs (a,b), never (a,'')/('',b)
+    SELECT doc_id, tok,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+    FROM raw WHERE tok <> '')
 SELECT t1.tok AS w1, t2.tok AS w2, count(*) AS freq
 FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
 GROUP BY t1.tok, t2.tok HAVING count(*) >= 10
@@ -477,7 +488,11 @@ def q_quality_scores(sf_dir: str):
             toks = [t for t in text.split(' ') if t]
             n = len(toks)
             n_chars = sum(map(len, toks))
-            n_punct = sum(1 for t in toks for c in t if not c.isalnum())
+            # ASCII-explicit alnum, matching the SQL's [a-zA-Z0-9]:
+            # str.isalnum would disagree on non-ASCII letters ('é')
+            n_punct = sum(1 for t in toks for c in t
+                          if not ('a' <= c <= 'z' or 'A' <= c <= 'Z'
+                                  or '0' <= c <= '9'))
             rows.append({
                 'doc_id': doc_id, 'n_tokens': n, 'n_uniq_tokens': len(set(toks)),
                 'avg_token_len': _floor6(n_chars / n) if n else 0.0,
@@ -494,11 +509,13 @@ SQL_QUALITY = f"""
 WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
            FROM documents)
 SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq_tokens,
-       floor((list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)) * 1000000) / 1000000 AS avg_token_len,
-       floor((len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks)) * 1000000) / 1000000 AS stopword_ratio,
-       floor((list_sum(list_transform(toks, x -> length(regexp_replace(x, '[a-zA-Z0-9]', '', 'g')))) * 1.0
-              / list_sum(list_transform(toks, x -> length(x)))) * 1000000) / 1000000 AS punct_ratio,
-       floor((1.0 - len(list_distinct(toks)) * 1.0 / len(toks)) * 1000000) / 1000000 AS repeat_ratio
+       coalesce(floor((list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)) * 1000000) / 1000000, 0.0) AS avg_token_len,
+       coalesce(floor((len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks)) * 1000000) / 1000000, 0.0) AS stopword_ratio,
+       coalesce(floor((list_sum(list_transform(toks, x -> length(regexp_replace(x, '[a-zA-Z0-9]', '', 'g')))) * 1.0
+              / list_sum(list_transform(toks, x -> length(x)))) * 1000000) / 1000000, 0.0) AS punct_ratio,
+       coalesce(floor((1.0 - len(list_distinct(toks)) * 1.0 / len(toks)) * 1000000) / 1000000, 0.0) AS repeat_ratio
+-- coalesce(…, 0.0) mirrors the Python 'if n else 0.0' guards for
+-- empty/whitespace-only documents (DuckDB division by zero yields NULL)
 FROM t
 """
 
@@ -514,7 +531,7 @@ SQL_BPE_COUNTS = """
 SELECT doc_id,
        len(regexp_extract_all(text, '{pat}')) AS n_pretokens
 FROM documents
-""".format(pat=ts.BPE_PRETOKEN_PATTERN.replace("\\s", "\\s").replace("'", "''"))
+""".format(pat=ts.BPE_PRETOKEN_PATTERN.replace("'", "''"))
 
 
 def q_lang_id(sf_dir: str):
@@ -645,17 +662,20 @@ WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
 """
 
 
-def q_embedding_near_dups(sf_dir: str, threshold: float = 0.45):
+EMB_DUP_THRESHOLD = 0.45   # one constant for the Ray side AND its oracle
+
+
+def q_embedding_near_dups(sf_dir: str, threshold: float = EMB_DUP_THRESHOLD):
     emb = rel.read_table(sf_dir, 'embeddings', ['vec_id', 'embedding'])
     out = dd.embedding_near_dup_pairs(emb, threshold=threshold).to_pandas()
     return out[['a', 'b']] if not out.empty else \
         pd.DataFrame({'a': pd.Series(dtype='int64'), 'b': pd.Series(dtype='int64')})
 
 
-SQL_EMB_DUPS = """
+SQL_EMB_DUPS = f"""
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {EMB_DUP_THRESHOLD}
 """
 
 

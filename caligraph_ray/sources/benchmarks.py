@@ -27,10 +27,18 @@ def read_nilk_jsonl(path: str, known_page_ids: Optional[Set[int]] = None,
     assigns them sequentially by first-seen order (single-process), we
     assign ``BASE + stable_hash64(wikidata_id) % 10^7`` — order-free, so
     the assignment is deterministic under any distribution."""
+    import ray
     import ray.data as rd
     ds = rd.read_json(path)
+    # dims travel via the object store + process-local broadcast cache, not
+    # the task closure: at the documented ~10^7-id scale a closure-captured
+    # dict is re-pickled into every task instead of deserialized once per
+    # worker (the same pattern alias/ed/redirects use)
+    dims_ref = ray.put((known_page_ids, wikidata_to_ent))
 
     def normalize(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import get_broadcast
+        known_page_ids, wikidata_to_ent = get_broadcast(dims_ref)
         rows = []
         for r in batch.itertuples():
             page_id = int(r.wikipedia_page_id)

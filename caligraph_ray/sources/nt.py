@@ -39,9 +39,29 @@ def encode_resource_name(name: str) -> str:
 
 
 def escape_literal(literal: str) -> str:
-    """Reference _encode_literal_string (serialize.py:74-77): backslash-
-    escape \\ and \" ('12\"/50 caliber' → 12\\\"/50 caliber)."""
-    return literal.replace('\\', '\\\\').replace('"', '\\"')
+    """Reference _encode_literal_string (serialize.py:74-77) extended to
+    full N-Triples string escaping: backslash, quote AND the control chars
+    \\n/\\r/\\t — a raw newline inside one logical NT line would split it
+    into two physical lines that no parser (ours included) matches, so the
+    triple silently vanishes on round-trip."""
+    return (literal.replace('\\', '\\\\').replace('"', '\\"')
+            .replace('\n', '\\n').replace('\r', '\\r').replace('\t', '\\t'))
+
+
+def unescape_literal(s: str) -> str:
+    """Inverse of escape_literal: single left-to-right scan (pairwise
+    .replace chains mis-decode adjacent escapes like '\\\\n')."""
+    out, i, n = [], 0, len(s)
+    sub = {'\\': '\\', '"': '"', 'n': '\n', 'r': '\r', 't': '\t'}
+    while i < n:
+        c = s[i]
+        if c == '\\' and i + 1 < n and s[i + 1] in sub:
+            out.append(sub[s[i + 1]])
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return ''.join(out)
 
 
 def uri_to_name(uri: str) -> str:
@@ -70,7 +90,7 @@ def parse_nt_lines(batch) -> pa.Table:
         if m:
             subj.append(uri_to_name(m.group(1)))
             pred.append(uri_to_name(m.group(2)))
-            obj.append(m.group(3).replace('\\"', '"').replace('\\\\', '\\'))
+            obj.append(unescape_literal(m.group(3)))
             lit.append(True)
     return pa.Table.from_pydict({'subj': subj, 'pred': pred, 'obj': obj,
                                  'is_literal': lit}, schema=TRIPLES_SCHEMA)

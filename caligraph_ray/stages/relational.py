@@ -638,7 +638,10 @@ def functional_keys(ds, key_col: str, subject_col: str, threshold: float = 0.95)
         bucket = bucket.assign(_one=(bucket['n'] == 1).astype('int64'))
         g = bucket.groupby(key_col, sort=False, dropna=False)
         out = pd.DataFrame({'n_subjects': g.size(), '_ones': g['_one'].sum()}).reset_index()
-        out['functional_ratio'] = (out['_ones'] / out['n_subjects']).round(6)
+        # floor-scaling, not round: pandas half-even vs DuckDB half-away
+        # differ on exact midpoints (power-of-two subject counts)
+        out['functional_ratio'] = np.floor(
+            out['_ones'] / out['n_subjects'] * 1e6) / 1e6
         return out.drop(columns=['_ones'])
 
     return bucketed_map(per_subj, [key_col], ratio)

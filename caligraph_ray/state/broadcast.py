@@ -18,9 +18,13 @@ _CACHE: Dict[str, Any] = {}
 
 def get_broadcast(ref: "ray.ObjectRef") -> Any:
     key = ref.hex()
-    if key not in _CACHE:
+    if key in _CACHE:
+        # true LRU: move the hit to the end, else a pipeline touching 9+
+        # dims evicts its HOTTEST ref (FIFO) and re-deserializes per batch
+        _CACHE[key] = _CACHE.pop(key)
+    else:
         _CACHE[key] = ray.get(ref)
-        # bound the cache: drop older entries beyond a handful of dims
+        # bound the cache: evict least-recently-used beyond a handful of dims
         if len(_CACHE) > 8:
             for k in list(_CACHE)[:-8]:
                 del _CACHE[k]
