@@ -59,7 +59,16 @@ def singularize(word: str) -> str:
         return word[:-3] + transfer_word_casing(word[-3:], 'man')
     if lw in _NOT_PLURAL or len(lw) < 3 or not lw.endswith('s'):
         return word
+    if lw.endswith('movies'):
+        # the inflection package's one explicit -ies special case
+        # ((m)ovies$ → movie); 'Movies in Paris' classes must not
+        # become 'Movy in Paris'
+        return word[:-1]
     if lw.endswith('ies') and len(lw) > 4:
+        if lw[-4] in 'aeiouy':
+            # inflection's rule is ([^aeiouy]|qu)ies → y; vowel+ies falls
+            # through to its generic s$-drop rule
+            return word[:-1]
         return word[:-3] + ('Y' if word[-3].isupper() else 'y')
     if lw.endswith(('ches', 'shes', 'sses', 'xes', 'zes')):
         return word[:-2]

@@ -29,6 +29,11 @@ def canonicalize_url(url: str) -> str:
         host = (parts.hostname or '').lower()
     except ValueError:
         return url.strip()
+    if not parts.scheme or not host:
+        # scheme-less / host-less input ('example.com/path') would come
+        # back as the invalid '://example.com/path'; keep the documented
+        # stripped-but-otherwise-unchanged contract for non-URLs
+        return url.strip()
     scheme = parts.scheme.lower()
     if host.startswith('www.'):
         host = host[4:]
@@ -46,8 +51,13 @@ def canonicalize_url(url: str) -> str:
 
 
 def url_host(url: str) -> str:
-    """Lowercased host with any leading ``www.`` stripped."""
-    host = (urlsplit(url.strip()).hostname or '').lower()
+    """Lowercased host with any leading ``www.`` stripped. Malformed URLs
+    ('http://[::1') yield '' — same never-kill-the-task contract as
+    canonicalize_url."""
+    try:
+        host = (urlsplit(url.strip()).hostname or '').lower()
+    except ValueError:
+        return ''
     return host[4:] if host.startswith('www.') else host
 
 

@@ -462,26 +462,23 @@ def canonicalize_surface(linked_mentions_ds,
         else:
             pair_rows.append(r)
 
-    # driver CC over the collapsed graph (tiny: |surfaces| + |entities|)
+    # driver CC over the collapsed graph (tiny: |surfaces| + |entities|).
+    # mm edges are guaranteed on (the function raises otherwise), so every
+    # ≥2-mention surface forms a star component; an me edge joins rep and
+    # entity regardless of surface size — ONE unconditional union.
     uf = _UnionFind()
-    mm_on = mm_score > mm_threshold
     for surf, n in surf_n.items():
-        if mm_on and n >= 2:
+        if n >= 2:
             uf.find(reps[surf])  # surfaces with stars always form a component
     for r in pair_rows:
-        surf = r['norm_surface']
-        if mm_on and surf_n.get(surf, 0) >= 2:
-            uf.union(reps[surf], entity_node_id(r['entity']))
-        else:
-            # single-mention surface: the me edge alone joins rep↔entity
-            uf.union(reps[surf], entity_node_id(r['entity']))
+        uf.union(reps[r['norm_surface']], entity_node_id(r['entity']))
     comp_entities: Dict[int, set] = defaultdict(set)
     for r in pair_rows:
         comp_entities[uf.find(reps[r['norm_surface']])].add(r['entity'])
     comp_of_surface = {}
     for surf, n in surf_n.items():
         rep = reps[surf]
-        if rep in uf.parent or (mm_on and n >= 2):
+        if rep in uf.parent or n >= 2:
             comp_of_surface[surf] = uf.find(rep)
 
     multi_comps = {c for c, ents in comp_entities.items() if len(ents) >= 2}
@@ -590,7 +587,8 @@ def canonicalize(linked_mentions_ds,
     labels = connected_components(edges)
     if not labels:
         return rd.from_arrow(pa.Table.from_pydict(
-            {'node': pa.array([], pa.int64()), 'cluster': pa.array([], pa.int64())}))
+            {'node': pa.array([], pa.int64()), 'cluster': pa.array([], pa.int64()),
+             'entity': pa.array([], pa.string())}))
     labels_ref = ray.put(labels)
 
     def tag_component(batch: pa.Table) -> pa.Table:
@@ -600,8 +598,23 @@ def canonicalize(linked_mentions_ds,
                            count=len(src))
         return batch.append_column('component', pa.array(comp, pa.int64()))
 
-    from .relational import grouped_map
+    from .relational import arrow_filter, grouped_map
     tagged = edges.map_batches(tag_component, batch_format='pyarrow')
     clusters = grouped_map(tagged, ['component'],
                            lambda g: split_components(g, path_threshold))
-    return clusters
+
+    # entity-labeled clusters carry the entity NODE id (negative space, see
+    # _split_component); resolve it to the entity name so the matcher
+    # contract matches edin_clusters' (node, cluster, entity|null) schema
+    import pyarrow.compute as pc
+    ents = set(arrow_filter(linked_mentions_ds,
+                            lambda t: pc.is_valid(t['entity'])).unique('entity'))
+    name_ref = ray.put({entity_node_id(e): e for e in ents if e})
+
+    def add_entity(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import get_broadcast
+        m = get_broadcast(name_ref)
+        names = [m.get(c) for c in batch.column('cluster').to_pylist()]
+        return batch.append_column('entity', pa.array(names, pa.string()))
+
+    return clusters.map_batches(add_entity, batch_format='pyarrow')

@@ -44,7 +44,11 @@ _BLOCK_TAG_RE = re.compile(
 _ANY_TAG_RE = re.compile(r'<[^>]+>')
 _SPACE_RE = re.compile(r'[ \t]+')
 
-_ENTITIES = [('&amp;', '&'), ('&lt;', '<'), ('&gt;', '>'), ('&quot;', '"'), ('&#39;', "'")]
+# '&amp;' must be replaced LAST: doing it first rewrites escaped literal
+# text like '&amp;lt;' to '&lt;' and then the later rules double-unescape
+# it to '<' — silent corruption of any page text mentioning entities
+_ENTITIES = [('&lt;', '<'), ('&gt;', '>'), ('&quot;', '"'), ('&#39;', "'"),
+             ('&amp;', '&')]
 
 _HEADING_RE = re.compile(r'<h([1-6])>(.*?)</h\1>', re.S)
 _ANCHOR_RE = re.compile(r'<a href="/wiki/([^"]+)">(.*?)</a>', re.S)
@@ -241,7 +245,11 @@ def _expand_mentions(tokens: List[str], mentions: List[Mention],
             continue
         for ltoks, label, name in label_index[tok]:
             end = idx + len(ltoks)
-            if tokens[idx:end] == ltoks:
+            # the WHOLE span must be free: checking only the start token
+            # would let an expansion overlap an existing anchor mention
+            # and attribute its tokens twice
+            if tokens[idx:end] == ltoks and \
+                    not any(i in covered for i in range(idx + 1, end)):
                 out.append(Mention(name, label, idx, end))
                 covered.update(range(idx, end))
                 break
@@ -479,9 +487,6 @@ class PageParser:
     for, with no side-channel counters.
     """
 
-    def __init__(self):
-        self._parse_errors = 0
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column('url').to_pylist()
         htmls = batch.column('html').to_pylist()
@@ -505,7 +510,6 @@ class PageParser:
             try:
                 page = parse_page(url, html)
             except Exception:
-                self._parse_errors += 1
                 cols['url'].append(url)
                 cols['page_id'].append(stable_hash64(url))
                 cols['kind'].append('drop')
@@ -568,8 +572,9 @@ def parse_pages(pages_ds, concurrency: Optional[int] = None):
     form — that is the only change needed."""
     def parse_batch(batch: pa.Table) -> pa.Table:
         return PageParser()(batch)
+    kw = {} if concurrency is None else {'concurrency': concurrency}
     return pages_ds.map_batches(parse_batch, batch_format='pyarrow',
-                                batch_size=PARSE_BATCH_SIZE)
+                                batch_size=PARSE_BATCH_SIZE, **kw)
 
 
 def items_view(parsed_ds):
@@ -590,16 +595,6 @@ def cats_view(parsed_ds):
         t = t.filter(pc.equal(t.column('kind'), pa.scalar('cat')))
         return t.select(['url', 'page_id', 'cat_name'])
     return parsed_ds.map_batches(f, batch_format='pyarrow')
-
-
-def _default_pool_size() -> int:
-    """Max actor-pool size: the cluster's CPU count (pools autoscale from 1,
-    so sibling stages on small budgets never deadlock)."""
-    import ray
-    try:
-        return max(2, int(ray.cluster_resources().get('CPU', 8)))
-    except Exception:
-        return 8
 
 
 def parse_items(pages_ds, concurrency: Optional[int] = None):

@@ -144,7 +144,10 @@ class ImageDecoder:
     def _decode(self, payload: bytes) -> np.ndarray:
         if payload.startswith(b'P6'):
             return image_features(decode_ppm(payload), self.dim)
-        if payload.startswith(b'RIFF'):
+        if payload.startswith(b'RIFF') and payload[8:12] == b'WAVE':
+            # RIFF alone is not WAV (AVI video is RIFF too): check the
+            # form type, else non-WAV RIFF media crashes the task instead
+            # of reaching the fake/NotImplementedError path
             rate, samples = decode_wav(payload)
             return audio_features(samples, rate, self.dim)
         if not self.fake:

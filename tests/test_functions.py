@@ -132,3 +132,13 @@ def test_hyperloglog_accuracy_and_merge():
     h3 = HyperLogLog(12)
     h3.add(f'x{i}' for i in range(100))
     assert abs(h3.cardinality() - 100) < 10
+
+
+def test_singularize_movies_special_case():
+    from caligraph_ray.functions.nlp import singularize
+    # the inflection package's explicit (m)ovies$ → movie rule; consonant
+    # +ies stays on the y-rule exactly like inflection (zombies → zomby)
+    assert singularize('Movies') == 'Movie'
+    assert singularize('movies') == 'movie'
+    assert singularize('Cities') == 'City'
+    assert singularize('countries') == 'country'

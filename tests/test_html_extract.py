@@ -165,3 +165,23 @@ def test_enum_inside_table_is_not_a_listing():
     table = page.listings[0]
     assert table.items[0].text.startswith('name 0')
     assert 'x' not in table.items[0].text.split()
+
+
+def test_unescape_amp_last():
+    from caligraph_ray.stages.html_extract import _unescape
+    # '&amp;lt;' is the ESCAPED literal text '&lt;' — replacing '&amp;'
+    # first would double-unescape it to '<'
+    assert _unescape('&amp;lt;b&amp;gt;') == '&lt;b&gt;'
+    assert _unescape('&lt;b&gt; &amp; more') == '<b> & more'
+
+
+def test_expand_mentions_no_overlap():
+    from caligraph_ray.stages.html_extract import Mention, _expand_mentions
+    tokens = ['New', 'York', 'City', 'Hall']
+    anchors = [Mention('City Hall', 'City Hall', 2, 4)]
+    index = {'New': [(['New', 'York', 'City'], 'New York City',
+                      'New York City')]}
+    out = _expand_mentions(tokens, anchors, index)
+    # the 3-token expansion would overlap the anchor span — must not emit
+    spans = sorted((m.start, m.end) for m in out)
+    assert spans == [(2, 4)]

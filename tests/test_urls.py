@@ -32,3 +32,13 @@ def test_malformed_port_passthrough():
         'http://example.com:80abc/x'
     assert canonicalize_url(' http://example.com:99999/x ') == \
         'http://example.com:99999/x'
+
+
+def test_schemeless_and_malformed_inputs_pass_through():
+    from caligraph_ray.functions.urls import canonicalize_url, url_host
+    # scheme-less input must come back unchanged, not as '://example.com'
+    assert canonicalize_url('example.com/path') == 'example.com/path'
+    assert canonicalize_url('  just text  ') == 'just text'
+    # malformed IPv6 must not raise (never-kill-the-task contract)
+    assert url_host('http://[::1') == ''
+    assert url_host('https://WWW.Example.com/x') == 'example.com'
