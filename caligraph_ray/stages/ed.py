@@ -167,6 +167,20 @@ def bm25_topk(queries_ds, corpus_ids: List, corpus_texts: List[str],
 
 # --- J7: candidate generation ----------------------------------------------
 
+def _topk_idx(scores: np.ndarray, tiebreak: np.ndarray, k: int) -> np.ndarray:
+    """Top-k indices by (score desc, tiebreak asc) — identical result to a
+    full ``np.lexsort((tiebreak, -scores))[:k]`` at O(E + t log t) instead
+    of O(E log E) per call (t = k + boundary ties): argpartition to the
+    k-th value, keep every score ≥ it (so boundary ties break exactly like
+    the full sort), lexsort only that slice."""
+    n = len(scores)
+    if k >= n:
+        cand = np.arange(n)
+    else:
+        kth = np.partition(-scores, k - 1)[k - 1]
+        cand = np.where(-scores <= kth)[0]
+    return cand[np.lexsort((tiebreak[cand], -scores[cand]))][:k]
+
 def me_candidates_topk(mentions_ds, entity_ids: np.ndarray,
                        entity_mat: np.ndarray, k: int = 4,
                        mention_vec_col: str = 'embedding',
@@ -182,10 +196,16 @@ def me_candidates_topk(mentions_ds, entity_ids: np.ndarray,
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     state = ray.put((np.asarray(entity_ids), mat))
 
+    eid_dtype = np.asarray(entity_ids).dtype
+
     def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
-            return pd.DataFrame({mention_id_col: pd.Series(dtype='int64'),
-                                 'entity_id': pd.Series(dtype='int64'),
+            # derive dtypes from the inputs — hardcoded int64 would emit
+            # schema-divergent blocks for string/other id columns
+            mdt = batch[mention_id_col].dtype \
+                if mention_id_col in batch.columns else 'int64'
+            return pd.DataFrame({mention_id_col: pd.Series(dtype=mdt),
+                                 'entity_id': pd.Series(dtype=eid_dtype),
                                  'score': pd.Series(dtype='float64')})
         ids, emat = get_broadcast(state)
         q = np.stack([np.asarray(v, dtype=np.float64)
@@ -196,7 +216,7 @@ def me_candidates_topk(mentions_ds, entity_ids: np.ndarray,
         kk = min(k, sims.shape[1])
         mids = batch[mention_id_col].to_numpy()
         for i in range(sims.shape[0]):
-            idx = np.lexsort((ids, -sims[i]))[:kk]
+            idx = _topk_idx(sims[i], ids, kk)
             for j in idx:
                 if sims[i][j] >= min_score:
                     out_m.append(mids[i])
@@ -210,14 +230,16 @@ def me_candidates_topk(mentions_ds, entity_ids: np.ndarray,
 
 
 def mm_candidates(mentions_ds, group_col: str = 'norm_surface',
-                  id_col: str = 'mention_uid', max_group: int = 1000):
+                  id_col: str = 'mention_uid'):
     """Mention↔mention candidates via shared group key (J7, reference
-    lexical.py:22-58): per-surface star pairs to the min mention (linear,
-    not quadratic — the same component semantics)."""
+    lexical.py:22-58): per-surface star pairs to the min mention — n−1
+    edges per group, so the star to ALL members is already linear and the
+    component semantics are exact. (An earlier max_group cap silently
+    orphaned members past the cap into singleton components.)"""
     from .relational import grouped_map
 
     def star(g: pd.DataFrame) -> Optional[pd.DataFrame]:
-        uids = np.sort(g[id_col].unique())[:max_group]
+        uids = np.sort(g[id_col].unique())
         if len(uids) < 2:
             return None
         return pd.DataFrame({'a': np.full(len(uids) - 1, uids[0], dtype=np.int64),
@@ -290,7 +312,13 @@ def link_mentions_scored(mentions_ds, entity_labels: List[str], k: int = 4,
     ME candidate top-k vs the broadcast entity matrix (J7/ST5) → cross-
     encoder rerank argmax (ST7) → (entity, link_score) columns with the
     ``link_mentions`` output contract. Wikilinked mentions keep their
-    target (score 1.0); mentions with no candidate stay NIL.
+    target (score 1.0); a mention stays NIL only when the entity dim is
+    empty or its label is empty (score_pair 0.0 beats nothing) — every
+    other unlinked mention carries its argmax candidate with its RAW ce
+    score. Acceptance thresholding is downstream (me_threshold in
+    canonicalize, .95 as the reference), exactly as the reference scores
+    all pairs and thresholds later; consumers must not treat a returned
+    entity as accepted without applying their threshold.
 
     ``entity_labels``: the known-entity dim (small side, broadcast once)."""
     ents = sorted(set(e for e in entity_labels if e))
@@ -312,9 +340,10 @@ def link_mentions_scored(mentions_ds, entity_labels: List[str], k: int = 4,
 
     class ScoredLinker:
         """One actor = embedder + candidate matmul + reranker (fused: the
-        stand-ins are cheap; with real models these are three actor-pool
-        stages — embed_texts → me_candidates_topk → rerank_candidates,
-        which link_mentions_scored_staged below wires exactly)."""
+        stand-ins are cheap; with real models wire the three actor-pool
+        stages — embed_texts → me_candidates_topk → rerank_candidates —
+        yourself; ce-score ties break to the lexicographically-first
+        entity label, the same rule rerank_candidates applies)."""
 
         def __init__(self):
             self.labels, self.emat = ray.get(state)
@@ -336,11 +365,12 @@ def link_mentions_scored(mentions_ds, entity_labels: List[str], k: int = 4,
                     entities.append(name)
                     scores.append(1.0)
                     continue
-                idx = np.lexsort((self.labels, -sims[i]))[:kk]
+                idx = _topk_idx(sims[i], self.labels, kk)
                 best_e, best_s = None, 0.0
                 for j in idx:
                     ce = self.rr.score_pair(label or '', str(self.labels[j]))
-                    if ce > best_s:
+                    if ce > best_s or (ce == best_s and best_e is not None
+                                       and str(self.labels[j]) < best_e):
                         best_e, best_s = str(self.labels[j]), ce
                 entities.append(best_e)
                 scores.append(round(best_s, 6) if best_e is not None else 0.0)

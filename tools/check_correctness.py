@@ -39,7 +39,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns), kind='mergesort').reset_index(drop=True)
+    # row alignment: exact (non-float) columns are the primary sort keys and
+    # float columns sort on a rounded copy — otherwise a sub-tolerance float
+    # diff in an alphabetically-early column flips the row order between the
+    # two frames and exact columns false-mismatch
+    float_cols = [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
+    keys = [c for c in df.columns if c not in float_cols] + float_cols
+    sort_view = df.copy()
+    for c in float_cols:
+        sort_view[c] = sort_view[c].round(6)
+    order = sort_view.sort_values(keys, kind='mergesort').index
+    return df.loc[order].reset_index(drop=True)
 
 
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
@@ -77,6 +87,13 @@ def main():
     import __ray_entry__ as entry_mod
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name would otherwise run ZERO queries and exit 0 —
+        # a vacuously green gate
+        print(f'ERROR: unknown query name(s): {sorted(unknown)}')
+        sys.exit(2)
 
     con = duckdb.connect()
     for t in TABLES:
