@@ -230,13 +230,21 @@ SMALL_EXCHANGE_BYTES = 128 * 1024 * 1024
 
 
 def _to_plain_pandas(block) -> pd.DataFrame:
-    """Block → pandas with extension dtypes (Ray tensor arrays) demoted to
-    plain object columns so cross-block concat never trips on ragged data."""
+    """Block → pandas with extension dtypes (Ray tensor arrays, nullable
+    Int64/boolean) demoted to plain object columns so cross-block concat
+    never trips on ragged data. Missing values become np.nan, NOT pd.NA:
+    object columns carrying pd.NA poison ordinary comparisons downstream
+    (``Series.ne`` → ``vec_compare`` → ``bool(pd.NA)`` raises), while NaN
+    keeps plain-object semantics."""
     from ray.data.block import BlockAccessor
     df = BlockAccessor.for_block(block).to_pandas()
     for c in df.columns:
         if not isinstance(df[c].dtype, np.dtype):
-            df[c] = df[c].astype(object)
+            col = df[c].astype(object)
+            na = df[c].isna()
+            if np.asarray(na).any():
+                col = col.where(~na, np.nan)
+            df[c] = col
     return df
 
 
