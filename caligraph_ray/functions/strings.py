@@ -219,6 +219,12 @@ def canonical_label_array(arr: pa.Array) -> pa.Array:
     out = stripped
     for rx in _CANONICAL_RES:
         out = pc.replace_substring_regex(out, pattern=rx.pattern, replacement="")
-    out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
+    # RE2's \s is ASCII-only, but the scalar reference collapses with
+    # str.split() (full unicode whitespace incl. NBSP — common in wiki
+    # labels). Match Python's set exactly: ASCII \s + info separators +
+    # NEL + every Z-category separator. Divergence here mis-partitions the
+    # canonical-label groupby (property-tested against the scalar).
+    out = pc.replace_substring_regex(out, pattern=r"[\s\x1c-\x1f\x85\p{Z}]+",
+                                     replacement=" ")
     out = pc.utf8_trim_whitespace(out)
     return pc.replace_substring_regex(out, pattern=r",+$", replacement="")
