@@ -237,6 +237,12 @@ def _to_plain_pandas(block) -> pd.DataFrame:
     (``Series.ne`` → ``vec_compare`` → ``bool(pd.NA)`` raises), while NaN
     keeps plain-object semantics."""
     from ray.data.block import BlockAccessor
+    if isinstance(block, pa.Table) and block.num_rows == 0:
+        # Ray's tensor-extension __from_arrow__ does array.chunk(0) and
+        # crashes on the 0-chunk chunked arrays a filtered-to-empty block
+        # carries; an empty frame with the right columns is all callers need
+        return pd.DataFrame({c: pd.Series(dtype=object)
+                             for c in block.column_names})
     df = BlockAccessor.for_block(block).to_pandas()
     for c in df.columns:
         if not isinstance(df[c].dtype, np.dtype):

@@ -1,0 +1,165 @@
+"""Property-based equivalence for the similarity and windowing families.
+
+* brute_force_topk is a CORRECT top-k: per query it returns min(k, n)
+  distinct ids whose scores dominate every excluded corpus vector
+  (float-noise-tolerant boundary), with per-id scores matching a
+  single-process recomputation.
+* ivf_topk with nprobe == n_centroids probes every inverted list, so it
+  must satisfy the same exact-top-k property as the brute force path.
+* rolling_window ≡ pandas groupby.rolling in integer-cents mode.
+* range_join ≡ brute-force double loop with SQL NULL semantics.
+"""
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(max_examples=8, deadline=None,
+                    suppress_health_check=list(HealthCheck))
+
+_DIM = 4
+
+
+@st.composite
+def embedding_frame(draw):
+    n = draw(st.integers(min_value=1, max_value=20))
+    grid = st.integers(min_value=-3, max_value=3)
+    vecs = []
+    for i in range(n):
+        if vecs and draw(st.booleans()):
+            vecs.append(list(vecs[draw(st.integers(0, len(vecs) - 1))]))
+            continue
+        v = [draw(grid) for _ in range(_DIM)]
+        if not any(v):
+            v[0] = 1
+        vecs.append(v)
+    return pd.DataFrame({'vec_id': np.arange(n, dtype='int64'),
+                         'embedding': [np.array(v, dtype='float64')
+                                       for v in vecs]})
+
+
+@st.composite
+def query_matrix(draw):
+    m = draw(st.integers(min_value=1, max_value=3))
+    grid = st.integers(min_value=-3, max_value=3)
+    out = []
+    for _ in range(m):
+        v = [draw(grid) for _ in range(_DIM)]
+        if not any(v):
+            v[0] = 1
+        out.append(v)
+    return np.array(out, dtype='float64')
+
+
+def _ref_scores(df, queries):
+    def norm(m):
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+    mat = norm(np.stack(df['embedding'].to_numpy()))
+    return norm(queries) @ mat.T                       # (m, n)
+
+
+def _assert_valid_topk(got, df, queries, k, tol=1e-9):
+    sims = _ref_scores(df, queries)
+    n = len(df)
+    for qi in range(len(queries)):
+        sub = got[got['query_idx'] == qi]
+        ids = sub['vec_id'].to_numpy()
+        assert len(ids) == min(k, n)
+        assert len(set(ids)) == len(ids)
+        # per-id scores match the reference recomputation
+        for _, r in sub.iterrows():
+            assert abs(r['score'] - sims[qi][int(r['vec_id'])]) < 1e-4
+        # dominance: every kept score ≥ every excluded score − tol
+        if len(ids) < n:
+            kept_min = sims[qi][ids].min()
+            excluded = np.delete(sims[qi], ids)
+            assert kept_min >= excluded.max() - tol
+
+
+@SETTINGS
+@given(embedding_frame(), query_matrix(), st.integers(min_value=1, max_value=5))
+def test_brute_force_topk_is_exact_topk(ray_session, df, queries, k):
+    import ray.data as rd
+    from caligraph_ray.stages.similarity import brute_force_topk
+    got = brute_force_topk(rd.from_pandas(df).repartition(2), queries, k=k)
+    _assert_valid_topk(got, df, queries, k)
+
+
+@SETTINGS
+@given(embedding_frame(), query_matrix(), st.integers(min_value=1, max_value=5))
+def test_ivf_topk_full_probe_is_exact(ray_session, df, queries, k):
+    import ray.data as rd
+    from caligraph_ray.stages.similarity import ivf_topk
+    nc = min(4, len(df))
+    got = ivf_topk(rd.from_pandas(df).repartition(2), queries, k=k,
+                   n_centroids=nc, nprobe=nc, round_decimals=9)
+    _assert_valid_topk(got, df, queries, k)
+
+
+# --- rolling window -----------------------------------------------------------
+
+@st.composite
+def event_frame(draw):
+    n = draw(st.integers(min_value=1, max_value=14))
+    keys = st.one_of(st.integers(min_value=0, max_value=3), st.none())
+    ks = draw(st.lists(keys, min_size=n, max_size=n))
+    ts = draw(st.lists(st.integers(min_value=0, max_value=300),
+                       min_size=n, max_size=n))
+    cents = draw(st.lists(st.integers(min_value=-500, max_value=500),
+                          min_size=n, max_size=n))
+    return pd.DataFrame({
+        'event_id': np.arange(n, dtype='int64'),
+        'user_id': pd.array(ks, dtype='Int64'),
+        'ts': pd.to_datetime(ts, unit='s').astype('datetime64[us]'),
+        'value': np.array(cents, dtype='float64') / 100.0})
+
+
+@SETTINGS
+@given(event_frame(), st.integers(min_value=1, max_value=4))
+def test_rolling_window_matches_pandas(ray_session, df, window):
+    import ray.data as rd
+    from caligraph_ray.stages.temporal import rolling_window
+    got = rolling_window(rd.from_pandas(df).repartition(2),
+                         window_rows=window).to_pandas()
+    ref = df.assign(_c=np.floor(df['value'].to_numpy() * 100).astype('int64'),
+                    _k=df['user_id'].map(lambda v: -1 if pd.isna(v) else int(v)))
+    ref = ref.sort_values(['_k', 'ts', 'event_id'], kind='mergesort')
+    g = ref.groupby('_k', sort=False)['_c']
+    ref['roll_sum'] = g.rolling(window, min_periods=1).sum() \
+        .reset_index(drop=True).to_numpy().astype('int64')
+    ref['roll_n'] = g.rolling(window, min_periods=1).count() \
+        .reset_index(drop=True).to_numpy().astype('int64')
+    want = {int(r['event_id']): (int(r['roll_sum']), int(r['roll_n']))
+            for _, r in ref.iterrows()}
+    assert {int(r['event_id']): (int(r['roll_sum']), int(r['roll_n']))
+            for _, r in got.iterrows()} == want
+
+
+# --- range join ---------------------------------------------------------------
+
+@SETTINGS
+@given(event_frame(), event_frame(),
+       st.integers(min_value=-100, max_value=100),
+       st.integers(min_value=1, max_value=200))
+def test_range_join_matches_brute_force(ray_session, left, right, low_s, width_s):
+    import ray.data as rd
+    from caligraph_ray.stages.temporal import range_join
+    low_us, high_us = low_s * 10**6, (low_s + width_s) * 10**6
+    right = right.rename(columns={'event_id': 'okey', 'user_id': 'cust',
+                                  'ts': 'odate'}).drop(columns=['value'])
+    got = range_join(rd.from_pandas(left), rd.from_pandas(right),
+                     'user_id', 'cust', 'ts', 'odate',
+                     right_cols=['okey'], low_us=low_us,
+                     high_us=high_us).to_pandas()
+    got_pairs = sorted((int(r['event_id']), int(r['okey']))
+                       for _, r in got.iterrows())
+    want = []
+    for _, l in left[left['user_id'].notna()].iterrows():
+        for _, r in right[right['cust'].notna()].iterrows():
+            if l['user_id'] != r['cust']:
+                continue
+            delta = (l['ts'] - r['odate']).value // 1000
+            if low_us <= delta < high_us:
+                want.append((int(l['event_id']), int(r['okey'])))
+    assert got_pairs == sorted(want)
