@@ -90,10 +90,13 @@ class Hierarchy:
         return self
 
     def add_edge(self, parent: str, child: str):
-        if parent == child:
-            return self
+        # nodes exist even for a dropped self-loop edge (the reference's
+        # nx.DiGraph.add_edge(u, u) keeps u; cycle resolution removes the
+        # loop, append_unconnected later attaches the orphan)
         self.add_node(parent)
         self.add_node(child)
+        if parent == child:
+            return self
         self._parents[child].add(parent)
         self._children[parent].add(child)
         return self
