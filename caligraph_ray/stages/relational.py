@@ -105,6 +105,8 @@ def semi_anti_join(ds, keys, col: str, anti: bool = False):
     ref = ray.put(frozenset(keys))
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch) and col not in batch.columns:
+            return batch   # schema-less empty block from an empty upstream
         keyset = get_broadcast(ref)   # one deserialize per worker process
         mask = batch[col].isin(keyset)
         return batch[~mask] if anti else batch[mask]
