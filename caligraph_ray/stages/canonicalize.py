@@ -556,7 +556,11 @@ def edin_clusters(linked_mentions_ds,
             voters = g[(g['entity'].notna()) & (g['link_score'] > me_threshold)]
             ent = None
             if not voters.empty:
-                top = voters.groupby('entity').size().sort_values(ascending=False)
+                # stable sort over the entity-sorted groupby output: vote
+                # ties resolve to the lexicographically smallest entity
+                # (quicksort would leave tie order unspecified)
+                top = voters.groupby('entity').size() \
+                    .sort_values(ascending=False, kind='mergesort')
                 if top.iloc[0] / len(g) >= cluster_threshold:
                     ent = top.index[0]
             for uid in g['mention_uid']:
