@@ -296,6 +296,17 @@ def link_mentions_join(mentions_ds, argmax_ds=None):
 
     if argmax_ds is None:
         argmax_ds = alias_argmax(alias_counts(mentions_ds))
+    if argmax_ds.schema() is None:
+        # zero wikilinked mentions anywhere → empty, schema-less argmax
+        # (engine-wide empty contract); every mention is its own evidence:
+        # keep wikilink targets at score 1.0, everything else stays NIL
+        def nil(batch: pd.DataFrame) -> pd.DataFrame:
+            linked = batch['name'].notna()
+            batch['entity'] = np.where(linked, batch['name'], None)
+            batch['link_score'] = np.where(linked, 1.0, 0.0)
+            return batch
+        return mentions_ds.map_batches(nil, batch_format='pandas',
+                                       batch_size=TOKEN_BATCH_SIZE)
     joined = shuffle_join(mentions_ds, argmax_ds,
                           'norm_surface', 'norm_surface', how='left')
 
