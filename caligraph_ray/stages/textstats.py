@@ -10,7 +10,7 @@ rows through the shuffle.
 from __future__ import annotations
 
 from collections import Counter
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -164,9 +164,12 @@ def unigram_logprob_scores(docs_ds, id_col: str = 'doc_id',
     from .relational import collect_pandas
 
     counts = collect_pandas(token_counts(docs_ds, text_col=text_col))
-    n_total = float(counts['freq'].sum())
-    lp = {t: int(round(math.log(float(f) / n_total) * 1_000_000))
-          for t, f in zip(counts['token'], counts['freq'])}
+    if counts.empty:   # token-less corpus: schema-less empty counts frame
+        lp: Dict[str, int] = {}
+    else:
+        n_total = float(counts['freq'].sum())
+        lp = {t: int(round(math.log(float(f) / n_total) * 1_000_000))
+              for t, f in zip(counts['token'], counts['freq'])}
     ref = ray.put(lp)
 
     def score(batch: pa.Table) -> pa.Table:

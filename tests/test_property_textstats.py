@@ -1,0 +1,124 @@
+"""Property-based equivalence for the text-analysis family vs Counter/loop
+references: distributed token and bigram counts, the quantized unigram-LM
+scorer, and the shingle-exchange contamination check. Plus the pure
+winnowing-fingerprint invariants."""
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(max_examples=8, deadline=None,
+                    suppress_health_check=list(HealthCheck))
+PURE = settings(max_examples=200, deadline=None)
+
+_WORDS = ['the', 'cat', 'sat', 'x', 'aa']
+
+
+@st.composite
+def doc_frame(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    texts = [' '.join(draw(st.lists(st.sampled_from(_WORDS), max_size=8)))
+             for _ in range(n)]
+    return pd.DataFrame({'doc_id': np.arange(n, dtype='int64'),
+                         'text': texts})
+
+
+def _toks(text):
+    return [t for t in text.split(' ') if t]
+
+
+@SETTINGS
+@given(doc_frame(), st.sampled_from([0, 2]),
+       st.sampled_from([None, frozenset(['the', 'cat'])]))
+def test_token_counts_matches_counter(ray_session, df, min_len, vocab):
+    import ray.data as rd
+    from caligraph_ray.stages.textstats import token_counts
+    got_df = token_counts(rd.from_pandas(df).repartition(2),
+                          min_len=min_len, vocab=vocab).to_pandas()
+    got = {r['token']: int(r['freq']) for _, r in got_df.iterrows()}
+    want = Counter(t for text in df['text'] for t in _toks(text)
+                   if len(t) >= min_len and (vocab is None or t in vocab))
+    assert got == dict(want)
+
+
+@SETTINGS
+@given(doc_frame())
+def test_bigram_counts_matches_counter(ray_session, df):
+    import ray.data as rd
+    from caligraph_ray.stages.textstats import bigram_counts
+    got_df = bigram_counts(rd.from_pandas(df).repartition(2)).to_pandas()
+    got = {(r['w1'], r['w2']): int(r['freq']) for _, r in got_df.iterrows()}
+    want = Counter()
+    for text in df['text']:
+        toks = _toks(text)
+        for i in range(len(toks) - 1):
+            want[(toks[i], toks[i + 1])] += 1
+    assert got == dict(want)
+
+
+@SETTINGS
+@given(doc_frame())
+def test_unigram_logprob_matches_reference(ray_session, df):
+    import math
+
+    import ray.data as rd
+    from caligraph_ray.stages.textstats import unigram_logprob_scores
+    got_df = unigram_logprob_scores(rd.from_pandas(df).repartition(2)).to_pandas()
+    got = {int(r['doc_id']): (int(r['logprob_micro']), int(r['n_tokens']))
+           for _, r in got_df.iterrows()}
+    corpus = Counter(t for text in df['text'] for t in _toks(text))
+    n_total = float(sum(corpus.values()))
+    lp = {t: int(round(math.log(f / n_total) * 1_000_000))
+          for t, f in corpus.items()}
+    want = {}
+    for _, r in df.iterrows():
+        toks = _toks(r['text'])
+        if toks:
+            want[int(r['doc_id'])] = (sum(lp[t] for t in toks), len(toks))
+    assert got == want
+
+
+@SETTINGS
+@given(doc_frame(), st.integers(min_value=1, max_value=3))
+def test_split_contamination_matches_brute(ray_session, df, shingle_size):
+    import ray.data as rd
+    from caligraph_ray.functions.hashing import MinHasher, md5_hash64
+    from caligraph_ray.stages.textstats import split_contamination
+    got_df = split_contamination(rd.from_pandas(df).repartition(2),
+                                 shingle_size=shingle_size).to_pandas()
+    got = {} if got_df.empty else \
+        {int(r['doc_id']): int(r['shared_shingles']) for _, r in got_df.iterrows()}
+    mh = MinHasher(shingle_size=shingle_size, shingle_hash=md5_hash64)
+    doc_sh = {int(r['doc_id']): set(mh.shingles(_toks(r['text'])))
+              for _, r in df.iterrows()}
+    split = {d: md5_hash64(str(d)) % 10 for d in doc_sh}
+    train = set().union(*(s for d, s in doc_sh.items() if split[d] != 0)) \
+        if any(split[d] != 0 for d in doc_sh) else set()
+    want = {d: len(s & train) for d, s in doc_sh.items()
+            if split[d] == 0 and len(s & train)}
+    assert got == want
+
+
+@PURE
+@given(st.text(alphabet='abc ', max_size=60),
+       st.integers(min_value=1, max_value=20),
+       st.integers(min_value=1, max_value=10))
+def test_rolling_fingerprint_invariants(text, window, keep):
+    from caligraph_ray.functions.hashing import (rolling_fingerprint,
+                                                 stable_hash64)
+    fp = rolling_fingerprint(text, window, keep)
+    assert fp == rolling_fingerprint(text, window, keep)   # deterministic
+    if not text:
+        assert fp == []
+        return
+    assert fp == sorted(fp) and len(fp) == len(set(fp))
+    if len(text) <= window:
+        assert fp == [stable_hash64(text)]
+    else:
+        assert 1 <= len(fp) <= keep
+        all_hashes = {stable_hash64(text[i:i + window])
+                      for i in range(len(text) - window + 1)}
+        assert fp == sorted(all_hashes)[:keep]
