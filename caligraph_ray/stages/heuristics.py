@@ -165,6 +165,8 @@ def domain_range(facts_ds, types_by_ent: Dict[str, List[str]],
 
     ev = facts_ds.map_batches(explode, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
     counts = collect_pandas(two_phase_count(ev, ['pred', 'side', 'type'], 'cnt'))
+    if counts.empty:   # no typed endpoint anywhere: schema-less empty frame
+        return pd.DataFrame(columns=['pred', 'domain', 'range'])
     out = []
     for pred, g in counts.groupby('pred'):
         row = {'pred': pred, 'domain': None, 'range': None}
