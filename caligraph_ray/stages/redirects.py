@@ -45,7 +45,11 @@ def levenshtein(a: str, b: str, cap: Optional[int] = None) -> int:
         if cap is not None and row_min > cap:
             return cap + 1
         prev = cur
-    return prev[la]
+    d = prev[la]
+    # the row-min early exit can miss a final distance above the cap (some
+    # row still held a small value); clamp so the documented "cap+1 when
+    # true distance exceeds cap" contract holds on every path
+    return d if cap is None or d <= cap else cap + 1
 
 
 def resolve_name(name: str, redirects: Dict[str, str], max_hops: int = 2,
