@@ -135,14 +135,19 @@ def test_large_exchange_lsh_pairs_agree(ray_session, force_large_exchange, df):
 
 # --- taxonomy assembly invariants on cyclic inputs ---------------------------
 
+# labels that CANONICALIZE differently ('X by Y' → 'X') so merge=True
+# actually exercises direct/synonym/catset node merging, not just a no-op
+_LABELS = ['Cats', 'Cats by size', 'Cats by color', 'Cat', 'Dogs',
+           'Dogs by size', 'Node 6']
+
+
 @st.composite
 def messy_edges(draw):
     n = draw(st.integers(min_value=1, max_value=18))
-    idx = st.integers(min_value=0, max_value=6)
+    lbl = st.sampled_from(_LABELS)
     out = []
     for _ in range(n):
-        p, c = draw(idx), draw(idx)
-        out.append((f'Node {p}', f'Node {c}'))   # self-loops + cycles allowed
+        out.append((draw(lbl), draw(lbl)))   # self-loops + cycles allowed
     return out
 
 
