@@ -42,14 +42,24 @@ def run_full_kg(pages_ds, categories_ds=None, facts_ds=None,
     cats = cats_view(parsed)
 
     mentions = explode_mentions(items).materialize()
-    index = build_alias_index_local(mentions)
-    index_ref = ray.put(index)
-    linked = link_mentions(mentions, index_ref).materialize()
+    n_mentions = mentions.count()
+    # same volume gate as run_flagship(linking='auto'): broadcast index
+    # under the object budget, co-partitioned hash join above it (the
+    # 10^12-row path; nothing driver-sized leaves the cluster)
+    from ..config import ALIAS_BROADCAST_LIMIT
+    if n_mentions > ALIAS_BROADCAST_LIMIT:
+        from ..stages.alias import link_mentions_join
+        linked = link_mentions_join(mentions).materialize()
+        ent_names = None   # derived distributed inside _assemble_triples
+    else:
+        index = build_alias_index_local(mentions)
+        index_ref = ray.put(index)
+        linked = link_mentions(mentions, index_ref).materialize()
+        ent_names = entity_names_from_index(index)
 
     streams = [_assemble_triples(linked, cats, me_threshold, mm_threshold,
-                                 path_threshold,
-                                 ent_names=entity_names_from_index(index),
-                                 total_rows=mentions.count())]
+                                 path_threshold, ent_names=ent_names,
+                                 total_rows=n_mentions)]
 
     # taxonomy layer: assemble the class hierarchy from (cat, parent) edges
     # (driver-side over the small edge dim — cycle resolution + node merge +
