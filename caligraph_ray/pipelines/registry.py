@@ -10,6 +10,8 @@ Ray Datasets.
 from __future__ import annotations
 
 from dataclasses import dataclass
+
+import ray  # noqa: F401  (string annotations resolve against module globals)
 from typing import Callable, Dict, List, Optional
 
 # --- stage graph ------------------------------------------------------------

@@ -9,7 +9,9 @@ rdf.py:118-141).
 from __future__ import annotations
 
 import re
+
 import pyarrow as pa
+import ray  # noqa: F401  (string annotations resolve against module globals)
 
 from ..stages.triples import TRIPLES_SCHEMA
 

@@ -22,6 +22,8 @@ import shutil
 import time
 from typing import Callable, Dict, Optional
 
+import ray  # noqa: F401  (string annotations resolve against module globals)
+
 
 def _stage_dir(root: str, name: str) -> str:
     return os.path.join(root, name)
