@@ -21,6 +21,24 @@ SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
 NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
 
 
+def _window_health() -> dict:
+    """Host-window metadata stamped into every bench JSON: this sandbox can
+    be scaled down to 1 visible CPU mid-session (absolute seconds are then
+    5-30x inflated), so a number without its window is uninterpretable —
+    see BASELINE.md window-health notes."""
+    try:
+        # affinity-aware (nproc semantics): the sandbox pins the container
+        # to a CPU subset while /proc/cpuinfo still lists all 32
+        cpus = len(os.sched_getaffinity(0))
+        with open('/proc/stat') as f:
+            parts = f.readline().split()[1:]
+        total = sum(int(x) for x in parts)
+        steal_pct = round(100.0 * int(parts[7]) / total, 2) if total else 0.0
+        return {'visible_cpus': cpus, 'cum_steal_pct': steal_pct}
+    except Exception:
+        return {'visible_cpus': os.cpu_count() or 0}   # non-Linux fallback
+
+
 def _warm_page_cache():
     for name in os.listdir(SF_DIR):
         with open(os.path.join(SF_DIR, name), 'rb') as f:
@@ -92,6 +110,7 @@ def run_benchmarks() -> dict:
         'num_cpus': NUM_CPUS,
         'flagship_triples': int(n_triples),
         'flagship_triples_per_sec': round(n_triples / timings['flagship_triples'], 1),
+        **_window_health(),
     }
     ray.shutdown()
     return result
@@ -122,7 +141,8 @@ def run_parse_extract() -> dict:
     ray.shutdown()
     return {'metric': 'parse_extract', 'value': dt, 'unit': 'sec',
             'num_cpus': NUM_CPUS, 'n_pages': SCALE_PAGES,
-            'mentions': int(n), 'mentions_per_sec': round(n / dt, 1)}
+            'mentions': int(n), 'mentions_per_sec': round(n / dt, 1),
+            **_window_health()}
 
 
 def run_flagship_corpus() -> dict:
@@ -144,7 +164,8 @@ def run_flagship_corpus() -> dict:
     ray.shutdown()
     return {'metric': 'flagship_corpus', 'value': dt, 'unit': 'sec',
             'num_cpus': NUM_CPUS, 'n_pages': SCALE_PAGES,
-            'triples': int(n), 'triples_per_sec': round(n / dt, 1)}
+            'triples': int(n), 'triples_per_sec': round(n / dt, 1),
+            **_window_health()}
 
 
 def _ensure_scale_corpus():
@@ -197,7 +218,7 @@ def run_scaling() -> dict:
     n_lo = int(os.environ.get('GRAFT_SCALE_CPUS_LO', '4'))
     n_hi = int(os.environ.get('GRAFT_SCALE_CPUS_HI', '16'))
     result = {'metric': f'scaling_efficiency_{n_lo}_to_{n_hi}_cpus',
-              'n_pages': SCALE_PAGES}
+              'n_pages': SCALE_PAGES, **_window_health()}
     for mode, key in [('flagship_corpus', 'end_to_end'), ('parse_extract', 'parse_extract')]:
         lo, hi = run_at(n_lo, mode), run_at(n_hi, mode)
         eff = (lo['value'] / hi['value']) / (n_hi / n_lo)
