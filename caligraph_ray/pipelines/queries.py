@@ -647,6 +647,13 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return out[['a', 'b']]
 
 
+# Candidate generation is PREFIX FILTERING (ppjoin): if J(A,B) ≥ t, the
+# |x| − ⌈t·|x|⌉ + 1 smallest shingles of A and B (under ANY consistent
+# total order) must intersect — the SQL uses string sort order while the
+# Ray side uses hash order, so the candidate sets differ but the final
+# exact-Jaccard filter makes both results identical. This keeps the oracle
+# sub-quadratic (the old all-pairs cross join was O(N²) list intersections
+# and unusable past the sf0.01 gate scale).
 SQL_NGRAM_JACCARD = """
 WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
            FROM documents),
@@ -654,11 +661,19 @@ sh AS (SELECT doc_id,
               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
                    ELSE list_distinct(list_transform(range(len(toks) - 2),
                                                      i -> array_to_string(toks[i+1:i+3], ' ')))
-              END AS shingles FROM t)
-SELECT a.doc_id AS a, b.doc_id AS b
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-      len(list_distinct(a.shingles || b.shingles)) >= 0.8
+              END AS shingles FROM t),
+pre AS (SELECT doc_id,
+               list_sort(shingles)[1 : GREATEST(1, len(shingles) -
+                   CAST(ceil(0.8 * len(shingles) - 1e-9) AS INT) + 1)] AS prefix
+        FROM sh),
+cand AS (SELECT DISTINCT pa.doc_id AS ai, pb.doc_id AS bi
+         FROM (SELECT doc_id, unnest(prefix) AS s FROM pre) pa
+         JOIN (SELECT doc_id, unnest(prefix) AS s FROM pre) pb
+           ON pa.s = pb.s AND pa.doc_id < pb.doc_id)
+SELECT c.ai AS a, c.bi AS b
+FROM cand c JOIN sh x ON x.doc_id = c.ai JOIN sh y ON y.doc_id = c.bi
+WHERE len(list_intersect(x.shingles, y.shingles)) * 1.0 /
+      len(list_distinct(x.shingles || y.shingles)) >= 0.8
 """
 
 
