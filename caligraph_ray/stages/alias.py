@@ -296,6 +296,11 @@ def link_mentions_join(mentions_ds, argmax_ds=None):
 
     if argmax_ds is None:
         argmax_ds = alias_argmax(alias_counts(mentions_ds))
+    # materialize BEFORE the emptiness probe: schema() on a lazy Dataset
+    # executes it, and the join below would then re-execute the whole
+    # argmax pipeline a second time (the probe must not double the work —
+    # the argmax dim is surface-sized, safe to pin)
+    argmax_ds = argmax_ds.materialize()
     if argmax_ds.schema() is None:
         # zero wikilinked mentions anywhere → empty, schema-less argmax
         # (engine-wide empty contract); every mention is its own evidence:
