@@ -38,6 +38,36 @@ def md5_hash64(text: str) -> int:
     return int.from_bytes(hashlib.md5(text.encode('utf-8')).digest()[:8], 'little')
 
 
+LOG2_FIXED_S = 40   # mantissa fixed-point scale (fractional bits kept)
+LOG2_FIXED_F = 20   # fractional bits of the emitted log2
+
+
+def log2_fixed(v: int, S: int = LOG2_FIXED_S, F: int = LOG2_FIXED_F) -> int:
+    """Fixed-point ``floor(log2(v) * 2**F)``-style quantization computed with
+    INTEGER arithmetic only (shift-and-square), so any engine with exact
+    integer ops replays it bit-for-bit — no ``ln``/``round`` last-ulp or
+    half-even-vs-half-away divergence is possible.  Used by the unigram-LM
+    scoring contract (see stages/textstats.unigram_logprob_scores and its
+    recursive-CTE DuckDB twin in pipelines/queries.SQL_UNIGRAM_LP).
+
+    Algorithm: normalize v to a mantissa y in [2^S, 2^(S+1)); each of the F
+    squaring steps extracts one fractional bit of log2 (truncating the
+    mantissa back to S bits) — the classical binary-logarithm iteration.
+    Requires v >= 1.
+    """
+    i = v.bit_length() - 1
+    y = (v << S) >> i
+    frac = 0
+    for _ in range(F):
+        y = (y * y) >> S
+        if y >= (2 << S):
+            frac = frac * 2 + 1
+            y >>= 1
+        else:
+            frac = frac * 2
+    return i * (1 << F) + frac
+
+
 def _minhash_params(num_perm: int, seed: int = 7):
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)

@@ -747,9 +747,21 @@ WITH fps AS (SELECT doc_id,
          ELSE list_sort(list_distinct(list_transform(range(length(text) - 15),
                   i -> md5_number_upper(substr(text, i + 1, 16)))))[1:8]
     END AS fp FROM documents),
-ex AS (SELECT doc_id, unnest(fp) AS fp FROM fps)
-SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
-FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+ex AS (SELECT doc_id, unnest(fp) AS fp FROM fps),
+-- mirror the engine's degenerate-bucket cap (max_bucket=1000, members kept
+-- in doc_id order): candidate pairs come from CAPPED buckets only, while
+-- the shared count is the exact full-signature intersection — identical to
+-- _candidate_pairs_from_buckets' candidate/verify split
+exc AS (SELECT doc_id, fp FROM (
+    SELECT doc_id, fp,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM ex) WHERE rn <= 1000),
+cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM exc a JOIN exc b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+SELECT c.a, c.b, count(*) AS shared
+FROM cand c
+JOIN ex ea ON ea.doc_id = c.a
+JOIN ex eb ON eb.doc_id = c.b AND eb.fp = ea.fp
 GROUP BY 1, 2 HAVING count(*) >= 2
 ORDER BY 1, 2
 """
@@ -1536,6 +1548,9 @@ def q_ivf_topk(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+# every similarity feeding an argmax / rank is rounded to 6 decimals before
+# the tie-break (mirrored in stages/similarity.ivf_topk): last-ulp cosine
+# differences between engines must not flip list membership or the k-cut
 SQL_IVF = """
 WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
 c AS (SELECT vec_id AS cid, ev AS cv FROM e0 WHERE vec_id < 16),
@@ -1543,18 +1558,18 @@ assign AS (
   SELECT e0.vec_id, e0.ev, c.cid
   FROM e0 CROSS JOIN c
   QUALIFY row_number() OVER (PARTITION BY e0.vec_id
-      ORDER BY list_cosine_similarity(e0.ev, c.cv) DESC, c.cid) = 1),
+      ORDER BY round(list_cosine_similarity(e0.ev, c.cv), 6) DESC, c.cid) = 1),
 q AS (SELECT vec_id AS query_idx, ev AS qv FROM e0 WHERE vec_id IN (0, 1, 2)),
 probe AS (
   SELECT q.query_idx, q.qv, c.cid
   FROM q CROSS JOIN c
   QUALIFY row_number() OVER (PARTITION BY q.query_idx
-      ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) <= 4)
+      ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid) <= 4)
 SELECT p.query_idx, a.vec_id,
-       round(list_cosine_similarity(p.qv, a.ev), 4) AS score
+       round(round(list_cosine_similarity(p.qv, a.ev), 6), 4) AS score
 FROM probe p JOIN assign a ON a.cid = p.cid
 QUALIFY row_number() OVER (PARTITION BY p.query_idx
-    ORDER BY list_cosine_similarity(p.qv, a.ev) DESC, a.vec_id) <= 10
+    ORDER BY round(list_cosine_similarity(p.qv, a.ev), 6) DESC, a.vec_id) <= 10
 """
 
 
@@ -1638,27 +1653,54 @@ ORDER BY doc_id
 # --- corpus-LM scoring + contamination check --------------------------------
 
 def q_unigram_logprob_scores(sf_dir: str):
-    """Unigram-LM document scores (integer micro-nats, so the sums are
-    exact): corpus token counts → broadcast logprob table → stateless
-    scoring map."""
+    """Unigram-LM document scores (integer fixed-point log2 units so the
+    sums are exact AND every per-token value is engine-independent —
+    functions/hashing.log2_fixed): corpus token counts → broadcast logprob
+    table → stateless scoring map."""
     docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
     out = rel.collect_pandas(ts.unigram_logprob_scores(docs))
-    out = out.astype({'doc_id': 'int64', 'logprob_micro': 'int64',
+    out = out.astype({'doc_id': 'int64', 'logprob_q': 'int64',
                       'n_tokens': 'int64'})
     return out.sort_values('doc_id').reset_index(drop=True)
 
 
+# The lgrec recursive CTE is the DuckDB twin of functions/hashing.log2_fixed
+# (S=40 mantissa bits, F=20 fractional log2 bits): pure integer
+# shift-and-square, so both engines quantize every token identically —
+# bit-exact by construction, not by float luck.
 SQL_UNIGRAM_LP = """
-WITH toks AS (SELECT doc_id,
+WITH RECURSIVE toks AS (SELECT doc_id,
         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
     FROM documents),
 cnt AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
-tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS n FROM cnt),
-lp AS (SELECT tok,
-        CAST(round(ln(CAST(freq AS DOUBLE) / (SELECT n FROM tot)) * 1000000)
-             AS BIGINT) AS lp
-    FROM cnt)
-SELECT t.doc_id, SUM(lp.lp) AS logprob_micro, COUNT(*) AS n_tokens
+tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM cnt),
+vals(v) AS (SELECT DISTINCT freq FROM cnt UNION SELECT n FROM tot),
+lgrec(v, iter, y, frac) AS (
+    SELECT v, 0,
+           (CAST(v AS HUGEINT) * (1::BIGINT << 40))
+               // (1::BIGINT << (length(bin(v)) - 1)),
+           CAST(0 AS HUGEINT)
+    FROM vals
+    UNION ALL
+    SELECT v, iter + 1,
+           CASE WHEN (y*y) // (1::BIGINT << 40)
+                     >= CAST(2 AS HUGEINT) * (1::BIGINT << 40)
+                THEN ((y*y) // (1::BIGINT << 40)) // 2
+                ELSE (y*y) // (1::BIGINT << 40) END,
+           CASE WHEN (y*y) // (1::BIGINT << 40)
+                     >= CAST(2 AS HUGEINT) * (1::BIGINT << 40)
+                THEN frac*2 + 1 ELSE frac*2 END
+    FROM lgrec WHERE iter < 20
+),
+lg AS (SELECT v,
+        CAST(CAST(length(bin(v)) - 1 AS HUGEINT) * (1::BIGINT << 20) + frac
+             AS BIGINT) AS l2
+    FROM lgrec WHERE iter = 20),
+lp AS (SELECT c.tok, lf.l2 - ln.l2 AS lp
+    FROM cnt c
+    JOIN lg lf ON lf.v = c.freq
+    CROSS JOIN (SELECT l2 FROM lg JOIN tot ON lg.v = tot.n) ln(l2))
+SELECT t.doc_id, SUM(lp.lp) AS logprob_q, COUNT(*) AS n_tokens
 FROM toks t JOIN lp ON t.tok = lp.tok GROUP BY t.doc_id
 """
 

@@ -203,7 +203,16 @@ def _col_hash(s: pd.Series) -> np.ndarray:
 def _canon_key_str(s: pd.Series) -> pd.Series:
     """Value-canonical string rendering of a key column (same motivation as
     _col_hash): numeric columns render through float64 so an int64 block
-    ('1') and its null-demoted float64 sibling ('1.0') agree."""
+    ('1') and its null-demoted float64 sibling ('1.0') agree.
+
+    CONTRACT: the float64 round-trip means numeric keys with |v| > 2^53 are
+    not exactly representable and two distinct big keys may render equal
+    (spurious join). This path is only taken for MIXED-type joins (e.g. an
+    int64 side against a string side) — when both sides are integer the
+    exchange keeps the exact int64 key (see temporal._tagged_union both_int
+    and equi-join's integer fast path), so >2^53 integer↔integer joins are
+    exact. Callers joining numeric keys above 2^53 against strings must
+    pre-render the numeric side to strings themselves."""
     if pd.api.types.is_numeric_dtype(s) and not pd.api.types.is_bool_dtype(s):
         return (s.astype('float64') + 0.0).astype(str)
     st = s.astype(str)

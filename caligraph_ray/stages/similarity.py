@@ -282,9 +282,14 @@ def ivf_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
     cmat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64)
                                 for r in crows]))
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
-    # probe set per query: top-nprobe centroids by (cosine desc, cid asc)
+    # probe set per query: top-nprobe centroids by (cosine desc, cid asc).
+    # All similarities that feed an argmax / rank / cut are rounded to 6
+    # decimals FIRST, identically to the SQL oracle: a last-ulp float64
+    # difference between numpy matmul and an engine's cosine kernel near an
+    # assignment tie must not flip inverted-list membership or the top-k
+    # row set (tie-breaks then resolve by id on both sides)
     probes = []
-    qsims = q @ cmat.T
+    qsims = np.round(q @ cmat.T, 6)
     for qi in range(len(q)):
         order = np.lexsort((cids, -qsims[qi]))[:nprobe]
         probes.append(frozenset(int(cids[i]) for i in order))
@@ -299,10 +304,10 @@ def ivf_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
         ids = batch[id_col].to_numpy()
         mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
                                    for v in batch[vec_col]]))
-        # assignment: argmax cosine, ties → smaller centroid id (cids are
-        # sorted asc so argmax picks the first = smallest on exact ties)
-        assign = cids_[np.argmax(mat @ cmat_.T, axis=1)]
-        sims = qm @ mat.T
+        # assignment: argmax of ROUNDED cosine, ties → smaller centroid id
+        # (cids are sorted asc so argmax picks the first = smallest on ties)
+        assign = cids_[np.argmax(np.round(mat @ cmat_.T, 6), axis=1)]
+        sims = np.round(qm @ mat.T, 6)
         out_q, out_id, out_s = [], [], []
         kk = min(k, sims.shape[1])
         for qi in range(sims.shape[0]):

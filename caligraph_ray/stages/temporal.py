@@ -45,6 +45,19 @@ def _ts_to_int(s: pd.Series) -> pd.Series:
     return s.astype('Int64')
 
 
+def _ts_to_int_arrow(col: "pa.ChunkedArray") -> "pa.Array":
+    """Arrow-side twin of _ts_to_int: timestamp (any unit, tz-aware stores
+    UTC internally) → int64 epoch-micros, nulls preserved as nulls (never
+    the iNaT sentinel). Integer columns pass through as int64."""
+    import pyarrow.compute as pc
+    t = col.type
+    if pa.types.is_timestamp(t):
+        if t.unit != 'us':
+            col = pc.cast(col, pa.timestamp('us', tz=t.tz))
+        return pc.cast(col, pa.int64()).combine_chunks()
+    return pc.cast(col, pa.int64()).combine_chunks()
+
+
 def _tagged_union(left_ds, right_ds, key_left: str, key_right: str,
                   lcols: List[str], rcols: List[str],
                   ts_left: str, ts_right: str, coarse: int):
@@ -66,12 +79,34 @@ def _tagged_union(left_ds, right_ds, key_left: str, key_right: str,
         try:
             return pa.from_numpy_dtype(np.dtype(t))
         except (TypeError, ValueError, pa.ArrowNotImplementedError):
-            return pa.string()
+            pass
+        # pandas nullable extension dtypes (Int64Dtype, Float64Dtype, ...)
+        # carry their base numpy dtype — a nullable-Int64 key column must
+        # stay an INTEGER key (string fallback would route the join through
+        # the float-rendering canon path and corrupt keys above 2^53)
+        base = getattr(t, 'numpy_dtype', None)
+        if base is not None:
+            try:
+                return pa.from_numpy_dtype(base)
+            except (TypeError, ValueError, pa.ArrowNotImplementedError):
+                pass
+        return pa.string()
 
-    ltypes = {n: _pa_type(t) for n, t in
-              zip(left_ds.schema().names, left_ds.schema().types)}
-    rtypes = {n: _pa_type(t) for n, t in
-              zip(right_ds.schema().names, right_ds.schema().types)}
+    def _schema_types(ds):
+        # read the RAW block schema: Schema.types converts pandas dtypes to
+        # arrow and silently yields None where it can't (e.g. nullable
+        # Int64Dtype) — np.dtype(None) is float64, which would misroute an
+        # integer key through the float-rendering canon-string path
+        s = ds.schema()
+        base = getattr(s, 'base_schema', None)
+        if isinstance(base, pa.Schema):
+            return {n: base.field(n).type for n in base.names}
+        if base is not None and hasattr(base, 'types'):
+            return dict(zip(base.names, base.types))
+        return dict(zip(s.names, s.types))
+
+    ltypes = {n: _pa_type(t) for n, t in _schema_types(left_ds).items()}
+    rtypes = {n: _pa_type(t) for n, t in _schema_types(right_ds).items()}
     clash = [c for c in rcols if c in lcols]
     if clash:
         # one transit column per name cannot carry two sides' payloads;
@@ -88,55 +123,89 @@ def _tagged_union(left_ds, right_ds, key_left: str, key_right: str,
     ktype = pa.int64() if both_int else pa.string()
 
     def tag(side: str, key_col: str, ts_col: str, own: List[str]):
-        def fn(batch: pd.DataFrame) -> pa.Table:
-            from .relational import pad_to_union
-            n = len(batch)
-            names, cols = pad_to_union(batch, all_cols, types, set(own))
+        # ARROW-in: a pandas batch would already have demoted an int64 key
+        # block containing one null to float64, corrupting co-resident keys
+        # above 2^53 before any projection code runs (round-2 advice bug)
+        own_set = set(own)
+
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            n = t.num_rows
+            names, cols = [], []
+            for c in all_cols:
+                names.append(c)
+                if c in own_set:
+                    col = t.column(c)
+                    if col.type != types[c]:
+                        col = pc.cast(col, types[c])
+                    cols.append(col.combine_chunks())
+                else:
+                    cols.append(pa.nulls(n, types[c]))
             if both_int:
-                key = batch[key_col]
+                key_arr = pc.cast(t.column(key_col), pa.int64()) \
+                    .combine_chunks()
             else:
                 # canonical stringify (not astype(str)): a null must not
                 # become the literal 'nan'/'None', and a numeric column
-                # must render identically from an int64 block and its
-                # null-demoted float64 sibling ('1' vs '1.0')
+                # must render identically however it reaches pandas
+                # ('1' vs '1.0') — see relational._canon_key_str's contract
                 from .relational import _canon_key_str
-                key = _canon_key_str(batch[key_col]).where(
-                    batch[key_col].notna(), None)
+                kpd = t.column(key_col).to_pandas()
+                key = _canon_key_str(kpd).where(kpd.notna(), None)
+                key_arr = pa.array(key, type=pa.string(), from_pandas=True)
+            ts_arr = _ts_to_int_arrow(t.column(ts_col))
+            # coarse-bucket hash: a function of the VALUE only (the pandas
+            # round trip may float-render big ints, but identically for
+            # every occurrence of a key, so bucketing stays consistent)
+            coarse_ser = _coarse_key(
+                pd.DataFrame({'_k': key_arr.to_pandas()}), ['_k'], coarse)
             names += ['_side', '_k', '_ts', '_coarse']
             cols += [
                 pa.nulls(n, pa.string()).fill_null(side),
-                pa.array(key, type=ktype, from_pandas=True),
-                pa.array(_ts_to_int(batch[ts_col]), type=pa.int64(),
-                         from_pandas=True),
-                pa.array(_coarse_key(pd.DataFrame({'_k': key}), ['_k'],
-                                     coarse), type=pa.int32()),
+                key_arr,
+                ts_arr,
+                pa.array(coarse_ser, type=pa.int32()),
             ]
             return pa.Table.from_arrays(cols, names=names)
         return fn
 
     return left_ds.map_batches(tag('l', key_left, ts_left, lcols),
-                               batch_format='pandas',
+                               batch_format='pyarrow',
                                batch_size=AGG_BATCH_SIZE).union(
         right_ds.map_batches(tag('r', key_right, ts_right, rcols),
-                             batch_format='pandas',
+                             batch_format='pyarrow',
                              batch_size=AGG_BATCH_SIZE))
 
 
 def _split_sides(t: "pa.Table", lkeep: List[str], rkeep: List[str]):
-    """Bucket table → (left_df, right_df), converting each side to pandas
-    only AFTER selecting its own (null-free) columns."""
+    """Bucket table → (left_df, left_nullkey_df, right_df).
+
+    The NULL-key/NULL-ts filter runs ARROW-side (pc.is_valid) BEFORE
+    to_pandas: if it ran after, one null in the slice would demote the
+    whole int64 ``_k``/``_ts`` column to float64 and silently corrupt
+    surviving keys above 2^53 before any cast back. Right-side null rows
+    are dropped (they match nothing in SQL); left-side null rows are
+    returned separately so a LEFT join can keep them unmatched."""
     import pyarrow.compute as pc
-    mask = pc.equal(t.column('_side'), 'l')
-    l = t.filter(mask).select(lkeep).to_pandas()
-    r = t.filter(pc.invert(mask)).select(rkeep).to_pandas()
-    return l, r
+    lmask = pc.equal(t.column('_side'), 'l')
+    lt = t.filter(lmask).select(lkeep)
+    ok = pc.and_kleene(pc.is_valid(lt.column('_k')),
+                       pc.is_valid(lt.column('_ts')))
+    ok = pc.fill_null(ok, False)
+    l = lt.filter(ok).to_pandas()
+    l_null = lt.filter(pc.invert(ok)).to_pandas()
+    rt = t.filter(pc.invert(lmask)).select(rkeep)
+    rok = pc.fill_null(pc.and_kleene(pc.is_valid(rt.column('_k')),
+                                     pc.is_valid(rt.column('_ts'))), False)
+    r = rt.filter(rok).to_pandas()
+    return l, l_null, r
 
 
 def _norm_transit(df: pd.DataFrame) -> pd.DataFrame:
-    """After the null filters: each side converted to pandas independently,
-    so a side whose slice held nulls came back float64 while the other
-    stayed int64 — pandas merge/merge_asof refuses mismatched key dtypes.
-    Post-filter the values are whole numbers < 2^53, so the cast is exact."""
+    """Dtype safety net behind the arrow-side null filter in _split_sides:
+    with nulls filtered before to_pandas the int64 transit columns never
+    demote, so these casts are exact no-ops; they only fire if a caller
+    hands a frame that took another path to pandas."""
     out = {'_ts': df['_ts'].astype('int64')}
     if pd.api.types.is_float_dtype(df['_k']):
         out['_k'] = df['_k'].astype('int64')
@@ -165,16 +234,16 @@ def asof_join(left_ds, right_ds, key_left: str, key_right: str,
                            lcols, rkeep, ts_left, ts_right, coarse)
 
     def merge(t) -> pd.DataFrame:
-        l, r = _split_sides(t, lcols + ['_k', '_ts'], rkeep + ['_k', '_ts'])
-        if not len(l):
-            return pd.DataFrame()
         # SQL comparison semantics: a NULL key or NULL timestamp matches
-        # nothing (pandas would instead raise on null merge_asof keys /
-        # join NaN==NaN); unmatchable left rows survive only a left join
-        l_ok = l['_k'].notna() & l['_ts'].notna()
-        l_null = l[~l_ok]
-        l = _norm_transit(l[l_ok])
-        r = _norm_transit(r[r['_k'].notna() & r['_ts'].notna()])
+        # nothing (filtered arrow-side in _split_sides, which also keeps the
+        # int64 transit columns from demoting); unmatchable left rows
+        # survive only a left join
+        l, l_null, r = _split_sides(t, lcols + ['_k', '_ts'],
+                                    rkeep + ['_k', '_ts'])
+        if not len(l) and not len(l_null):
+            return pd.DataFrame()
+        l = _norm_transit(l)
+        r = _norm_transit(r)
         l = l.sort_values(['_ts'], kind='mergesort')
         r = r.sort_values(['_ts'], kind='mergesort').reset_index(drop=True)
         # only an int64 row POSITION travels through merge_asof: unmatched
@@ -232,11 +301,12 @@ def range_join(left_ds, right_ds, key_left: str, key_right: str,
                            lcols, rkeep, ts_left, ts_right, coarse)
 
     def merge(t) -> pd.DataFrame:
-        l, r = _split_sides(t, lcols + ['_k', '_ts'], rkeep + ['_k', '_ts'])
-        # NULL key/ts pairs with nothing in SQL; pandas merge would join
-        # NaN == NaN
-        l = _norm_transit(l[l['_k'].notna() & l['_ts'].notna()])
-        r = _norm_transit(r[r['_k'].notna() & r['_ts'].notna()])
+        # NULL key/ts pairs with nothing in SQL (filtered arrow-side in
+        # _split_sides; pandas merge would instead join NaN == NaN)
+        l, _l_null, r = _split_sides(t, lcols + ['_k', '_ts'],
+                                     rkeep + ['_k', '_ts'])
+        l = _norm_transit(l)
+        r = _norm_transit(r)
         if not len(l) or not len(r):
             return pd.DataFrame()
         merged = l.merge(r, on='_k', suffixes=('', '_r'))
@@ -301,8 +371,13 @@ def rolling_window(events_ds, key_col: str = 'user_id', ts_col: str = 'ts',
 
     def prep(batch: pd.DataFrame) -> pd.DataFrame:
         v = batch[value_col].astype('float64')
-        vals = np.floor(v.to_numpy() * 100).astype('int64') if cents \
-            else v.to_numpy()
+        # NULL values stay NaN through the cents floor (an int64 cast of
+        # NaN would be undefined — INT64_MIN on numpy — and poison every
+        # window containing the row); NaN rows still occupy a frame slot
+        # but contribute nothing to sum/count, exactly SQL's
+        # SUM(value)/COUNT(value) OVER semantics. Cents values are whole
+        # numbers, exact in float64 for any window sum below 2^53.
+        vals = np.floor(v.to_numpy() * 100) if cents else v.to_numpy()
         return pd.DataFrame({
             key_col: batch[key_col],
             '_ts': _ts_to_int(batch[ts_col]),
@@ -319,12 +394,15 @@ def rolling_window(events_ds, key_col: str = 'user_id', ts_col: str = 'ts',
         # rolling result, NaN-fill them on alignment and break the int64
         # cast; SQL windows over the NULL partition like any other
         g = b.groupby(key_col, sort=False, dropna=False)['_v']
+        # pandas rolling skips NaN slots (they occupy a frame position but
+        # contribute nothing) and yields NaN for an all-NULL window — the
+        # SQL SUM(value) OVER / COUNT(value) OVER contract
         rsum = g.rolling(window_rows, min_periods=1).sum() \
             .reset_index(drop=True)
-        if cents:   # integer-cents mode: sums are exact integers
-            rsum = rsum.astype('int64')
+        if cents:   # integer-cents mode: sums are exact integers (or NULL)
+            rsum = rsum.round().astype('Int64')
         rcnt = g.rolling(window_rows, min_periods=1).count() \
-            .reset_index(drop=True).astype('int64')
+            .reset_index(drop=True).fillna(0).astype('int64')
         out = b.reset_index(drop=True)
         out['roll_sum'] = rsum
         out['roll_n'] = rcnt

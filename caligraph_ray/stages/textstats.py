@@ -152,14 +152,17 @@ def unigram_logprob_scores(docs_ds, id_col: str = 'doc_id',
     2. one broadcast of the token → logprob table, then a stateless scoring
        map over the documents.
 
-    Per-token logprobs are quantized to integer micro-nats
-    (round(ln(freq/N)·1e6)) BEFORE summation, so document scores are exact
-    integer sums — float summation order can never flip a comparison, and a
-    SQL engine replays them bit-for-bit."""
-    import math
-
+    Per-token logprobs are quantized to integer fixed-point log2 units
+    (``log2_fixed(freq) - log2_fixed(N)``, scale 2^-20 bits) BEFORE
+    summation, so document scores are exact integer sums — and because the
+    quantization kernel is pure integer shift-and-square arithmetic
+    (functions/hashing.log2_fixed), a SQL engine replays every per-token
+    value bit-for-bit: no ``ln`` last-ulp or rounding-mode divergence can
+    flip a micro-unit (the round-2 driver gate caught exactly that with the
+    earlier ``round(ln(f/N)*1e6)`` contract)."""
     import ray
 
+    from ..functions.hashing import log2_fixed
     from ..state.broadcast import get_broadcast
     from .relational import collect_pandas
 
@@ -167,8 +170,16 @@ def unigram_logprob_scores(docs_ds, id_col: str = 'doc_id',
     if counts.empty:   # token-less corpus: schema-less empty counts frame
         lp: Dict[str, int] = {}
     else:
-        n_total = float(counts['freq'].sum())
-        lp = {t: int(round(math.log(float(f) / n_total) * 1_000_000))
+        n_total = int(counts['freq'].sum())
+        l2_n = log2_fixed(n_total)
+        # cache per distinct freq: Zipfian corpora have few distinct counts
+        l2_cache: Dict[int, int] = {}
+        def _lp(f: int) -> int:
+            q = l2_cache.get(f)
+            if q is None:
+                q = l2_cache[f] = log2_fixed(f)
+            return q - l2_n
+        lp = {t: _lp(int(f))
               for t, f in zip(counts['token'], counts['freq'])}
     ref = ray.put(lp)
 
@@ -185,7 +196,7 @@ def unigram_logprob_scores(docs_ds, id_col: str = 'doc_id',
             ns.append(len(toks))
         return pa.Table.from_pydict({
             id_col: pa.array(ids, pa.int64()),
-            'logprob_micro': pa.array(sums, pa.int64()),
+            'logprob_q': pa.array(sums, pa.int64()),
             'n_tokens': pa.array(ns, pa.int64()),
         })
 

@@ -62,16 +62,15 @@ def test_bigram_counts_matches_counter(ray_session, df):
 @SETTINGS
 @given(doc_frame())
 def test_unigram_logprob_matches_reference(ray_session, df):
-    import math
-
     import ray.data as rd
+    from caligraph_ray.functions.hashing import log2_fixed
     from caligraph_ray.stages.textstats import unigram_logprob_scores
     got_df = unigram_logprob_scores(rd.from_pandas(df).repartition(2)).to_pandas()
-    got = {int(r['doc_id']): (int(r['logprob_micro']), int(r['n_tokens']))
+    got = {int(r['doc_id']): (int(r['logprob_q']), int(r['n_tokens']))
            for _, r in got_df.iterrows()}
     corpus = Counter(t for text in df['text'] for t in _toks(text))
-    n_total = float(sum(corpus.values()))
-    lp = {t: int(round(math.log(f / n_total) * 1_000_000))
+    n_total = sum(corpus.values())
+    lp = {t: log2_fixed(f) - log2_fixed(n_total)
           for t, f in corpus.items()}
     want = {}
     for _, r in df.iterrows():

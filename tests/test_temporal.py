@@ -150,18 +150,63 @@ def test_hash_split_deterministic_and_total():
 
 
 def test_unigram_logprob_scores_exact():
+    from caligraph_ray.functions.hashing import log2_fixed
     from caligraph_ray.stages.textstats import unigram_logprob_scores
-    import math
     docs = rd.from_pandas(pd.DataFrame({
         'doc_id': [1, 2], 'text': ['a a b', 'b c']}))
     out = collect_pandas(unigram_logprob_scores(docs)) \
         .sort_values('doc_id').reset_index(drop=True)
     # corpus: a:2 b:2 c:1, N=5
-    lp = {t: int(round(math.log(f / 5) * 1_000_000))
+    lp = {t: log2_fixed(f) - log2_fixed(5)
           for t, f in {'a': 2, 'b': 2, 'c': 1}.items()}
-    assert int(out.loc[0, 'logprob_micro']) == 2 * lp['a'] + lp['b']
-    assert int(out.loc[1, 'logprob_micro']) == lp['b'] + lp['c']
+    assert int(out.loc[0, 'logprob_q']) == 2 * lp['a'] + lp['b']
+    assert int(out.loc[1, 'logprob_q']) == lp['b'] + lp['c']
     assert list(out['n_tokens'].astype(int)) == [3, 2]
+
+
+def test_log2_fixed_matches_duckdb_kernel():
+    """The shared fixed-point log2 kernel must be bit-identical between
+    Python (functions/hashing.log2_fixed) and the recursive-CTE DuckDB twin
+    embedded in SQL_UNIGRAM_LP — this is the engine-independence contract
+    the unigram-LM driver gate rides on."""
+    import math
+
+    import duckdb
+
+    from caligraph_ray.functions.hashing import log2_fixed
+    vals = sorted({1, 2, 3, 5, 7, 100, 12345, 99999999, 2**31 - 1,
+                   2**40 + 12345, *range(1, 200)})
+    sql = """
+WITH RECURSIVE vals(v) AS (SELECT * FROM (VALUES {vv}) t(v)),
+lgrec(v, iter, y, frac) AS (
+    SELECT v, 0,
+           (CAST(v AS HUGEINT) * (1::BIGINT << 40))
+               // (1::BIGINT << (length(bin(v)) - 1)),
+           CAST(0 AS HUGEINT)
+    FROM vals
+    UNION ALL
+    SELECT v, iter + 1,
+           CASE WHEN (y*y) // (1::BIGINT << 40)
+                     >= CAST(2 AS HUGEINT) * (1::BIGINT << 40)
+                THEN ((y*y) // (1::BIGINT << 40)) // 2
+                ELSE (y*y) // (1::BIGINT << 40) END,
+           CASE WHEN (y*y) // (1::BIGINT << 40)
+                     >= CAST(2 AS HUGEINT) * (1::BIGINT << 40)
+                THEN frac*2 + 1 ELSE frac*2 END
+    FROM lgrec WHERE iter < 20
+)
+SELECT v, CAST(CAST(length(bin(v)) - 1 AS HUGEINT) * (1::BIGINT << 20) + frac
+               AS BIGINT) AS l2
+FROM lgrec WHERE iter = 20 ORDER BY v
+""".format(vv=', '.join(f'({v})' for v in vals))
+    con = duckdb.connect()
+    rows = con.sql(sql).fetchall()
+    assert len(rows) == len(vals)
+    for v, l2 in rows:
+        py = log2_fixed(int(v))
+        assert py == int(l2), (v, py, int(l2))
+        # and it is an accurate log2: within 2 fixed-point ulps
+        assert abs(py - math.log2(v) * (1 << 20)) < 2
 
 
 def test_split_contamination_detects_copies():
@@ -369,3 +414,53 @@ def test_rolling_window_null_key_rows_kept():
     # NULL-key rows window over the NULL partition (not NaN-dropped)
     assert list(out['roll_sum'].astype(int)) == [100, 300, 300]
     assert list(out['roll_n'].astype(int)) == [1, 2, 1]
+
+
+def test_rolling_window_null_value_skipped_not_poisoned():
+    # a NULL value must occupy its frame slot but contribute nothing to
+    # sum/count (SQL SUM(value)/COUNT(value) OVER) — NOT become INT64_MIN
+    # via an undefined NaN→int64 cast and poison every window it touches
+    df = pd.DataFrame({
+        'event_id': [1, 2, 3, 4],
+        'ts': pd.to_datetime([0, 10, 20, 30], unit='s')
+        .astype('datetime64[us]'),
+        'user_id': ['u', 'u', 'u', 'u'],
+        'value': [1.0, None, 3.0, None]})
+    out = collect_pandas(rolling_window(
+        rd.from_pandas(df), window_rows=2, cents=True)) \
+        .sort_values('event_id').reset_index(drop=True)
+    assert list(out['roll_sum'].astype('Int64')) == [100, 100, 300, 300]
+    assert list(out['roll_n'].astype(int)) == [1, 1, 1, 1]
+
+
+def test_rolling_window_all_null_window_is_null_sum():
+    df = pd.DataFrame({
+        'event_id': [1, 2],
+        'ts': pd.to_datetime([0, 10], unit='s').astype('datetime64[us]'),
+        'user_id': ['u', 'u'],
+        'value': [None, None]})
+    out = collect_pandas(rolling_window(
+        rd.from_pandas(df), window_rows=2, cents=True)) \
+        .sort_values('event_id').reset_index(drop=True)
+    assert out['roll_sum'].isna().all()   # SQL SUM over empty set → NULL
+    assert list(out['roll_n'].astype(int)) == [0, 0]
+
+
+def test_asof_join_null_rows_dont_demote_big_int_keys():
+    # the round-2 advice bug: a single NULL-key right row in the same
+    # bucket used to demote the whole int64 _k column to float64 via
+    # to_pandas, corrupting co-resident keys above 2^53 BEFORE the null
+    # filter; the arrow-side filter in _split_sides must keep them exact
+    big_a = (1 << 60) + 1
+    big_b = (1 << 60) + 2   # float64 would collapse big_a and big_b
+    left = _events([(1, 100, big_a, 0.0), (2, 100, big_b, 0.0)])
+    right = pd.DataFrame({
+        'okey': [10, 11, 12],
+        'cust': pd.array([big_a, big_b, None], dtype='Int64'),
+        'odate': pd.to_datetime([90, 95, 80], unit='s')
+        .astype('datetime64[us]')})
+    out = collect_pandas(asof_join(
+        left, rd.from_pandas(right), 'user_id', 'cust', 'ts', 'odate',
+        right_cols=['okey'], inner=True))
+    got = {int(r.event_id): int(r.okey) for r in out.itertuples()}
+    assert got == {1: 10, 2: 11}
