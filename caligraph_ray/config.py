@@ -74,6 +74,14 @@ SIMHASH_BITS = 64
 SIMHASH_HAMMING_THRESHOLD = 3
 NGRAM_JACCARD_THRESHOLD = 0.8
 EMBEDDING_DUP_COSINE = 0.95
+# exact O(N²) embedding near-dup runs K(K+1)/2 block-pair tasks; above this
+# many normalized blocks the auto path routes to the sub-quadratic LSH
+# variant (same auto-gate pattern as ALIAS_BROADCAST_LIMIT). 64 blocks ×
+# 65536 rows ≈ 4M vectors / 2080 tasks — past that, exact is a scale-killer.
+EMBEDDING_EXACT_MAX_BLOCKS = 64
+# per-ROW page-parse wall-clock budget (reference: 60 s SIGALRM,
+# page_parser.py:287-301); a page over budget becomes a kind='drop' row.
+PARSE_TIMEOUT_S = 60.0
 
 # --- batching defaults (tuned single-node; hold at cluster scale because they
 #     are per-task quantities, not per-dataset) ---

@@ -33,7 +33,8 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
                  mm_threshold: float = MENTION_MENTION_THRESHOLD,
                  path_threshold: float = PATH_THRESHOLD,
                  concurrency: int = 8, linking: str = 'auto',
-                 redirects_ds=None):
+                 redirects_ds=None, canon: str = 'auto',
+                 surface_budget: Optional[int] = None):
     """pages Dataset (F1 schema) → deduped, sorted triples Dataset.
 
     ``linking``: 'broadcast' (index collected + ray.put once — fastest while
@@ -77,7 +78,8 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
 
     all_triples = _assemble_triples(linked, cats, me_threshold, mm_threshold,
                                     path_threshold, ent_names=ent_names,
-                                    total_rows=n_mentions)
+                                    total_rows=n_mentions, canon=canon,
+                                    surface_budget=surface_budget)
     return materialize_triples(all_triples, out_dir=out_dir)
 
 
@@ -160,17 +162,118 @@ def run_flagship_checkpointed(pages_ds, root: str,
     return materialize_triples(triples, out_dir=out_dir)
 
 
-def _assemble_triples(linked, cats, me_threshold, mm_threshold, path_threshold,
-                      ent_names: Optional[list] = None, total_rows: Optional[int] = None):
-    """Canonicalize (surface-collapsed) + emit; returns raw (pre-dedup)
-    triples Dataset. Single-entity components resolve via a broadcast
-    surface→label dict (zero shuffle); only ambiguous multi-entity
-    components go through the mention-level split + hash join."""
-    from ..stages.canonicalize import canonicalize_surface
+def _emit_subject_pairs(canon: pd.Series, urls: pd.Series,
+                        labels: pd.Series) -> pa.Table:
+    """Shared triple emission for both canonicalization paths: per subject
+    mention, (canon, mentionedIn, page) + (canon, label, surface-label)."""
+    import numpy as np
+    n = len(canon)
+    page = urls.str.rsplit('/', n=1).str[-1].str.replace('_', ' ', regex=False)
+    subj = np.repeat(canon.to_numpy(), 2)
+    obj = np.empty(2 * n, dtype=object)
+    obj[0::2] = page.to_numpy()
+    obj[1::2] = labels.to_numpy()
+    pred = np.empty(2 * n, dtype=object)
+    pred[0::2] = 'mentionedIn'
+    pred[1::2] = 'label'
+    lit = np.zeros(2 * n, dtype=bool)
+    lit[1::2] = True
+    return pa.Table.from_pydict(
+        {'subj': subj, 'pred': pred, 'obj': obj, 'is_literal': lit},
+        schema=TRIPLES_SCHEMA)
 
-    surf_label, multi_info = canonicalize_surface(
-        linked, me_threshold, mm_threshold, path_threshold=path_threshold,
-        total_rows=total_rows)
+
+def _ne_name(c) -> str:
+    return f'NE_{int(c) & 0x7FFFFFFFFFFFFFFF:x}'
+
+
+def _assemble_triples_join(linked, me_threshold, mm_threshold, path_threshold,
+                           total_rows: Optional[int] = None):
+    """The 10^12-row canonicalization tail: NOTHING dim-sized touches the
+    driver. Mention-level ``canonicalize()`` produces a (node, cluster,
+    entity|null) Dataset; cluster → canonical name resolves inside the
+    Dataset (entity name, else NE_<cluster>); subject mentions get their
+    canon via ONE hash shuffle-join on mention_uid. Mentions absent from the
+    alignment graph (no qualifying link, unique surface) are singletons —
+    the left join's null canon falls back to NE_<own uid>, exactly the
+    surface path's ``rest`` branch. Label parity with the surface path is
+    pinned by test_flagship's forced-path comparison."""
+    from ..stages.canonicalize import canonicalize
+    from ..stages.relational import shuffle_join
+
+    cl = canonicalize(linked, me_threshold, mm_threshold,
+                      path_threshold=path_threshold, total_rows=total_rows)
+
+    def name_of(batch: pa.Table) -> pa.Table:
+        ents = batch.column('entity').to_pylist()
+        clus = batch.column('cluster').to_pylist()
+        canon = [e if e is not None else _ne_name(c)
+                 for e, c in zip(ents, clus)]
+        return pa.Table.from_pydict({
+            'node': batch.column('node').cast(pa.int64()),
+            '_canon': pa.array(canon, pa.string())})
+
+    cmap = cl.map_batches(name_of, batch_format='pyarrow')
+    subs = linked.map_batches(
+        lambda t: t.filter(pc.equal(t.column('is_subject'), pa.scalar(True))),
+        batch_format='pyarrow').select_columns(['mention_uid', 'url', 'label'])
+    joined = shuffle_join(subs, cmap, left_on='mention_uid', right_on='node',
+                          how='left')
+
+    def emit(batch: pd.DataFrame) -> pa.Table:
+        if not len(batch):
+            return pa.Table.from_pydict(
+                {'subj': [], 'pred': [], 'obj': [], 'is_literal': []},
+                schema=TRIPLES_SCHEMA)
+        canon = batch['_canon'].astype(object)
+        miss = canon.isna()
+        if miss.any():
+            canon = canon.mask(miss, batch['mention_uid'][miss].map(_ne_name))
+        return _emit_subject_pairs(canon, batch['url'], batch['label'])
+
+    return joined.map_batches(emit, batch_format='pandas',
+                              batch_size=TOKEN_BATCH_SIZE)
+
+
+def _assemble_triples(linked, cats, me_threshold, mm_threshold, path_threshold,
+                      ent_names: Optional[list] = None,
+                      total_rows: Optional[int] = None,
+                      canon: str = 'auto',
+                      surface_budget: Optional[int] = None):
+    """Canonicalize + emit; returns raw (pre-dedup) triples Dataset.
+
+    ``canon``: 'surface' (closed-form collapsed path; driver holds the
+    surface dim — fastest while it fits), 'join' (fully distributed
+    canonicalize() + hash join — the scale path), or 'auto': try the surface
+    path under a MEASURED dim-cardinality budget and fall back to the join
+    path when canonicalize_surface raises SurfaceDimOverBudget. Single-entity
+    components resolve via a broadcast surface→label dict (zero shuffle);
+    only ambiguous multi-entity components go through the mention-level
+    split."""
+    from ..stages.canonicalize import (SURFACE_DIM_BUDGET,
+                                       SurfaceDimOverBudget,
+                                       canonicalize_surface)
+    if surface_budget is None:
+        surface_budget = SURFACE_DIM_BUDGET
+
+    def _with_cats(subj_triples):
+        return subj_triples.union(_category_triples(cats))
+
+    if canon == 'join':
+        return _with_cats(_assemble_triples_join(
+            linked, me_threshold, mm_threshold, path_threshold, total_rows))
+    try:
+        surf_label, multi_info = canonicalize_surface(
+            linked, me_threshold, mm_threshold, path_threshold=path_threshold,
+            total_rows=total_rows,
+            surface_budget=None if canon == 'surface' else surface_budget)
+    except SurfaceDimOverBudget as e:
+        import logging
+        logging.getLogger('caligraph_ray.flagship').warning(
+            'surface dim over budget (%s); routing to the distributed '
+            'canonicalize() + labels-join path', e)
+        return _with_cats(_assemble_triples_join(
+            linked, me_threshold, mm_threshold, path_threshold, total_rows))
     if ent_names is None:
         from ..stages.relational import arrow_filter
         ent_names = arrow_filter(
@@ -231,24 +334,15 @@ def _assemble_triples(linked, cats, me_threshold, mm_threshold, path_threshold,
             cluster[in_multi] = vals
 
         canon = pd.Series(cluster, dtype=object).map(
-            lambda c: id_to_name_.get(c, f'NE_{int(c) & 0x7FFFFFFFFFFFFFFF:x}'))
-        page = df['url'].str.rsplit('/', n=1).str[-1].str.replace('_', ' ', regex=False)
-        subj = np.repeat(canon.to_numpy(), 2)
-        obj = np.empty(2 * n, dtype=object)
-        obj[0::2] = page.to_numpy()
-        obj[1::2] = df['label'].to_numpy()
-        pred = np.empty(2 * n, dtype=object)
-        pred[0::2] = 'mentionedIn'
-        pred[1::2] = 'label'
-        lit = np.zeros(2 * n, dtype=bool)
-        lit[1::2] = True
-        return pa.Table.from_pydict(
-            {'subj': subj, 'pred': pred, 'obj': obj, 'is_literal': lit},
-            schema=TRIPLES_SCHEMA)
+            lambda c: id_to_name_.get(c, _ne_name(c)))
+        return _emit_subject_pairs(canon, df['url'], df['label'])
 
     subj_triples = linked_subjects.map_batches(subject_triples, batch_format='pyarrow',
                                                batch_size=TOKEN_BATCH_SIZE)
+    return _with_cats(subj_triples)
 
+
+def _category_triples(cats):
     def category_triples(batch: pa.Table) -> pa.Table:
         urls = batch.column('url').to_pylist()
         cats_l = batch.column('cat_name').to_pylist()
@@ -260,8 +354,7 @@ def _assemble_triples(linked, cats, me_threshold, mm_threshold, path_threshold,
             'is_literal': [False] * len(subj),
         }, schema=TRIPLES_SCHEMA)
 
-    cat_triples = cats.map_batches(category_triples, batch_format='pyarrow')
-    return subj_triples.union(cat_triples)
+    return cats.map_batches(category_triples, batch_format='pyarrow')
 
 
 # --- driver-testdata adapter ----------------------------------------------

@@ -681,8 +681,10 @@ EMB_DUP_THRESHOLD = 0.45   # one constant for the Ray side AND its oracle
 
 
 def q_embedding_near_dups(sf_dir: str, threshold: float = EMB_DUP_THRESHOLD):
+    """Near-dup pairs via the volume-gated router: exact block-pair matmuls
+    at oracle scale (under EMBEDDING_EXACT_MAX_BLOCKS), LSH above it."""
     emb = rel.read_table(sf_dir, 'embeddings', ['vec_id', 'embedding'])
-    out = dd.embedding_near_dup_pairs(emb, threshold=threshold).to_pandas()
+    out = dd.embedding_near_dup_pairs_auto(emb, threshold=threshold).to_pandas()
     return out[['a', 'b']] if not out.empty else \
         pd.DataFrame({'a': pd.Series(dtype='int64'), 'b': pd.Series(dtype='int64')})
 

@@ -43,6 +43,24 @@ from ..functions.hashing import stable_hash64
 # index; beyond it the surface dim may not fit one object)
 SURFACE_BROADCAST_LIMIT = 50_000_000
 
+# driver-dim budget for the surface-collapsed closed form: the MEASURED
+# number of per-surface stats rows (distinct surfaces + qualifying
+# (surface, entity) pairs) that may be collected to the driver. Above it
+# canonicalize_surface raises SurfaceDimOverBudget and callers route to the
+# fully-distributed canonicalize() + labels-join path (flagship
+# _assemble_triples does this automatically).
+SURFACE_DIM_BUDGET = 20_000_000
+
+
+class SurfaceDimOverBudget(Exception):
+    """Measured surface-dim cardinality exceeds the driver-collect budget."""
+
+    def __init__(self, measured: int, budget: int):
+        self.measured, self.budget = measured, budget
+        super().__init__(
+            f'surface dim has {measured} rows > budget {budget}; use the '
+            f'distributed canonicalize() + labels-join path')
+
 
 def entity_node_id(name: str) -> int:
     """Entity nodes live in negative id space; mention_uids are ≥ 0."""
@@ -347,7 +365,8 @@ def canonicalize_surface(linked_mentions_ds,
                          mm_threshold: float = MENTION_MENTION_THRESHOLD,
                          mm_score: float = MM_SCORE,
                          path_threshold: float = PATH_THRESHOLD,
-                         total_rows: Optional[int] = None):
+                         total_rows: Optional[int] = None,
+                         surface_budget: Optional[int] = None):
     """Surface-collapsed canonicalization — the mention-level semantics of
     ``canonicalize`` (verified by the flagship oracle test) at a fraction of
     the cost, exact up to score ties: on an exact path-score tie the closed
@@ -446,8 +465,17 @@ def canonicalize_surface(linked_mentions_ds,
     partials = ds.select_columns(['mention_uid', 'norm_surface', 'entity', 'link_score']) \
         .map_batches(stats_partial, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
     from .relational import collect_rows as _crows
-    stat_rows = _crows(_bmap(partials, ['norm_surface'], stats_final,
-                             coarse=coarse))
+    stats_ds = _bmap(partials, ['norm_surface'], stats_final, coarse=coarse)
+    if surface_budget is not None:
+        # gate on the MEASURED dim cardinality (distinct surfaces +
+        # qualifying pairs), not on the mention count — the dim is what the
+        # driver actually holds. count() on the materialized stats is block
+        # metadata, not a second execution.
+        stats_ds = stats_ds.materialize()
+        measured = stats_ds.count()
+        if measured > surface_budget:
+            raise SurfaceDimOverBudget(measured, surface_budget)
+    stat_rows = _crows(stats_ds)
 
     reps: Dict[str, int] = {}
     surf_n: Dict[str, int] = {}

@@ -399,6 +399,38 @@ def embedding_near_dup_pairs(emb_ds, id_col: str = 'vec_id', vec_col: str = 'emb
     return rd.from_arrow_refs(refs)
 
 
+def embedding_near_dup_pairs_auto(emb_ds, id_col: str = 'vec_id',
+                                  vec_col: str = 'embedding',
+                                  threshold: float = EMBEDDING_DUP_COSINE,
+                                  block_rows: int = 65536,
+                                  exact_max_blocks: Optional[int] = None):
+    """Volume-gated near-dup router — the default entry point: EXACT
+    block-pair matmuls while the corpus fits ``exact_max_blocks`` normalized
+    blocks (task count K(K+1)/2 stays bounded), the sub-quadratic LSH
+    variant above it. Mirrors the alias index's ALIAS_BROADCAST_LIMIT
+    auto-gate so the quadratic path can never silently ride to 100 TB.
+    The row count comes from dataset metadata (parquet row counts), not an
+    extra execution. Routing is logged."""
+    import logging
+
+    from ..config import EMBEDDING_EXACT_MAX_BLOCKS
+    if exact_max_blocks is None:
+        exact_max_blocks = EMBEDDING_EXACT_MAX_BLOCKS
+    n = emb_ds.count()
+    n_blocks = -(-int(n) // block_rows) if n else 0
+    if n_blocks > exact_max_blocks:
+        logging.getLogger('caligraph_ray.dedup').warning(
+            'embedding near-dup: %d blocks > exact budget %d — routing to '
+            'the sub-quadratic LSH path (approximate; recall pinned in '
+            'pytest at threshold ≥ 0.9)', n_blocks, exact_max_blocks)
+        return embedding_near_dup_pairs_lsh(emb_ds, id_col=id_col,
+                                            vec_col=vec_col,
+                                            threshold=threshold)
+    return embedding_near_dup_pairs(emb_ds, id_col=id_col, vec_col=vec_col,
+                                    threshold=threshold,
+                                    block_rows=block_rows)
+
+
 def embedding_near_dup_pairs_lsh(emb_ds, id_col: str = 'vec_id',
                                  vec_col: str = 'embedding',
                                  threshold: float = EMBEDDING_DUP_COSINE,

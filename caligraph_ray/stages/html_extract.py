@@ -30,7 +30,8 @@ from typing import Dict, List, Optional, Tuple
 import pyarrow as pa
 
 from ..config import (MAX_TABLE_COLS, MIN_ENUM_ENTRIES, MIN_TABLE_COLS,
-                      MIN_TABLE_ROWS, META_SECTIONS, PARSE_BATCH_SIZE)
+                      MIN_TABLE_ROWS, META_SECTIONS, PARSE_BATCH_SIZE,
+                      PARSE_TIMEOUT_S)
 from ..functions.hashing import stable_hash64
 from ..functions.strings import tokenize
 
@@ -472,6 +473,10 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column('extracted_text', texts)
 
 
+class ParseTimeout(Exception):
+    """A single page exceeded the per-row parse time budget."""
+
+
 class PageParser:
     """Actor-pool stage: pages batch → union of flat item rows and category
     rows (PARSED_SCHEMA, ONE parse per page — items and categories split
@@ -485,7 +490,39 @@ class PageParser:
     counts survive any execution plan and are queryable via
     ``parse_drops`` — the lineage-visible drop record the north rule asks
     for, with no side-channel counters.
-    """
+
+    ``timeout_s`` is the per-ROW wall-clock parse budget — the Ray-side
+    analogue of the reference's 60 s SIGALRM guard (page_parser.py:287-301):
+    one pathological page must not stall a whole block at scale. It is
+    enforced with a real SIGALRM itimer when the UDF runs on a worker's main
+    thread (Ray map_batches tasks do); off the main thread the guard
+    degrades to no-op rather than breaking (documented limitation — the
+    module's own regexes are RE2-compatible/linear, so the residual risk is
+    Python-loop blowup, which the signal interrupts)."""
+
+    def __init__(self, timeout_s: float = PARSE_TIMEOUT_S):
+        import signal
+        import threading
+        self.timeout_s = timeout_s
+        self._can_alarm = (hasattr(signal, 'setitimer')
+                           and threading.current_thread()
+                           is threading.main_thread())
+
+    def _parse_guarded(self, url: str, html):
+        if not self._can_alarm or not self.timeout_s:
+            return parse_page(url, html)
+        import signal
+
+        def on_alarm(signum, frame):
+            raise ParseTimeout(url)
+
+        prev = signal.signal(signal.SIGALRM, on_alarm)
+        signal.setitimer(signal.ITIMER_REAL, self.timeout_s)
+        try:
+            return parse_page(url, html)
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, 0.0)
+            signal.signal(signal.SIGALRM, prev)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column('url').to_pylist()
@@ -508,7 +545,7 @@ class PageParser:
 
         for url, html in zip(urls, htmls):
             try:
-                page = parse_page(url, html)
+                page = self._parse_guarded(url, html)
             except Exception:
                 cols['url'].append(url)
                 cols['page_id'].append(stable_hash64(url))

@@ -12,10 +12,10 @@ from caligraph_ray.corpus import generate_pages_table
 from oracle_kg import oracle_triples
 
 
-def _run(pages_table):
+def _run(pages_table, **kw):
     import ray.data as rd
     from caligraph_ray.pipelines.flagship import run_flagship
-    ds = run_flagship(rd.from_arrow(pages_table).repartition(4))
+    ds = run_flagship(rd.from_arrow(pages_table).repartition(4), **kw)
     return {(r['subj'], r['pred'], r['obj'], r['is_literal']) for r in ds.take_all()}
 
 
@@ -33,6 +33,20 @@ def test_flagship_matches_oracle(ray_session, small_corpus):
         f'P={precision:.3f} R={recall:.3f} missing={list(missing)[:5]} extra={list(extra)[:5]}')
     # deterministic engine + oracle → exact match expected
     assert got == want, f'missing={list(missing)[:5]} extra={list(extra)[:5]}'
+
+
+def test_flagship_join_scale_path_matches_surface(ray_session, small_corpus):
+    """Forced-low-gate run: surface_budget=0 makes canonicalize_surface
+    raise SurfaceDimOverBudget, so the auto path routes through the fully
+    distributed canonicalize() + labels shuffle-join tail (no driver-side
+    surface dim, no id_to_name dict). Same corpus → identical triple set
+    as the surface closed form AND the oracle."""
+    surface = _run(small_corpus, canon='surface')
+    joined = _run(small_corpus, canon='auto', surface_budget=0)
+    assert joined == surface
+    pages = list(zip(small_corpus.column('url').to_pylist(),
+                     small_corpus.column('html').to_pylist()))
+    assert joined == oracle_triples(pages)
 
 
 def test_flagship_on_documents_smoke(ray_session):

@@ -106,6 +106,28 @@ def test_page_parser_batch_schema():
     assert kinds == {'item', 'cat'}
 
 
+def test_parse_timeout_budget_drops_pathological_page():
+    """Per-row parse time budget (reference: 60 s SIGALRM guard,
+    page_parser.py:287-301): a page whose parse exceeds ``timeout_s`` lands
+    as a kind='drop' row instead of stalling the block; the same page under
+    a sane budget parses fine."""
+    import pyarrow as pa
+    items = ''.join(f'<li><a href="/wiki/E{i}">E{i}</a> alpha beta gamma '
+                    f'delta epsilon zeta</li>' for i in range(20000))
+    html = (f'<html><head><title>Big</title></head><body><h1>Big</h1>'
+            f'<ul>{items}</ul></body></html>').encode()
+    t = pa.Table.from_pydict({
+        'url': ['https://ex.org/wiki/Big'],
+        'html': pa.array([html], pa.binary()),
+    })
+    out = PageParser(timeout_s=1e-4)(t)
+    assert set(out.column('kind').to_pylist()) == {'drop'}
+    assert out.column('url').to_pylist() == ['https://ex.org/wiki/Big']
+    ok = PageParser(timeout_s=60.0)(t)
+    kinds = set(ok.column('kind').to_pylist())
+    assert 'drop' not in kinds and 'item' in kinds
+
+
 def test_parse_drops_are_first_class_rows(ray_session):
     import ray.data as rd
     import pyarrow as pa

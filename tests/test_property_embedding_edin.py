@@ -82,6 +82,39 @@ def test_embedding_near_dups_lsh_sound(ray_session, df):
         assert cos[(int(r['a']), int(r['b']))] >= threshold - 1e-9
 
 
+def test_embedding_near_dups_auto_gate_routes_and_agrees(ray_session):
+    """Forced-low-gate run of the volume router: exact_max_blocks=0 pushes
+    the corpus over budget so the LSH scale path runs; on identical-vector
+    dups at threshold 0.95 it must find the same pair set the exact path
+    finds (LSH recall on exact duplicates is 1.0 — identical vectors share
+    every band)."""
+    import ray.data as rd
+    from caligraph_ray.stages.dedup import (embedding_near_dup_pairs,
+                                            embedding_near_dup_pairs_auto)
+    rng = np.random.RandomState(3)
+    base = rng.randn(12, _DIM)
+    vecs = list(base) + [base[2].copy(), base[5].copy(), base[5].copy()]
+    df = pd.DataFrame({'vec_id': np.arange(len(vecs), dtype='int64'),
+                       'embedding': [np.asarray(v, dtype='float64')
+                                     for v in vecs]})
+    exact = embedding_near_dup_pairs(
+        rd.from_pandas(df).repartition(2), threshold=0.95,
+        block_rows=4).to_pandas()
+    exact_pairs = {(int(r['a']), int(r['b'])) for _, r in exact.iterrows()}
+    assert exact_pairs   # the crafted dups must be found
+    routed = embedding_near_dup_pairs_auto(
+        rd.from_pandas(df).repartition(2), threshold=0.95,
+        exact_max_blocks=0).to_pandas()
+    routed_pairs = {(int(r['a']), int(r['b'])) for _, r in routed.iterrows()}
+    assert routed_pairs == exact_pairs
+    # and under budget the router takes the exact path verbatim
+    under = embedding_near_dup_pairs_auto(
+        rd.from_pandas(df).repartition(2), threshold=0.95, block_rows=4,
+        exact_max_blocks=1000).to_pandas()
+    under_pairs = {(int(r['a']), int(r['b'])) for _, r in under.iterrows()}
+    assert under_pairs == exact_pairs
+
+
 # --- EDIN cluster vote --------------------------------------------------------
 
 _SURFACES = ['alpha', 'beta']
