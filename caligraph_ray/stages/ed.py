@@ -72,18 +72,26 @@ class HashEmbedder:
         self.out_col = out_col
         self.dim = dim
 
+    def embed_batch(self, texts) -> np.ndarray:
+        if not len(texts):
+            return np.zeros((0, self.dim))
+        return np.stack([hash_embed(t or '', self.dim) for t in texts])
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch[self.out_col] = [hash_embed(t or '', self.dim)
-                               for t in batch[self.text_col]]
+        batch[self.out_col] = list(self.embed_batch(list(batch[self.text_col])))
         return batch
 
 
 def embed_texts(ds, text_col: str, out_col: str = 'embedding', dim: int = 64,
-                concurrency: Optional[Tuple[int, int]] = None, batch_size: int = 384):
+                concurrency: Optional[Tuple[int, int]] = None, batch_size: int = 384,
+                embedder_cls: type = HashEmbedder):
     """Add an embedding column (actor pool; batch 384 mirrors the reference
-    bi-encoder batch size, entity_disambiguation/__init__.py:54)."""
+    bi-encoder batch size, entity_disambiguation/__init__.py:54).
+    ``embedder_cls``: any (text_col, out_col, dim) actor class — the
+    constructor-swap seam (functions.tiny_transformer.TransformerEmbedder
+    is the proved real-model instance)."""
     return ds.map_batches(
-        HashEmbedder,
+        embedder_cls,
         fn_constructor_kwargs={'text_col': text_col, 'out_col': out_col, 'dim': dim},
         batch_format='pandas', batch_size=batch_size,
         concurrency=concurrency or _pool_size())
@@ -284,13 +292,17 @@ def rerank_candidates(pairs_ds, mention_id_col: str = 'mention_uid',
                       mention_col: str = 'label',
                       entity_col: str = 'entity_label',
                       concurrency: Optional[Tuple[int, int]] = None,
-                      batch_size: int = 128):
+                      batch_size: int = 128,
+                      reranker_cls: type = CrossEncoderReranker):
     """Score every candidate pair (actor pool, batch 128 as the reference)
     then keep the argmax entity per mention (ties → lexicographically first
-    entity label). Returns (mention_id, entity_label, ce_score)."""
+    entity label). Returns (mention_id, entity_label, ce_score).
+    ``reranker_cls``: any (mention_col, entity_col) pair-scoring actor —
+    the constructor-swap seam (TransformerCrossScorer is the proved
+    real-model instance)."""
     from .relational import bucketed_map
     scored = pairs_ds.map_batches(
-        CrossEncoderReranker,
+        reranker_cls,
         fn_constructor_kwargs={'mention_col': mention_col, 'entity_col': entity_col},
         batch_format='pandas', batch_size=batch_size,
         concurrency=concurrency or _pool_size())
@@ -307,7 +319,8 @@ def rerank_candidates(pairs_ds, mention_id_col: str = 'mention_uid',
 # --- full scored-linking path ----------------------------------------------
 
 def link_mentions_scored(mentions_ds, entity_labels: List[str], k: int = 4,
-                         dim: int = 64):
+                         dim: int = 64,
+                         embedder_factory=None, reranker_factory=None):
     """The complete ED stack as a linking stage: embed mentions (ST4) →
     ME candidate top-k vs the broadcast entity matrix (J7/ST5) → cross-
     encoder rerank argmax (ST7) → (entity, link_score) columns with the
@@ -320,7 +333,20 @@ def link_mentions_scored(mentions_ds, entity_labels: List[str], k: int = 4,
     all pairs and thresholds later; consumers must not treat a returned
     entity as accepted without applying their threshold.
 
-    ``entity_labels``: the known-entity dim (small side, broadcast once)."""
+    ``entity_labels``: the known-entity dim (small side, broadcast once).
+
+    ``embedder_factory`` / ``reranker_factory``: zero-arg callables
+    returning an ``embed_batch(texts) -> (n, d)`` embedder and a
+    ``score_pair(m, e) -> float`` scorer — the constructor-swap seam. The
+    defaults are the deterministic stand-ins; the factories run once on
+    the driver (to embed the small entity dim) and once per ACTOR, so a
+    real model loads per worker, never per batch. The swap is proved
+    end-to-end in tests/test_tiny_transformer.py with a real numpy
+    transformer (multi-head attention forward pass)."""
+    if embedder_factory is None:
+        embedder_factory = lambda: HashEmbedder(dim=dim)   # noqa: E731
+    if reranker_factory is None:
+        reranker_factory = lambda: CrossEncoderReranker(dim=dim)   # noqa: E731
     ents = sorted(set(e for e in entity_labels if e))
     if not ents:
         # no known-entity dim: wikilinked mentions still keep their target
@@ -333,7 +359,7 @@ def link_mentions_scored(mentions_ds, entity_labels: List[str], k: int = 4,
             return out
         return mentions_ds.map_batches(nil, batch_format='pandas')
 
-    emat = np.stack([hash_embed(e, dim) for e in ents])
+    emat = embedder_factory().embed_batch(ents)
     emat = emat / np.maximum(np.linalg.norm(emat, axis=1, keepdims=True), 1e-12)
     labels_arr = np.array(ents, dtype=object)
     state = ray.put((labels_arr, emat))
@@ -347,7 +373,8 @@ def link_mentions_scored(mentions_ds, entity_labels: List[str], k: int = 4,
 
         def __init__(self):
             self.labels, self.emat = ray.get(state)
-            self.rr = CrossEncoderReranker()
+            self.emb = embedder_factory()
+            self.rr = reranker_factory()
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             if not len(batch):
@@ -355,7 +382,7 @@ def link_mentions_scored(mentions_ds, entity_labels: List[str], k: int = 4,
                 out['entity'] = pd.Series(dtype=object)
                 out['link_score'] = pd.Series(dtype='float64')
                 return out
-            q = np.stack([hash_embed(l or '', dim) for l in batch['label']])
+            q = self.emb.embed_batch(list(batch['label']))
             sims = q @ self.emat.T
             entities: List[Optional[str]] = []
             scores: List[float] = []
