@@ -82,6 +82,28 @@ def make_matcher(name: str, **params) -> Callable:
     return lambda linked, **kw: fn(linked, **{**params, **kw})
 
 
+# --- trainable matcher factory (reference matcher.py train/predict) ----------
+
+TRAINABLE_MATCHERS: Dict[str, Callable] = {}
+
+
+def register_trainable_matcher(name: str):
+    def deco(cls):
+        TRAINABLE_MATCHERS[name] = cls
+        return cls
+    return deco
+
+
+def make_trainable_matcher(name: str, **params):
+    """Instantiate a Matcher with the reference's train/test lifecycle
+    (matching/__init__.py:12-34 initialize_matcher shape): .train(corpus)
+    fits model state, .test(corpus) predicts + scores."""
+    if name not in TRAINABLE_MATCHERS:
+        raise KeyError(f'unknown trainable matcher {name!r}; '
+                       f'known: {sorted(TRAINABLE_MATCHERS)}')
+    return TRAINABLE_MATCHERS[name](**params)
+
+
 def _register_builtin():
     from ..stages.canonicalize import canonicalize, edin_clusters
 
@@ -100,6 +122,9 @@ def _register_builtin():
     def _scored(mentions, entity_labels=(), **kw):
         from ..stages.ed import link_mentions_scored
         return link_mentions_scored(mentions, list(entity_labels), **kw)
+
+    from .matcher import ThresholdedScoredMatcher
+    register_trainable_matcher('scored')(ThresholdedScoredMatcher)
 
 
 _register_builtin()

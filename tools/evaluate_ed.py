@@ -34,6 +34,12 @@ def main():
     ap.add_argument('--tune', default=None,
                     help='me=<comma list>: sweep the mention-entity '
                          'threshold through the flagship instead')
+    ap.add_argument('--matcher', default=None,
+                    help='trainable matcher name (e.g. "scored"): build a '
+                         'wikilink-supervised mention corpus from the sf '
+                         'dir, 60/20/20 split, train (entity dim + '
+                         'threshold) and report train vs val vs test ME '
+                         'metrics (reference matcher.py:29-42 contract)')
     ap.add_argument('--num-cpus', type=int, default=8)
     args = ap.parse_args()
 
@@ -43,6 +49,23 @@ def main():
                  include_dashboard=False, logging_level='ERROR')
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
+
+    if args.matcher:
+        from caligraph_ray.pipelines.matcher import mention_corpus_from_sf
+        from caligraph_ray.pipelines.registry import make_trainable_matcher
+        corpus = mention_corpus_from_sf(args.sf_dir)
+        train, val, test = corpus.random_shuffle(seed=42) \
+            .split_proportionately([0.6, 0.2])
+        train, val, test = (d.materialize() for d in (train, val, test))
+        matcher = make_trainable_matcher(args.matcher)
+        report = matcher.train(train, eval_on_train=True)
+        report[matcher.MODE_EVAL] = matcher._evaluate(matcher.MODE_EVAL, val)
+        report.update(matcher.test(test))
+        report['threshold'] = matcher.threshold
+        report['entities'] = len(matcher.entity_labels or ())
+        print(json.dumps(report))
+        ray.shutdown()
+        return
 
     if args.tune:
         key, _, vals = args.tune.partition('=')
