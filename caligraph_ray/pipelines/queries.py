@@ -797,9 +797,11 @@ QUALIFY row_number() OVER (PARTITION BY q.query_idx
 
 
 def q_lsh_topk(sf_dir: str):
-    """Approximate LSH top-k through the bucket INDEX (sub-linear probing;
-    rows-only — approximate by design, recall + scan-equivalence measured
-    in pytest)."""
+    """Approximate LSH top-k through the bucket INDEX (sub-linear multi-
+    probe). Fully oracle-gated: the seeded hyperplanes are embedded as
+    CONSTANTS in the SQL (see _sql_lsh_topk), which replays signature bits
+    (round(cos,6) > 0 — the engine-independent sign rule HyperplaneLSH
+    uses), hamming≤1 bucket probing, and the rounded-cosine ranking."""
     emb = rel.read_table(sf_dir, 'embeddings', ['vec_id', 'embedding'])
     qrows = rel.collect_rows(emb.map_batches(
         lambda t: t.filter(pc.is_in(t.column('vec_id'),
@@ -807,7 +809,46 @@ def q_lsh_topk(sf_dir: str):
         batch_format='pyarrow'))
     qrows.sort(key=lambda r: r['vec_id'])
     qvecs = np.stack([np.asarray(r['embedding'], dtype=np.float64) for r in qrows])
-    return sim.lsh_index_topk(emb, qvecs, k=10)
+    out = sim.lsh_index_topk(emb, qvecs, k=10)
+    # ranked at 6 decimals inside the index; emitted at 4 (the ivf pattern:
+    # rank precision > emit precision keeps the driver value-hash stable)
+    out['score'] = out['score'].round(4)
+    # query_idx 0/1/2 are the vec_ids themselves here (sorted above)
+    out = out.rename(columns={'query_idx': 'query_id'})
+    return out
+
+
+def _sql_lsh_topk(dim: int = 64, n_planes: int = 12, k: int = 10) -> str:
+    """Generate the lsh_topk oracle: the seeded unit hyperplanes become SQL
+    constants, so DuckDB computes the identical signatures/buckets/ranks."""
+    from ..stages.similarity import HyperplaneLSH
+    planes = HyperplaneLSH(dim, n_planes).planes
+    rows = ',\n    '.join(
+        '({}, [{}]::DOUBLE[])'.format(
+            p, ', '.join('%.17g' % w for w in planes[p]))
+        for p in range(n_planes))
+    return f"""
+WITH planes(p, w) AS (VALUES
+    {rows}
+), sigs AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+         CAST(sum(CASE WHEN round(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]), p.w), 6) > 0
+                  THEN 1 << p.p ELSE 0 END) AS BIGINT) AS sig
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, e.embedding
+), q AS (
+  SELECT vec_id AS query_id, emb AS qe, sig AS qsig
+  FROM sigs WHERE vec_id IN (0, 1, 2)
+)
+SELECT q.query_id, s.vec_id,
+       round(round(list_cosine_similarity(q.qe, s.emb), 6), 4) AS score
+FROM q JOIN sigs s ON bit_count(xor(q.qsig, s.sig)) <= 1
+QUALIFY row_number() OVER (
+    PARTITION BY q.query_id
+    ORDER BY round(list_cosine_similarity(q.qe, s.emb), 6) DESC,
+             s.vec_id) <= {k}
+"""
 
 
 # --- taxonomy family --------------------------------------------------------
@@ -908,25 +949,68 @@ GROUP BY sub, hyper
 
 def q_listing_chunks(sf_dir: str):
     """MD chunking (M18) over the rendered document listings: chunk counts +
-    token/item sizes per listing. Rows-only (token packing is not SQL);
-    packing semantics are pytest-golden'd."""
+    token/item sizes per listing, keyed by the SQL-derivable doc_id (the
+    blake2b page_id is not replayable in DuckDB). The FULL packing runs —
+    context tokenization, per-item prefix+truncate, greedy close on token/
+    item budget, min-item drop — and the oracle replays its closed form for
+    this corpus (see SQL_LISTING_CHUNKS)."""
+    import pyarrow as pa
     import ray.data as rd
     from ..stages.chunking import chunk_listings
     docs = rd.read_parquet(f'{sf_dir}/documents.parquet',
                            columns=['doc_id', 'text', 'lang', 'source'])
     items = parse_items(documents_to_pages(docs))
-    chunks = chunk_listings(items)
+
+    def add_doc_id(t: pa.Table) -> pa.Table:
+        doc = pc.cast(pc.struct_field(pc.extract_regex(
+            t.column('url'), r'Document_(?P<id>\d+)$'), 'id'), pa.int64())
+        return t.append_column('doc_id', doc)
+
+    items = items.map_batches(add_doc_id, batch_format='pyarrow')
+    chunks = chunk_listings(items, carry_cols=('doc_id',))
 
     def summarize(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            'page_id': batch['page_id'],
-            'listing_idx': batch['listing_idx'],
-            'chunk_idx': batch['chunk_idx'],
-            'n_tokens': [len(t) for t in batch['tokens']],
-            'n_items': [len(i) for i in batch['item_idxs']],
+            'doc_id': batch['doc_id'].astype('int64'),
+            'listing_idx': batch['listing_idx'].astype('int64'),
+            'chunk_idx': batch['chunk_idx'].astype('int64'),
+            'n_tokens': pd.Series([len(t) for t in batch['tokens']],
+                                  dtype='int64'),
+            'n_items': pd.Series([len(i) for i in batch['item_idxs']],
+                                 dtype='int64'),
         })
 
     return chunks.map_batches(summarize, batch_format='pandas')
+
+
+# Closed-form replay of the M18 packing over the rendered documents corpus
+# (pinned equal to the real packer by the oracle gate at every sf):
+# * context = tok('Document <id>') ⧺ [CTX] ⧺ tok('Content') ⧺ [CTX]
+#   ⧺ tok('Content') ⧺ [CTXE] = 7 tokens,
+# * items are DOC_CHUNK=6-word slices with an [E1] prefix → ≤ 7 tokens each,
+#   so 16 items × 7 = 112 ≤ 300 - 7: MAX_ITEMS_PER_CHUNK=16 always closes a
+#   chunk before the 300-token budget does → a chunk spans 96 words,
+# * trailing chunks with fewer than MIN_ITEMS_PER_CHUNK=3 items are dropped.
+SQL_LISTING_CHUNKS = """
+WITH docs AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n
+  FROM documents
+), chunks AS (
+  SELECT doc_id, n,
+         unnest(range(CAST(ceil(n / 96.0) AS BIGINT))) AS chunk_idx
+  FROM docs
+), sized AS (
+  SELECT doc_id, chunk_idx,
+         least(n, 96 * (chunk_idx + 1)) - 96 * chunk_idx AS words
+  FROM chunks
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS listing_idx, chunk_idx,
+       7 + (words + 5) // 6 + words AS n_tokens,
+       (words + 5) // 6 AS n_items
+FROM sized
+WHERE (words + 5) // 6 >= 3
+"""
 
 
 def q_type_disjointness(sf_dir: str):
@@ -1970,8 +2054,8 @@ ORACLES: Dict[str, str] = {
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     'approx_distinct_users': SQL_APPROX_DISTINCT,
     'hearst_hypernyms': SQL_HEARST,
-    # rows-only (non-SQL-expressible): lsh_topk (approximate by design —
-    # Gaussian-RNG hyperplanes), listing_chunks (render→parse→tokenize→pack
-    # pipeline), flagship_triples (full KG pipeline; gated instead by the
-    # single-process oracle in tests/oracle_kg.py)
+    'listing_chunks': SQL_LISTING_CHUNKS,
+    'lsh_topk': _sql_lsh_topk(),
+    # rows-only (non-SQL-expressible): flagship_triples (full KG pipeline;
+    # gated instead by the single-process oracle in tests/oracle_kg.py)
 }

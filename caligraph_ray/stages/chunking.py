@@ -111,10 +111,12 @@ def chunk_listing_items(context: List[str], items: List[dict],
     return out
 
 
-def chunk_listings(items_ds, labels_ref=None):
+def chunk_listings(items_ds, labels_ref=None, carry_cols: tuple = ()):
     """items Dataset → chunk rows (page_id, listing_idx, chunk_idx, tokens,
     labels, item_idxs). ``labels_ref``: optional ray.put'd
-    {(page_id, listing_idx): {item_idx: [token labels]}} from M19."""
+    {(page_id, listing_idx): {item_idx: [token labels]}} from M19.
+    ``carry_cols``: listing-constant columns to carry through (e.g. a
+    SQL-derivable doc id for the oracle gate)."""
     import ray
     from .relational import grouped_map
 
@@ -143,11 +145,13 @@ def chunk_listings(items_ds, labels_ref=None):
         df = pd.DataFrame(chunks)
         df['page_id'] = first['page_id']
         df['listing_idx'] = first['listing_idx']
+        for c in carry_cols:
+            df[c] = first[c]
         return df[['page_id', 'listing_idx', 'chunk_idx', 'tokens', 'labels',
-                   'item_idxs']]
+                   'item_idxs'] + list(carry_cols)]
 
     cols = ['page_id', 'listing_idx', 'item_idx', 'page_title', 'topsection',
-            'section', 'ltype', 'header', 'depth', 'tokens']
+            'section', 'ltype', 'header', 'depth', 'tokens'] + list(carry_cols)
     have = [c for c in cols if c in items_ds.schema().names]
     return grouped_map(items_ds.select_columns(have),
                        ['page_id', 'listing_idx'], per_listing)

@@ -69,14 +69,22 @@ def brute_force_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
 
 
 class HyperplaneLSH:
-    """Random-hyperplane signatures for cosine LSH (seeded)."""
+    """Random-hyperplane signatures for cosine LSH (seeded). Planes are
+    unit-normalized and the sign test runs on the ROUNDED (6-decimal)
+    projection of a normalized input — i.e. the bit is
+    ``round(cos(v̂, ŵ), 6) > 0`` — so an engine replaying the planes as
+    constants (the lsh_topk SQL oracle uses list_cosine_similarity)
+    computes the identical signature with no last-ulp sign flips."""
 
     def __init__(self, dim: int, n_planes: int = 16, seed: int = 11):
         rng = np.random.RandomState(seed)
-        self.planes = rng.normal(size=(n_planes, dim))
+        planes = rng.normal(size=(n_planes, dim))
+        self.planes = planes / np.linalg.norm(planes, axis=1, keepdims=True)
 
     def signature(self, mat: np.ndarray) -> np.ndarray:
-        bits = (mat @ self.planes.T) > 0
+        """``mat`` rows must be unit-normalized (the rounded-sign contract
+        is not scale-invariant, unlike the raw sign)."""
+        bits = np.round(mat @ self.planes.T, 6) > 0
         weights = (1 << np.arange(bits.shape[1], dtype=np.int64))
         return bits.astype(np.int64) @ weights
 
@@ -126,7 +134,9 @@ class LshIndex:
         if not cand_idx:
             return np.array([], dtype=self.ids.dtype), np.array([])
         cand = np.unique(np.concatenate(cand_idx))
-        sims = self.mat[cand] @ v
+        # rank on the ROUNDED similarity (engine-independent tie-breaks,
+        # same 6-decimal rule as ivf_topk)
+        sims = np.round(self.mat[cand] @ v, 6)
         order = np.lexsort((self.ids[cand], -sims))[:k]
         return self.ids[cand][order], sims[order]
 
@@ -211,7 +221,7 @@ def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, n_planes: int = 12,
         qm, qsigs, planes = get_broadcast(state)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
         mat = _normalize(mat)
-        bits = (mat @ planes.T) > 0
+        bits = np.round(mat @ planes.T, 6) > 0   # same sign rule as LshIndex
         sig = bits.astype(np.int64) @ (1 << np.arange(bits.shape[1], dtype=np.int64))
         ids = batch[id_col].to_numpy()
         out_q, out_id, out_s = [], [], []
@@ -220,7 +230,7 @@ def lsh_topk(emb_ds, query_vecs: np.ndarray, k: int = 10, n_planes: int = 12,
             cand = np.where(ham <= probe_hamming)[0]
             if len(cand) == 0:
                 continue
-            sims = mat[cand] @ qm[qi]
+            sims = np.round(mat[cand] @ qm[qi], 6)
             kk = min(k, len(cand))
             idx = np.lexsort((ids[cand], -sims))[:kk]
             out_q.extend([qi] * len(idx))
