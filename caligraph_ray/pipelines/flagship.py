@@ -422,7 +422,7 @@ def documents_to_pages(docs_ds):
 
 
 def run_flagship_on_documents(sf_dir: str, out_dir: Optional[str] = None, **kw):
-    import ray.data as rd
-    docs = rd.read_parquet(f'{sf_dir}/documents.parquet',
-                           columns=['doc_id', 'text', 'lang', 'source'])
+    from ..stages.relational import read_table
+    docs = read_table(sf_dir, 'documents',
+                      ['doc_id', 'text', 'lang', 'source'])
     return run_flagship(documents_to_pages(docs), out_dir=out_dir, **kw)

@@ -46,14 +46,14 @@ def mention_corpus_from_sf(sf_dir: str, limit_docs: Optional[int] = None):
     supervision the reference trains on)."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from ..stages.alias import explode_mentions
     from ..stages.html_extract import items_view, parse_pages
+    from ..stages.relational import read_table
     from .flagship import documents_to_pages
 
-    docs = rd.read_parquet(f'{sf_dir}/documents.parquet',
-                           columns=['doc_id', 'text', 'lang', 'source'])
+    docs = read_table(sf_dir, 'documents',
+                      ['doc_id', 'text', 'lang', 'source'])
     if limit_docs:
         docs = docs.limit(limit_docs)
     mentions = explode_mentions(items_view(parse_pages(

@@ -955,10 +955,9 @@ def q_listing_chunks(sf_dir: str):
     item budget, min-item drop — and the oracle replays its closed form for
     this corpus (see SQL_LISTING_CHUNKS)."""
     import pyarrow as pa
-    import ray.data as rd
     from ..stages.chunking import chunk_listings
-    docs = rd.read_parquet(f'{sf_dir}/documents.parquet',
-                           columns=['doc_id', 'text', 'lang', 'source'])
+    docs = rel.read_table(sf_dir, 'documents',
+                          ['doc_id', 'text', 'lang', 'source'])
     items = parse_items(documents_to_pages(docs))
 
     def add_doc_id(t: pa.Table) -> pa.Table:
@@ -1484,9 +1483,8 @@ def q_alias_counts_docs(sf_dir: str):
     """End-to-end parse gate: documents → rendered pages → full HTML parse →
     mention explode → alias counts; the SQL oracle recomputes the same
     (surface, entity, freq) table directly from token statistics."""
-    import ray.data as rd
-    docs = rd.read_parquet(f'{sf_dir}/documents.parquet',
-                           columns=['doc_id', 'text', 'lang', 'source'])
+    docs = rel.read_table(sf_dir, 'documents',
+                          ['doc_id', 'text', 'lang', 'source'])
     pages = documents_to_pages(docs)
     items = parse_items(pages)
     mentions = explode_mentions(items)

@@ -52,10 +52,21 @@ def hash_sample(ds, id_col: str, rate_permille: int, salt: str = 'sample:42'):
                           batch_size=AGG_BATCH_SIZE)
 
 
+def strip_schema_metadata(ds):
+    """Drop schema-level metadata from every block (zero-copy). Pandas-
+    written parquet carries a ``pandas`` metadata blob whose pa.Schema
+    hash raises ``unhashable type: 'dict'``, making Ray's schema
+    deduplication log a warning per task; stripping at the read seam
+    silences the whole pipeline."""
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format='pyarrow')
+
+
 def read_table(sf_dir: str, name: str, columns: Optional[List[str]] = None):
     """Column-pruned parquet read of a driver testdata table."""
     import ray.data as rd
-    return rd.read_parquet(f'{sf_dir}/{name}.parquet', columns=columns)
+    return strip_schema_metadata(
+        rd.read_parquet(f'{sf_dir}/{name}.parquet', columns=columns))
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, left_on: str, right_on: str,
