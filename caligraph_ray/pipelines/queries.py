@@ -520,6 +520,49 @@ FROM t
 """
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1) per doc:
+    top-bigram character fraction + duplicate-5-gram occurrence fraction,
+    floor-quantized to 6dp on both engines."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    return ts.repetition_stats(docs)
+
+
+SQL_REPETITION = """
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), bi AS (
+  SELECT doc_id, n_chars, toks[i] || ' ' || toks[i+1] AS bg
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+), topbg AS (
+  -- most frequent bigram, ties to the lexicographically smallest (the
+  -- engine's min((-count, bigram)) rule)
+  SELECT doc_id, bg, count(*) AS cnt
+  FROM bi GROUP BY doc_id, bg
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY count(*) DESC, bg) = 1
+), five AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                 || toks[i+3] || ' ' || toks[i+4] AS g
+  FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+  WHERE len(toks) >= 5
+), d5 AS (
+  SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+  FROM five GROUP BY doc_id
+)
+SELECT t.doc_id,
+  coalesce(floor(topbg.cnt * length(topbg.bg) * 1.0 / t.n_chars
+                 * 1000000) / 1000000, 0.0) AS top_bigram_frac,
+  coalesce(floor((d5.total - d5.dist) * 1.0 / d5.total
+                 * 1000000) / 1000000, 0.0) AS dup_5gram_frac
+FROM t LEFT JOIN topbg ON t.doc_id = topbg.doc_id
+       LEFT JOIN d5 ON t.doc_id = d5.doc_id
+"""
+
+
 def q_bpe_token_counts(sf_dir: str):
     """Per-document BPE-ish pretoken counts (token budgeting for training
     data); the oracle recounts with the same RE2-compatible pattern."""
@@ -1966,6 +2009,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'url_canonical_dedup': q_url_canonical_dedup,
     'pii_scrub': q_pii_scrub,
     'quality_scores': q_quality_scores,
+    'repetition_stats': q_repetition_stats,
     'lang_id': q_lang_id,
     'bpe_token_counts': q_bpe_token_counts,
     'dedup_exact': q_dedup_exact,
@@ -2027,6 +2071,7 @@ ORACLES: Dict[str, str] = {
     'url_canonical_dedup': SQL_URL_CANONICAL,
     'pii_scrub': SQL_PII,
     'quality_scores': SQL_QUALITY,
+    'repetition_stats': SQL_REPETITION,
     'lang_id': SQL_LANG_ID,
     'bpe_token_counts': SQL_BPE_COUNTS,
     'dedup_exact': SQL_DEDUP_EXACT,

@@ -99,6 +99,55 @@ def lang_id(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
     return docs_ds.map_batches(classify, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
 
 
+def repetition_stats(docs_ds, id_col: str = 'doc_id', text_col: str = 'text'):
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1),
+    per document:
+
+    * ``top_bigram_frac`` — characters covered by the most frequent word
+      2-gram (count × len(bigram incl. separator) / total chars); ties
+      break to the lexicographically smallest bigram.
+    * ``dup_5gram_frac`` — fraction of 5-gram OCCURRENCES that are repeats
+      ((total − distinct) / total; the count-based variant of the paper's
+      duplicated-n-gram filter — well-defined under overlap and
+      SQL-replayable).
+
+    Both floor-quantized to 6dp (the module's engine-independent
+    quantization — floor-scaling has no half-even-vs-half-away divergence,
+    unlike round); docs too short for the n-gram get 0.0. Training
+    pipelines drop docs above thresholds (the paper uses 0.20 / 0.15)."""
+    import math
+
+    def q6(v: float) -> float:
+        return math.floor(v * 1_000_000) / 1_000_000
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        top_bg, dup5 = [], []
+        for text in batch[text_col]:
+            toks = _split_tokens(text)
+            n_chars = len(text)
+            if len(toks) < 2 or n_chars == 0:
+                top_bg.append(0.0)
+            else:
+                counts: dict = {}
+                for a, b in zip(toks, toks[1:]):
+                    bg = a + ' ' + b
+                    counts[bg] = counts.get(bg, 0) + 1
+                best = min(((-c, bg) for bg, c in counts.items()))
+                cnt, bg = -best[0], best[1]
+                top_bg.append(q6(cnt * len(bg) / n_chars))
+            if len(toks) < 5:
+                dup5.append(0.0)
+            else:
+                total = len(toks) - 4
+                distinct = len({tuple(toks[i:i + 5]) for i in range(total)})
+                dup5.append(q6((total - distinct) / total))
+        return pd.DataFrame({id_col: batch[id_col],
+                             'top_bigram_frac': top_bg,
+                             'dup_5gram_frac': dup5})
+    return docs_ds.map_batches(score, batch_format='pandas',
+                               batch_size=AGG_BATCH_SIZE)
+
+
 def fingerprints(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
                  window: int = 16, keep: int = 8, hash_fn=None):
     """Winnowing-style rolling-hash document fingerprints. Pass

@@ -121,3 +121,33 @@ def test_rolling_fingerprint_invariants(text, window, keep):
         all_hashes = {stable_hash64(text[i:i + window])
                       for i in range(len(text) - window + 1)}
         assert fp == sorted(all_hashes)[:keep]
+
+
+def test_repetition_stats_crafted(ray_session):
+    """Gopher repetition filters on crafted docs: a clean doc, a doc whose
+    text is one bigram repeated (top_bigram_frac ≈ 1), and a doc with
+    duplicated 5-grams."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+    from caligraph_ray.stages.textstats import repetition_stats
+    docs = pd.DataFrame({
+        'doc_id': [1, 2, 3, 4],
+        'text': ['one two three four five six seven',
+                 'ab cd ab cd ab cd ab cd',
+                 'a b c d e a b c d e a b c d e',
+                 'x'],
+    })
+    out = repetition_stats(rd.from_pandas(docs).repartition(2)).to_pandas() \
+        .set_index('doc_id').sort_index()
+    # doc 1: every bigram unique -> top bigram covers its own chars once
+    assert out.loc[1, 'dup_5gram_frac'] == 0.0
+    assert 0 < out.loc[1, 'top_bigram_frac'] < 0.5
+    # doc 2: 'ab cd' occurs 4x of 7 bigrams; 4*5/23 chars
+    assert out.loc[2, 'top_bigram_frac'] == math.floor(4 * 5 / 23 * 1e6) / 1e6
+    # doc 3: 15 tokens -> 11 5-grams, 5 distinct -> 6/11 duplicated
+    assert out.loc[3, 'dup_5gram_frac'] == math.floor(6 / 11 * 1e6) / 1e6
+    # doc 4: too short for either n-gram
+    assert out.loc[4, 'top_bigram_frac'] == 0.0
+    assert out.loc[4, 'dup_5gram_frac'] == 0.0
