@@ -34,7 +34,8 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
                  path_threshold: float = PATH_THRESHOLD,
                  concurrency: int = 8, linking: str = 'auto',
                  redirects_ds=None, canon: str = 'auto',
-                 surface_budget: Optional[int] = None):
+                 surface_budget: Optional[int] = None,
+                 markup: str = 'html'):
     """pages Dataset (F1 schema) → deduped, sorted triples Dataset.
 
     ``linking``: 'broadcast' (index collected + ray.put once — fastest while
@@ -46,8 +47,14 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
     from ..config import ALIAS_BROADCAST_LIMIT
     from ..stages.alias import link_mentions_join
     from ..stages.html_extract import cats_view, items_view, parse_pages
-    # ONE parse per page; the union materializes once and feeds both views
-    parsed = parse_pages(pages_ds, concurrency=concurrency).materialize()
+    # ONE parse per page; the union materializes once and feeds both views.
+    # ``markup``: 'html' (crawl analogue) or 'wikitext' (XML-dump path via
+    # sources/xml_dump.dump_to_pages) — same PARSED_SCHEMA either way.
+    if markup == 'wikitext':
+        from ..stages.wikitext import parse_wikitext_pages as _parse
+    else:
+        _parse = parse_pages
+    parsed = _parse(pages_ds, concurrency=concurrency).materialize()
     items = items_view(parsed)
     cats = cats_view(parsed)
 

@@ -500,17 +500,21 @@ class PageParser:
     module's own regexes are RE2-compatible/linear, so the residual risk is
     Python-loop blowup, which the signal interrupts)."""
 
-    def __init__(self, timeout_s: float = PARSE_TIMEOUT_S):
+    def __init__(self, timeout_s: float = PARSE_TIMEOUT_S, parse_fn=None):
         import signal
         import threading
         self.timeout_s = timeout_s
+        # parse_fn(url, payload) -> Optional[ParsedPage]: the markup front
+        # end — parse_page (HTML) by default, wikitext.parse_wikitext_page
+        # for dump ingestion; drop/timeout semantics apply to both
+        self.parse_fn = parse_fn or parse_page
         self._can_alarm = (hasattr(signal, 'setitimer')
                            and threading.current_thread()
                            is threading.main_thread())
 
     def _parse_guarded(self, url: str, html):
         if not self._can_alarm or not self.timeout_s:
-            return parse_page(url, html)
+            return self.parse_fn(url, html)
         import signal
 
         def on_alarm(signum, frame):
@@ -519,7 +523,7 @@ class PageParser:
         prev = signal.signal(signal.SIGALRM, on_alarm)
         signal.setitimer(signal.ITIMER_REAL, self.timeout_s)
         try:
-            return parse_page(url, html)
+            return self.parse_fn(url, html)
         finally:
             signal.setitimer(signal.ITIMER_REAL, 0.0)
             signal.signal(signal.SIGALRM, prev)
