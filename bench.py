@@ -99,6 +99,11 @@ def run_benchmarks() -> dict:
     timed('pii_scrub', lambda: Q.q_pii_scrub(SF_DIR).to_pandas())
     timed('url_canonical_dedup',
           lambda: Q.q_url_canonical_dedup(SF_DIR).to_pandas())
+    # round-3 additions
+    timed('repetition_stats',
+          lambda: Q.q_repetition_stats(SF_DIR).to_pandas())
+    timed('lsh_topk', lambda: Q.q_lsh_topk(SF_DIR))
+    timed('listing_chunks', lambda: Q.q_listing_chunks(SF_DIR).to_pandas())
 
     total = round(sum(timings.values()), 3)
     result = {
