@@ -18,7 +18,8 @@ from __future__ import annotations
 import re
 from typing import Optional
 
-from .strings import get_canonical_label, tokenize, transfer_word_casing
+from .strings import (get_canonical_label, tokenize, tokenize_with_ws,
+                      transfer_word_casing)
 
 _IRREGULAR = {
     'people': 'person', 'men': 'man', 'women': 'woman', 'children': 'child',
@@ -94,17 +95,64 @@ def lexical_head(label: str) -> Optional[str]:
     return head_words[-1] if head_words else None
 
 
+_SUBJECT_CONNECTORS = frozenset({'and', 'or', ','})
+
+
+def lexical_head_subjects(label: str) -> list:
+    """ALL subject nouns of the lexical head (reference
+    tag_lexical_head_subjects, components.py:47-68): scan the head phrase
+    from the END, collecting nouns joined by the subject connectors
+    and/or/',' — 'Cities and towns in France' → ['Cities', 'towns'].
+    Stops (as the reference does) once the word before a collected subject
+    is not a connector."""
+    words = tokenize(get_canonical_label(label))
+    head_phrase = []
+    for w in words:
+        if w.lower() in _PREPOSITIONS:
+            break
+        head_phrase.append(w)
+    subjects = []
+    i = len(head_phrase) - 1
+    while i >= 0:
+        w = head_phrase[i]
+        if w in _SUBJECT_CONNECTORS or w.lower() in _SUBJECT_CONNECTORS:
+            i -= 1
+            continue
+        if not w.isalpha():
+            break
+        subjects.append(w)
+        if i == 0 or head_phrase[i - 1].lower() not in _SUBJECT_CONNECTORS:
+            break
+        i -= 1
+    return list(reversed(subjects))
+
+
 def has_plural_head(label: str) -> bool:
-    """Conceptual-category test: lexical head is a plural noun.
-    'Countries by GDP per capita' → True; 'Paris' → False."""
-    head = lexical_head(label)
-    return bool(head) and is_plural(head)
+    """Conceptual-category test: ANY lexical-head subject is a plural noun
+    (reference has_plural_lexhead_subjects). 'Countries by GDP per capita'
+    → True; 'Cities and towns in France' → True; 'Paris' → False."""
+    return any(is_plural(s) for s in lexical_head_subjects(label))
 
 
 def singularize_phrase(label: str) -> str:
-    """Replace the plural head with its singular form, preserving casing
-    ('Countries by GDP' → 'Country by GDP'; reference nlp.py:143-155)."""
-    head = lexical_head(label)
-    if not head or not is_plural(head):
+    """Singularize EVERY plural head subject, preserving casing, and turn
+    the 'and' joining singularized subjects into 'or' ('Cities and towns
+    in France' → 'City or town in France'; reference nlp.py:143-155).
+    Deviation pinned in tests: the reference's string-level
+    ``result.replace('and', 'or')`` also rewrites 'and' INSIDE words
+    ('Band and groups' → 'Bor or groups'); this port replaces token-wise."""
+    subjects = [s for s in lexical_head_subjects(label) if is_plural(s)]
+    if not subjects:
         return label
-    return re.sub(r'\b' + re.escape(head) + r'\b', singularize(head), label, count=1)
+    toks, ws = tokenize_with_ws(label)
+    sub_left = {s: True for s in subjects}
+    for i, t in enumerate(toks):
+        if sub_left.pop(t, None):
+            toks[i] = singularize(t)
+            if i + 1 < len(toks) and toks[i + 1] == 'and':
+                toks[i + 1] = 'or'
+    out = []
+    for t, w in zip(toks, ws):
+        out.append(t)
+        out.append(w)
+    return ''.join(out)

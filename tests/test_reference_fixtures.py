@@ -67,3 +67,25 @@ def test_resource_encoding_reference_fixture():
 def test_label_encoding_reference_fixture():
     # tests/unit/util/test_serialize.py:12-15
     assert escape_literal('12"/50 caliber Mark 8 gun') == r'12\"/50 caliber Mark 8 gun'
+
+
+def test_multi_subject_lexhead_reference_semantics():
+    """Reference tag_lexical_head_subjects (components.py:47-68) collects
+    ALL head subjects joined by and/or/',' and singularize_phrase
+    (nlp.py:143-155) singularizes each plural one, turning the joining
+    'and' into 'or'."""
+    from caligraph_ray.functions.nlp import (has_plural_head,
+                                             lexical_head_subjects,
+                                             singularize_phrase)
+    assert lexical_head_subjects('Cities and towns in France') == \
+        ['Cities', 'towns']
+    assert singularize_phrase('Cities and towns in France') == \
+        'City or town in France'
+    assert has_plural_head('Cities and towns in France')
+    # a singular first subject stays, and its 'and' is NOT flipped
+    # (deviation from the reference's string-level replace('and','or'),
+    # which would corrupt 'Band' → 'Bor'; pinned here as token-level)
+    assert singularize_phrase('Band and groups from London') == \
+        'Band and group from London'
+    assert singularize_phrase('Countries by GDP per capita') == \
+        'Country by GDP per capita'
