@@ -520,6 +520,40 @@ FROM t
 """
 
 
+def q_duplicate_spans(sf_dir: str, min_len: int = 5):
+    """Exact cross-document duplicate token spans ≥ min_len (Lee et al.
+    exact-substring dedup at span granularity); the oracle replays the
+    gram self-join + gaps-and-islands merge."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    out = dd.duplicate_spans(docs, min_len=min_len).to_pandas()
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype='int64')
+                             for c in ('da', 'db', 'a_start', 'b_start',
+                                       'length')})
+    return out.astype('int64')
+
+
+SQL_DUP_SPANS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+4], ' ') AS g
+  FROM toks, unnest(range(1, len(ws) - 3)) AS u(i)
+), pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS i, b.pos AS j
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+), isl AS (
+  SELECT da, db, i, j, i - j AS diag,
+         i - row_number() OVER (PARTITION BY da, db, i - j ORDER BY i) AS grp
+  FROM pairs
+)
+SELECT da, db, min(i) AS a_start, min(j) AS b_start,
+       count(*) + 4 AS length
+FROM isl GROUP BY da, db, diag, grp
+"""
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1) per doc:
     top-bigram character fraction + duplicate-5-gram occurrence fraction,
@@ -2010,6 +2044,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'pii_scrub': q_pii_scrub,
     'quality_scores': q_quality_scores,
     'repetition_stats': q_repetition_stats,
+    'duplicate_spans': q_duplicate_spans,
     'lang_id': q_lang_id,
     'bpe_token_counts': q_bpe_token_counts,
     'dedup_exact': q_dedup_exact,
@@ -2072,6 +2107,7 @@ ORACLES: Dict[str, str] = {
     'pii_scrub': SQL_PII,
     'quality_scores': SQL_QUALITY,
     'repetition_stats': SQL_REPETITION,
+    'duplicate_spans': SQL_DUP_SPANS,
     'lang_id': SQL_LANG_ID,
     'bpe_token_counts': SQL_BPE_COUNTS,
     'dedup_exact': SQL_DEDUP_EXACT,

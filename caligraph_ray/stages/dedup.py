@@ -479,3 +479,75 @@ def embedding_near_dup_pairs_lsh(emb_ds, id_col: str = 'vec_id',
 
     return _candidate_pairs_from_buckets(sig_ds, id_col, band_fn, verify,
                                          sig_dtype='float64')
+
+
+def duplicate_spans(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
+                    min_len: int = 5):
+    """Exact cross-document duplicate SPANS (Lee et al. 2021
+    'Deduplicating Training Data Makes Language Models Better' — the
+    suffix-array exact-substring dedup, re-expressed as two keyed
+    exchanges): every maximal aligned token run of length ≥ ``min_len``
+    shared by two documents, as (da, db, a_start, b_start, length) with
+    0-based token offsets and da < db.
+
+    Shape: (1) stateless map emits one (gram-hash, doc, pos) row per
+    ``min_len``-gram (63-bit md5 — equality agrees with string equality up
+    to ~2^-63 collisions); (2) gram-keyed exchange self-merges each gram
+    group into cross-doc position pairs; (3) (da, db)-keyed exchange
+    merges pairs along diagonals (i − j) into maximal islands —
+    gaps-and-islands, vectorized. A gram shared by D docs emits O(D²)
+    pairs: at web scale drop top-frequency grams first (the boilerplate
+    stage exists for exactly that) — this operator is the exact tail."""
+    from ..functions.hashing import md5_hash64
+    from .relational import bucketed_map
+
+    L = int(min_len)
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: List = []
+        hs: List[int] = []
+        pos: List[int] = []
+        for did, text in zip(batch[id_col], batch[text_col]):
+            toks = [t for t in (text or '').split(' ') if t]
+            for i in range(len(toks) - L + 1):
+                ids.append(did)
+                pos.append(i)
+                hs.append(md5_hash64(' '.join(toks[i:i + L]))
+                          & 0x7FFFFFFFFFFFFFFF)
+        return pd.DataFrame({'g': pd.Series(hs, dtype='int64'),
+                             '_d': pd.Series(ids, dtype='int64'),
+                             '_p': pd.Series(pos, dtype='int64')})
+
+    gram_rows = docs_ds.map_batches(grams, batch_format='pandas',
+                                    batch_size=AGG_BATCH_SIZE)
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = bucket.merge(bucket, on='g')
+        m = m[m['_d_x'] < m['_d_y']]
+        if not len(m):
+            return pd.DataFrame({'da': pd.Series(dtype='int64'),
+                                 'db': pd.Series(dtype='int64'),
+                                 'i': pd.Series(dtype='int64'),
+                                 'j': pd.Series(dtype='int64')})
+        return pd.DataFrame({'da': m['_d_x'].to_numpy(),
+                             'db': m['_d_y'].to_numpy(),
+                             'i': m['_p_x'].to_numpy(),
+                             'j': m['_p_y'].to_numpy()})
+
+    pair_rows = bucketed_map(gram_rows, ['g'], pairs)
+
+    def spans(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.assign(diag=bucket['i'] - bucket['j']) \
+            .sort_values(['da', 'db', 'diag', 'i'], kind='mergesort')
+        same = (b[['da', 'db', 'diag']]
+                == b[['da', 'db', 'diag']].shift()).all(axis=1).to_numpy()
+        consec = same & (b['i'].diff().to_numpy() == 1)
+        b = b.assign(_isl=np.cumsum(~consec))
+        out = b.groupby('_isl', sort=False).agg(
+            da=('da', 'first'), db=('db', 'first'),
+            a_start=('i', 'min'), b_start=('j', 'min'),
+            length=('i', 'size')).reset_index(drop=True)
+        out['length'] = out['length'] + (L - 1)
+        return out
+
+    return bucketed_map(pair_rows, ['da', 'db'], spans)

@@ -151,3 +151,26 @@ def test_repetition_stats_crafted(ray_session):
     # doc 4: too short for either n-gram
     assert out.loc[4, 'top_bigram_frac'] == 0.0
     assert out.loc[4, 'dup_5gram_frac'] == 0.0
+
+
+def test_duplicate_spans_crafted(ray_session):
+    """Exact-substring span dedup: a 7-token run shared by docs 1 and 2
+    (different offsets) comes back as ONE maximal span, not 3 overlapping
+    5-gram hits; unrelated docs produce nothing."""
+    import pandas as pd
+    import ray.data as rd
+    from caligraph_ray.stages.dedup import duplicate_spans
+    shared = 'the quick brown fox jumps over fences'
+    docs = pd.DataFrame({
+        'doc_id': pd.Series([1, 2, 3], dtype='int64'),
+        'text': [f'intro words {shared} tail one',
+                 f'{shared} completely different ending here',
+                 'nothing in common with the others at all'],
+    })
+    out = duplicate_spans(rd.from_pandas(docs).repartition(2),
+                          min_len=5).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r['da']), int(r['db'])) == (1, 2)
+    assert int(r['a_start']) == 2 and int(r['b_start']) == 0
+    assert int(r['length']) == 7
