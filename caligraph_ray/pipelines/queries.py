@@ -895,6 +895,60 @@ def q_lsh_topk(sf_dir: str):
     return out
 
 
+def q_kmeans_assignments(sf_dir: str):
+    """IVF centroid TRAINING (distributed spherical k-means, 2 Lloyd
+    iterations from the deterministic id-prefix init) → final inverted-
+    list membership (vec_id, centroid). The oracle replays both
+    iterations as chained CTEs (assignment by rounded cosine with the ivf
+    tie rule, element-wise-mean update, empty clusters keep their
+    previous centroid)."""
+    emb = rel.read_table(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    out = sim.kmeans_assignments(emb, n_centroids=8, n_iters=2).to_pandas()
+    return out.astype('int64').sort_values('vec_id').reset_index(drop=True)
+
+
+def _sql_kmeans_assign(dim: int = 64, n_centroids: int = 8,
+                       n_iters: int = 2) -> str:
+    """Generate the k-means oracle: each Lloyd iteration is one
+    assignment CTE (rounded-cosine argmax, ties → smaller centroid index)
+    plus one mean-update CTE (per-dim avg via range-index unnest), with a
+    keep-previous union for empty clusters."""
+    parts = [f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, emb AS v
+  FROM base WHERE vec_id < {n_centroids}
+)"""]
+    for t in range(n_iters):
+        parts.append(f""", a{t} AS (
+  SELECT vec_id, emb, j FROM (
+    SELECT b.vec_id, b.emb, c.j,
+           row_number() OVER (PARTITION BY b.vec_id
+               ORDER BY round(list_cosine_similarity(b.emb, c.v), 6) DESC,
+                        c.j) AS rn
+    FROM base b CROSS JOIN c{t} c) WHERE rn = 1
+), m{t} AS (
+  SELECT j, list(av ORDER BY dim) AS v FROM (
+    SELECT a.j, u.i AS dim, avg(a.emb[u.i]) AS av
+    FROM a{t} a, unnest(range(1, {dim + 1})) AS u(i)
+    GROUP BY a.j, u.i) GROUP BY j
+), c{t + 1} AS (
+  SELECT j, v FROM m{t}
+  UNION ALL
+  SELECT c.j, c.v FROM c{t} c WHERE c.j NOT IN (SELECT j FROM m{t})
+)""")
+    parts.append(f"""
+SELECT vec_id, j AS centroid FROM (
+  SELECT b.vec_id, c.j,
+         row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY round(list_cosine_similarity(b.emb, c.v), 6) DESC,
+                      c.j) AS rn
+  FROM base b CROSS JOIN c{n_iters} c) WHERE rn = 1
+""")
+    return ''.join(parts)
+
+
 def _sql_lsh_topk(dim: int = 64, n_planes: int = 12, k: int = 10) -> str:
     """Generate the lsh_topk oracle: the seeded unit hyperplanes become SQL
     constants, so DuckDB computes the identical signatures/buckets/ranks."""
@@ -2045,6 +2099,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'quality_scores': q_quality_scores,
     'repetition_stats': q_repetition_stats,
     'duplicate_spans': q_duplicate_spans,
+    'kmeans_assignments': q_kmeans_assignments,
     'lang_id': q_lang_id,
     'bpe_token_counts': q_bpe_token_counts,
     'dedup_exact': q_dedup_exact,
@@ -2108,6 +2163,7 @@ ORACLES: Dict[str, str] = {
     'quality_scores': SQL_QUALITY,
     'repetition_stats': SQL_REPETITION,
     'duplicate_spans': SQL_DUP_SPANS,
+    'kmeans_assignments': _sql_kmeans_assign(),
     'lang_id': SQL_LANG_ID,
     'bpe_token_counts': SQL_BPE_COUNTS,
     'dedup_exact': SQL_DEDUP_EXACT,

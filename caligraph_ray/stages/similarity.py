@@ -344,3 +344,106 @@ def ivf_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
     df = df.groupby('query_idx', group_keys=False).head(k).reset_index(drop=True)
     df['score'] = df['score'].round(round_decimals)
     return df
+
+
+def kmeans_centroids(emb_ds, n_centroids: int = 8, n_iters: int = 2,
+                     id_col: str = 'vec_id', vec_col: str = 'embedding'):
+    """Distributed Lloyd iterations for IVF centroid TRAINING (the 'real
+    deployment swaps the id-prefix centroids for k-means centroids' path
+    the ivf_topk docstring promises). Cosine assignment, element-wise-mean
+    update:
+
+    * init = the ``n_centroids`` smallest-id corpus vectors (deterministic,
+      same contract as ivf_topk's quantizer);
+    * each iteration is ONE stateless ``map_batches`` pass: per batch,
+      assign rows to argmax ROUNDED cosine (6dp, ties → smaller centroid
+      index — the ivf tie rule) and emit per-centroid partial (sum, n)
+      rows; the K×D partials reduce on the driver (K is dim-sized);
+    * empty clusters keep their previous centroid.
+
+    Returns (centroids ndarray [K×D], assign_fn) where assign_fn(batch
+    DataFrame) → int64 centroid indices — feed the matrix to ivf_topk-style
+    probing or use ``kmeans_assignments`` for the labeled Dataset."""
+    import ray
+
+    from ..state.broadcast import get_broadcast
+    from .relational import collect_pandas, collect_rows
+
+    crows = collect_rows(
+        emb_ds.map_batches(
+            lambda t: t.filter(pa.compute.less(t.column(id_col),
+                                               pa.scalar(n_centroids))),
+            batch_format='pyarrow').select_columns([id_col, vec_col]))
+    if not crows:
+        raise ValueError('kmeans init contract: need corpus rows with '
+                         f'{id_col} < {n_centroids}')
+    crows.sort(key=lambda r: r[id_col])
+    cmat = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                     for r in crows])
+
+    def assign_rounded(mat: np.ndarray, cm: np.ndarray) -> np.ndarray:
+        sims = np.round(_normalize(mat) @ _normalize(cm).T, 6)
+        return np.argmax(sims, axis=1)   # ties → smaller index (first max)
+
+    for _ in range(int(n_iters)):
+        ref = ray.put(cmat)
+
+        def partials(batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return pd.DataFrame({'c': pd.Series(dtype='int64'),
+                                     's': pd.Series(dtype=object),
+                                     'n': pd.Series(dtype='int64')})
+            cm = get_broadcast(ref)
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in batch[vec_col]])
+            a = assign_rounded(mat, cm)
+            rows = []
+            for j in np.unique(a):
+                sel = mat[a == j]
+                rows.append({'c': int(j), 's': sel.sum(axis=0),
+                             'n': int(len(sel))})
+            return pd.DataFrame(rows)
+
+        p = collect_pandas(emb_ds.map_batches(partials,
+                                              batch_format='pandas',
+                                              batch_size=4096))
+        new = cmat.copy()
+        for j in range(len(cmat)):
+            rows = p[p['c'] == j]
+            if len(rows):
+                total = np.sum(np.stack(list(rows['s'])), axis=0)
+                new[j] = total / rows['n'].sum()
+        cmat = new
+
+    def assign_fn(batch: pd.DataFrame) -> np.ndarray:
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in batch[vec_col]])
+        return assign_rounded(mat, cmat).astype(np.int64)
+
+    return cmat, assign_fn
+
+
+def kmeans_assignments(emb_ds, n_centroids: int = 8, n_iters: int = 2,
+                       id_col: str = 'vec_id', vec_col: str = 'embedding'):
+    """(id, centroid) Dataset after ``n_iters`` Lloyd iterations — the
+    trained inverted-list membership (one final stateless pass)."""
+    import ray
+
+    from ..state.broadcast import get_broadcast
+    cmat, _ = kmeans_centroids(emb_ds, n_centroids, n_iters,
+                               id_col=id_col, vec_col=vec_col)
+    ref = ray.put(cmat)
+
+    def label(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({id_col: pd.Series(dtype='int64'),
+                                 'centroid': pd.Series(dtype='int64')})
+        cm = get_broadcast(ref)
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in batch[vec_col]])
+        sims = np.round(_normalize(mat) @ _normalize(cm).T, 6)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            'centroid': np.argmax(sims, axis=1).astype(np.int64)})
+
+    return emb_ds.map_batches(label, batch_format='pandas', batch_size=4096)

@@ -418,3 +418,40 @@ def test_two_phase_count_int_keys_with_null_batches(ray_session, rd):
     by_key = {(-1 if pd.isna(r['k']) else int(r['k'])): int(r['cnt'])
               for _, r in out.iterrows()}
     assert by_key == {0: 2, 1: 2, 2: 1, -1: 1}
+
+
+def test_kmeans_centroids_trains(ray_session, rd=None):
+    """Distributed Lloyd iterations: crafted 3-cluster data separates, and
+    the spherical k-means objective (mean cosine to assigned centroid)
+    never degrades with more iterations."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from caligraph_ray.stages.similarity import (kmeans_assignments,
+                                                 kmeans_centroids)
+    rng = np.random.RandomState(7)
+    centers = rng.randn(3, 16) * 4
+    vecs = np.vstack([c + rng.randn(40, 16) * 0.05 for c in centers])
+    df = pd.DataFrame({'vec_id': np.arange(len(vecs), dtype='int64'),
+                       'embedding': [v for v in vecs]})
+    ds = rd.from_pandas(df).repartition(2)
+
+    def objective(n_iters):
+        cmat, assign_fn = kmeans_centroids(ds, n_centroids=3,
+                                           n_iters=n_iters)
+        a = assign_fn(df)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+        return float(np.mean(np.sum(vn * cn[a], axis=1)))
+
+    o1, o3 = objective(1), objective(3)
+    assert o3 >= o1 - 1e-9
+    assert o3 > 0.99   # crafted tight clusters must be recovered
+
+    lab = kmeans_assignments(ds, n_centroids=3, n_iters=3).to_pandas() \
+        .sort_values('vec_id').reset_index(drop=True)
+    got = lab['centroid'].to_numpy()
+    # each crafted cluster maps to exactly one centroid label
+    for g in range(3):
+        assert len(set(got[g * 40:(g + 1) * 40])) == 1
+    assert len({got[0], got[40], got[80]}) == 3
