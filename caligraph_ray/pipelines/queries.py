@@ -554,6 +554,40 @@ FROM isl GROUP BY da, db, diag, grp
 """
 
 
+def q_lang_id_ngram(sf_dir: str):
+    """Character-trigram language ID over en/fr/de/es (profile classifier
+    with embedded deterministic profiles); oracle replays every profile
+    trigram count via replace-length arithmetic."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    return ts.lang_id_ngram(docs)
+
+
+def _sql_lang_id_ngram() -> str:
+    per_lang = []
+    for lang in sorted(ts.LANG_FUNCTION_WORDS):
+        terms = ' + '.join(
+            "(length(s) - length(replace(s, '{}', '')))".format(
+                tg.replace("'", "''"))
+            for tg in ts.lang_trigram_profile(lang))
+        per_lang.append(
+            f"SELECT doc_id, '{lang}' AS lang, ({terms}) // 3 AS score FROM t")
+    scores = '\n  UNION ALL\n  '.join(per_lang)
+    return f"""
+WITH t AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents
+), scores AS (
+  {scores}
+), best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rn
+  FROM scores
+)
+SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'unknown' END AS pred_lang
+FROM best WHERE rn = 1
+"""
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1) per doc:
     top-bigram character fraction + duplicate-5-gram occurrence fraction,
@@ -2100,6 +2134,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'repetition_stats': q_repetition_stats,
     'duplicate_spans': q_duplicate_spans,
     'kmeans_assignments': q_kmeans_assignments,
+    'lang_id_ngram': q_lang_id_ngram,
     'lang_id': q_lang_id,
     'bpe_token_counts': q_bpe_token_counts,
     'dedup_exact': q_dedup_exact,
@@ -2164,6 +2199,7 @@ ORACLES: Dict[str, str] = {
     'repetition_stats': SQL_REPETITION,
     'duplicate_spans': SQL_DUP_SPANS,
     'kmeans_assignments': _sql_kmeans_assign(),
+    'lang_id_ngram': _sql_lang_id_ngram(),
     'lang_id': SQL_LANG_ID,
     'bpe_token_counts': SQL_BPE_COUNTS,
     'dedup_exact': SQL_DEDUP_EXACT,

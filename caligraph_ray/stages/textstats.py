@@ -297,3 +297,61 @@ def split_contamination(docs_ds, id_col: str = 'doc_id',
 
     hits = bucketed_map(sh, ['h'], contaminated)
     return two_phase_count(hits, [id_col], alias='shared_shingles')
+
+
+# --- character-n-gram language ID --------------------------------------------
+
+# function-word inventories the trigram profiles derive from (deterministic,
+# no external model; the fastText-style profile classifier shape)
+LANG_FUNCTION_WORDS = {
+    'en': ('the and of to in that it is was for on are with as his they at '
+           'be this have from or had by not but what all were when there'),
+    'fr': ('le la les de des du et est une un dans que qui pour sur avec ne '
+           'pas ce cette ses son au aux par plus mais ou comme elle nous'),
+    'de': ('der die das und ist ein eine nicht mit von zu den dem des sich '
+           'auf für als auch es an werden aus er hat dass sie nach wird'),
+    'es': ('el la los las de del y es una un en que no con por para se su '
+           'al lo como más pero sus le ha me si sin sobre este entre'),
+}
+
+_LANG_TRIGRAM_TOP = 20
+
+
+def lang_trigram_profile(lang: str, top: int = _LANG_TRIGRAM_TOP) -> List[str]:
+    """Top character trigrams (count desc, trigram asc) of the language's
+    padded function-word text — the embedded 'model'."""
+    words = LANG_FUNCTION_WORDS[lang].split()
+    text = ''.join(f' {w} ' for w in words)
+    counts: dict = {}
+    for i in range(len(text) - 2):
+        tg = text[i:i + 3]
+        counts[tg] = counts.get(tg, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [tg for tg, _ in ranked[:top]]
+
+
+def lang_id_ngram(docs_ds, id_col: str = 'doc_id', text_col: str = 'text'):
+    """Character-trigram language ID over en/fr/de/es (the brief's
+    'language-ID (n-gram heuristic)'): score(lang) = Σ non-overlapping
+    occurrences of the language's profile trigrams in ' '+lower(text)+' ';
+    prediction = argmax score (ties → alphabetically first language),
+    'unknown' when every score is 0. ``str.count`` and SQL's
+    ``(length(t)-length(replace(t,tg,'')))/3`` count identically, so the
+    classifier is engine-replayable (generated oracle)."""
+    profiles = {l: lang_trigram_profile(l) for l in LANG_FUNCTION_WORDS}
+    langs = sorted(profiles)
+
+    def classify(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = [' ' + (t or '').lower() + ' ' for t in batch[text_col]]
+        import numpy as np
+        scores = np.zeros((len(texts), len(langs)), dtype=np.int64)
+        for li, lang in enumerate(langs):
+            for tg in profiles[lang]:
+                scores[:, li] += [t.count(tg) for t in texts]
+        best = np.argmax(scores, axis=1)   # ties → first (alphabetical)
+        preds = [langs[b] if scores[i, b] > 0 else 'unknown'
+                 for i, b in enumerate(best)]
+        return pd.DataFrame({id_col: batch[id_col], 'pred_lang': preds})
+
+    return docs_ds.map_batches(classify, batch_format='pandas',
+                               batch_size=AGG_BATCH_SIZE)

@@ -174,3 +174,19 @@ def test_duplicate_spans_crafted(ray_session):
     assert (int(r['da']), int(r['db'])) == (1, 2)
     assert int(r['a_start']) == 2 and int(r['b_start']) == 0
     assert int(r['length']) == 7
+
+
+def test_lang_id_ngram_classifies(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from caligraph_ray.stages.textstats import lang_id_ngram
+    df = pd.DataFrame({'doc_id': pd.Series([1, 2, 3, 4, 5], dtype='int64'),
+                       'text': [
+        'the cat and the dog are in the house with all of them',
+        'le chat est dans la maison avec les autres et il ne dort pas',
+        'der Hund ist in dem Haus und die Katze auch nicht da',
+        'el perro y el gato en la casa con los otros sin miedo',
+        'zzz qqq 123']})
+    out = lang_id_ngram(rd.from_pandas(df).repartition(2)).to_pandas() \
+        .set_index('doc_id').sort_index()
+    assert list(out['pred_lang']) == ['en', 'fr', 'de', 'es', 'unknown']
