@@ -1,0 +1,75 @@
+"""BPE merge training (Sennrich et al. 2016) — the tokenizer-training
+operator of a training-data pipeline.
+
+Industrial shape: the CORPUS pass (word frequencies) is distributed
+(textstats.token_counts two-phase aggregation); the merge loop runs over
+the collected word-frequency dim, which is vocabulary-sized (freq-prune
+upstream at web scale — token_counts takes min_len/vocab filters).
+
+Determinism contract (what makes the generated DuckDB oracle replay the
+whole training loop bit-for-bit): word symbol state is a space-padded
+string `` l o w </w> ``; pair counts are freq-weighted adjacent-symbol
+counts; the best pair ranks by (count desc, pair asc); a merge is ONE
+plain left-to-right string replace of `` a b `` with `` ab `` — the same
+greedy non-overlapping semantics in Python ``str.replace`` and SQL
+``replace``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+END = '</w>'
+
+
+def word_sym(word: str) -> str:
+    return ' ' + ' '.join(word) + f' {END} '
+
+
+def bpe_train_from_vocab(vocab: Dict[str, int],
+                         n_merges: int) -> List[Tuple[str, str]]:
+    """[(pair, merged)] learned merges, most-frequent first."""
+    items: List[Tuple[str, int]] = [(word_sym(w), f) for w, f in vocab.items()]
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: Dict[str, int] = {}
+        for sym, f in items:
+            parts = sym.split()
+            for a, b in zip(parts, parts[1:]):
+                p = a + ' ' + b
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(((-c, p) for p, c in counts.items()))
+        pair = best[1]
+        merged = pair.replace(' ', '')
+        merges.append((pair, merged))
+        items = [(s.replace(f' {pair} ', f' {merged} '), f) for s, f in items]
+    return merges
+
+
+def bpe_merges(docs_ds, n_merges: int = 10, text_col: str = 'text'):
+    """documents Dataset → learned merge table (rank, pair, merged):
+    distributed word counting, driver merge loop over the vocab dim."""
+    import pandas as pd
+
+    from ..stages.relational import collect_pandas
+    from ..stages.textstats import token_counts
+
+    vc = collect_pandas(token_counts(docs_ds, text_col=text_col))
+    vocab = dict(zip(vc['token'], vc['freq'].astype(int)))
+    merges = bpe_train_from_vocab(vocab, n_merges)
+    return pd.DataFrame({
+        'rank': pd.Series(range(1, len(merges) + 1), dtype='int64'),
+        'pair': [p for p, _ in merges],
+        'merged': [m for _, m in merges],
+    })
+
+
+def bpe_encode(word: str, merges: List[Tuple[str, str]]) -> List[str]:
+    """Apply learned merges in rank order to one word (the inference side
+    of the trainer; batched application belongs in a map_batches stage)."""
+    sym = word_sym(word)
+    for pair, merged in merges:
+        sym = sym.replace(f' {pair} ', f' {merged} ')
+    return sym.split()

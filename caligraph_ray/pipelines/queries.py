@@ -554,6 +554,51 @@ FROM isl GROUP BY da, db, diag, grp
 """
 
 
+def q_bpe_merges(sf_dir: str, n_merges: int = 10):
+    """BPE tokenizer TRAINING over the corpus (distributed word counts +
+    deterministic merge loop); the oracle replays all ten merges as
+    chained CTEs with identical padded-string replace semantics."""
+    from ..functions.bpe import bpe_merges
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    return bpe_merges(docs, n_merges=n_merges)
+
+
+def _sql_bpe_merges(n_merges: int = 10) -> str:
+    parts = ["""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), vc AS (
+  SELECT token, count(*) AS freq FROM tok WHERE token <> '' GROUP BY token
+), v0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(string_split(token, ''), ' ')
+         || ' </w> ' AS sym, freq
+  FROM vc
+)"""]
+    for t in range(n_merges):
+        parts.append(f""", p{t} AS (
+  SELECT q.l[u.i] || ' ' || q.l[u.i + 1] AS pair, sum(q.freq) AS cnt
+  FROM (SELECT freq, list_filter(string_split(sym, ' '), x -> x <> '') AS l
+        FROM v{t}) q,
+       unnest(range(1, len(q.l))) AS u(i)
+  GROUP BY pair
+), b{t} AS MATERIALIZED (
+  SELECT pair, replace(pair, ' ', '') AS merged
+  FROM p{t} ORDER BY cnt DESC, pair LIMIT 1
+), v{t + 1} AS MATERIALIZED (
+  SELECT replace(sym, ' ' || (SELECT pair FROM b{t}) || ' ',
+                 ' ' || (SELECT merged FROM b{t}) || ' ') AS sym, freq
+  FROM v{t}
+)""")
+    union = '\n  UNION ALL\n  '.join(
+        f"SELECT CAST({t + 1} AS BIGINT) AS rank, pair, merged FROM b{t}"
+        for t in range(n_merges))
+    parts.append(f"""
+SELECT rank, pair, merged FROM (
+  {union}
+)""")
+    return ''.join(parts)
+
+
 def q_lang_id_ngram(sf_dir: str):
     """Character-trigram language ID over en/fr/de/es (profile classifier
     with embedded deterministic profiles); oracle replays every profile
@@ -2135,6 +2180,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'duplicate_spans': q_duplicate_spans,
     'kmeans_assignments': q_kmeans_assignments,
     'lang_id_ngram': q_lang_id_ngram,
+    'bpe_merges': q_bpe_merges,
     'lang_id': q_lang_id,
     'bpe_token_counts': q_bpe_token_counts,
     'dedup_exact': q_dedup_exact,
@@ -2200,6 +2246,7 @@ ORACLES: Dict[str, str] = {
     'duplicate_spans': SQL_DUP_SPANS,
     'kmeans_assignments': _sql_kmeans_assign(),
     'lang_id_ngram': _sql_lang_id_ngram(),
+    'bpe_merges': _sql_bpe_merges(),
     'lang_id': SQL_LANG_ID,
     'bpe_token_counts': SQL_BPE_COUNTS,
     'dedup_exact': SQL_DEDUP_EXACT,

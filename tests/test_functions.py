@@ -142,3 +142,32 @@ def test_singularize_movies_special_case():
     assert singularize('movies') == 'movie'
     assert singularize('Cities') == 'City'
     assert singularize('countries') == 'country'
+
+
+def test_bpe_train_classic_golden():
+    """Sennrich et al.'s canonical example: vocab {low:5, lower:2,
+    newest:6, widest:3} — first merges are (e s), (es t), (est </w>)."""
+    from caligraph_ray.functions.bpe import bpe_encode, bpe_train_from_vocab
+    vocab = {'low': 5, 'lower': 2, 'newest': 6, 'widest': 3}
+    merges = bpe_train_from_vocab(vocab, 5)
+    assert merges[0] == ('e s', 'es')
+    assert merges[1] == ('es t', 'est')
+    assert merges[2] == ('est </w>', 'est</w>')
+    # encoding applies merges in rank order
+    assert bpe_encode('newest', merges[:3]) == ['n', 'e', 'w', 'est</w>']
+    # merge loop stops when no pairs remain
+    assert bpe_train_from_vocab({'a': 1}, 5) == [('a </w>', 'a</w>')]
+
+
+def test_bpe_merges_distributed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from caligraph_ray.functions.bpe import bpe_merges, bpe_train_from_vocab
+    docs = pd.DataFrame({'doc_id': [1, 2], 'text': [
+        'low low low low low lower lower newest newest newest',
+        'newest newest newest widest widest widest']})
+    out = bpe_merges(rd.from_pandas(docs).repartition(2), n_merges=3)
+    want = bpe_train_from_vocab({'low': 5, 'lower': 2, 'newest': 6,
+                                 'widest': 3}, 3)
+    assert list(zip(out['pair'], out['merged'])) == want
+    assert list(out['rank']) == [1, 2, 3]
