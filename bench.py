@@ -104,6 +104,10 @@ def run_benchmarks() -> dict:
           lambda: Q.q_repetition_stats(SF_DIR).to_pandas())
     timed('lsh_topk', lambda: Q.q_lsh_topk(SF_DIR))
     timed('listing_chunks', lambda: Q.q_listing_chunks(SF_DIR).to_pandas())
+    timed('duplicate_spans', lambda: Q.q_duplicate_spans(SF_DIR))
+    timed('kmeans_assignments', lambda: Q.q_kmeans_assignments(SF_DIR))
+    timed('lang_id_ngram', lambda: Q.q_lang_id_ngram(SF_DIR).to_pandas())
+    timed('bpe_merges', lambda: Q.q_bpe_merges(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {
