@@ -13,6 +13,15 @@ counts; the best pair ranks by (count desc, pair asc); a merge is ONE
 plain left-to-right string replace of `` a b `` with `` ab `` — the same
 greedy non-overlapping semantics in Python ``str.replace`` and SQL
 ``replace``.
+
+Documented deviation from canonical BPE (Sennrich's lookaround-regex
+replace, unavailable in RE2/SQL): when the best pair is (x, x) and a word
+holds a RUN of ≥3 identical symbols, adjacent occurrences share a
+boundary space, so `` x x x x `` merges to ``xx x x`` in one step instead
+of ``xx xx`` — the remaining pair merges on a LATER iteration, so the
+tokenization converges but the learned merge ORDER can differ on
+repeat-heavy vocabs. Pinned in tests/test_property_round3.py; on
+natural-language vocabs the orders agree (Sennrich golden passes).
 """
 
 from __future__ import annotations

@@ -52,15 +52,21 @@ def parse_nif_part(data: bytes) -> List[tuple]:
     """One dump part (N-Triples, plain or bz2) → [(resource, resource_iri,
     url, text)]. Only isString/sourceUrl predicates are kept, so the
     per-file state is one small dict entry per context."""
+    import logging
     ctx: dict = {}
     order: List[str] = []
     tail = ''
-    for chunk in _decompressed_chunks(data):
-        buf = tail + chunk.decode('utf-8', errors='replace')
-        lines = buf.split('\n')
-        tail = lines.pop()
-        for line in lines:
-            _collect_line(line, ctx, order)
+    try:
+        for chunk in _decompressed_chunks(data):
+            buf = tail + chunk.decode('utf-8', errors='replace')
+            lines = buf.split('\n')
+            tail = lines.pop()
+            for line in lines:
+                _collect_line(line, ctx, order)
+    except (OSError, EOFError, ValueError) as e:
+        # fail-soft on a corrupt part: keep the contexts assembled so far
+        logging.getLogger('caligraph_ray.nif').warning(
+            'NIF part parse aborted after %d contexts: %s', len(order), e)
     if tail:
         _collect_line(tail, ctx, order)
     rows = []

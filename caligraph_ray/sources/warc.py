@@ -83,18 +83,25 @@ def _http_body(payload: bytes) -> bytes:
 
 def parse_warc(data: bytes, flush_pages: int = 1000) -> Iterator[List[tuple]]:
     """One WARC part → row groups of (url, warc_ts_iso, html bytes)."""
+    import logging
     rows: List[tuple] = []
-    for chunk in _gunzip_members(data):
-        # a gzip member holds whole records (Common Crawl: one per member);
-        # a plain part arrives as one chunk with every record
-        for headers, body in _parse_records(chunk):
-            if headers.get('warc-type') == 'response':
-                url = headers.get('warc-target-uri', '')
-                ts = headers.get('warc-date', '')
-                rows.append((url, ts, _http_body(body)))
-            if len(rows) >= flush_pages:
-                yield rows[:]
-                rows.clear()
+    try:
+        for chunk in _gunzip_members(data):
+            # a gzip member holds whole records (Common Crawl: one per
+            # member); a plain part arrives as one chunk with every record
+            for headers, body in _parse_records(chunk):
+                if headers.get('warc-type') == 'response':
+                    url = headers.get('warc-target-uri', '')
+                    ts = headers.get('warc-date', '')
+                    rows.append((url, ts, _http_body(body)))
+                if len(rows) >= flush_pages:
+                    yield rows[:]
+                    rows.clear()
+    except (zlib.error, OSError, EOFError, ValueError) as e:
+        # fail-soft on a corrupt part (same policy as the XML dump reader)
+        logging.getLogger('caligraph_ray.warc').warning(
+            'WARC part parse aborted after %d buffered records: %s',
+            len(rows), e)
     if rows:
         yield rows
 

@@ -136,7 +136,15 @@ def parse_wiki_xml(data: bytes,
     The parser is fed ``feed_bytes`` slices and the row buffer flushes
     whenever it reaches ``flush_pages`` — held pages are bounded by
     flush_pages plus however many pages one feed slice completes, never
-    the whole part."""
+    the whole part.
+
+    Fail-soft: a malformed part (truncated download, XML corruption)
+    yields every COMPLETE page parsed before the error and logs the drop
+    instead of failing the read task — one bad part of a 100 TB dump must
+    not abort the pipeline (the same drop-don't-stall policy as
+    PageParser's per-row guard)."""
+    import logging
+
     from xml.parsers import expat
     rows: List[tuple] = []
     target = _PageTarget(frozenset(int(n) for n in namespaces), rows)
@@ -145,13 +153,18 @@ def parse_wiki_xml(data: bytes,
     p.StartElementHandler = target.start
     p.EndElementHandler = target.end
     p.CharacterDataHandler = target.data
-    for chunk in _decompressed_chunks(data):
-        for off in range(0, len(chunk), feed_bytes):
-            p.Parse(chunk[off:off + feed_bytes], False)
-            if len(rows) >= flush_pages:
-                yield rows[:]
-                rows.clear()
-    p.Parse(b'', True)
+    try:
+        for chunk in _decompressed_chunks(data):
+            for off in range(0, len(chunk), feed_bytes):
+                p.Parse(chunk[off:off + feed_bytes], False)
+                if len(rows) >= flush_pages:
+                    yield rows[:]
+                    rows.clear()
+        p.Parse(b'', True)
+    except (expat.ExpatError, OSError, EOFError, ValueError) as e:
+        logging.getLogger('caligraph_ray.xml_dump').warning(
+            'dump part parse aborted after %d buffered pages: %s',
+            len(rows), e)
     if rows:
         yield rows
 
