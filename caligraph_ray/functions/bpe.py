@@ -7,21 +7,23 @@ the collected word-frequency dim, which is vocabulary-sized (freq-prune
 upstream at web scale — token_counts takes min_len/vocab filters).
 
 Determinism contract (what makes the generated DuckDB oracle replay the
-whole training loop bit-for-bit): word symbol state is a space-padded
-string `` l o w </w> ``; pair counts are freq-weighted adjacent-symbol
-counts; the best pair ranks by (count desc, pair asc); a merge is ONE
-plain left-to-right string replace of `` a b `` with `` ab `` — the same
-greedy non-overlapping semantics in Python ``str.replace`` and SQL
-``replace``.
+whole training loop bit-for-bit): word symbol state is a DOUBLE-space-
+separated string ``  l  o  w  </w>  ``; pair counts are freq-weighted
+adjacent-symbol counts; the best pair ranks by (count desc, pair asc); a
+merge is ONE plain left-to-right string replace of `` a  b `` (single
+flanking space, double interior space) with `` ab `` — the same greedy
+non-overlapping semantics in Python ``str.replace`` and SQL ``replace``.
 
-Documented deviation from canonical BPE (Sennrich's lookaround-regex
-replace, unavailable in RE2/SQL): when the best pair is (x, x) and a word
-holds a RUN of ≥3 identical symbols, adjacent occurrences share a
-boundary space, so `` x x x x `` merges to ``xx x x`` in one step instead
-of ``xx xx`` — the remaining pair merges on a LATER iteration, so the
-tokenization converges but the learned merge ORDER can differ on
-repeat-heavy vocabs. Pinned in tests/test_property_round3.py; on
-natural-language vocabs the orders agree (Sennrich golden passes).
+Why double spaces: with single-space separators, adjacent pattern
+occurrences share a boundary space (`` b a b a `` → the first replace
+consumes the space the second occurrence needs), so one replace pass
+under-merges — not just on identical-symbol runs but on ANY immediately
+adjacent occurrence (word ``baba``). With two spaces between symbols and
+a one-space flank on the pattern, consecutive occurrences never share a
+character, so a single left-to-right replace merges exactly the canonical
+greedy non-overlapping occurrence set — bit-identical to Sennrich's
+list-based merge, identical-symbol runs included (property-tested against
+a list reference in tests/test_property_round3.py with NO exclusions).
 """
 
 from __future__ import annotations
@@ -32,7 +34,13 @@ END = '</w>'
 
 
 def word_sym(word: str) -> str:
-    return ' ' + ' '.join(word) + f' {END} '
+    return '  ' + '  '.join(word) + f'  {END}  '
+
+
+def _pat(pair: str) -> str:
+    """Replace pattern for a single-space pair key 'a b': one flanking
+    space each side, two interior — disjoint for adjacent occurrences."""
+    return ' ' + pair.replace(' ', '  ') + ' '
 
 
 def bpe_train_from_vocab(vocab: Dict[str, int],
@@ -53,7 +61,7 @@ def bpe_train_from_vocab(vocab: Dict[str, int],
         pair = best[1]
         merged = pair.replace(' ', '')
         merges.append((pair, merged))
-        items = [(s.replace(f' {pair} ', f' {merged} '), f) for s, f in items]
+        items = [(s.replace(_pat(pair), f' {merged} '), f) for s, f in items]
     return merges
 
 
@@ -80,5 +88,5 @@ def bpe_encode(word: str, merges: List[Tuple[str, str]]) -> List[str]:
     of the trainer; batched application belongs in a map_batches stage)."""
     sym = word_sym(word)
     for pair, merged in merges:
-        sym = sym.replace(f' {pair} ', f' {merged} ')
+        sym = sym.replace(_pat(pair), f' {merged} ')
     return sym.split()

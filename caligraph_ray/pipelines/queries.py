@@ -570,8 +570,11 @@ WITH tok AS (
 ), vc AS (
   SELECT token, count(*) AS freq FROM tok WHERE token <> '' GROUP BY token
 ), v0 AS MATERIALIZED (
-  SELECT ' ' || array_to_string(string_split(token, ''), ' ')
-         || ' </w> ' AS sym, freq
+  -- DOUBLE-space separators: adjacent merge-pattern occurrences never
+  -- share a character, so one replace == canonical greedy BPE (see
+  -- functions/bpe.py module doc)
+  SELECT '  ' || array_to_string(string_split(token, ''), '  ')
+         || '  </w>  ' AS sym, freq
   FROM vc
 )"""]
     for t in range(n_merges):
@@ -585,7 +588,8 @@ WITH tok AS (
   SELECT pair, replace(pair, ' ', '') AS merged
   FROM p{t} ORDER BY cnt DESC, pair LIMIT 1
 ), v{t + 1} AS MATERIALIZED (
-  SELECT replace(sym, ' ' || (SELECT pair FROM b{t}) || ' ',
+  SELECT replace(sym,
+                 ' ' || replace((SELECT pair FROM b{t}), ' ', '  ') || ' ',
                  ' ' || (SELECT merged FROM b{t}) || ' ') AS sym, freq
   FROM v{t}
 )""")

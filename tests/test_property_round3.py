@@ -162,37 +162,32 @@ def _bpe_list_reference(vocab, n_merges):
     return merges
 
 
-def _no_adjacent_repeat(w: str) -> bool:
-    return all(a != b for a, b in zip(w, w[1:]))
-
-
 @PURE
-@given(st.dictionaries(st.text(alphabet='abcd', min_size=1, max_size=4)
-                       .filter(_no_adjacent_repeat),
+@given(st.dictionaries(st.text(alphabet='abcd', min_size=1, max_size=5),
                        st.integers(min_value=1, max_value=9),
                        min_size=1, max_size=6),
        st.integers(min_value=1, max_value=6))
 def test_bpe_string_replace_equals_list_merge(vocab, n_merges):
-    """The padded-string replace (what the SQL oracle replays) computes
-    the SAME merges as the canonical list-based greedy merge on vocabs
-    without identical-symbol runs (length-≤4 words with distinct adjacent
-    chars can never grow a run of 3 equal symbols)."""
+    """The double-space-padded string replace (what the SQL oracle
+    replays) computes the SAME merges as the canonical list-based greedy
+    merge on ALL vocabs — adjacent occurrences ('baba') and identical-
+    symbol runs ('aaaa') included, because consecutive pattern
+    occurrences never share a character."""
     from caligraph_ray.functions.bpe import bpe_train_from_vocab
     assert bpe_train_from_vocab(vocab, n_merges) == \
         _bpe_list_reference(vocab, n_merges)
 
 
-def test_bpe_repeat_run_deviation_pinned():
-    """The DOCUMENTED deviation (functions/bpe.py module doc): on a run of
-    4 identical symbols the string replace merges one pair per boundary-
-    free occurrence, deferring the overlapped pair to a later iteration —
-    canonical list-merge collapses both at once. Same final tokenization,
-    different merge order."""
+def test_bpe_runs_and_adjacent_occurrences_canonical():
+    """Regression pins for the two historic single-space-padding bugs:
+    'baba' (adjacent occurrences sharing a boundary space) and 'aaaa'
+    (identical-symbol run) both now merge in canonical order."""
     from caligraph_ray.functions.bpe import bpe_encode, bpe_train_from_vocab
-    ours = bpe_train_from_vocab({'aaaa': 1}, 3)
-    canon = _bpe_list_reference({'aaaa': 1}, 3)
-    assert ours[0] == canon[0] == ('a a', 'aa')
-    assert ours != canon                       # order diverges after that
-    # but the encoded word converges to one symbol either way
+    for vocab in ({'baba': 1}, {'aaaa': 1}, {'aaaaa': 2, 'baba': 3}):
+        for n in (1, 2, 3, 4):
+            assert bpe_train_from_vocab(vocab, n) == \
+                _bpe_list_reference(vocab, n)
     assert bpe_encode('aaaa', bpe_train_from_vocab({'aaaa': 1}, 4)) \
         == ['aaaa</w>']
+    assert bpe_encode('baba', bpe_train_from_vocab({'baba': 1}, 4)) \
+        == ['baba</w>']
