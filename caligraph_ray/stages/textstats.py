@@ -191,15 +191,29 @@ def bpe_token_counts(docs_ds, id_col: str = 'doc_id', text_col: str = 'text'):
                                batch_size=AGG_BATCH_SIZE)
 
 
+#: vocab rows above which unigram scoring stops broadcasting the token →
+#: logprob dim and switches to the token-keyed shuffle-join regime (web-
+#: scale vocab is unbounded; a driver collect + ray.put of O(10^9) tokens
+#: is the ceiling the gate removes). Same pattern as ALIAS_BROADCAST_LIMIT.
+UNIGRAM_BROADCAST_LIMIT = int(__import__('os').environ.get(
+    'UNIGRAM_BROADCAST_LIMIT', 2_000_000))
+
+
 def unigram_logprob_scores(docs_ds, id_col: str = 'doc_id',
-                           text_col: str = 'text'):
+                           text_col: str = 'text',
+                           vocab_broadcast_limit: Optional[int] = None):
     """Corpus-statistics quality scoring: per-document sum of unigram log
     probabilities (the KenLM-style fluency/rarity signal of training-data
     filters), computed distributed in two passes:
 
     1. corpus token counts (two-phase; vocab-dim shuffle),
     2. one broadcast of the token → logprob table, then a stateless scoring
-       map over the documents.
+       map over the documents — OR, when the measured vocab cardinality
+       exceeds ``vocab_broadcast_limit`` (default UNIGRAM_BROADCAST_LIMIT),
+       a token-keyed shuffle join of the per-doc distinct-token counts
+       against the logprob dim followed by a per-doc sum (no driver
+       collect, no broadcast: the scale regime for unbounded web vocab).
+       Both regimes are bit-identical (forced-low-gate equivalence test).
 
     Per-token logprobs are quantized to integer fixed-point log2 units
     (``log2_fixed(freq) - log2_fixed(N)``, scale 2^-20 bits) BEFORE
@@ -215,7 +229,14 @@ def unigram_logprob_scores(docs_ds, id_col: str = 'doc_id',
     from ..state.broadcast import get_broadcast
     from .relational import collect_pandas
 
-    counts = collect_pandas(token_counts(docs_ds, text_col=text_col))
+    limit = (UNIGRAM_BROADCAST_LIMIT if vocab_broadcast_limit is None
+             else vocab_broadcast_limit)
+    counts_ds = token_counts(docs_ds, text_col=text_col).materialize()
+    n_vocab = counts_ds.count()
+    if n_vocab > max(limit, 0):
+        return _unigram_scores_join(docs_ds, counts_ds, id_col, text_col)
+
+    counts = collect_pandas(counts_ds)
     if counts.empty:   # token-less corpus: schema-less empty counts frame
         lp: Dict[str, int] = {}
     else:
@@ -251,6 +272,68 @@ def unigram_logprob_scores(docs_ds, id_col: str = 'doc_id',
 
     return docs_ds.map_batches(score, batch_format='pyarrow',
                                batch_size=AGG_BATCH_SIZE)
+
+
+def _unigram_scores_join(docs_ds, counts_ds, id_col: str, text_col: str):
+    """Shuffle-join regime of unigram_logprob_scores: (doc_id, token, tf)
+    exploded rows join the (token, lp_q) dim on one co-partitioned hash
+    exchange, partial per-doc sums combine before the doc-keyed groupby.
+    The only driver value is the scalar corpus total N."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import log2_fixed
+    from .relational import shuffle_join
+
+    agg = counts_ds.aggregate(Sum('freq', alias_name='n_total'))
+    n_total = int(agg['n_total']) if agg and agg.get('n_total') else 0
+    l2_n = log2_fixed(n_total) if n_total else 0
+
+    def to_lp(batch: pa.Table) -> pa.Table:
+        cache: Dict[int, int] = {}
+        lp = []
+        for f in batch.column('freq').to_pylist():
+            q = cache.get(f)
+            if q is None:
+                q = cache[f] = log2_fixed(int(f)) - l2_n
+            lp.append(q)
+        return pa.Table.from_pydict(
+            {'token': batch.column('token'),
+             'lp_q': pa.array(lp, pa.int64())})
+
+    lp_dim = counts_ds.map_batches(to_lp, batch_format='pyarrow')
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, toks, tfs = [], [], []
+        for i, text in zip(batch.column(id_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            for t, n in Counter(_split_tokens(text)).items():
+                ids.append(i)
+                toks.append(t)
+                tfs.append(n)
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids, batch.schema.field(id_col).type),
+            'token': pa.array(toks, pa.string()),
+            'tf': pa.array(tfs, pa.int64())})
+
+    doc_tokens = docs_ds.map_batches(explode, batch_format='pyarrow',
+                                     batch_size=AGG_BATCH_SIZE)
+    joined = shuffle_join(doc_tokens, lp_dim,
+                          left_on='token', right_on='token', how='inner')
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype='int64'),
+                                 'lp_part': pd.Series([], dtype='int64'),
+                                 'tf_part': pd.Series([], dtype='int64')})
+        df = df.assign(_c=df['tf'].astype('int64') * df['lp_q'].astype('int64'))
+        g = df.groupby(id_col, as_index=False, sort=False).agg(
+            lp_part=('_c', 'sum'), tf_part=('tf', 'sum'))
+        return g
+
+    pre = joined.map_batches(part, batch_format='pandas')
+    return pre.groupby(id_col).aggregate(
+        Sum('lp_part', alias_name='logprob_q'),
+        Sum('tf_part', alias_name='n_tokens'))
 
 
 def split_contamination(docs_ds, id_col: str = 'doc_id',

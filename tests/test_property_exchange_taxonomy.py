@@ -174,11 +174,17 @@ def test_build_hierarchy_invariants(ray_session, edges, merge):
                 dq.append(c)
     assert seen == h.content_nodes
 
-    # parts partition the original label set
-    all_parts = [p for n in h.content_nodes for p in h.parts(n)]
-    assert len(all_parts) == len(set(all_parts)), 'parts overlap'
+    # parts COVER the original label set (reference semantics: a node
+    # merging into SEVERAL matching parents unions its parts into EACH —
+    # hierarchy_graph.py:244-246; _nodes_by_part maps part → node SET —
+    # so parts may legitimately appear under more than one survivor, but
+    # every original label must survive somewhere and nothing is invented)
+    all_parts = {p for n in h.content_nodes for p in h.parts(n)}
     raw = {x for e in edges for x in e}
-    assert set(all_parts) == raw
+    assert all_parts == raw
+    if not merge:   # without merging, parts ARE a partition (1:1)
+        flat = [p for n in h.content_nodes for p in h.parts(n)]
+        assert len(flat) == len(all_parts), 'parts overlap without merge'
 
     # closure agrees with BFS ancestors for every node
     cl = h.closure()

@@ -81,6 +81,24 @@ def test_unigram_logprob_matches_reference(ray_session, df):
 
 
 @SETTINGS
+@given(doc_frame())
+def test_unigram_logprob_join_regime_equivalent(ray_session, df):
+    """Forced-low-gate equivalence: vocab_broadcast_limit=0 routes through
+    the token-keyed shuffle-join scale path, which must be bit-identical
+    to the broadcast regime."""
+    import ray.data as rd
+    from caligraph_ray.stages.textstats import unigram_logprob_scores
+    ds = rd.from_pandas(df).repartition(2)
+    base = unigram_logprob_scores(ds).to_pandas()
+    joined = unigram_logprob_scores(
+        ds, vocab_broadcast_limit=0).to_pandas()
+    key = lambda d: {int(r['doc_id']): (int(r['logprob_q']),
+                                        int(r['n_tokens']))
+                     for _, r in d.iterrows()}
+    assert key(base) == key(joined)
+
+
+@SETTINGS
 @given(doc_frame(), st.integers(min_value=1, max_value=3))
 def test_split_contamination_matches_brute(ray_session, df, shingle_size):
     import ray.data as rd
