@@ -90,3 +90,46 @@ def bpe_encode(word: str, merges: List[Tuple[str, str]]) -> List[str]:
     for pair, merged in merges:
         sym = sym.replace(_pat(pair), f' {merged} ')
     return sym.split()
+
+
+def bpe_segment_counts(docs_ds, n_merges: int = 10, id_col: str = 'doc_id',
+                       text_col: str = 'text'):
+    """Distributed BPE APPLICATION (the inference half of the lifecycle):
+    learn ``n_merges`` merges from the corpus, then segment every document
+    and emit (doc_id, n_bpe_tokens) — the token-budget signal a training
+    pipeline prices data with.
+
+    Vectorization trick: each doc becomes ONE padded symbol stream
+    (concatenated per-word ``word_sym``s), and each merge is a single
+    pandas ``str.replace(..., regex=False)`` over the whole column — no
+    per-word Python loop in the replace chain. The stream is safe because
+    (a) no learned pair's FIRST symbol can contain ``</w>`` (it is never
+    word-final during training), and (b) concatenated word_syms leave four
+    spaces between words while patterns carry single-space flanks, so a
+    pattern can never straddle a word boundary. The merge table
+    (``n_merges`` rows) broadcasts via ray.put; the segmentation map is
+    stateless and streams."""
+    import pandas as pd
+    import ray
+
+    from ..config import AGG_BATCH_SIZE
+    from ..state.broadcast import get_broadcast
+
+    merges_df = bpe_merges(docs_ds, n_merges=n_merges)
+    pats = [(_pat(p), f' {m} ')
+            for p, m in zip(merges_df['pair'], merges_df['merged'])]
+    ref = ray.put(pats)
+
+    def seg(df: pd.DataFrame) -> pd.DataFrame:
+        pats_ = get_broadcast(ref)
+        syms = df[text_col].map(
+            lambda t: ''.join(word_sym(w) for w in t.split(' ') if w))
+        for pat, rep in pats_:
+            syms = syms.str.replace(pat, rep, regex=False)
+        return pd.DataFrame({
+            id_col: df[id_col],
+            'n_bpe_tokens': syms.str.split().str.len().astype('int64'),
+        })
+
+    return docs_ds.map_batches(seg, batch_format='pandas',
+                               batch_size=AGG_BATCH_SIZE)

@@ -563,9 +563,10 @@ def q_bpe_merges(sf_dir: str, n_merges: int = 10):
     return bpe_merges(docs, n_merges=n_merges)
 
 
-def _sql_bpe_merges(n_merges: int = 10) -> str:
-    parts = ["""
-WITH tok AS (
+def _bpe_training_ctes(n_merges: int) -> str:
+    """Shared chained-CTE replay of the BPE merge loop (v0..vN, b0..bN-1);
+    used by both the merges oracle and the segmentation oracle."""
+    parts = ["""tok AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
 ), vc AS (
   SELECT token, count(*) AS freq FROM tok WHERE token <> '' GROUP BY token
@@ -593,14 +594,51 @@ WITH tok AS (
                  ' ' || (SELECT merged FROM b{t}) || ' ') AS sym, freq
   FROM v{t}
 )""")
+    return ''.join(parts)
+
+
+def _sql_bpe_merges(n_merges: int = 10) -> str:
     union = '\n  UNION ALL\n  '.join(
         f"SELECT CAST({t + 1} AS BIGINT) AS rank, pair, merged FROM b{t}"
         for t in range(n_merges))
-    parts.append(f"""
-SELECT rank, pair, merged FROM (
-  {union}
+    return (f"WITH {_bpe_training_ctes(n_merges)}"
+            f"\nSELECT rank, pair, merged FROM (\n  {union}\n)")
+
+
+def _sql_bpe_segment(n_merges: int = 10) -> str:
+    """Training CTEs + per-doc application: each doc becomes one padded
+    symbol stream (concatenated per-word double-space word_syms — four
+    spaces between words so single-space-flanked patterns cannot straddle
+    a boundary), then the N learned merges replay as chained replaces."""
+    parts = [f"WITH {_bpe_training_ctes(n_merges)}", """, a0 AS (
+  SELECT doc_id, array_to_string(list_transform(
+    list_filter(string_split(text, ' '), w -> w <> ''),
+    w -> '  ' || array_to_string(string_split(w, ''), '  ')
+         || '  </w>  '), '') AS sym
+  FROM documents
+)"""]
+    for t in range(n_merges):
+        parts.append(f""", a{t + 1} AS MATERIALIZED (
+  SELECT doc_id, replace(sym,
+                 ' ' || replace((SELECT pair FROM b{t}), ' ', '  ') || ' ',
+                 ' ' || (SELECT merged FROM b{t}) || ' ') AS sym
+  FROM a{t}
 )""")
+    parts.append(f"""
+SELECT doc_id, CAST(len(list_filter(string_split(sym, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_bpe_tokens
+FROM a{n_merges}""")
     return ''.join(parts)
+
+
+def q_bpe_segment_counts(sf_dir: str, n_merges: int = 10):
+    """BPE train → APPLY lifecycle: learn the merges from the corpus, then
+    segment every document distributed (one vectorized replace chain per
+    merge over whole-doc padded streams) and count subword tokens; the
+    oracle replays training AND application as chained CTEs."""
+    from ..functions.bpe import bpe_segment_counts
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    return bpe_segment_counts(docs, n_merges=n_merges)
 
 
 def q_lang_id_ngram(sf_dir: str):
@@ -2185,6 +2223,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'kmeans_assignments': q_kmeans_assignments,
     'lang_id_ngram': q_lang_id_ngram,
     'bpe_merges': q_bpe_merges,
+    'bpe_segment_counts': q_bpe_segment_counts,
     'lang_id': q_lang_id,
     'bpe_token_counts': q_bpe_token_counts,
     'dedup_exact': q_dedup_exact,
@@ -2251,6 +2290,7 @@ ORACLES: Dict[str, str] = {
     'kmeans_assignments': _sql_kmeans_assign(),
     'lang_id_ngram': _sql_lang_id_ngram(),
     'bpe_merges': _sql_bpe_merges(),
+    'bpe_segment_counts': _sql_bpe_segment(),
     'lang_id': SQL_LANG_ID,
     'bpe_token_counts': SQL_BPE_COUNTS,
     'dedup_exact': SQL_DEDUP_EXACT,

@@ -171,3 +171,26 @@ def test_bpe_merges_distributed(ray_session):
                                  'widest': 3}, 3)
     assert list(zip(out['pair'], out['merged'])) == want
     assert list(out['rank']) == [1, 2, 3]
+
+
+def test_bpe_segment_counts_matches_per_word_encode(ray_session):
+    """The whole-doc vectorized replace chain must segment identically to
+    per-word bpe_encode (boundary-straddle safety of the 4-space seams)."""
+    import pandas as pd
+    import ray.data as rd
+    from caligraph_ray.functions.bpe import (bpe_encode, bpe_merges,
+                                             bpe_segment_counts)
+    docs = pd.DataFrame({'doc_id': [1, 2, 3, 4], 'text': [
+        'low low low lower newest newest',
+        'newest widest widest baba abab',
+        'aaaa aa a',
+        '']})
+    ds = rd.from_pandas(docs).repartition(2)
+    merges_df = bpe_merges(ds, n_merges=6)
+    merges = list(zip(merges_df['pair'], merges_df['merged']))
+    out = bpe_segment_counts(ds, n_merges=6).to_pandas()
+    got = dict(zip(out['doc_id'], out['n_bpe_tokens']))
+    for _, r in docs.iterrows():
+        want = sum(len(bpe_encode(w, merges))
+                   for w in r['text'].split(' ') if w)
+        assert got[r['doc_id']] == want, r['text']
