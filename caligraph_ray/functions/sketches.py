@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Iterable
 
 import numpy as np
+import pyarrow as pa
 
 from .hashing import stable_hash64
 
@@ -121,6 +122,108 @@ def hll_estimate_deterministic(ranks, p: int = 12) -> float:
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)
     return est
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): ``depth`` salted
+    md5 hash rows × ``width`` int64 counters; point estimate is the min
+    over rows (always ≥ the true count). Per-batch sketches merge by
+    elementwise SUM — the mergeable-state shape that lets 10^12 rows
+    reduce to depth×width×8 bytes without a value-keyed shuffle. The
+    salted-md5 row hashes (``md5_hash64(f'{j}|{v}')``) make the register
+    state bit-replayable in SQL (md5_number_upper), like hll_registers."""
+
+    __slots__ = ('depth', 'width', 'table')
+
+    def __init__(self, depth: int = 4, width: int = 512):
+        assert depth >= 1 and width >= 2
+        self.depth = depth
+        self.width = width
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def _buckets(self, value: str) -> np.ndarray:
+        from .hashing import md5_hash64
+        return np.array([md5_hash64(f'{j}|{value}') % self.width
+                         for j in range(self.depth)], dtype=np.int64)
+
+    def add_counts(self, values: Iterable[str], counts: Iterable[int]):
+        for v, c in zip(values, counts):
+            self.table[np.arange(self.depth), self._buckets(v)] += int(c)
+
+    def estimate(self, value: str) -> int:
+        return int(self.table[np.arange(self.depth),
+                              self._buckets(value)].min())
+
+    def merge(self, other: 'CountMinSketch') -> 'CountMinSketch':
+        assert (self.depth, self.width) == (other.depth, other.width)
+        out = CountMinSketch(self.depth, self.width)
+        out.table = self.table + other.table
+        return out
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, depth: int = 4,
+                   width: int = 512) -> 'CountMinSketch':
+        out = cls(depth, width)
+        out.table = np.frombuffer(data, dtype=np.int64).reshape(
+            depth, width).copy()
+        return out
+
+
+def cms_merged(ds, column: str, depth: int = 4,
+               width: int = 512) -> 'CountMinSketch':
+    """One CMS per batch (value_counts-combined), merged on the driver."""
+    import pandas as pd
+
+    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        s = CountMinSketch(depth, width)
+        vc = batch[column].astype(str).value_counts()
+        s.add_counts(vc.index, vc.to_numpy())
+        return pd.DataFrame({'sketch': [s.to_bytes()]})
+
+    parts = ds.select_columns([column]).map_batches(sketch,
+                                                    batch_format='pandas')
+    from ..stages.relational import collect_rows
+    merged = CountMinSketch(depth, width)
+    for r in collect_rows(parts):
+        merged = merged.merge(CountMinSketch.from_bytes(r['sketch'],
+                                                        depth, width))
+    return merged
+
+
+def cms_heavy_hitters(ds, column: str, threshold: int, depth: int = 4,
+                      width: int = 512):
+    """(value, est_cnt) for every distinct value whose CMS estimate is ≥
+    ``threshold``. The sketch state is the mergeable driver-side dim (a
+    few KB); the candidate enumeration here walks the exact distinct dim
+    so the result is deterministic and SQL-replayable — a streaming
+    deployment would instead keep per-batch local top-k candidates and
+    estimate only those (same sketch, partition-dependent candidate
+    order, so not the oracle-gated variant)."""
+    import ray
+
+    from ..stages.relational import two_phase_count
+    from ..state.broadcast import get_broadcast
+
+    merged = cms_merged(ds, column, depth, width)
+    ref = ray.put(merged.to_bytes())
+    distinct = two_phase_count(ds.select_columns([column]), [column], 'cnt') \
+        .drop_columns(['cnt'])
+
+    def est(batch: pa.Table) -> pa.Table:
+        s = CountMinSketch.from_bytes(get_broadcast(ref), depth, width)
+        vals = batch.column(column)
+        ests = np.array([s.estimate(str(v)) for v in vals.to_pylist()],
+                        dtype=np.int64)
+        keep = ests >= threshold
+        return pa.Table.from_pydict({
+            column: vals.filter(pa.array(keep)),
+            'est_cnt': pa.array(ests[keep], pa.int64()),
+        })
+
+    return distinct.map_batches(est, batch_format='pyarrow')
 
 
 def hll_registers(ds, column: str, p: int = 12, hash_fn=None):

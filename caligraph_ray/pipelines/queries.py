@@ -2133,6 +2133,47 @@ FROM px GROUP BY doc_id
 
 # --- HLL register-state gate ------------------------------------------------
 
+def q_cms_user_heavy_hitters(sf_dir: str, threshold: int = 70,
+                             depth: int = 4, width: int = 512):
+    """Count-Min heavy hitters over event users: per-batch CMS sketches
+    (salted md5 rows) merge by elementwise sum driver-side; every distinct
+    user's min-over-rows estimate is emitted when ≥ threshold. The oracle
+    rebuilds the identical register table with md5_number_upper and takes
+    the same min-joins — register state AND estimates exactness-gated."""
+    from ..functions.sketches import cms_heavy_hitters
+    ev = rel.read_table(sf_dir, 'events', ['user_id'])
+    return cms_heavy_hitters(ev, 'user_id', threshold=threshold,
+                             depth=depth, width=width)
+
+
+def _sql_cms_heavy_hitters(threshold: int = 70, depth: int = 4,
+                           width: int = 512) -> str:
+    return f"""
+WITH vals AS (
+  SELECT CAST(user_id AS VARCHAR) AS v FROM events
+), reg AS MATERIALIZED (
+  SELECT u.j,
+         CAST(md5_number_upper(CAST(u.j AS VARCHAR) || '|' || v)
+              % {width} AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM vals, unnest(range(0, {depth})) AS u(j)
+  GROUP BY 1, 2
+), dv AS (
+  SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS v FROM events
+), est AS (
+  SELECT dv.user_id, min(reg.cnt) AS est_cnt
+  FROM dv, unnest(range(0, {depth})) AS u(j)
+  JOIN reg ON reg.j = u.j
+          AND reg.bucket = CAST(md5_number_upper(CAST(u.j AS VARCHAR)
+                                                 || '|' || dv.v)
+                                % {width} AS BIGINT)
+  GROUP BY dv.user_id
+)
+SELECT user_id, CAST(est_cnt AS BIGINT) AS est_cnt
+FROM est WHERE est_cnt >= {threshold}
+"""
+
+
 def q_hll_user_registers(sf_dir: str):
     """The HLL sketch's merged REGISTER STATE over distinct event users
     (md5-hashed, splitmix-remixed): per-batch sketches merged driver-side,
@@ -2196,6 +2237,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'split_contamination': q_split_contamination,
     'multimodal_image_stats': q_multimodal_image_stats,
     'hll_user_registers': q_hll_user_registers,
+    'cms_user_heavy_hitters': q_cms_user_heavy_hitters,
     'event_pairs_window': q_event_pairs_window,
     'user_sessions': q_user_sessions,
     'rolling_user_value': q_rolling_user_value,
@@ -2263,6 +2305,7 @@ ORACLES: Dict[str, str] = {
     'split_contamination': SQL_CONTAMINATION,
     'multimodal_image_stats': SQL_MM_IMAGE,
     'hll_user_registers': SQL_HLL_REGISTERS,
+    'cms_user_heavy_hitters': _sql_cms_heavy_hitters(),
     'event_pairs_window': SQL_EVENT_PAIRS,
     'user_sessions': SQL_SESSIONS,
     'rolling_user_value': SQL_ROLLING,

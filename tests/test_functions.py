@@ -134,6 +134,42 @@ def test_hyperloglog_accuracy_and_merge():
     assert abs(h3.cardinality() - 100) < 10
 
 
+def test_count_min_sketch_properties():
+    from collections import Counter
+
+    from caligraph_ray.functions.sketches import CountMinSketch
+    vals = [f'v{i % 37}' for i in range(5000)] + ['hot'] * 400
+    true = Counter(vals)
+    s = CountMinSketch(depth=4, width=512)
+    vc = Counter(vals)
+    s.add_counts(vc.keys(), vc.values())
+    # never underestimates; tight at this load factor
+    for v, c in true.items():
+        assert s.estimate(v) >= c
+    assert s.estimate('hot') == 400   # md5 rows, width 512: no collision here
+    # merge of split halves == sketch of the whole (elementwise-sum state)
+    s1, s2 = CountMinSketch(4, 512), CountMinSketch(4, 512)
+    c1, c2 = Counter(vals[:2000]), Counter(vals[2000:])
+    s1.add_counts(c1.keys(), c1.values())
+    s2.add_counts(c2.keys(), c2.values())
+    assert (s1.merge(s2).table == s.table).all()
+    # serialization round-trip
+    assert (CountMinSketch.from_bytes(s.to_bytes(), 4, 512).table
+            == s.table).all()
+
+
+def test_cms_heavy_hitters_distributed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from caligraph_ray.functions.sketches import cms_heavy_hitters
+    df = pd.DataFrame({'k': ['a'] * 50 + ['b'] * 30 + ['c'] * 5 + ['d'] * 2})
+    out = cms_heavy_hitters(rd.from_pandas(df).repartition(3), 'k',
+                            threshold=20).to_pandas()
+    got = dict(zip(out['k'], out['est_cnt']))
+    assert set(got) == {'a', 'b'}
+    assert got['a'] >= 50 and got['b'] >= 30
+
+
 def test_singularize_movies_special_case():
     from caligraph_ray.functions.nlp import singularize
     # the inflection package's explicit (m)ovies$ → movie rule; consonant
