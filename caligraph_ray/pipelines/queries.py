@@ -1985,6 +1985,33 @@ ORDER BY doc_id
 """
 
 
+def q_stratified_sample_docs(sf_dir: str, k: int = 20):
+    """Deterministic stratified sample: the k docs per language with the
+    smallest salted-md5 rank — exact per-stratum quota with hash_sample's
+    engine-independence; per-batch local top-k combiner bounds the one
+    stratum-keyed exchange at k rows per (stratum, batch)."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'lang'])
+    out = rel.collect_pandas(
+        rel.stratified_sample(docs, 'lang', 'doc_id', k))
+    out = out.astype({'doc_id': 'int64'})
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
+def _sql_stratified_sample(k: int = 20) -> str:
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5_number_upper('strat:42:'
+                                     || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {k}
+ORDER BY doc_id
+"""
+
+
 
 # --- corpus-LM scoring + contamination check --------------------------------
 
@@ -2233,6 +2260,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'value_quantiles_by_type': q_value_quantiles_by_type,
     'hash_split_counts': q_hash_split_counts,
     'hash_sample_docs': q_hash_sample_docs,
+    'stratified_sample_docs': q_stratified_sample_docs,
     'unigram_logprob_scores': q_unigram_logprob_scores,
     'split_contamination': q_split_contamination,
     'multimodal_image_stats': q_multimodal_image_stats,
@@ -2301,6 +2329,7 @@ ORACLES: Dict[str, str] = {
     'value_quantiles_by_type': SQL_QUANTILES,
     'hash_split_counts': SQL_HASH_SPLIT,
     'hash_sample_docs': SQL_HASH_SAMPLE,
+    'stratified_sample_docs': _sql_stratified_sample(),
     'unigram_logprob_scores': SQL_UNIGRAM_LP,
     'split_contamination': SQL_CONTAMINATION,
     'multimodal_image_stats': SQL_MM_IMAGE,

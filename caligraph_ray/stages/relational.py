@@ -52,6 +52,34 @@ def hash_sample(ds, id_col: str, rate_permille: int, salt: str = 'sample:42'):
                           batch_size=AGG_BATCH_SIZE)
 
 
+def stratified_sample(ds, stratum_col: str, id_col: str, k: int,
+                      salt: str = 'strat:42'):
+    """Deterministic stratified sample: the k rows per stratum with the
+    smallest ``md5(salt + ':' + id)`` — like hash_sample, membership is a
+    pure function of the id (engine-, run- and partitioning-independent;
+    a resumed run re-selects the same rows), but with an exact per-stratum
+    quota instead of a Bernoulli rate. Two-phase: a per-batch local top-k
+    combiner cuts each batch to ≤k rows per stratum BEFORE the one
+    stratum-keyed exchange, so the shuffle is bounded by k × strata ×
+    batches, not the row count. Ties are impossible up to md5 collision;
+    ``id_col`` breaks them totally anyway (mirrors the SQL row_number
+    ORDER BY hash, id)."""
+    from ..functions.hashing import md5_hash64
+
+    def local_head(batch: pd.DataFrame) -> pd.DataFrame:
+        # order-preserving signed shift: uint64 md5 → int64 (uint64 columns
+        # can demote to float through pandas exchanges; int64 never does)
+        rk = [md5_hash64(f'{salt}:{v}') - (1 << 63) for v in batch[id_col]]
+        b = batch.assign(_rk=pd.Series(rk, index=batch.index, dtype='int64'))
+        b = b.sort_values(['_rk', id_col], kind='mergesort')
+        return b.groupby(stratum_col, sort=False, dropna=False).head(k)
+
+    pre = ds.map_batches(local_head, batch_format='pandas',
+                         batch_size=AGG_BATCH_SIZE)
+    out = topk_per_group(pre, stratum_col, ['_rk', id_col], [True, True], k)
+    return out.drop_columns(['_rk'])
+
+
 def strip_schema_metadata(ds):
     """Drop schema-level metadata from every block (zero-copy). Pandas-
     written parquet carries a ``pandas`` metadata blob whose pa.Schema

@@ -185,3 +185,29 @@ def test_asof_join_matches_merge_asof(ray_session, left, right):
     got_rows = sorted((int(r['event_id']), int(r['okey']))
                       for _, r in got.iterrows())
     assert got_rows == sorted(want)
+
+
+@SETTINGS
+@given(st.integers(min_value=0, max_value=30), st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=4))
+def test_stratified_sample_quota_and_partition_invariance(ray_session, n, k, parts):
+    """stratified_sample: exactly min(k, |stratum|) rows per stratum, the
+    SAME rows at any partitioning (pure function of the id), matching the
+    single-process md5-rank reference."""
+    import ray.data as rd
+    from caligraph_ray.functions.hashing import md5_hash64
+    from caligraph_ray.stages.relational import stratified_sample
+    df = pd.DataFrame({'doc_id': np.arange(n, dtype='int64'),
+                       'lang': [['en', 'fr', 'de'][i % 3] for i in range(n)]})
+    want = set()
+    for lang, g in df.groupby('lang'):
+        ranked = sorted((md5_hash64(f'strat:42:{i}'), i) for i in g['doc_id'])
+        want |= {i for _, i in ranked[:k]}
+    for p in (1, parts + 1):
+        out = stratified_sample(rd.from_pandas(df).repartition(p),
+                                'lang', 'doc_id', k).to_pandas()
+        if not n:   # empty exchanges come back schema-less (documented)
+            assert out.empty
+            continue
+        assert set(out['doc_id'].astype(int)) == want
+        assert (out.groupby('lang').size() <= k).all()
