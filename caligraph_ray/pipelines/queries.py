@@ -2068,6 +2068,58 @@ FROM toks t JOIN lp ON t.tok = lp.tok GROUP BY t.doc_id
 """
 
 
+def q_tfidf_top_terms(sf_dir: str, k: int = 5):
+    """Per-doc top-k TF-IDF terms under the exact-integer log2_fixed
+    contract; join-shaped (no vocab broadcast). Oracle reuses the
+    shift-and-square recursive CTE on the df/N values and replays the
+    integer scores and the (score desc, token asc) rank exactly."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    return ts.tfidf_top_terms(docs, k=k)
+
+
+def _sql_tfidf_top_terms(k: int = 5) -> str:
+    return f"""
+WITH RECURSIVE toks AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+    FROM documents),
+dtf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM dtf GROUP BY tok),
+tot AS (SELECT count(*) AS n FROM documents),
+vals(v) AS (SELECT DISTINCT df FROM dfreq UNION SELECT n FROM tot),
+lgrec(v, iter, y, frac) AS (
+    SELECT v, 0,
+           (CAST(v AS HUGEINT) * (1::BIGINT << 40))
+               // (1::BIGINT << (length(bin(v)) - 1)),
+           CAST(0 AS HUGEINT)
+    FROM vals
+    UNION ALL
+    SELECT v, iter + 1,
+           CASE WHEN (y*y) // (1::BIGINT << 40)
+                     >= CAST(2 AS HUGEINT) * (1::BIGINT << 40)
+                THEN ((y*y) // (1::BIGINT << 40)) // 2
+                ELSE (y*y) // (1::BIGINT << 40) END,
+           CASE WHEN (y*y) // (1::BIGINT << 40)
+                     >= CAST(2 AS HUGEINT) * (1::BIGINT << 40)
+                THEN frac*2 + 1 ELSE frac*2 END
+    FROM lgrec WHERE iter < 20
+),
+lg AS (SELECT v,
+        CAST(CAST(length(bin(v)) - 1 AS HUGEINT) * (1::BIGINT << 20) + frac
+             AS BIGINT) AS l2
+    FROM lgrec WHERE iter = 20),
+idf AS (SELECT dfreq.tok, lgn.l2 - lg.l2 AS idf_q
+    FROM dfreq
+    JOIN lg ON lg.v = dfreq.df
+    CROSS JOIN (SELECT l2 FROM lg JOIN tot ON lg.v = tot.n) lgn(l2)),
+scored AS (SELECT dtf.doc_id, dtf.tok,
+        CAST(dtf.tf * idf.idf_q AS BIGINT) AS score_q,
+        row_number() OVER (PARTITION BY dtf.doc_id
+                           ORDER BY dtf.tf * idf.idf_q DESC, dtf.tok) AS rn
+    FROM dtf JOIN idf ON dtf.tok = idf.tok)
+SELECT doc_id, tok AS token, score_q FROM scored WHERE rn <= {k}
+"""
+
+
 def q_split_contamination(sf_dir: str):
     """Train/test contamination: held-out (md5 split 0) documents sharing
     ≥1 distinct 5-gram shingle with any training-split document, with the
@@ -2262,6 +2314,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'hash_sample_docs': q_hash_sample_docs,
     'stratified_sample_docs': q_stratified_sample_docs,
     'unigram_logprob_scores': q_unigram_logprob_scores,
+    'tfidf_top_terms': q_tfidf_top_terms,
     'split_contamination': q_split_contamination,
     'multimodal_image_stats': q_multimodal_image_stats,
     'hll_user_registers': q_hll_user_registers,
@@ -2331,6 +2384,7 @@ ORACLES: Dict[str, str] = {
     'hash_sample_docs': SQL_HASH_SAMPLE,
     'stratified_sample_docs': _sql_stratified_sample(),
     'unigram_logprob_scores': SQL_UNIGRAM_LP,
+    'tfidf_top_terms': _sql_tfidf_top_terms(),
     'split_contamination': SQL_CONTAMINATION,
     'multimodal_image_stats': SQL_MM_IMAGE,
     'hll_user_registers': SQL_HLL_REGISTERS,

@@ -336,6 +336,80 @@ def _unigram_scores_join(docs_ds, counts_ds, id_col: str, text_col: str):
         Sum('tf_part', alias_name='n_tokens'))
 
 
+def tfidf_top_terms(docs_ds, k: int = 5, id_col: str = 'doc_id',
+                    text_col: str = 'text'):
+    """Per-document top-k TF-IDF terms, exact-integer contract: score_q =
+    tf × (log2_fixed(N_docs) − log2_fixed(df)) so any engine replays every
+    score bit-for-bit (same shift-and-square kernel as the unigram LM).
+
+    Join-shaped from the start (the unbounded-vocab scale regime — no
+    driver collect, no broadcast): (doc_id, token, tf) exploded rows
+    shuffle-join the (token, idf_q) dim, then one doc-keyed top-k exchange
+    ranks by (score desc, token asc). Only the scalar N_docs reaches the
+    driver."""
+    from ..functions.hashing import log2_fixed
+    from .relational import shuffle_join, topk_per_group, two_phase_count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, toks, tfs = [], [], []
+        for i, text in zip(batch.column(id_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            for t, n in Counter(_split_tokens(text)).items():
+                ids.append(i)
+                toks.append(t)
+                tfs.append(n)
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids, batch.schema.field(id_col).type),
+            'token': pa.array(toks, pa.string()),
+            'tf': pa.array(tfs, pa.int64())})
+
+    dtf = docs_ds.map_batches(explode, batch_format='pyarrow',
+                              batch_size=AGG_BATCH_SIZE).materialize()
+    if dtf.count() == 0:    # token-less corpus: typed empty result (the
+        import ray.data as rd   # downstream groupby would lose the schema)
+        sch = dtf.schema()
+        id_type = dict(zip(sch.names, sch.types))[id_col]
+        return rd.from_arrow(pa.Table.from_pydict({
+            id_col: pa.array([], id_type),
+            'token': pa.array([], pa.string()),
+            'score_q': pa.array([], pa.int64())}))
+    df_dim = two_phase_count(dtf.select_columns(['token']), ['token'],
+                             alias='df')
+    n_docs = docs_ds.count()
+    l2_n = log2_fixed(n_docs) if n_docs else 0
+
+    def to_idf(batch: pa.Table) -> pa.Table:
+        cache: Dict[int, int] = {}
+        idf = []
+        for f in batch.column('df').to_pylist():
+            q = cache.get(f)
+            if q is None:
+                q = cache[f] = l2_n - log2_fixed(int(f))
+            idf.append(q)
+        return pa.Table.from_pydict({'token': batch.column('token'),
+                                     'idf_q': pa.array(idf, pa.int64())})
+
+    idf_dim = df_dim.map_batches(to_idf, batch_format='pyarrow')
+    joined = shuffle_join(dtf, idf_dim, left_on='token', right_on='token',
+                          how='inner')
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype='int64'),
+                                 'token': pd.Series([], dtype='object'),
+                                 'score_q': pd.Series([], dtype='int64')})
+        return pd.DataFrame({
+            id_col: df[id_col],
+            'token': df['token'],
+            'score_q': (df['tf'].astype('int64')
+                        * df['idf_q'].astype('int64')),
+        })
+
+    scored = joined.map_batches(score, batch_format='pandas')
+    return topk_per_group(scored, id_col, ['score_q', 'token'],
+                          [False, True], k)
+
+
 def split_contamination(docs_ds, id_col: str = 'doc_id',
                         text_col: str = 'text', shingle_size: int = 5,
                         test_split: int = 0, n_splits: int = 10):

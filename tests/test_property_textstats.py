@@ -208,3 +208,31 @@ def test_lang_id_ngram_classifies(ray_session):
     out = lang_id_ngram(rd.from_pandas(df).repartition(2)).to_pandas() \
         .set_index('doc_id').sort_index()
     assert list(out['pred_lang']) == ['en', 'fr', 'de', 'es', 'unknown']
+
+
+@SETTINGS
+@given(doc_frame(), st.integers(min_value=1, max_value=3))
+def test_tfidf_top_terms_matches_reference(ray_session, df, k):
+    """tfidf_top_terms ≡ single-process exact-integer reference (tf ×
+    (log2_fixed(N) − log2_fixed(df)), top-k by (score desc, token asc))."""
+    import ray.data as rd
+    from caligraph_ray.functions.hashing import log2_fixed
+    from caligraph_ray.stages.textstats import tfidf_top_terms
+    out = tfidf_top_terms(rd.from_pandas(df).repartition(2), k=k).to_pandas()
+    got = sorted((int(r['doc_id']), r['token'], int(r['score_q']))
+                 for _, r in out.iterrows())
+    n_docs = len(df)
+    dfreq = Counter()
+    per_doc = {}
+    for _, r in df.iterrows():
+        tf = Counter(_toks(r['text']))
+        per_doc[int(r['doc_id'])] = tf
+        dfreq.update(tf.keys())
+    l2n = log2_fixed(n_docs) if n_docs else 0
+    want = []
+    for did, tf in per_doc.items():
+        scored = sorted(((t, c * (l2n - log2_fixed(dfreq[t])))
+                         for t, c in tf.items()),
+                        key=lambda x: (-x[1], x[0]))
+        want += [(did, t, s) for t, s in scored[:k]]
+    assert got == sorted(want)
