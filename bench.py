@@ -108,6 +108,12 @@ def run_benchmarks() -> dict:
     timed('kmeans_assignments', lambda: Q.q_kmeans_assignments(SF_DIR))
     timed('lang_id_ngram', lambda: Q.q_lang_id_ngram(SF_DIR).to_pandas())
     timed('bpe_merges', lambda: Q.q_bpe_merges(SF_DIR))
+    timed('bpe_segment_counts',
+          lambda: Q.q_bpe_segment_counts(SF_DIR).to_pandas())
+    timed('cms_user_heavy_hitters',
+          lambda: Q.q_cms_user_heavy_hitters(SF_DIR).to_pandas())
+    timed('stratified_sample_docs', lambda: Q.q_stratified_sample_docs(SF_DIR))
+    timed('tfidf_top_terms', lambda: Q.q_tfidf_top_terms(SF_DIR).to_pandas())
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -2253,6 +2253,58 @@ FROM est WHERE est_cnt >= {threshold}
 """
 
 
+def q_pagerank_event_types(sf_dir: str, iters: int = 3):
+    """Integer fixed-point PageRank over the event-type transition graph
+    (consecutive same-user events, lead() semantics). Every iteration is
+    join-shaped (ranks ⋈ edges, groupby-sum onto dst, teleport re-add) and
+    floor-integer exact, so the oracle replays all iterations as chained
+    CTEs with HUGEINT arithmetic."""
+    from ..stages.graph import pagerank_int, transition_edges
+    ev = rel.read_table(sf_dir, 'events',
+                        ['user_id', 'ts', 'event_id', 'event_type'])
+    out = rel.collect_pandas(pagerank_int(transition_edges(ev), iters=iters))
+    out = out.rename(columns={'node': 'event_type'})
+    out = out.astype({'rank_q': 'int64'})
+    return out.sort_values('event_type').reset_index(drop=True)
+
+
+def _sql_pagerank(iters: int = 3, scale: int = 1_000_000_000_000) -> str:
+    parts = [f"""
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+), e AS MATERIALIZED (
+  SELECT src, dst, count(*) AS w FROM seq WHERE dst IS NOT NULL
+  GROUP BY src, dst
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT t AS node
+  FROM (SELECT src AS t FROM e UNION ALL SELECT dst FROM e)
+), nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+ow AS MATERIALIZED (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS r
+  FROM nodes
+)"""]
+    for t in range(iters):
+        parts.append(f""", r{t + 1} AS MATERIALIZED (
+  SELECT nd.node,
+         CAST((15 * {scale}) // (100 * (SELECT n FROM nn))
+              + coalesce(sum((CAST(p.r AS HUGEINT) * 85 * e.w)
+                             // (100 * o.ow)), 0) AS BIGINT) AS r
+  FROM nodes nd
+  LEFT JOIN e ON e.dst = nd.node
+  LEFT JOIN r{t} p ON p.node = e.src
+  LEFT JOIN ow o ON o.src = e.src
+  GROUP BY nd.node
+)""")
+    parts.append(f"""
+SELECT node AS event_type, r AS rank_q FROM r{iters} ORDER BY event_type
+""")
+    return ''.join(parts)
+
+
 def q_hll_user_registers(sf_dir: str):
     """The HLL sketch's merged REGISTER STATE over distinct event users
     (md5-hashed, splitmix-remixed): per-batch sketches merged driver-side,
@@ -2319,6 +2371,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'multimodal_image_stats': q_multimodal_image_stats,
     'hll_user_registers': q_hll_user_registers,
     'cms_user_heavy_hitters': q_cms_user_heavy_hitters,
+    'pagerank_event_types': q_pagerank_event_types,
     'event_pairs_window': q_event_pairs_window,
     'user_sessions': q_user_sessions,
     'rolling_user_value': q_rolling_user_value,
@@ -2389,6 +2442,7 @@ ORACLES: Dict[str, str] = {
     'multimodal_image_stats': SQL_MM_IMAGE,
     'hll_user_registers': SQL_HLL_REGISTERS,
     'cms_user_heavy_hitters': _sql_cms_heavy_hitters(),
+    'pagerank_event_types': _sql_pagerank(),
     'event_pairs_window': SQL_EVENT_PAIRS,
     'user_sessions': SQL_SESSIONS,
     'rolling_user_value': SQL_ROLLING,

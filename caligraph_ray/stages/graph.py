@@ -1,0 +1,121 @@
+"""Iterative graph ranking over edge Datasets (PageRank).
+
+The reference's graph layer is driver-side networkx (hierarchy_graph.py);
+at 10^12 nodes an iterative rank is a sequence of edge-keyed exchanges
+instead. Each iteration is: ranks ⋈ edges on src (one co-partitioned
+shuffle_join), a vectorized per-edge contribution map, a two-phase
+groupby-sum onto dst, and a left join back onto the node dim for the
+teleport term — no driver collect of ranks or edges at any point.
+
+Exactness contract (what lets a SQL engine replay every iteration
+bit-for-bit): ranks are int64 fixed-point (``scale`` units of total
+mass), the per-edge contribution is the FLOORED integer
+``(rank(src) * 85 * w) // (100 * out_w(src))`` and the teleport term is
+``(15 * scale) // (100 * n_nodes)`` — floor divisions only, no floats,
+so engine rounding can never diverge. Python's unbounded ints carry the
+intermediate ``rank*85*w`` product (HUGEINT on the SQL side); emitted
+ranks stay well inside int64. Dangling mass (nodes without out-edges)
+is dropped, the standard simplification — document when reusing.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..config import AGG_BATCH_SIZE
+
+PAGERANK_SCALE = 1_000_000_000_000   # 10^12 fixed-point units of rank mass
+
+
+def transition_edges(events_ds, user_col: str = 'user_id',
+                     ts_col: str = 'ts', id_col: str = 'event_id',
+                     type_col: str = 'event_type'):
+    """(src, dst, w) weighted edges from consecutive same-user events
+    (order: ts, then id as the total tie-break — the lead() contract).
+    One user-keyed exchange + a two-phase pair count."""
+    from .relational import bucketed_map, two_phase_count
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values([user_col, ts_col, id_col], kind='mergesort')
+        src = b[type_col]
+        dst = b.groupby(user_col, sort=False)[type_col].shift(-1)
+        keep = dst.notna()
+        return pd.DataFrame({'src': src[keep], 'dst': dst[keep]})
+
+    seq = bucketed_map(events_ds, [user_col], pairs)
+    return two_phase_count(seq, ['src', 'dst'], alias='w')
+
+
+def pagerank_int(edges_ds, iters: int = 3, scale: int = PAGERANK_SCALE):
+    """Integer fixed-point PageRank (damping 0.85) over a (src, dst, w)
+    edge Dataset; returns (node, rank_q). ``iters`` exchanges, each
+    join-shaped — see module doc for the exactness contract."""
+    from ray.data.aggregate import Sum
+
+    from .relational import shuffle_join, two_phase_count
+
+    edges_ds = edges_ds.materialize()
+
+    # node dim: distinct src ∪ dst (two-phase over the tagged union)
+    def node_union(batch: pa.Table) -> pa.Table:
+        vals = (batch.column('src').to_pylist()
+                + batch.column('dst').to_pylist())
+        return pa.Table.from_pydict({'node': pa.array(vals, pa.string())})
+
+    nodes = two_phase_count(
+        edges_ds.map_batches(node_union, batch_format='pyarrow'),
+        ['node'], alias='_c').drop_columns(['_c']).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.Table.from_pydict(
+            {'node': pa.array([], pa.string()),
+             'rank_q': pa.array([], pa.int64())}))
+
+    # out-weight joined onto every edge once (src-keyed exchange)
+    outw = edges_ds.groupby('src').aggregate(Sum('w', alias_name='ow'))
+    edges = shuffle_join(edges_ds, outw, left_on='src', right_on='src',
+                         how='inner').materialize()
+
+    teleport = (15 * scale) // (100 * n_nodes)
+    r0 = scale // n_nodes
+    ranks = nodes.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {'node': t.column('node'),
+             'rank_q': pa.array([r0] * t.num_rows, pa.int64())}),
+        batch_format='pyarrow')
+
+    for _ in range(iters):
+        joined = shuffle_join(edges, ranks, left_on='src', right_on='node',
+                              how='inner')
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({'dst': pd.Series([], dtype='object'),
+                                     '_c': pd.Series([], dtype='int64')})
+            # unbounded-int product (HUGEINT analog): rank*85*w can pass
+            # 2^63 at web-scale edge weights before the floor division
+            c = [(int(r) * 85 * int(w)) // (100 * int(ow))
+                 for r, w, ow in zip(df['rank_q'], df['w'], df['ow'])]
+            return pd.DataFrame({'dst': df['dst'],
+                                 '_c': pd.Series(c, dtype='int64')})
+
+        inflow = joined.map_batches(contrib, batch_format='pandas') \
+            .groupby('dst').aggregate(Sum('_c', alias_name='inflow'))
+        merged = shuffle_join(nodes, inflow, left_on='node', right_on='dst',
+                              how='left')
+
+        def add_teleport(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({'node': pd.Series([], dtype='object'),
+                                     'rank_q': pd.Series([], dtype='int64')})
+            infl = df['inflow'].map(lambda v: 0 if pd.isna(v) else int(v))
+            return pd.DataFrame({
+                'node': df['node'],
+                'rank_q': (infl + teleport).astype('int64')})
+
+        ranks = merged.map_batches(add_teleport, batch_format='pandas') \
+            .materialize()
+
+    return ranks

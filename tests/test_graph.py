@@ -1,0 +1,65 @@
+"""Integer fixed-point PageRank: distributed vs single-process reference."""
+
+import pandas as pd
+import pytest
+
+
+def _pagerank_reference(edges, iters, scale=1_000_000_000_000):
+    """Single-process replay of the exact integer contract."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    ow = {}
+    for s, _, w in edges:
+        ow[s] = ow.get(s, 0) + w
+    r = {v: scale // n for v in nodes}
+    tele = (15 * scale) // (100 * n)
+    for _ in range(iters):
+        nxt = {v: tele for v in nodes}
+        for s, d, w in edges:
+            nxt[d] += (r[s] * 85 * w) // (100 * ow[s])
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_reference(ray_session):
+    import ray.data as rd
+    from caligraph_ray.stages.graph import pagerank_int
+    edges = [('a', 'b', 3), ('b', 'c', 1), ('c', 'a', 2), ('a', 'c', 1),
+             ('d', 'a', 5)]   # d is dangling-in only; a is the hub
+    df = pd.DataFrame({'src': [e[0] for e in edges],
+                       'dst': [e[1] for e in edges],
+                       'w': pd.Series([e[2] for e in edges], dtype='int64')})
+    for iters in (1, 3):
+        out = pagerank_int(rd.from_pandas(df).repartition(2),
+                           iters=iters).to_pandas()
+        got = dict(zip(out['node'], out['rank_q'].astype(int)))
+        assert got == _pagerank_reference(edges, iters)
+    # the hub out-ranks the unreferenced node
+    assert got['a'] > got['d']
+
+
+def test_transition_edges_lead_semantics(ray_session):
+    import ray.data as rd
+    from caligraph_ray.stages.graph import transition_edges
+    ev = pd.DataFrame({
+        'user_id': pd.Series([1, 1, 1, 2, 2, 3], dtype='int64'),
+        'ts': pd.to_datetime(['2024-01-01', '2024-01-02', '2024-01-03',
+                              '2024-01-01', '2024-01-01', '2024-01-05']),
+        'event_id': pd.Series([10, 11, 12, 20, 21, 30], dtype='int64'),
+        'event_type': ['x', 'y', 'x', 'y', 'y', 'z'],
+    })
+    out = transition_edges(rd.from_pandas(ev).repartition(2)).to_pandas()
+    got = {(r['src'], r['dst']): int(r['w']) for _, r in out.iterrows()}
+    # user 1: x->y, y->x; user 2 same-ts tie broken by event_id: y->y;
+    # user 3: single event, no edge
+    assert got == {('x', 'y'): 1, ('y', 'x'): 1, ('y', 'y'): 1}
+
+
+def test_pagerank_empty_edges(ray_session):
+    import ray.data as rd
+    from caligraph_ray.stages.graph import pagerank_int
+    df = pd.DataFrame({'src': pd.Series([], dtype='object'),
+                       'dst': pd.Series([], dtype='object'),
+                       'w': pd.Series([], dtype='int64')})
+    out = pagerank_int(rd.from_pandas(df), iters=2).to_pandas()
+    assert out.empty
