@@ -2120,6 +2120,56 @@ SELECT doc_id, tok AS token, score_q FROM scored WHERE rn <= {k}
 """
 
 
+def q_passage_chunks(sf_dir: str, window: int = 64, stride: int = 48):
+    """Overlapping passage windows per doc (RAG chunk geometry + boundary
+    tokens); oracle replays start arithmetic and list indexing exactly."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    return ts.passage_chunks(docs, window=window, stride=stride)
+
+
+def _sql_passage_chunks(window: int = 64, stride: int = 48) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), starts AS (
+  SELECT doc_id, toks, CAST(u.i AS BIGINT) AS chunk_idx,
+         CAST(u.i * {stride} AS BIGINT) AS start
+  FROM t, unnest(range(0, (len(toks) + {stride} - 1) // {stride})) AS u(i)
+  WHERE u.i * {stride} < len(toks)
+)
+SELECT doc_id, chunk_idx, start,
+       CAST(least({window}, len(toks) - start) AS BIGINT) AS n_chunk_tokens,
+       toks[start + 1] AS first_token,
+       toks[start + least({window}, len(toks) - start)] AS last_token
+FROM starts
+"""
+
+
+def q_mixture_sample_docs(sf_dir: str):
+    """Deterministic per-language mixture sampling (training-data mixing:
+    upsample fr/de, downsample en); membership replays as pure md5
+    arithmetic per id, rates per stratum."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'lang'])
+    rates = {'en': 200, 'fr': 800, 'de': 800, 'es': 500}
+    out = rel.collect_pandas(
+        ts.mixture_sample(docs, rates, 'lang', 'doc_id'))
+    if out.empty:
+        return pd.DataFrame({'doc_id': pd.Series(dtype='int64'),
+                             'lang': pd.Series(dtype='object')})
+    out = out.astype({'doc_id': 'int64'})
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
+SQL_MIXTURE_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE md5_number_upper('mix:42:' || CAST(doc_id AS VARCHAR)) % 1000 <
+      CASE lang WHEN 'en' THEN 200 WHEN 'fr' THEN 800 WHEN 'de' THEN 800
+                WHEN 'es' THEN 500 ELSE 0 END
+ORDER BY doc_id
+"""
+
+
 def q_split_contamination(sf_dir: str):
     """Train/test contamination: held-out (md5 split 0) documents sharing
     ≥1 distinct 5-gram shingle with any training-split document, with the
@@ -2367,6 +2417,8 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'stratified_sample_docs': q_stratified_sample_docs,
     'unigram_logprob_scores': q_unigram_logprob_scores,
     'tfidf_top_terms': q_tfidf_top_terms,
+    'passage_chunks': q_passage_chunks,
+    'mixture_sample_docs': q_mixture_sample_docs,
     'split_contamination': q_split_contamination,
     'multimodal_image_stats': q_multimodal_image_stats,
     'hll_user_registers': q_hll_user_registers,
@@ -2438,6 +2490,8 @@ ORACLES: Dict[str, str] = {
     'stratified_sample_docs': _sql_stratified_sample(),
     'unigram_logprob_scores': SQL_UNIGRAM_LP,
     'tfidf_top_terms': _sql_tfidf_top_terms(),
+    'passage_chunks': _sql_passage_chunks(),
+    'mixture_sample_docs': SQL_MIXTURE_SAMPLE,
     'split_contamination': SQL_CONTAMINATION,
     'multimodal_image_stats': SQL_MM_IMAGE,
     'hll_user_registers': SQL_HLL_REGISTERS,

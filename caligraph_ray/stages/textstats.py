@@ -336,6 +336,68 @@ def _unigram_scores_join(docs_ds, counts_ds, id_col: str, text_col: str):
         Sum('tf_part', alias_name='n_tokens'))
 
 
+def passage_chunks(docs_ds, window: int = 64, stride: int = 48,
+                   id_col: str = 'doc_id', text_col: str = 'text'):
+    """Overlapping passage windows per document (the RAG/embedding
+    chunking geometry): chunk i covers tokens [i·stride, i·stride+window)
+    for every start < n_tokens, so tails are kept as short final chunks.
+    Emits (doc_id, chunk_idx, start, n_chunk_tokens, first_token,
+    last_token) — geometry plus boundary tokens, all engine-replayable.
+    Stateless per-row map; streams at any corpus size."""
+    if stride <= 0 or window <= 0:
+        raise ValueError('window and stride must be positive')
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids, idxs, starts, lens, firsts, lasts = [], [], [], [], [], []
+        for i, text in zip(batch.column(id_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            toks = _split_tokens(text)
+            n = len(toks)
+            st = 0
+            ci = 0
+            while st < n:
+                m = min(window, n - st)
+                ids.append(i)
+                idxs.append(ci)
+                starts.append(st)
+                lens.append(m)
+                firsts.append(toks[st])
+                lasts.append(toks[st + m - 1])
+                st += stride
+                ci += 1
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids, batch.schema.field(id_col).type),
+            'chunk_idx': pa.array(idxs, pa.int64()),
+            'start': pa.array(starts, pa.int64()),
+            'n_chunk_tokens': pa.array(lens, pa.int64()),
+            'first_token': pa.array(firsts, pa.string()),
+            'last_token': pa.array(lasts, pa.string()),
+        })
+
+    return docs_ds.map_batches(chunk, batch_format='pyarrow',
+                               batch_size=AGG_BATCH_SIZE)
+
+
+def mixture_sample(ds, rates_permille: Dict[str, int], stratum_col: str,
+                   id_col: str, salt: str = 'mix:42'):
+    """Deterministic mixture/domain sampling: per-stratum Bernoulli rates
+    (training-data mixing — e.g. upsample low-resource languages,
+    downsample boilerplate-heavy sources). Membership is the pure salted
+    md5 function of the id, like hash_sample; unknown strata drop (rate
+    0). No shuffle, no RNG state, resumable."""
+    from ..functions.hashing import md5_hash64
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        rates = batch[stratum_col].map(
+            lambda s: rates_permille.get(s, 0))
+        mask = [md5_hash64(f'{salt}:{v}') % 1000 < r
+                for v, r in zip(batch[id_col], rates)]
+        return batch[pd.Series(mask, index=batch.index)]
+
+    return ds.map_batches(keep, batch_format='pandas',
+                          batch_size=AGG_BATCH_SIZE)
+
+
 def tfidf_top_terms(docs_ds, k: int = 5, id_col: str = 'doc_id',
                     text_col: str = 'text'):
     """Per-document top-k TF-IDF terms, exact-integer contract: score_q =

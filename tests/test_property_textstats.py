@@ -236,3 +236,45 @@ def test_tfidf_top_terms_matches_reference(ray_session, df, k):
                         key=lambda x: (-x[1], x[0]))
         want += [(did, t, s) for t, s in scored[:k]]
     assert got == sorted(want)
+
+
+@SETTINGS
+@given(doc_frame(), st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=5))
+def test_passage_chunks_geometry(ray_session, df, window, stride):
+    """Chunk geometry ≡ loop reference: every start < n at stride steps,
+    short tails kept, boundary tokens correct."""
+    import ray.data as rd
+    from caligraph_ray.stages.textstats import passage_chunks
+    out = passage_chunks(rd.from_pandas(df).repartition(2),
+                         window=window, stride=stride).to_pandas()
+    got = sorted((int(r['doc_id']), int(r['chunk_idx']), int(r['start']),
+                  int(r['n_chunk_tokens']), r['first_token'],
+                  r['last_token']) for _, r in out.iterrows())
+    want = []
+    for _, r in df.iterrows():
+        toks = _toks(r['text'])
+        ci = 0
+        for st_ in range(0, len(toks), stride):
+            m = min(window, len(toks) - st_)
+            want.append((int(r['doc_id']), ci, st_, m, toks[st_],
+                         toks[st_ + m - 1]))
+            ci += 1
+    assert got == sorted(want)
+
+
+def test_mixture_sample_rates(ray_session):
+    """mixture_sample ≡ per-row md5 reference; unknown strata drop."""
+    import ray.data as rd
+    from caligraph_ray.functions.hashing import md5_hash64
+    from caligraph_ray.stages.textstats import mixture_sample
+    df = pd.DataFrame({'doc_id': np.arange(200, dtype='int64'),
+                       'lang': [['en', 'fr', 'xx'][i % 3]
+                                for i in range(200)]})
+    rates = {'en': 300, 'fr': 900}
+    out = mixture_sample(rd.from_pandas(df).repartition(3), rates,
+                         'lang', 'doc_id').to_pandas()
+    want = {int(i) for i, l in zip(df['doc_id'], df['lang'])
+            if md5_hash64(f'mix:42:{i}') % 1000 < rates.get(l, 0)}
+    assert set(out['doc_id'].astype(int)) == want
+    assert 'xx' not in set(out['lang'])
