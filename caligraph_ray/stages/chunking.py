@@ -118,43 +118,64 @@ def chunk_listings(items_ds, labels_ref=None, carry_cols: tuple = ()):
     ``carry_cols``: listing-constant columns to carry through (e.g. a
     SQL-derivable doc id for the oracle gate)."""
     import ray
-    from .relational import grouped_map
-
-    def per_listing(g: pd.DataFrame) -> Optional[pd.DataFrame]:
-        from ..state.broadcast import get_broadcast
-        g = g.sort_values('item_idx', kind='mergesort')
-        first = g.iloc[0]
-        hdr = first.get('header')
-        if hdr is None or (np.isscalar(hdr) and pd.isna(hdr)):
-            hdr = []   # Arrow list columns arrive as ndarray: `or []` on
-        hdr = list(hdr)  # one would raise 'truth value ... is ambiguous'
-        context = listing_context_tokens(first.get('page_title', ''),
-                                         first.get('topsection', ''),
-                                         first.get('section', ''),
-                                         first.get('ltype', ''), hdr)
-        items = g.to_dict('records')
-        labels = None
-        if labels_ref is not None:
-            all_labels = get_broadcast(labels_ref)
-            labels = all_labels.get((int(first['page_id']), int(first['listing_idx'])))
-            if labels is None:
-                return None
-        chunks = chunk_listing_items(context, items, labels)
-        if not chunks:
-            return None
-        df = pd.DataFrame(chunks)
-        df['page_id'] = first['page_id']
-        df['listing_idx'] = first['listing_idx']
-        for c in carry_cols:
-            df[c] = first[c]
-        return df[['page_id', 'listing_idx', 'chunk_idx', 'tokens', 'labels',
-                   'item_idxs'] + list(carry_cols)]
+    from .relational import bucketed_map
 
     cols = ['page_id', 'listing_idx', 'item_idx', 'page_title', 'topsection',
             'section', 'ltype', 'header', 'depth', 'tokens'] + list(carry_cols)
     have = [c for c in cols if c in items_ds.schema().names]
-    return grouped_map(items_ds.select_columns(have),
-                       ['page_id', 'listing_idx'], per_listing)
+    out_cols = ['page_id', 'listing_idx', 'chunk_idx', 'tokens', 'labels',
+                'item_idxs'] + list(carry_cols)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """All listings of a bucket in one pass: numpy boundary slicing over
+        a (page_id, listing_idx, item_idx)-sorted frame — no per-listing
+        DataFrame/groupby objects (they dominated wall-time at ~0.3 ms per
+        listing across tens of thousands of listings)."""
+        from ..state.broadcast import get_broadcast
+        all_labels = get_broadcast(labels_ref) if labels_ref is not None else None
+        g = g.sort_values(['page_id', 'listing_idx', 'item_idx'],
+                          kind='mergesort')
+        pid = g['page_id'].to_numpy()
+        lid = g['listing_idx'].to_numpy()
+        change = np.flatnonzero((pid[1:] != pid[:-1]) | (lid[1:] != lid[:-1]))
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [len(g)]))
+        col = {c: g[c].to_numpy() for c in g.columns}
+        has_depth = 'depth' in col
+        out: Dict[str, list] = {c: [] for c in out_cols}
+        for s, e in zip(starts, ends):
+            labels = None
+            if all_labels is not None:
+                labels = all_labels.get((int(pid[s]), int(lid[s])))
+                if labels is None:
+                    continue
+            hdr = col['header'][s] if 'header' in col else None
+            if hdr is None or (np.isscalar(hdr) and pd.isna(hdr)):
+                hdr = []   # Arrow list columns arrive as ndarray: `or []`
+            ltype = col['ltype'][s] if 'ltype' in col else ''
+            context = listing_context_tokens(
+                col['page_title'][s] if 'page_title' in col else '',
+                col['topsection'][s] if 'topsection' in col else '',
+                col['section'][s] if 'section' in col else '',
+                ltype, list(hdr))
+            items = [{'item_idx': col['item_idx'][i],
+                      'tokens': col['tokens'][i], 'ltype': ltype,
+                      'depth': col['depth'][i] if has_depth else 1}
+                     for i in range(s, e)]
+            chunks = chunk_listing_items(context, items, labels)
+            for ch in chunks:
+                out['page_id'].append(pid[s])
+                out['listing_idx'].append(lid[s])
+                out['chunk_idx'].append(ch['chunk_idx'])
+                out['tokens'].append(ch['tokens'])
+                out['labels'].append(ch['labels'])
+                out['item_idxs'].append(ch['item_idxs'])
+                for c in carry_cols:
+                    out[c].append(col[c][s])
+        return pd.DataFrame(out)
+
+    return bucketed_map(items_ds.select_columns(have),
+                        ['page_id', 'listing_idx'], per_bucket)
 
 
 # --- M19: training-label heuristics -----------------------------------------
