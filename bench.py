@@ -80,6 +80,7 @@ def run_benchmarks() -> dict:
     timed('minhash_dedup', lambda: Q.q_minhash_dedup(SF_DIR))
     timed('fingerprint_overlap', lambda: Q.q_fingerprint_overlap_pairs(SF_DIR))
     timed('knn_topk', lambda: Q.q_knn_topk(SF_DIR))
+    timed('quantized_knn_topk', lambda: Q.q_quantized_knn_topk(SF_DIR))
     timed('embedding_near_dups', lambda: Q.q_embedding_near_dups(SF_DIR))
     timed('user_components', lambda: Q.q_user_components(SF_DIR))
     # round-2 families

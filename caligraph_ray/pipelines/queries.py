@@ -994,6 +994,46 @@ QUALIFY row_number() OVER (PARTITION BY q.query_idx
 """
 
 
+def q_quantized_knn_topk(sf_dir: str):
+    """int8-quantized brute-force top-10 (query vectors vec_id 0..2) with
+    EXACT int64 dot products — the memory-bound ANN scale path (corpus
+    resident at 1/4 the bytes). The quantizer is defined in integer space
+    (floor(|v|*1e6) magnitudes, integer max-abs scaling, // division) so
+    the oracle replays it bit-identically with no float tie hazards."""
+    emb = rel.read_table(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    qrows = rel.collect_rows(emb.map_batches(
+        lambda t: t.filter(pc.is_in(t.column('vec_id'),
+                                    value_set=pa.array([0, 1, 2]))),
+        batch_format='pyarrow'))
+    qrows.sort(key=lambda r: r['vec_id'])
+    qvecs = np.stack([np.asarray(r['embedding'], dtype=np.float64)
+                      for r in qrows])
+    return sim.quantized_topk(emb, qvecs, k=10)
+
+
+SQL_QUANTIZED_KNN = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), m AS (
+  SELECT vec_id, emb,
+         list_transform(emb, x -> CAST(floor(abs(x) * 1e6) AS BIGINT)) AS mm
+  FROM base
+), qv AS (
+  SELECT vec_id,
+         list_transform(range(1, len(emb) + 1), i ->
+             (CASE WHEN emb[i] > 0 THEN 1 WHEN emb[i] < 0 THEN -1 ELSE 0 END)
+             * ((mm[i] * 127) // greatest(list_max(mm), 1))) AS q
+  FROM m
+), qs AS (SELECT vec_id AS query_idx, q AS qq FROM qv WHERE vec_id IN (0,1,2))
+SELECT qs.query_idx, d.vec_id,
+       CAST(list_sum(list_transform(range(1, len(qq) + 1),
+                                    i -> qq[i] * d.q[i])) AS BIGINT) AS score
+FROM qs CROSS JOIN qv d
+QUALIFY row_number() OVER (PARTITION BY qs.query_idx
+                           ORDER BY score DESC, d.vec_id) <= 10
+"""
+
+
 def q_lsh_topk(sf_dir: str):
     """Approximate LSH top-k through the bucket INDEX (sub-linear multi-
     probe). Fully oracle-gated: the seeded hyperplanes are embedded as
@@ -2462,6 +2502,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'doc_fingerprints': q_doc_fingerprints,
     'fingerprint_overlap_pairs': q_fingerprint_overlap_pairs,
     'knn_topk': q_knn_topk,
+    'quantized_knn_topk': q_quantized_knn_topk,
     'lsh_topk': q_lsh_topk,
     'taxonomy_edges': q_taxonomy_edges,
     'type_closure': q_type_closure,
@@ -2535,6 +2576,7 @@ ORACLES: Dict[str, str] = {
     'fingerprint_overlap_pairs': SQL_FP_OVERLAP,
     'embedding_near_dups': SQL_EMB_DUPS,
     'knn_topk': SQL_KNN,
+    'quantized_knn_topk': SQL_QUANTIZED_KNN,
     'taxonomy_edges': SQL_TAXONOMY_EDGES,
     'type_closure': SQL_TYPE_CLOSURE,
     'type_disjointness': SQL_TYPE_DISJOINT,

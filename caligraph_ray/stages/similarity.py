@@ -447,3 +447,72 @@ def kmeans_assignments(emb_ds, n_centroids: int = 8, n_iters: int = 2,
             'centroid': np.argmax(sims, axis=1).astype(np.int64)})
 
     return emb_ds.map_batches(label, batch_format='pandas', batch_size=4096)
+
+
+# --- int8 quantized similarity (scale path: 4x smaller resident corpus) -----
+
+def quantize_int8(mat: np.ndarray) -> np.ndarray:
+    """Exact-integer int8 quantization: per-vector max-abs scaling computed
+    entirely in integer space so any engine replays it bit-identically
+    (no float rounding-mode divergence — the ivf/lsh lesson applied
+    upfront).  m_i = floor(|v_i| * 1e6); scale = max_i m_i;
+    q_i = sign(v_i) * (m_i * 127 // scale)  ∈ [-127, 127].
+
+    float32 inputs widen exactly to float64; the *1e6 and floor are single
+    IEEE ops identical across numpy and SQL engines; everything after is
+    int64 arithmetic. A zero vector quantizes to all zeros."""
+    m64 = np.asarray(mat, dtype=np.float64)
+    m = np.floor(np.abs(m64) * 1e6).astype(np.int64)
+    scale = np.maximum(m.max(axis=1, keepdims=True), 1)
+    q = (m * 127) // scale
+    return (np.sign(m64).astype(np.int64) * q)
+
+
+def quantized_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
+                   id_col: str = 'vec_id', vec_col: str = 'embedding'
+                   ) -> pd.DataFrame:
+    """Brute-force top-k over int8-quantized vectors with EXACT int64 dot
+    products — the memory-bound scale path (a 100 TB embedding corpus
+    resident at 1/4 the bytes, integer SIMD matmuls). Same operator shape
+    as brute_force_topk: broadcast quantized query matrix, per-batch
+    partial top-k, driver merge of (blocks × k) partials. Ties: score
+    desc, id asc. Returns (query_idx, vec_id, score:int64)."""
+    import ray
+    from ..state.broadcast import get_broadcast
+    qq = quantize_int8(np.asarray(query_vecs, dtype=np.float64))
+    qref = ray.put(qq)
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({'query_idx': pd.Series(dtype='int64'),
+                                 id_col: pd.Series(dtype='int64'),
+                                 'score': pd.Series(dtype='int64')})
+        qm = get_broadcast(qref)
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in batch[vec_col]])
+        dq = quantize_int8(mat)
+        scores = qm @ dq.T                        # exact int64 matmul
+        ids = batch[id_col].to_numpy()
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, scores.shape[1])
+        for qi in range(scores.shape[0]):
+            idx = np.lexsort((ids, -scores[qi]))[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx])
+            out_s.extend(scores[qi][idx])
+        return pd.DataFrame({'query_idx': np.array(out_q, dtype=np.int64),
+                             id_col: np.array(out_id, dtype=np.int64),
+                             'score': np.array(out_s, dtype=np.int64)})
+
+    partials = emb_ds.map_batches(partial_topk, batch_format='pandas',
+                                  batch_size=4096)
+    from .relational import collect_pandas
+    df = collect_pandas(partials)
+    if df.empty:
+        return pd.DataFrame({'query_idx': pd.Series(dtype='int64'),
+                             id_col: pd.Series(dtype='int64'),
+                             'score': pd.Series(dtype='int64')})
+    df = df.sort_values(['query_idx', 'score', id_col],
+                        ascending=[True, False, True], kind='mergesort')
+    return df.groupby('query_idx', group_keys=False).head(k) \
+             .reset_index(drop=True)

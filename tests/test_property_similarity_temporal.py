@@ -163,3 +163,37 @@ def test_range_join_matches_brute_force(ray_session, left, right, low_s, width_s
             if low_us <= delta < high_us:
                 want.append((int(l['event_id']), int(r['okey'])))
     assert got_pairs == sorted(want)
+
+
+def test_quantize_int8_contract():
+    from caligraph_ray.stages.similarity import quantize_int8
+    rng = np.random.RandomState(7)
+    mat = rng.normal(size=(50, 8)).astype(np.float32).astype(np.float64)
+    q = quantize_int8(mat)
+    assert q.dtype == np.int64
+    assert q.min() >= -127 and q.max() <= 127
+    # per-vector max magnitude maps to exactly ±127
+    assert (np.abs(q).max(axis=1) == 127).all()
+    # signs preserved wherever the quantized value is nonzero
+    nz = q != 0
+    assert (np.sign(q[nz]) == np.sign(mat[nz])).all()
+    # zero vector → all zeros, no division error
+    assert (quantize_int8(np.zeros((1, 8))) == 0).all()
+
+
+@SETTINGS
+@given(embedding_frame(), query_matrix(), st.integers(min_value=1, max_value=5))
+def test_quantized_topk_matches_loop_reference(ray_session, df, queries, k):
+    import ray.data as rd
+    from caligraph_ray.stages.similarity import quantize_int8, quantized_topk
+    got = quantized_topk(rd.from_pandas(df).repartition(2), queries, k=k)
+    qq = quantize_int8(queries)
+    dq = quantize_int8(np.stack(df['embedding'].to_numpy()))
+    scores = qq @ dq.T
+    ids = df['vec_id'].to_numpy()
+    n = len(df)
+    for qi in range(len(queries)):
+        order = np.lexsort((ids, -scores[qi]))[:min(k, n)]
+        sub = got[got['query_idx'] == qi]
+        assert sub['vec_id'].tolist() == ids[order].tolist()
+        assert sub['score'].tolist() == scores[qi][order].tolist()
