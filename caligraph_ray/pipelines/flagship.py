@@ -28,11 +28,49 @@ from ..stages.canonicalize import canonicalize, entity_node_id
 from ..stages.triples import TRIPLES_SCHEMA, materialize_triples
 
 
+def _mentions_cats_batch(t: pa.Table) -> pa.Table:
+    """PARSED batch → slim (mention rows ∪ category rows) union batch.
+
+    Fusing the projection into the parse consumption means the pipeline
+    never materializes the full parsed union (item token lists dominate its
+    bytes); only mention rows plus (url, page_id, cat_name) category rows
+    are pinned for the later phases."""
+    from ..stages.alias import MENTIONS_SCHEMA, _explode_mentions_batch
+    items = t.filter(pc.equal(t.column('kind'), pa.scalar('item'))) \
+             .drop_columns(['kind', 'cat_name'])
+    m = _explode_mentions_batch(items)
+    m = m.append_column('cat_name', pa.nulls(m.num_rows, pa.string()))
+    m = m.append_column('kind', pa.array(['m'] * m.num_rows, pa.string()))
+    ct = t.filter(pc.equal(t.column('kind'), pa.scalar('cat')))
+    cols = {}
+    for f in MENTIONS_SCHEMA:
+        if f.name in ('url', 'page_id'):
+            cols[f.name] = ct.column(f.name).cast(f.type)
+        else:
+            cols[f.name] = pa.nulls(ct.num_rows, f.type)
+    cols['cat_name'] = ct.column('cat_name')
+    cols['kind'] = pa.array(['cat'] * ct.num_rows, pa.string())
+    c = pa.Table.from_pydict(cols, schema=m.schema)
+    return pa.concat_tables([m, c])
+
+
+def _mentions_of(t: pa.Table) -> pa.Table:
+    """Mention-row view of the combined (mentions ∪ cats) union."""
+    return t.filter(pc.equal(t.column('kind'), pa.scalar('m'))) \
+            .drop_columns(['kind', 'cat_name'])
+
+
+def _cats_of(t: pa.Table) -> pa.Table:
+    """Category-row view of the combined (mentions ∪ cats) union."""
+    t = t.filter(pc.equal(t.column('kind'), pa.scalar('cat')))
+    return t.select(['url', 'page_id', 'cat_name'])
+
+
 def run_flagship(pages_ds, out_dir: Optional[str] = None,
                  me_threshold: float = MENTION_ENTITY_THRESHOLD,
                  mm_threshold: float = MENTION_MENTION_THRESHOLD,
                  path_threshold: float = PATH_THRESHOLD,
-                 concurrency: int = 8, linking: str = 'auto',
+                 concurrency: Optional[int] = None, linking: str = 'auto',
                  redirects_ds=None, canon: str = 'auto',
                  surface_budget: Optional[int] = None,
                  markup: str = 'html'):
@@ -46,26 +84,34 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
     or 'auto' (pick broadcast/join by mention volume vs ALIAS_BROADCAST_LIMIT)."""
     from ..config import ALIAS_BROADCAST_LIMIT
     from ..stages.alias import link_mentions_join
-    from ..stages.html_extract import cats_view, items_view, parse_pages
-    # ONE parse per page; the union materializes once and feeds both views.
-    # ``markup``: 'html' (crawl analogue) or 'wikitext' (XML-dump path via
-    # sources/xml_dump.dump_to_pages) — same PARSED_SCHEMA either way.
+    from ..stages.html_extract import parse_pages
+    # ONE parse per page, fused straight into the mention/category
+    # projection: only the SLIM (mentions ∪ cats) union is materialized —
+    # never the full parsed item rows with their token lists, whose
+    # object-store footprint (and spill) was the non-scaling floor of the
+    # end-to-end leg. ``markup``: 'html' (crawl analogue) or 'wikitext'
+    # (XML-dump path via sources/xml_dump.dump_to_pages).
     if markup == 'wikitext':
         from ..stages.wikitext import parse_wikitext_pages as _parse
     else:
         _parse = parse_pages
-    parsed = _parse(pages_ds, concurrency=concurrency).materialize()
-    items = items_view(parsed)
-    cats = cats_view(parsed)
+    parsed = _parse(pages_ds, concurrency=concurrency)
+    combined = parsed.map_batches(_mentions_cats_batch,
+                                  batch_format='pyarrow').materialize()
+    cats = combined.map_batches(_cats_of, batch_format='pyarrow').materialize()
+    mentions = combined.map_batches(_mentions_of, batch_format='pyarrow')
 
-    mentions = explode_mentions(items)
     if redirects_ds is not None:
         # D2: fold wikilink targets through the redirect map (levenshtein≤2
         # spelling guard) BEFORE alias grouping, so distinct surfaces that
         # redirect to one entity merge (reference resource.py:290-305)
         from ..stages.redirects import fold_redirects
         mentions = fold_redirects(mentions, redirects_ds, col='name')
-    mentions = mentions.materialize()  # reused: index build + linking + CC
+    # pin the slim mention rows once (reused by count, index build, linking,
+    # CC); `combined`'s blocks release here — at no point does the store
+    # hold the fat parsed item rows
+    mentions = mentions.materialize()
+    del combined
     n_mentions = mentions.count()
     use_join = linking == 'join' or (linking == 'auto'
                                      and n_mentions > ALIAS_BROADCAST_LIMIT)
