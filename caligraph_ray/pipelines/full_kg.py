@@ -13,10 +13,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ..stages.alias import (build_alias_index_local, entity_names_from_index,
-                            explode_mentions, link_mentions)
+from ..stages.alias import (build_alias_index_local,
+                            entity_names_from_index, link_mentions)
 from ..stages.cat2ax import axioms_to_triples, extract_axioms
-from ..stages.html_extract import cats_view, items_view, parse_pages
+from ..stages.html_extract import parse_pages
 from ..stages.listing_rules import (apply_rules, build_context,
                                     mine_relation_rules, mine_type_rules)
 from ..stages.triples import materialize_triples
@@ -37,11 +37,16 @@ def run_full_kg(pages_ds, categories_ds=None, facts_ds=None,
     categories_ds: (cat_name, parent_cat, member_url) — the F2 companion.
     facts_ds: (subj, pred, obj, is_literal) — the F5 companion.
     """
-    parsed = parse_pages(pages_ds).materialize()
-    items = items_view(parsed)
-    cats = cats_view(parsed)
-
-    mentions = explode_mentions(items).materialize()
+    # fuse the parse into the slim (mentions ∪ cats) projection — the fat
+    # parsed item rows never hit the object store (see run_flagship; this
+    # removed the non-scaling store floor on the end-to-end legs)
+    from .flagship import _cats_of, _mentions_cats_batch, _mentions_of
+    combined = parse_pages(pages_ds).map_batches(
+        _mentions_cats_batch, batch_format='pyarrow').materialize()
+    cats = combined.map_batches(_cats_of, batch_format='pyarrow').materialize()
+    mentions = combined.map_batches(_mentions_of,
+                                    batch_format='pyarrow').materialize()
+    del combined
     n_mentions = mentions.count()
     # same volume gate as run_flagship(linking='auto'): broadcast index
     # under the object budget, co-partitioned hash join above it (the
