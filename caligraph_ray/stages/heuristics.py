@@ -2,8 +2,10 @@
 
 References:
 * Hearst matcher M17 — impl/util/spacy/hearst_matcher.py:6-65 (spaCy
-  matcher); here a deterministic regex engine over plain text with the same
-  pattern inventory (such-as / including / especially / and-or-other / is-a).
+  matcher); here a deterministic regex engine over plain text with the FULL
+  reference pattern inventory (such-as / including / especially /
+  particularly / other-than / and-or-other / is-a with every lemma-'be'
+  form, hearst_matcher.py:6-36).
 * Hypernym counts A1 — impl/wikipedia/nif_parser.py:18-63.
 * Domain/range heuristic A10 — impl/dbpedia/heuristics.py:38-62
   (argmax type share ≥ .96 domain / .77 range).
@@ -28,15 +30,19 @@ from .relational import collect_pandas, two_phase_count, two_phase_pandas_agg
 
 # NP = up to 3 non-function words (function words break chunks, mirroring
 # the reference's noun-chunk boundaries)
-_NPW = r"(?!(?:and|or|such|as|including|especially|other|is|are|a|an|the|of|in|to)\b)[A-Za-z][\w'-]*"
+_NPW = r"(?!(?:and|or|such|as|including|especially|particularly|other|than|is|are|was|were|be|been|being|am|a|an|the|of|in|to)\b)[A-Za-z][\w'-]*"
 _NP = r"((?:" + _NPW + r"\s){0,2}" + _NPW + r")"
+# lemma-'be' forms (reference is-a matches {'LEMMA': 'be'} + a/an)
+_BE = r"(?:is|are|was|were|be|been|being|am)"
 HEARST_PATTERNS: List[Tuple[re.Pattern, str]] = [
     (re.compile(_NP + r"\s+such as\s+" + _NP), 'obj-sub'),        # X such as Y → (Y, X)
     (re.compile(r"such\s+" + _NP + r"\s+as\s+" + _NP), 'obj-sub'),
     (re.compile(_NP + r"\s*,?\s+including\s+" + _NP), 'obj-sub'),
     (re.compile(_NP + r"\s*,?\s+especially\s+" + _NP), 'obj-sub'),
+    (re.compile(_NP + r"\s*,?\s+particularly\s+" + _NP), 'obj-sub'),
+    (re.compile(_NP + r"\s+other than\s+" + _NP), 'obj-sub'),     # X other than Y → (Y, X)
     (re.compile(_NP + r"\s+(?:and|or)\s+other\s+" + _NP), 'sub-obj'),  # Y and other X
-    (re.compile(_NP + r"\s+is\s+an?\s+" + _NP), 'sub-obj'),            # Y is a X
+    (re.compile(_NP + r"\s+" + _BE + r"\s+an?\s+" + _NP), 'sub-obj'),  # Y is a X
 ]
 
 

@@ -220,3 +220,14 @@ def test_type_disjointness_zero_vector_excluded(ray_session):
     pairs = {tuple(sorted((r['type_a'], r['type_b']))) for _, r in out.iterrows()}
     assert ('A', 'B') in pairs          # genuinely disjoint evidence
     assert not any('Z' in p for p in pairs)
+
+
+def test_hearst_full_reference_inventory():
+    """All 7 reference pattern types (hearst_matcher.py:6-36), incl. the
+    round-3 additions: particularly, other-than, lemma-'be' is-a forms."""
+    assert hearst_matches('sports, particularly football') == \
+        [('football', 'sports')]
+    assert hearst_matches('animals other than dogs') == [('dogs', 'animals')]
+    assert hearst_matches('Beatles were a band') == [('Beatles', 'band')]
+    assert hearst_matches('dogs are an example') == [('dogs', 'example')]
+    assert hearst_matches('Bach was a composer') == [('Bach', 'composer')]
