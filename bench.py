@@ -114,6 +114,7 @@ def run_benchmarks() -> dict:
     timed('cms_user_heavy_hitters',
           lambda: Q.q_cms_user_heavy_hitters(SF_DIR).to_pandas())
     timed('stratified_sample_docs', lambda: Q.q_stratified_sample_docs(SF_DIR))
+    timed('domain_cap_docs', lambda: Q.q_domain_cap_docs(SF_DIR))
     timed('tfidf_top_terms', lambda: Q.q_tfidf_top_terms(SF_DIR).to_pandas())
     timed('pagerank_event_types', lambda: Q.q_pagerank_event_types(SF_DIR))
     timed('passage_chunks', lambda: Q.q_passage_chunks(SF_DIR).to_pandas())

@@ -2025,6 +2025,39 @@ ORDER BY doc_id
 """
 
 
+def q_domain_cap_docs(sf_dir: str, k: int = 20):
+    """Per-domain document budget (CCNet-style cap): keep at most k docs
+    per source, ranked by the salted md5 of doc_id — deterministic,
+    engine-independent, resumable (membership is a pure function of the
+    id). Scale shape: per-batch partial top-k combine BEFORE the single
+    coarse-bucket exchange, so a hot domain never ships more than k rows
+    per upstream block (the skew-safe web-crawl pattern)."""
+    from ..functions.hashing import md5_hash64
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'source'])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b['rk'] = np.array([md5_hash64(f'cap:{d}') for d in b['doc_id']],
+                           dtype=np.uint64)
+        b = b.sort_values(['source', 'rk', 'doc_id'], kind='mergesort')
+        return b.groupby('source', sort=False).head(k)
+
+    partials = docs.map_batches(partial, batch_format='pandas')
+    out = rel.collect_pandas(rel.topk_per_group(
+        partials, 'source', ['rk', 'doc_id'], [True, True], k=k))
+    out = out[['source', 'doc_id']].astype({'doc_id': 'int64'})
+    return out.sort_values(['source', 'doc_id']).reset_index(drop=True)
+
+
+SQL_DOMAIN_CAP = """
+SELECT source, doc_id FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5_number_upper('cap:' || CAST(doc_id AS VARCHAR)), doc_id) <= 20
+ORDER BY source, doc_id
+"""
+
+
 def q_stratified_sample_docs(sf_dir: str, k: int = 20):
     """Deterministic stratified sample: the k docs per language with the
     smallest salted-md5 rank — exact per-stratum quota with hash_sample's
@@ -2455,6 +2488,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'hash_split_counts': q_hash_split_counts,
     'hash_sample_docs': q_hash_sample_docs,
     'stratified_sample_docs': q_stratified_sample_docs,
+    'domain_cap_docs': q_domain_cap_docs,
     'unigram_logprob_scores': q_unigram_logprob_scores,
     'tfidf_top_terms': q_tfidf_top_terms,
     'passage_chunks': q_passage_chunks,
@@ -2529,6 +2563,7 @@ ORACLES: Dict[str, str] = {
     'hash_split_counts': SQL_HASH_SPLIT,
     'hash_sample_docs': SQL_HASH_SAMPLE,
     'stratified_sample_docs': _sql_stratified_sample(),
+    'domain_cap_docs': SQL_DOMAIN_CAP,
     'unigram_logprob_scores': SQL_UNIGRAM_LP,
     'tfidf_top_terms': _sql_tfidf_top_terms(),
     'passage_chunks': _sql_passage_chunks(),
