@@ -48,6 +48,20 @@ _CANONICAL_RES = [
     re.compile(r"\s*:\s*..?\s*[-–]\s*..?$"),
 ]
 
+# RE2 twins of _CANONICAL_RES for the vectorized Arrow path: Python re's
+# \s is full-unicode (NBSP, NEL, Z-category — common in wiki labels) while
+# RE2's is ASCII-only, and Python's $ also matches before ONE trailing
+# newline while RE2's matches end-of-text only. Both gaps mis-partition
+# the canonical-label groupby (hypothesis caught '\xa0A,A'); the leftover
+# trailing '\n' the Python side keeps after a zero-width-$ removal is
+# collapsed away by the shared space-regularization step, so the two
+# chains converge (property-tested against the scalar).
+_PY_WS_RE2 = r"[\s\x1c-\x1f\x85\p{Z}]"
+_CANONICAL_RES_RE2 = [
+    rx.pattern.replace(r"\s", _PY_WS_RE2).replace("$", r"\n?$")
+    for rx in _CANONICAL_RES
+]
+
 _BRACKET_PATTERNS = {
     '(': re.compile(r"\s*\([^()]*\)\s*"),
     '[': re.compile(r"\s*\[[^\[\]]*\]\s*"),
@@ -217,8 +231,8 @@ def canonical_label_array(arr: pa.Array) -> pa.Array:
     stripped = pa.array([remove_by_phrase(s) if s is not None else None
                          for s in arr.to_pylist()], pa.string())
     out = stripped
-    for rx in _CANONICAL_RES:
-        out = pc.replace_substring_regex(out, pattern=rx.pattern, replacement="")
+    for pat in _CANONICAL_RES_RE2:
+        out = pc.replace_substring_regex(out, pattern=pat, replacement="")
     # RE2's \s is ASCII-only, but the scalar reference collapses with
     # str.split() (full unicode whitespace incl. NBSP — common in wiki
     # labels). Match Python's set exactly: ASCII \s + info separators +
