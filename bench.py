@@ -119,6 +119,8 @@ def run_benchmarks() -> dict:
     timed('pagerank_event_types', lambda: Q.q_pagerank_event_types(SF_DIR))
     timed('passage_chunks', lambda: Q.q_passage_chunks(SF_DIR).to_pandas())
     timed('mixture_sample_docs', lambda: Q.q_mixture_sample_docs(SF_DIR))
+    timed('packed_sequences', lambda: Q.q_packed_sequences(SF_DIR))
+    timed('host_quality_docs', lambda: Q.q_host_quality_docs(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -2085,6 +2085,72 @@ ORDER BY doc_id
 """
 
 
+def q_packed_sequences(sf_dir: str, capacity: int = 512):
+    """Training-sequence packing: global token prefix-sum over doc_id order
+    (bucket-offset scan + per-bucket cumsum — no single-machine scan), then
+    concat-and-split every `capacity` tokens (stages/textstats.
+    packed_sequences). The SQL twin is one integer window sum."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    out = rel.collect_pandas(ts.packed_sequences(docs, capacity=capacity))
+    cols = ['doc_id', 'n_tokens', 'tok_offset', 'first_seq', 'last_seq']
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype='int64') for c in cols})
+    out = out[cols].astype('int64')
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
+SQL_PACKED_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS tok_offset
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // 512 AS first_seq,
+       (tok_offset + n_tokens - 1) // 512 AS last_seq
+FROM o ORDER BY doc_id
+"""
+
+
+def q_host_quality_docs(sf_dir: str):
+    """Host-level quality filter (keep docs whose source clears the
+    lexical-diversity per-mille bar; stages/textstats.host_quality_docs).
+    Broadcast keep-set under the measured host cardinality, host-keyed
+    shuffle join above it — both row-identical."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text', 'source'])
+    out = rel.collect_pandas(ts.host_quality_docs(docs))
+    if out.empty:
+        return pd.DataFrame({'doc_id': pd.Series(dtype='int64'),
+                             'source': pd.Series(dtype=object)})
+    out = out[['doc_id', 'source']].astype({'doc_id': 'int64'})
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
+SQL_HOST_QUALITY = """
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks,
+         len(list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> ''))) AS n_uniq
+  FROM documents
+), s AS (
+  SELECT source, CAST(sum(n_toks) AS BIGINT) AS sn,
+         CAST(sum(n_uniq) AS BIGINT) AS su
+  FROM d GROUP BY source
+)
+SELECT d.doc_id, d.source
+FROM d JOIN s USING (source)
+WHERE s.su * 1000 >= 430 * s.sn
+ORDER BY d.doc_id
+"""
+
 
 # --- corpus-LM scoring + contamination check --------------------------------
 
@@ -2554,6 +2620,8 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'approx_distinct_users': q_approx_distinct_users,
     'user_components': q_user_components,
     'alias_counts_docs': q_alias_counts_docs,
+    'packed_sequences': q_packed_sequences,
+    'host_quality_docs': q_host_quality_docs,
     'flagship_triples': q_flagship_triples,
 }
 
@@ -2629,6 +2697,8 @@ ORACLES: Dict[str, str] = {
     'hearst_hypernyms': SQL_HEARST,
     'listing_chunks': SQL_LISTING_CHUNKS,
     'lsh_topk': _sql_lsh_topk(),
+    'packed_sequences': SQL_PACKED_SEQUENCES,
+    'host_quality_docs': SQL_HOST_QUALITY,
     # rows-only (non-SQL-expressible): flagship_triples (full KG pipeline;
     # gated instead by the single-process oracle in tests/oracle_kg.py)
 }

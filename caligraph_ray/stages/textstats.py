@@ -574,3 +574,192 @@ def lang_id_ngram(docs_ds, id_col: str = 'doc_id', text_col: str = 'text'):
 
     return docs_ds.map_batches(classify, batch_format='pandas',
                                batch_size=AGG_BATCH_SIZE)
+
+
+def packed_sequences(docs_ds, capacity: int = 512, id_col: str = 'doc_id',
+                     text_col: str = 'text', coarse: Optional[int] = None):
+    """Training-sequence packing (GPT-style concat-and-split): tokens of all
+    documents, ordered by ``id_col``, are conceptually concatenated and cut
+    every ``capacity`` tokens; each doc reports its global token offset and
+    the first/last training sequence its span lands in. This is the doc →
+    sequence index a 100 TB pretraining shard writer needs, computed
+    WITHOUT any global sort-and-scan on one machine:
+
+    1. slim per-doc token counts carry a RANGE bucket ``id // width``
+       (width sized so buckets ≈ cluster tasks),
+    2. per-bucket token totals aggregate two-phase; ONLY the O(coarse)
+       bucket totals reach the driver, where an exclusive scan yields each
+       bucket's global token offset (broadcast once via ray.put),
+    3. one co-partitioned exchange per bucket: sort by id, local exclusive
+       cumsum + the bucket's offset = the exact global prefix sum.
+
+    Partitioning assumption (documented per the custom-operator contract):
+    ids are roughly uniformly dense over [0, max_id] so range buckets
+    balance; for sparse/hashed ids substitute a rank-partitioned bucket.
+    All arithmetic is int64-exact, so a SQL window ``sum() OVER (ORDER BY
+    id ROWS UNBOUNDED PRECEDING ... 1 PRECEDING)`` replays it bit-for-bit.
+    Zero-token docs are dropped (they occupy no span; SQL WHERE mirror)."""
+    import ray
+    from ray.data.aggregate import Max
+
+    from ..state.broadcast import get_broadcast
+    from .relational import (bucketed_map_arrow, collect_pandas,
+                             default_coarse)
+
+    if coarse is None:
+        coarse = default_coarse()
+
+    def count(batch: pa.Table) -> pa.Table:
+        ids, ns = [], []
+        for i, text in zip(batch.column(id_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            n = len(_split_tokens(text or ''))
+            if n:
+                ids.append(i)
+                ns.append(n)
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids, pa.int64()),
+            'n_tokens': pa.array(ns, pa.int64()),
+        })
+
+    counts = docs_ds.map_batches(count, batch_format='pyarrow',
+                                 batch_size=AGG_BATCH_SIZE).materialize()
+    agg = counts.aggregate(Max(id_col, alias_name='m'))
+    max_id = int(agg['m']) if agg and agg.get('m') is not None else 0
+    width = max(1, max_id // coarse + 1)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t.column(id_col)) // width).astype('int32')
+        return t.append_column('_coarse', pa.array(b, pa.int32()))
+
+    bucketed = counts.map_batches(add_bucket, batch_format='pyarrow',
+                                  batch_size=AGG_BATCH_SIZE)
+
+    # two-phase bucket totals: per-batch partial sums, tiny driver groupby
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({'b': np.asarray(t.column('_coarse')),
+                           'n': np.asarray(t.column('n_tokens'))})
+        g = df.groupby('b', sort=False)['n'].sum().reset_index()
+        return pa.Table.from_pydict({'b': pa.array(g['b'], pa.int32()),
+                                     'n': pa.array(g['n'], pa.int64())})
+
+    parts = collect_pandas(bucketed.map_batches(
+        partial, batch_format='pyarrow', batch_size=AGG_BATCH_SIZE))
+    offsets: Dict[int, int] = {}
+    if len(parts):
+        totals = parts.groupby('b')['n'].sum().sort_index()
+        run = 0
+        for b, n in totals.items():
+            offsets[int(b)] = run
+            run += int(n)
+    ref = ray.put(offsets)
+
+    def pack(t: pa.Table) -> pa.Table:
+        off = get_broadcast(ref)
+        df = pd.DataFrame({id_col: np.asarray(t.column(id_col)),
+                           'n_tokens': np.asarray(t.column('n_tokens'))})
+        df = df.sort_values(id_col, kind='mergesort')
+        ids = df[id_col].to_numpy()
+        ns = df['n_tokens'].to_numpy()
+        excl = np.cumsum(ns) - ns
+        bk = ids // width
+        # per-bucket base: bucket's global offset minus its local start
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        base = np.zeros(len(ids), dtype=np.int64)
+        for s_i in starts:
+            e_i = int(bk[s_i])
+            base[s_i:] = off[e_i] - excl[s_i]   # overwritten by later buckets
+        tok_offset = excl + base
+        # pandas out: the exchange reducer concatenates bucket results with
+        # pd.concat; all columns are null-free int64 so nothing can demote
+        return pd.DataFrame({
+            id_col: ids.astype('int64'),
+            'n_tokens': ns.astype('int64'),
+            'tok_offset': tok_offset.astype('int64'),
+            'first_seq': (tok_offset // capacity).astype('int64'),
+            'last_seq': ((tok_offset + ns - 1) // capacity).astype('int64'),
+        })
+
+    return bucketed_map_arrow(bucketed, pack, coarse=coarse)
+
+
+#: distinct-host rows above which host_quality_docs stops broadcasting the
+#: kept-host set and switches to a host-keyed shuffle join (web-scale host
+#: cardinality is O(10^8); a driver collect of every host is the ceiling
+#: the gate removes). Same pattern as UNIGRAM_BROADCAST_LIMIT.
+HOST_BROADCAST_LIMIT = int(__import__('os').environ.get(
+    'HOST_BROADCAST_LIMIT', 1_000_000))
+
+
+def host_quality_docs(docs_ds, host_col: str = 'source',
+                      id_col: str = 'doc_id', text_col: str = 'text',
+                      min_uniq_permille: int = 430,
+                      host_broadcast_limit: Optional[int] = None):
+    """Host-level quality filtering (the RefinedWeb/FineWeb-style rule
+    'drop every document from a low-quality host'): a host is kept when its
+    corpus-wide lexical diversity clears a per-mille bar —
+    ``sum(distinct_tokens) * 1000 >= min_uniq_permille * sum(tokens)``,
+    integer cross-multiplied so both engines decide identically (no float
+    ratio). Two phases:
+
+    1. per-batch partial (host, Σuniq, Σtokens) sums combine before one
+       small host-keyed groupby — a popular host never ships raw rows,
+    2. kept hosts either broadcast (≤ ``host_broadcast_limit`` measured
+       rows) into a stateless filter map, or — the web-scale regime —
+       stay a Dataset and anti-drop via one host-keyed shuffle join.
+       Both regimes are row-identical (forced-low-gate test)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..state.broadcast import get_broadcast
+    from .relational import collect_pandas, shuffle_join
+
+    limit = (HOST_BROADCAST_LIMIT if host_broadcast_limit is None
+             else host_broadcast_limit)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        hs: Dict[str, List[int]] = {}
+        for h, text in zip(batch.column(host_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            toks = _split_tokens(text or '')
+            cur = hs.setdefault(h, [0, 0])
+            cur[0] += len(set(toks))
+            cur[1] += len(toks)
+        keys = sorted(hs)
+        return pa.Table.from_pydict({
+            host_col: pa.array(keys, pa.string()),
+            'u': pa.array([hs[k][0] for k in keys], pa.int64()),
+            'n': pa.array([hs[k][1] for k in keys], pa.int64()),
+        })
+
+    per_host = (docs_ds.map_batches(stats, batch_format='pyarrow',
+                                    batch_size=AGG_BATCH_SIZE)
+                .groupby(host_col)
+                .aggregate(Sum('u', alias_name='su'), Sum('n', alias_name='sn')))
+
+    def keep_mask(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        ok = _pc.greater_equal(_pc.multiply(t.column('su'), 1000),
+                               _pc.multiply(t.column('sn'),
+                                            min_uniq_permille))
+        return t.filter(ok).select([host_col])
+
+    kept = per_host.map_batches(keep_mask, batch_format='pyarrow'
+                                ).materialize()
+    docs_slim = docs_ds.select_columns([id_col, host_col])
+    if kept.count() <= max(limit, 0):
+        keep_set = frozenset(collect_pandas(kept)[host_col]) \
+            if kept.count() else frozenset()
+        ref = ray.put(keep_set)
+
+        def filt(t: pa.Table) -> pa.Table:
+            ks = get_broadcast(ref)
+            mask = pa.array([h in ks for h in
+                             t.column(host_col).to_pylist()], pa.bool_())
+            return t.filter(mask)
+
+        return docs_slim.map_batches(filt, batch_format='pyarrow',
+                                     batch_size=AGG_BATCH_SIZE)
+    out = shuffle_join(docs_slim, kept, host_col, host_col, how='inner')
+    return out

@@ -1,0 +1,71 @@
+"""packed_sequences (distributed prefix-sum concat-and-split packing) and
+host_quality_docs (host-level quality filter) — single-process oracles plus
+forced-scale-path equivalence (the SMALL_EXCHANGE_BYTES=0 technique)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from caligraph_ray.stages import textstats as ts
+from caligraph_ray.stages.relational import collect_pandas
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def _expected_pack(rows, capacity):
+    out = []
+    run = 0
+    for r in sorted(rows, key=lambda r: r['doc_id']):
+        n = len([t for t in r['text'].split(' ') if t])
+        if not n:
+            continue
+        out.append({'doc_id': r['doc_id'], 'n_tokens': n, 'tok_offset': run,
+                    'first_seq': run // capacity,
+                    'last_seq': (run + n - 1) // capacity})
+        run += n
+    return pd.DataFrame(out)
+
+
+@pytest.mark.parametrize('coarse', [1, 3, 16])
+def test_packed_sequences_matches_serial_scan(ray_session, coarse):
+    rng = np.random.RandomState(7)
+    rows = [{'doc_id': int(i * 3 + 1),   # sparse, non-contiguous ids
+             'text': ' '.join(f't{j}' for j in range(rng.randint(0, 9)))}
+            for i in range(60)]
+    got = collect_pandas(
+        ts.packed_sequences(_docs_ds(rows), capacity=7, coarse=coarse))
+    got = got.sort_values('doc_id').reset_index(drop=True).astype('int64')
+    exp = _expected_pack(rows, 7).astype('int64')
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_packed_sequences_empty_and_all_blank(ray_session):
+    rows = [{'doc_id': 1, 'text': ''}, {'doc_id': 2, 'text': '   '}]
+    got = collect_pandas(ts.packed_sequences(_docs_ds(rows), capacity=4))
+    assert len(got) == 0
+
+
+def test_host_quality_broadcast_equals_join_regime(ray_session):
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(120):
+        host = f'h{i % 6}'
+        # hosts h0/h1 emit repetitive text (low diversity), others diverse
+        if i % 6 < 2:
+            text = 'spam spam spam spam ham'
+        else:
+            text = ' '.join(f'w{rng.randint(0, 500)}' for _ in range(12))
+        rows.append({'doc_id': i, 'source': host, 'text': text})
+    bcast = collect_pandas(ts.host_quality_docs(_docs_ds(rows)))
+    joined = collect_pandas(
+        ts.host_quality_docs(_docs_ds(rows), host_broadcast_limit=0))
+    key = ['doc_id', 'source']
+    a = bcast[key].sort_values('doc_id').reset_index(drop=True)
+    b = joined[key].sort_values('doc_id').reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    # the repetitive hosts were actually dropped
+    assert not set(a['source']) & {'h0', 'h1'}
+    assert set(a['source']) == {'h2', 'h3', 'h4', 'h5'}
