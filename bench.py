@@ -121,6 +121,8 @@ def run_benchmarks() -> dict:
     timed('mixture_sample_docs', lambda: Q.q_mixture_sample_docs(SF_DIR))
     timed('packed_sequences', lambda: Q.q_packed_sequences(SF_DIR))
     timed('host_quality_docs', lambda: Q.q_host_quality_docs(SF_DIR))
+    timed('bigram_backoff_scores', lambda: Q.q_bigram_backoff_scores(SF_DIR))
+    timed('event_type_triangles', lambda: Q.q_event_type_triangles(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -2207,6 +2207,84 @@ FROM toks t JOIN lp ON t.tok = lp.tok GROUP BY t.doc_id
 """
 
 
+def q_bigram_backoff_scores(sf_dir: str):
+    """Bigram-LM document scores with stupid-backoff to the unigram model
+    (stages/textstats.bigram_backoff_scores) — exact-integer log2 fixed
+    point end to end, so the oracle replays the full two-order model
+    through the same recursive-CTE log2 kernel."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    out = rel.collect_pandas(ts.bigram_backoff_scores(docs))
+    cols = ['doc_id', 'logprob_q', 'n_pairs']
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype='int64') for c in cols})
+    out = out[cols].astype('int64')
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
+# Same shift-and-square log2 CTE as SQL_UNIGRAM_LP, with vals = unigram
+# freqs ∪ frequent-bigram freqs ∪ N; penalty 4<<20 fixed-point bits.
+SQL_BIGRAM_BACKOFF = """
+WITH RECURSIVE raw AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents),
+toks AS MATERIALIZED (
+    SELECT doc_id, tok,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+    FROM raw WHERE tok <> ''),
+uni AS MATERIALIZED (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM uni),
+pairs AS MATERIALIZED (
+    SELECT t1.doc_id, t1.tok AS w1, t2.tok AS w2
+    FROM toks t1 JOIN toks t2
+      ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+big AS MATERIALIZED (
+    SELECT w1, w2, count(*) AS freq FROM pairs
+    GROUP BY w1, w2 HAVING count(*) >= 3),
+vals(v) AS (SELECT DISTINCT freq FROM uni
+            UNION SELECT DISTINCT freq FROM big
+            UNION SELECT n FROM tot),
+lgrec(v, iter, y, frac) AS (
+    SELECT v, 0,
+           (CAST(v AS HUGEINT) * (1::BIGINT << 40))
+               // (1::BIGINT << (length(bin(v)) - 1)),
+           CAST(0 AS HUGEINT)
+    FROM vals
+    UNION ALL
+    SELECT v, iter + 1,
+           CASE WHEN (y*y) // (1::BIGINT << 40)
+                     >= CAST(2 AS HUGEINT) * (1::BIGINT << 40)
+                THEN ((y*y) // (1::BIGINT << 40)) // 2
+                ELSE (y*y) // (1::BIGINT << 40) END,
+           CASE WHEN (y*y) // (1::BIGINT << 40)
+                     >= CAST(2 AS HUGEINT) * (1::BIGINT << 40)
+                THEN frac*2 + 1 ELSE frac*2 END
+    FROM lgrec WHERE iter < 20
+),
+lg AS MATERIALIZED (SELECT v,
+        CAST(CAST(length(bin(v)) - 1 AS HUGEINT) * (1::BIGINT << 20) + frac
+             AS BIGINT) AS l2
+    FROM lgrec WHERE iter = 20),
+scored AS (
+    SELECT p.doc_id,
+           CASE WHEN b.freq IS NOT NULL
+                THEN lgb.l2 - lgu1.l2
+                ELSE lgu2.l2 - lgn.l2 - 4194304 END AS lp
+    FROM pairs p
+    LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+    JOIN uni u1 ON u1.tok = p.w1
+    JOIN uni u2 ON u2.tok = p.w2
+    LEFT JOIN lg lgb ON lgb.v = b.freq
+    JOIN lg lgu1 ON lgu1.v = u1.freq
+    JOIN lg lgu2 ON lgu2.v = u2.freq
+    CROSS JOIN (SELECT lg.l2 FROM lg JOIN tot ON lg.v = tot.n) lgn(l2)
+)
+SELECT doc_id, CAST(sum(lp) AS BIGINT) AS logprob_q,
+       count(*) AS n_pairs
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_tfidf_top_terms(sf_dir: str, k: int = 5):
     """Per-doc top-k TF-IDF terms under the exact-integer log2_fixed
     contract; join-shaped (no vocab broadcast). Oracle reuses the
@@ -2457,6 +2535,39 @@ def q_pagerank_event_types(sf_dir: str, iters: int = 3):
     return out.sort_values('event_type').reset_index(drop=True)
 
 
+def q_event_type_triangles(sf_dir: str):
+    """Triangle enumeration over the undirected event-type transition graph
+    (stages/graph.triangles: degree-oriented wedge join — the O(m^1.5)
+    distributed algorithm, not a driver-side scan). Canonical (x<y<z)."""
+    from ..stages.graph import transition_edges, triangles, undirected_edges
+    ev = rel.read_table(sf_dir, 'events',
+                        ['user_id', 'ts', 'event_id', 'event_type'])
+    und = undirected_edges(transition_edges(ev))
+    out = rel.collect_pandas(triangles(und))
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype=object)
+                             for c in ('x', 'y', 'z')})
+    return (out[['x', 'y', 'z']].astype(str)
+            .sort_values(['x', 'y', 'z']).reset_index(drop=True))
+
+
+SQL_TRIANGLES = """
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM seq WHERE dst IS NOT NULL AND src <> dst)
+SELECT t1.a AS x, t1.b AS y, t2.b AS z
+FROM und t1
+JOIN und t2 ON t2.a = t1.b
+JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b
+ORDER BY x, y, z
+"""
+
+
 def _sql_pagerank(iters: int = 3, scale: int = 1_000_000_000_000) -> str:
     parts = [f"""
 WITH seq AS (
@@ -2622,6 +2733,8 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'alias_counts_docs': q_alias_counts_docs,
     'packed_sequences': q_packed_sequences,
     'host_quality_docs': q_host_quality_docs,
+    'bigram_backoff_scores': q_bigram_backoff_scores,
+    'event_type_triangles': q_event_type_triangles,
     'flagship_triples': q_flagship_triples,
 }
 
@@ -2699,6 +2812,8 @@ ORACLES: Dict[str, str] = {
     'lsh_topk': _sql_lsh_topk(),
     'packed_sequences': SQL_PACKED_SEQUENCES,
     'host_quality_docs': SQL_HOST_QUALITY,
+    'bigram_backoff_scores': SQL_BIGRAM_BACKOFF,
+    'event_type_triangles': SQL_TRIANGLES,
     # rows-only (non-SQL-expressible): flagship_triples (full KG pipeline;
     # gated instead by the single-process oracle in tests/oracle_kg.py)
 }

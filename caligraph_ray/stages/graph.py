@@ -20,6 +20,7 @@ is dropped, the standard simplification — document when reusing.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -119,3 +120,122 @@ def pagerank_int(edges_ds, iters: int = 3, scale: int = PAGERANK_SCALE):
             .materialize()
 
     return ranks
+
+
+def undirected_edges(edges_ds, src_col: str = 'src', dst_col: str = 'dst'):
+    """Canonical distinct undirected edge set: (a, b) with a < b, self-loops
+    dropped, duplicates collapsed via the two-phase count exchange."""
+    from .relational import two_phase_count
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        s, d = batch[src_col], batch[dst_col]
+        a = s.where(s < d, d)
+        b = d.where(s < d, s)
+        out = pd.DataFrame({'a': a, 'b': b})
+        return out[out['a'] != out['b']]
+
+    pairs = edges_ds.map_batches(canon, batch_format='pandas',
+                                 batch_size=AGG_BATCH_SIZE)
+    return two_phase_count(pairs, ['a', 'b'], alias='cnt').drop_columns(['cnt'])
+
+
+def triangles(und_edges_ds):
+    """Distributed triangle enumeration via degree orientation (the
+    scalable wedge-join algorithm): orient every undirected edge from the
+    lower-(degree, node) endpoint to the higher, generate each node's
+    out-neighbor pairs as wedges, and keep wedges whose closing pair is
+    itself an oriented edge. Under this orientation every out-degree is
+    O(sqrt(m)) on any graph (arboricity bound), so the wedge exchange is
+    O(m^1.5) worst-case and near-linear on sparse web/host graphs — the
+    shape that survives 100 TB, unlike a driver-side networkx triangle
+    scan. Three exchanges total: degree count, wedge groupby, wedge⋈edge
+    join (NUL-packed pair keys — exercises the value-pure _col_hash
+    contract). Emits one row per triangle, canonical (x < y < z).
+    Input must be the canonical undirected edge set (``undirected_edges``).
+    """
+    from .relational import grouped_map, shuffle_join, two_phase_count
+
+    und = und_edges_ds.materialize()
+
+    def explode_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({'node': pd.concat([batch['a'], batch['b']],
+                                               ignore_index=True)})
+
+    deg = two_phase_count(und.map_batches(explode_nodes,
+                                          batch_format='pandas'),
+                          ['node'], alias='deg')
+
+    j = shuffle_join(und, deg.map_batches(
+        lambda t: t.rename_columns(['na', 'dega']), batch_format='pyarrow'),
+        left_on='a', right_on='na', how='inner')
+    j = shuffle_join(j, deg.map_batches(
+        lambda t: t.rename_columns(['nb', 'degb']), batch_format='pyarrow'),
+        left_on='b', right_on='nb', how='inner')
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({'u': pd.Series([], dtype=object),
+                                 'v': pd.Series([], dtype=object)})
+        # lower (deg, node) endpoint points at the higher — total order
+        a_first = (df['dega'] < df['degb']) | (
+            (df['dega'] == df['degb']) & (df['a'] < df['b']))
+        return pd.DataFrame({'u': df['a'].where(a_first, df['b']),
+                             'v': df['b'].where(a_first, df['a'])})
+
+    oriented = j.map_batches(orient, batch_format='pandas',
+                             batch_size=AGG_BATCH_SIZE).materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # out-neighbors in orientation order; O(sqrt(m)) per node
+        nb = sorted(g['v'])
+        if len(nb) < 2:
+            return pd.DataFrame()
+        us, vs, ws = [], [], []
+        u = g['u'].iloc[0]
+        for i in range(len(nb) - 1):
+            for k in range(i + 1, len(nb)):
+                us.append(u)
+                vs.append(nb[i])
+                ws.append(nb[k])
+        return pd.DataFrame({'wu': us, 'wv': vs, 'ww': ws})
+
+    wedge_ds = grouped_map(oriented, ['u'], wedges)
+
+    def pack(df: pd.DataFrame, c1: str, c2: str) -> pd.Series:
+        # orientation order is NOT value order, so the closing edge (v, w)
+        # can be oriented either way — key on the VALUE-canonical pair
+        lo = df[c1].where(df[c1] < df[c2], df[c2])
+        hi = df[c2].where(df[c1] < df[c2], df[c1])
+        return lo.astype(str) + '\x00' + hi.astype(str)
+
+    def key_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({'wu': pd.Series([], dtype=object),
+                                 'wv': pd.Series([], dtype=object),
+                                 'ww': pd.Series([], dtype=object),
+                                 '_pk': pd.Series([], dtype=object)})
+        return df.assign(_pk=pack(df, 'wv', 'ww'))
+
+    def key_edges(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({'_pk': pd.Series([], dtype=object),
+                                 '_hit': pd.Series([], dtype='int64')})
+        return pd.DataFrame({'_pk': pack(df, 'u', 'v'),
+                             '_hit': np.ones(len(df), dtype='int64')})
+
+    wk = wedge_ds.map_batches(key_wedges, batch_format='pandas',
+                              batch_size=AGG_BATCH_SIZE)
+    ek = oriented.map_batches(key_edges, batch_format='pandas',
+                              batch_size=AGG_BATCH_SIZE)
+    closed = shuffle_join(wk, ek, left_on='_pk', right_on='_pk', how='inner')
+
+    def canon_triple(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({'x': pd.Series([], dtype=object),
+                                 'y': pd.Series([], dtype=object),
+                                 'z': pd.Series([], dtype=object)})
+        tri = np.sort(df[['wu', 'wv', 'ww']].to_numpy(dtype=object), axis=1)
+        return pd.DataFrame({'x': tri[:, 0], 'y': tri[:, 1], 'z': tri[:, 2]})
+
+    return closed.map_batches(canon_triple, batch_format='pandas',
+                              batch_size=AGG_BATCH_SIZE)

@@ -235,7 +235,13 @@ def _col_hash(s: pd.Series) -> np.ndarray:
     na = s.isna()
     if na.any():
         st = st.where(~na, '\x00null')
-    return pd.util.hash_pandas_object(st, index=False) \
+    # categorize=False: the default categorize path hashes the factorized
+    # category index through a C routine that truncates at an embedded NUL,
+    # so 'a\x00b' hashes DIFFERENTLY depending on which other values share
+    # its batch — the same logical key then lands in different coarse
+    # buckets on the two sides of an exchange and joins/groupbys silently
+    # drop matches (found by the bigram pair key 'w1\x00w2').
+    return pd.util.hash_pandas_object(st, index=False, categorize=False) \
         .to_numpy(dtype='uint64')
 
 

@@ -15,6 +15,7 @@ from typing import Dict, List, Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import AGG_BATCH_SIZE
 from ..functions.hashing import rolling_fingerprint
@@ -763,3 +764,193 @@ def host_quality_docs(docs_ds, host_col: str = 'source',
                                      batch_size=AGG_BATCH_SIZE)
     out = shuffle_join(docs_slim, kept, host_col, host_col, how='inner')
     return out
+
+
+#: combined (vocab + frequent-bigram) dim rows above which
+#: bigram_backoff_scores stops broadcasting and shuffle-joins (web-scale
+#: bigram vocab is unbounded). Same pattern as UNIGRAM_BROADCAST_LIMIT.
+BIGRAM_BROADCAST_LIMIT = int(__import__('os').environ.get(
+    'BIGRAM_BROADCAST_LIMIT', 2_000_000))
+
+#: fixed-point log2 penalty for the backoff branch (4.0 bits at F=20 —
+#: the classic "stupid backoff"-style discount, integer so both engines
+#: subtract identically)
+BIGRAM_BACKOFF_PENALTY_Q = 4 << 20
+
+
+def bigram_backoff_scores(docs_ds, id_col: str = 'doc_id',
+                          text_col: str = 'text', min_count: int = 3,
+                          penalty_q: int = BIGRAM_BACKOFF_PENALTY_Q,
+                          dim_broadcast_limit: Optional[int] = None):
+    """Bigram LM document scoring with stupid-backoff to the unigram model
+    (the KenLM-style fluency signal, one order up from
+    unigram_logprob_scores): for each adjacent pair (w1, w2) of a doc,
+
+    * seen pair (corpus freq ≥ min_count):  lp = l2(bf) − l2(uf(w1))
+      (the conditional log2 P(w2|w1)),
+    * unseen pair (backoff):                lp = l2(uf(w2)) − l2(N) − penalty,
+
+    with every l2 the integer shift-and-square ``log2_fixed`` kernel —
+    per-pair values are exact int64, doc scores exact integer sums, and a
+    SQL engine replays the whole model bit-for-bit (same recursive-CTE
+    twin as the unigram contract). Emits (doc_id, logprob_q, n_pairs);
+    docs with < 2 tokens drop (no pairs — SQL inner-join mirror).
+
+    Regimes: the (unigram ∪ frequent-bigram) dims broadcast when their
+    measured combined cardinality ≤ ``dim_broadcast_limit``; above it the
+    exploded per-doc pair counts take three co-partitioned shuffle joins
+    (pair → bigram dim, w1/w2 → unigram dim) with partial per-doc sums —
+    no driver collect. Both regimes are bit-identical (forced-gate test)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import log2_fixed
+    from ..state.broadcast import get_broadcast
+    from .relational import arrow_filter, collect_pandas
+
+    limit = (BIGRAM_BROADCAST_LIMIT if dim_broadcast_limit is None
+             else dim_broadcast_limit)
+    uni_ds = token_counts(docs_ds, text_col=text_col).materialize()
+    big_ds = arrow_filter(
+        bigram_counts(docs_ds, text_col=text_col),
+        lambda t: pc.greater_equal(t['freq'], min_count)).materialize()
+    n_dim = uni_ds.count() + big_ds.count()
+    if n_dim > max(limit, 0):
+        return _bigram_scores_join(docs_ds, uni_ds, big_ds, id_col,
+                                   text_col, penalty_q)
+
+    uni = collect_pandas(uni_ds)
+    big = collect_pandas(big_ds)
+    l2_cache: Dict[int, int] = {}
+
+    def _l2(f: int) -> int:
+        q = l2_cache.get(f)
+        if q is None:
+            q = l2_cache[f] = log2_fixed(f)
+        return q
+
+    if uni.empty:
+        u_l2: Dict[str, int] = {}
+        l2_n = 0
+    else:
+        l2_n = _l2(int(uni['freq'].sum()))
+        u_l2 = {t: _l2(int(f)) for t, f in zip(uni['token'], uni['freq'])}
+    b_l2 = ({} if big.empty else
+            {(a, b): _l2(int(f))
+             for a, b, f in zip(big['w1'], big['w2'], big['freq'])})
+    ref = ray.put((u_l2, b_l2, l2_n))
+
+    def score(batch: pa.Table) -> pa.Table:
+        u_, b_, n_ = get_broadcast(ref)
+        ids, sums, ns = [], [], []
+        for i, text in zip(batch.column(id_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            toks = _split_tokens(text or '')
+            if len(toks) < 2:
+                continue
+            s = 0
+            for a, b in zip(toks, toks[1:]):
+                l2b = b_.get((a, b))
+                if l2b is not None:
+                    s += l2b - u_[a]
+                else:
+                    s += u_[b] - n_ - penalty_q
+            ids.append(i)
+            sums.append(s)
+            ns.append(len(toks) - 1)
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids, pa.int64()),
+            'logprob_q': pa.array(sums, pa.int64()),
+            'n_pairs': pa.array(ns, pa.int64()),
+        })
+
+    return docs_ds.map_batches(score, batch_format='pyarrow',
+                               batch_size=AGG_BATCH_SIZE)
+
+
+def _bigram_scores_join(docs_ds, uni_ds, big_ds, id_col: str, text_col: str,
+                        penalty_q: int):
+    """Shuffle-join regime of bigram_backoff_scores: per-doc distinct pair
+    counts join the bigram dim (left, on the packed pair key) and the
+    unigram dim (on w1 and on w2); the only driver value is the scalar N.
+    All l2 values < 2^27, so the nullable-join float64 transit is exact."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import log2_fixed
+    from .relational import shuffle_join
+
+    agg = uni_ds.aggregate(Sum('freq', alias_name='n_total'))
+    n_total = int(agg['n_total']) if agg and agg.get('n_total') else 0
+    l2_n = log2_fixed(n_total) if n_total else 0
+
+    def to_l2(col_out: str):
+        def conv(batch: pa.Table) -> pa.Table:
+            cache: Dict[int, int] = {}
+            out = []
+            for f in batch.column('freq').to_pylist():
+                q = cache.get(f)
+                if q is None:
+                    q = cache[f] = log2_fixed(int(f))
+                out.append(q)
+            return batch.drop_columns(['freq']).append_column(
+                col_out, pa.array(out, pa.int64()))
+        return conv
+
+    u_dim = uni_ds.map_batches(to_l2('l2u'), batch_format='pyarrow')
+    b_dim = big_ds.map_batches(to_l2('l2b'), batch_format='pyarrow')
+
+    def pack_pair(batch: pa.Table) -> pa.Table:
+        pk = pc.binary_join_element_wise(batch.column('w1'),
+                                         batch.column('w2'), '\x00')
+        return batch.append_column('_pk', pk)
+
+    b_dim = b_dim.map_batches(pack_pair, batch_format='pyarrow'
+                              ).drop_columns(['w1', 'w2'])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, w1s, w2s, cs = [], [], [], []
+        for i, text in zip(batch.column(id_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            toks = _split_tokens(text or '')
+            for pair, c in Counter(zip(toks, toks[1:])).items():
+                ids.append(i)
+                w1s.append(pair[0])
+                w2s.append(pair[1])
+                cs.append(c)
+        t = pa.Table.from_pydict({
+            id_col: pa.array(ids, pa.int64()),
+            'w1': pa.array(w1s, pa.string()),
+            'w2': pa.array(w2s, pa.string()),
+            'c': pa.array(cs, pa.int64())})
+        return pack_pair(t)
+
+    pairs = docs_ds.map_batches(explode, batch_format='pyarrow',
+                                batch_size=AGG_BATCH_SIZE)
+    j = shuffle_join(pairs, b_dim, left_on='_pk', right_on='_pk', how='left')
+    j = shuffle_join(j, u_dim.map_batches(
+        lambda t: t.rename_columns(['w1j', 'l2u1']), batch_format='pyarrow'),
+        left_on='w1', right_on='w1j', how='inner')
+    j = shuffle_join(j, u_dim.map_batches(
+        lambda t: t.rename_columns(['w2j', 'l2u2']), batch_format='pyarrow'),
+        left_on='w2', right_on='w2j', how='inner')
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype='int64'),
+                                 'lp_part': pd.Series([], dtype='int64'),
+                                 'c_part': pd.Series([], dtype='int64')})
+        c = df['c'].astype('int64')
+        matched = df['l2b'].notna()
+        lp = np.where(
+            matched,
+            df['l2b'].fillna(0).astype('int64') - df['l2u1'].astype('int64'),
+            df['l2u2'].astype('int64') - l2_n - penalty_q)
+        g = (df.assign(_c=c * lp)
+             .groupby(id_col, as_index=False, sort=False)
+             .agg(lp_part=('_c', 'sum'), c_part=('c', 'sum')))
+        return g
+
+    pre = j.map_batches(part, batch_format='pandas')
+    return pre.groupby(id_col).aggregate(
+        Sum('lp_part', alias_name='logprob_q'),
+        Sum('c_part', alias_name='n_pairs'))

@@ -63,3 +63,52 @@ def test_pagerank_empty_edges(ray_session):
                        'w': pd.Series([], dtype='int64')})
     out = pagerank_int(rd.from_pandas(df), iters=2).to_pandas()
     assert out.empty
+
+
+def _brute_triangles(edges):
+    nodes = sorted({n for e in edges for n in e})
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    out = set()
+    for x in nodes:
+        for y in adj[x]:
+            if y <= x:
+                continue
+            for z in adj[x] & adj[y]:
+                if z > y:
+                    out.add((x, y, z))
+    return sorted(out)
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2])
+def test_triangles_match_brute_force(ray_session, seed):
+    import numpy as np
+    import ray.data as rd
+    from caligraph_ray.stages.graph import triangles, undirected_edges
+    rng = np.random.RandomState(seed)
+    nodes = [f'n{i}' for i in range(14)]
+    raw = [(nodes[rng.randint(14)], nodes[rng.randint(14)])
+           for _ in range(60)]
+    df = pd.DataFrame({'src': [a for a, _ in raw],
+                       'dst': [b for _, b in raw],
+                       'w': 1})
+    got = triangles(undirected_edges(rd.from_pandas(df))).to_pandas()
+    got_set = sorted(map(tuple, got[['x', 'y', 'z']].to_numpy()))
+    assert got_set == _brute_triangles(raw)
+
+
+def test_triangles_trianglefree_and_clique(ray_session):
+    import ray.data as rd
+    from caligraph_ray.stages.graph import triangles, undirected_edges
+    # 4-cycle: no triangles
+    cyc = pd.DataFrame({'src': ['a', 'b', 'c', 'd'],
+                        'dst': ['b', 'c', 'd', 'a'], 'w': 1})
+    assert triangles(undirected_edges(rd.from_pandas(cyc))).count() == 0
+    # K4: C(4,3) = 4 triangles
+    k4e = [(a, b) for i, a in enumerate('abcd') for b in 'abcd'[i + 1:]]
+    k4 = pd.DataFrame({'src': [a for a, _ in k4e],
+                       'dst': [b for _, b in k4e], 'w': 1})
+    assert triangles(undirected_edges(rd.from_pandas(k4))).count() == 4

@@ -69,3 +69,23 @@ def test_host_quality_broadcast_equals_join_regime(ray_session):
     # the repetitive hosts were actually dropped
     assert not set(a['source']) & {'h0', 'h1'}
     assert set(a['source']) == {'h2', 'h3', 'h4', 'h5'}
+
+
+def test_bigram_backoff_broadcast_equals_join_regime(ray_session):
+    rng = np.random.RandomState(3)
+    vocab = [f'w{i}' for i in range(30)]
+    rows = [{'doc_id': i,
+             'text': ' '.join(rng.choice(vocab)
+                              for _ in range(rng.randint(0, 20)))}
+            for i in range(80)]
+    ds = _docs_ds(rows)
+    bcast = collect_pandas(ts.bigram_backoff_scores(ds))
+    joined = collect_pandas(
+        ts.bigram_backoff_scores(_docs_ds(rows), dim_broadcast_limit=0))
+    cols = ['doc_id', 'logprob_q', 'n_pairs']
+    a = bcast[cols].sort_values('doc_id').reset_index(drop=True).astype('int64')
+    b = joined[cols].sort_values('doc_id').reset_index(drop=True).astype('int64')
+    pd.testing.assert_frame_equal(a, b)
+    # both branches exercised: some pairs frequent (score uses bigram),
+    # some unseen-in-dim pairs (backoff)
+    assert len(a) and (a['logprob_q'] < 0).all()

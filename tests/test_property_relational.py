@@ -211,3 +211,17 @@ def test_stratified_sample_quota_and_partition_invariance(ray_session, n, k, par
             continue
         assert set(out['doc_id'].astype(int)) == want
         assert (out.groupby('lang').size() <= k).all()
+
+
+@given(st.lists(st.text(alphabet='ab\x00', min_size=0, max_size=6),
+                min_size=1, max_size=8, unique=True))
+def test_col_hash_value_pure_with_embedded_nul(keys):
+    """_col_hash must be a function of the VALUE only — pandas'
+    categorize=True default hashed 'a\\x00b' differently depending on which
+    other values shared its batch (factorize-path NUL truncation), silently
+    dropping join matches on NUL-packed pair keys."""
+    import pandas as pd
+    from caligraph_ray.stages.relational import _col_hash
+    solo = {k: _col_hash(pd.Series([k]))[0] for k in keys}
+    together = dict(zip(keys, _col_hash(pd.Series(keys))))
+    assert solo == together
