@@ -2535,6 +2535,35 @@ def q_pagerank_event_types(sf_dir: str, iters: int = 3):
     return out.sort_values('event_type').reset_index(drop=True)
 
 
+def q_typo_name_pairs(sf_dir: str):
+    """Distinct customer names at edit distance exactly 1 (the
+    surface-form/typo merge primitive, stages/dedup.edit_distance_pairs):
+    FastSS deletion-neighborhood candidate exchange + exact ≤1 verify —
+    no O(V²) scan; the oracle pays the quadratic levenshtein self-join
+    the distributed path avoids."""
+    cust = rel.read_table(sf_dir, 'customer', ['c_name'])
+    out = rel.collect_pandas(dd.edit_distance_pairs(cust, text_col='c_name'))
+    if out.empty:
+        return pd.DataFrame({'a': pd.Series(dtype=object),
+                             'b': pd.Series(dtype=object)})
+    return out.sort_values(['a', 'b']).reset_index(drop=True)
+
+
+SQL_TYPO_PAIRS = """
+WITH v AS (
+  SELECT DISTINCT tok AS token
+  FROM (SELECT unnest(list_filter(string_split(c_name, ' '),
+                                  x -> x <> '')) AS tok FROM customer)
+  WHERE length(tok) >= 4)
+SELECT a.token AS a, b.token AS b
+FROM v a JOIN v b
+  ON a.token < b.token
+ AND abs(length(a.token) - length(b.token)) <= 1
+ AND levenshtein(a.token, b.token) = 1
+ORDER BY a, b
+"""
+
+
 def q_event_type_triangles(sf_dir: str):
     """Triangle enumeration over the undirected event-type transition graph
     (stages/graph.triangles: degree-oriented wedge join — the O(m^1.5)
@@ -2735,6 +2764,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'host_quality_docs': q_host_quality_docs,
     'bigram_backoff_scores': q_bigram_backoff_scores,
     'event_type_triangles': q_event_type_triangles,
+    'typo_name_pairs': q_typo_name_pairs,
     'flagship_triples': q_flagship_triples,
 }
 
@@ -2814,6 +2844,7 @@ ORACLES: Dict[str, str] = {
     'host_quality_docs': SQL_HOST_QUALITY,
     'bigram_backoff_scores': SQL_BIGRAM_BACKOFF,
     'event_type_triangles': SQL_TRIANGLES,
+    'typo_name_pairs': SQL_TYPO_PAIRS,
     # rows-only (non-SQL-expressible): flagship_triples (full KG pipeline;
     # gated instead by the single-process oracle in tests/oracle_kg.py)
 }

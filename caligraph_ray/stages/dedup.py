@@ -551,3 +551,95 @@ def duplicate_spans(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
         return out
 
     return bucketed_map(pair_rows, ['da', 'db'], spans)
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 check (early-exit scan, no DP table)."""
+    la, lb = len(a), len(b)
+    if a == b:
+        return True
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:                       # one substitution allowed
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:                        # normalize: a is the shorter
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]          # one insertion into a
+
+
+def edit_distance_pairs(docs_ds, text_col: str = 'text', min_len: int = 4,
+                        min_freq: int = 1):
+    """Vocabulary typo pairs — distinct corpus tokens at edit distance
+    exactly 1 (the surface-form/alias merge primitive of entity
+    canonicalization and query-log cleaning), without the O(V²) scan:
+    FastSS deletion neighborhoods (Bocek et al. 2007). Each token of the
+    distributed vocabulary (``token_counts``, already two-phase) explodes
+    into itself + its single-character deletions; two tokens within edit
+    distance 1 necessarily SHARE a neighborhood entry, so one
+    neighborhood-keyed exchange brings every candidate pair into one task,
+    where the exact ``_ed_le1`` scan verifies (shared-entry is necessary,
+    not sufficient — 'ab'/'ba' share 'a' at distance 2). Emits canonical
+    (a < b) pairs, deduped across buckets by keeping a pair only in its
+    lexicographically-first shared entry. Filters: tokens shorter than
+    ``min_len`` form hub neighborhoods ('a' ∈ N of every 2-char token) —
+    the documented skew guard; ``min_freq`` prunes hapax noise."""
+    import pyarrow.compute as pc
+
+    from .relational import arrow_filter, bucketed_map
+    from .textstats import token_counts
+
+    vocab = token_counts(docs_ds, text_col=text_col)
+    vocab = arrow_filter(vocab, lambda t: pc.and_(
+        pc.greater_equal(pc.utf8_length(t['token']), min_len),
+        pc.greater_equal(t['freq'], min_freq)))
+
+    def neighborhoods(batch: pa.Table) -> pd.DataFrame:
+        toks, keys = [], []
+        for t in batch.column('token').to_pylist():
+            toks.append(t)
+            keys.append(t)
+            for i in range(len(t)):
+                toks.append(t)
+                keys.append(t[:i] + t[i + 1:])
+        return pd.DataFrame({'token': toks, 'nk': keys})
+
+    rows = vocab.map_batches(neighborhoods, batch_format='pyarrow',
+                             batch_size=AGG_BATCH_SIZE)
+
+    def pairs(bucket: pd.DataFrame) -> Optional[pd.DataFrame]:
+        out_a, out_b = [], []
+        for nk, g in bucket.groupby('nk', sort=False):
+            toks = sorted(set(g['token']))
+            if len(toks) < 2:
+                continue
+            for i in range(len(toks) - 1):
+                for k in range(i + 1, len(toks)):
+                    a, b = toks[i], toks[k]
+                    if not _ed_le1(a, b):
+                        continue
+                    # cross-bucket dedup: emit only from the FIRST shared
+                    # neighborhood entry (pure function of the pair)
+                    first = min(_shared_entries(a, b))
+                    if nk == first:
+                        out_a.append(a)
+                        out_b.append(b)
+        if not out_a:
+            return None
+        return pd.DataFrame({'a': out_a, 'b': out_b})
+
+    return bucketed_map(rows, ['nk'], pairs)
+
+
+def _shared_entries(a: str, b: str) -> List[str]:
+    na = {a} | {a[:i] + a[i + 1:] for i in range(len(a))}
+    nb = {b} | {b[:i] + b[i + 1:] for i in range(len(b))}
+    return sorted(na & nb)

@@ -89,3 +89,42 @@ def test_bigram_backoff_broadcast_equals_join_regime(ray_session):
     # both branches exercised: some pairs frequent (score uses bigram),
     # some unseen-in-dim pairs (backoff)
     assert len(a) and (a['logprob_q'] < 0).all()
+
+
+def test_edit_distance_pairs_match_brute_force(ray_session):
+    import itertools
+    import ray.data as rd
+    from caligraph_ray.stages.dedup import _ed_le1, edit_distance_pairs
+    rng = np.random.RandomState(5)
+    alphabet = 'abc'
+    words = {''.join(rng.choice(list(alphabet), size=rng.randint(4, 7)))
+             for _ in range(60)}
+    docs = pd.DataFrame({'doc_id': range(len(words)),
+                         'text': sorted(words)})
+    got = collect_pandas(
+        edit_distance_pairs(rd.from_pandas(docs), text_col='text'))
+    got_set = (set() if got.empty else
+               set(map(tuple, got[['a', 'b']].to_numpy())))
+    exp = {(a, b) for a, b in itertools.combinations(sorted(words), 2)
+           if _ed_le1(a, b)}
+    assert got_set == exp and exp   # non-vacuous: dense 3-letter space
+
+
+def test_ed_le1_scalar_against_dp():
+    from caligraph_ray.stages.dedup import _ed_le1
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, y in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (x != y))
+        return dp[-1]
+
+    import itertools
+    words = [''.join(p) for n in range(0, 4)
+             for p in itertools.product('ab', repeat=n)]
+    for a in words:
+        for b in words:
+            assert _ed_le1(a, b) == (ed(a, b) <= 1), (a, b)
