@@ -124,6 +124,7 @@ def run_benchmarks() -> dict:
     timed('bigram_backoff_scores', lambda: Q.q_bigram_backoff_scores(SF_DIR))
     timed('event_type_triangles', lambda: Q.q_event_type_triangles(SF_DIR))
     timed('typo_name_pairs', lambda: Q.q_typo_name_pairs(SF_DIR))
+    timed('event_type_hops', lambda: Q.q_event_type_hops(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -2597,6 +2597,45 @@ ORDER BY x, y, z
 """
 
 
+def q_event_type_hops(sf_dir: str, max_hops: int = 4):
+    """Bounded-depth BFS over the event-type transition graph from the
+    lexicographically-first source type (stages/graph.bfs_hops: one
+    frontier⋈edges exchange per round). Oracle = depth-bounded recursive
+    CTE + min() fold."""
+    from ray.data.aggregate import Min
+
+    from ..stages.graph import bfs_hops, transition_edges
+    ev = rel.read_table(sf_dir, 'events',
+                        ['user_id', 'ts', 'event_id', 'event_type'])
+    edges = transition_edges(ev).materialize()
+    agg = edges.aggregate(Min('src', alias_name='m'))
+    if not agg or agg.get('m') is None:
+        return pd.DataFrame({'node': pd.Series(dtype=object),
+                             'hops': pd.Series(dtype='int64')})
+    out = rel.collect_pandas(bfs_hops(edges, agg['m'], max_hops=max_hops))
+    out = out.astype({'hops': 'int64'})
+    return out.sort_values('node').reset_index(drop=True)
+
+
+SQL_BFS_HOPS = """
+WITH RECURSIVE seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events),
+e AS (SELECT DISTINCT src, dst FROM seq WHERE dst IS NOT NULL),
+src0 AS (SELECT min(src) AS s FROM e),
+walk(node, hops) AS (
+  SELECT s, 0 FROM src0
+  UNION ALL
+  SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < 4
+)
+SELECT node, CAST(min(hops) AS BIGINT) AS hops
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
 def _sql_pagerank(iters: int = 3, scale: int = 1_000_000_000_000) -> str:
     parts = [f"""
 WITH seq AS (
@@ -2765,6 +2804,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'bigram_backoff_scores': q_bigram_backoff_scores,
     'event_type_triangles': q_event_type_triangles,
     'typo_name_pairs': q_typo_name_pairs,
+    'event_type_hops': q_event_type_hops,
     'flagship_triples': q_flagship_triples,
 }
 
@@ -2845,6 +2885,7 @@ ORACLES: Dict[str, str] = {
     'bigram_backoff_scores': SQL_BIGRAM_BACKOFF,
     'event_type_triangles': SQL_TRIANGLES,
     'typo_name_pairs': SQL_TYPO_PAIRS,
+    'event_type_hops': SQL_BFS_HOPS,
     # rows-only (non-SQL-expressible): flagship_triples (full KG pipeline;
     # gated instead by the single-process oracle in tests/oracle_kg.py)
 }

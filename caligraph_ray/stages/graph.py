@@ -239,3 +239,45 @@ def triangles(und_edges_ds):
 
     return closed.map_batches(canon_triple, batch_format='pandas',
                               batch_size=AGG_BATCH_SIZE)
+
+
+def bfs_hops(edges_ds, source, max_hops: int = 4):
+    """Bounded-depth distributed BFS over a (src, dst[, w]) edge Dataset:
+    shortest hop count from ``source`` for every node within ``max_hops``.
+    Each round is ONE frontier ⋈ edges co-partitioned shuffle_join plus a
+    node-keyed min-combine — the iterative-frontier shape that replaces a
+    driver-side graph walk at 10^12 edges. Only the CURRENT frontier
+    (nodes first reached last round) joins the edge set, so a round's
+    exchange is proportional to the frontier, not to everything seen.
+    Deterministic integer hops; a SQL engine replays it as a
+    depth-bounded recursive CTE with a min() fold."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .relational import arrow_filter, shuffle_join
+
+    edges = edges_ds.materialize()
+    labels = rd.from_pandas(pd.DataFrame({'node': [source],
+                                          'hops': np.array([0], 'int64')}))
+    for h in range(1, max_hops + 1):
+        frontier = arrow_filter(
+            labels, lambda t, _h=h: __import__('pyarrow').compute.equal(
+                t['hops'], _h - 1))
+        if not frontier.count():
+            break
+        reached = shuffle_join(frontier, edges, left_on='node',
+                               right_on='src', how='inner')
+
+        def step(df: pd.DataFrame, _h=h) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({'node': pd.Series([], dtype=object),
+                                     'hops': pd.Series([], dtype='int64')})
+            return pd.DataFrame({'node': df['dst'],
+                                 'hops': np.full(len(df), _h, 'int64')})
+
+        contrib = reached.map_batches(step, batch_format='pandas',
+                                      batch_size=AGG_BATCH_SIZE)
+        labels = labels.union(contrib).groupby('node') \
+            .aggregate(Min('hops', alias_name='hops')).materialize()
+    return labels

@@ -112,3 +112,41 @@ def test_triangles_trianglefree_and_clique(ray_session):
     k4 = pd.DataFrame({'src': [a for a, _ in k4e],
                        'dst': [b for _, b in k4e], 'w': 1})
     assert triangles(undirected_edges(rd.from_pandas(k4))).count() == 4
+
+
+def test_bfs_hops_matches_reference_bfs(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from collections import deque
+    from caligraph_ray.stages.graph import bfs_hops
+    rng = np.random.RandomState(9)
+    nodes = [f'n{i}' for i in range(12)]
+    raw = {(nodes[rng.randint(12)], nodes[rng.randint(12)])
+           for _ in range(30)}
+    df = pd.DataFrame({'src': [a for a, _ in raw],
+                       'dst': [b for _, b in raw], 'w': 1})
+    src = min(a for a, _ in raw)
+    got = bfs_hops(rd.from_pandas(df), src, max_hops=3).to_pandas()
+    got_map = dict(zip(got['node'], got['hops'].astype(int)))
+    # reference BFS (directed, depth-capped)
+    adj = {}
+    for a, b in raw:
+        adj.setdefault(a, []).append(b)
+    exp, q = {src: 0}, deque([src])
+    while q:
+        u = q.popleft()
+        if exp[u] >= 3:
+            continue
+        for v in adj.get(u, []):
+            if v not in exp:
+                exp[v] = exp[u] + 1
+                q.append(v)
+    assert got_map == exp
+
+
+def test_bfs_hops_isolated_source(ray_session):
+    import ray.data as rd
+    from caligraph_ray.stages.graph import bfs_hops
+    df = pd.DataFrame({'src': ['a'], 'dst': ['b'], 'w': 1})
+    out = bfs_hops(rd.from_pandas(df), 'zzz', max_hops=3).to_pandas()
+    assert dict(zip(out['node'], out['hops'])) == {'zzz': 0}
