@@ -2152,6 +2152,82 @@ ORDER BY d.doc_id
 """
 
 
+def q_cooccurrence_pmi(sf_dir: str):
+    """Windowed co-occurrence PMI (relation-discovery/collocation signal,
+    stages/textstats.cooccurrence_pmi) — exact-integer log2 fixed point,
+    replayed bit-for-bit through the recursive log2 CTE."""
+    docs = rel.read_table(sf_dir, 'documents', ['text'])
+    out = rel.collect_pandas(ts.cooccurrence_pmi(docs))
+    cols = ['w1', 'w2', 'c_ab', 'pmi_q']
+    if out.empty:
+        return pd.DataFrame({'w1': pd.Series(dtype=object),
+                             'w2': pd.Series(dtype=object),
+                             'c_ab': pd.Series(dtype='int64'),
+                             'pmi_q': pd.Series(dtype='int64')})
+    out = out[cols].astype({'c_ab': 'int64', 'pmi_q': 'int64'})
+    return out.sort_values(['w1', 'w2']).reset_index(drop=True)
+
+
+SQL_COOC_PMI = """
+WITH RECURSIVE raw AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents),
+toks AS MATERIALIZED (
+    SELECT doc_id, tok,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+    FROM raw WHERE tok <> ''),
+p AS (
+    SELECT least(t1.tok, t2.tok) AS w1, greatest(t1.tok, t2.tok) AS w2
+    FROM toks t1 JOIN toks t2
+      ON t1.doc_id = t2.doc_id
+     AND t2.pos > t1.pos AND t2.pos <= t1.pos + 5),
+pcnt AS MATERIALIZED (
+    SELECT w1, w2, count(*) AS c_ab FROM p GROUP BY w1, w2),
+marg AS MATERIALIZED (
+    SELECT tok, CAST(sum(c) AS BIGINT) AS c_tok
+    FROM (SELECT w1 AS tok, c_ab AS c FROM pcnt
+          UNION ALL SELECT w2, c_ab FROM pcnt)
+    GROUP BY tok),
+tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS t FROM pcnt),
+vals(v) AS (SELECT DISTINCT c_ab FROM pcnt WHERE c_ab >= 5
+            UNION SELECT DISTINCT c_tok FROM marg
+            UNION SELECT t FROM tot),
+lgrec(v, iter, y, frac) AS (
+    SELECT v, 0,
+           (CAST(v AS HUGEINT) * (1::BIGINT << 40))
+               // (1::BIGINT << (length(bin(v)) - 1)),
+           CAST(0 AS HUGEINT)
+    FROM vals
+    UNION ALL
+    SELECT v, iter + 1,
+           CASE WHEN (y*y) // (1::BIGINT << 40)
+                     >= CAST(2 AS HUGEINT) * (1::BIGINT << 40)
+                THEN ((y*y) // (1::BIGINT << 40)) // 2
+                ELSE (y*y) // (1::BIGINT << 40) END,
+           CASE WHEN (y*y) // (1::BIGINT << 40)
+                     >= CAST(2 AS HUGEINT) * (1::BIGINT << 40)
+                THEN frac*2 + 1 ELSE frac*2 END
+    FROM lgrec WHERE iter < 20
+),
+lg AS MATERIALIZED (SELECT v,
+        CAST(CAST(length(bin(v)) - 1 AS HUGEINT) * (1::BIGINT << 20) + frac
+             AS BIGINT) AS l2
+    FROM lgrec WHERE iter = 20)
+SELECT p.w1, p.w2, p.c_ab,
+       CAST(lga.l2 + lgt.l2 - lg1.l2 - lg2.l2 AS BIGINT) AS pmi_q
+FROM pcnt p
+JOIN marg m1 ON m1.tok = p.w1
+JOIN marg m2 ON m2.tok = p.w2
+JOIN lg lga ON lga.v = p.c_ab
+JOIN lg lg1 ON lg1.v = m1.c_tok
+JOIN lg lg2 ON lg2.v = m2.c_tok
+CROSS JOIN (SELECT lg.l2 FROM lg JOIN tot ON lg.v = tot.t) lgt(l2)
+WHERE p.c_ab >= 5
+ORDER BY p.w1, p.w2
+"""
+
+
 # --- corpus-LM scoring + contamination check --------------------------------
 
 def q_unigram_logprob_scores(sf_dir: str):
@@ -2805,6 +2881,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'event_type_triangles': q_event_type_triangles,
     'typo_name_pairs': q_typo_name_pairs,
     'event_type_hops': q_event_type_hops,
+    'cooccurrence_pmi': q_cooccurrence_pmi,
     'flagship_triples': q_flagship_triples,
 }
 
@@ -2886,6 +2963,7 @@ ORACLES: Dict[str, str] = {
     'event_type_triangles': SQL_TRIANGLES,
     'typo_name_pairs': SQL_TYPO_PAIRS,
     'event_type_hops': SQL_BFS_HOPS,
+    'cooccurrence_pmi': SQL_COOC_PMI,
     # rows-only (non-SQL-expressible): flagship_triples (full KG pipeline;
     # gated instead by the single-process oracle in tests/oracle_kg.py)
 }

@@ -954,3 +954,98 @@ def _bigram_scores_join(docs_ds, uni_ds, big_ds, id_col: str, text_col: str,
     return pre.groupby(id_col).aggregate(
         Sum('lp_part', alias_name='logprob_q'),
         Sum('c_part', alias_name='n_pairs'))
+
+
+def cooccurrence_pmi(docs_ds, text_col: str = 'text', window: int = 5,
+                     min_pairs: int = 5):
+    """Windowed co-occurrence PMI over the corpus (the relation-discovery /
+    collocation signal of KG mining): unordered token pairs within
+    ``window`` positions score
+
+        pmi_q = l2(c_ab) + l2(T) − l2(c_a) − l2(c_b)
+
+    in integer log2 fixed point (functions/hashing.log2_fixed), where c_ab
+    is the windowed pair count, c_a/c_b the windowed-occurrence marginals
+    (each token counted once per window slot it opens, i.e. its total
+    pair-slot count), and T the total pair count — all exact int64, so the
+    SQL twin replays every score bit-for-bit through the same recursive
+    log2 CTE. Window capping keeps the explode LINEAR in document length
+    (window × n tokens, not n²) — the 100 TB shape. ``min_pairs`` prunes
+    the noise tail before the dim-sized pair aggregate."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import log2_fixed
+    from .relational import arrow_filter
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch.column(text_col).to_pylist():
+            toks = _split_tokens(text or '')
+            n = len(toks)
+            for i in range(n - 1):
+                for j in range(i + 1, min(i + window + 1, n)):
+                    a, b = toks[i], toks[j]
+                    if a > b:
+                        a, b = b, a
+                    c[(a, b)] += 1
+        return pa.Table.from_pydict({
+            'w1': pa.array([k[0] for k in c], pa.string()),
+            'w2': pa.array([k[1] for k in c], pa.string()),
+            'cnt': pa.array(list(c.values()), pa.int64())})
+
+    pair_counts = (docs_ds.map_batches(pair_partial, batch_format='pyarrow',
+                                       batch_size=AGG_BATCH_SIZE)
+                   .groupby(['w1', 'w2'])
+                   .aggregate(Sum('cnt', alias_name='c_ab'))).materialize()
+
+    # marginals: each token's total pair-slot count = sum of its pair counts
+    def explode_marg(t: pa.Table) -> pa.Table:
+        w = pa.concat_arrays([t.column('w1').combine_chunks(),
+                              t.column('w2').combine_chunks()])
+        c = pa.concat_arrays([t.column('c_ab').combine_chunks()] * 2)
+        return pa.Table.from_pydict({'tok': w, 'c': c})
+
+    marg = (pair_counts.map_batches(explode_marg, batch_format='pyarrow')
+            .groupby('tok').aggregate(Sum('c', alias_name='c_tok')))
+    agg = pair_counts.aggregate(Sum('c_ab', alias_name='t'))
+    total = int(agg['t']) if agg and agg.get('t') else 0
+    if not total:
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame({
+            'w1': pd.Series(dtype=object), 'w2': pd.Series(dtype=object),
+            'c_ab': pd.Series(dtype='int64'),
+            'pmi_q': pd.Series(dtype='int64')}))
+    l2_t = log2_fixed(total)
+
+    from .relational import shuffle_join
+    kept = arrow_filter(pair_counts,
+                        lambda t: pc.greater_equal(t['c_ab'], min_pairs))
+    j = shuffle_join(kept, marg.map_batches(
+        lambda t: t.rename_columns(['t1', 'm1']), batch_format='pyarrow'),
+        left_on='w1', right_on='t1', how='inner')
+    j = shuffle_join(j, marg.map_batches(
+        lambda t: t.rename_columns(['t2', 'm2']), batch_format='pyarrow'),
+        left_on='w2', right_on='t2', how='inner')
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({'w1': pd.Series(dtype=object),
+                                 'w2': pd.Series(dtype=object),
+                                 'c_ab': pd.Series(dtype='int64'),
+                                 'pmi_q': pd.Series(dtype='int64')})
+        cache: Dict[int, int] = {}
+
+        def l2(v: int) -> int:
+            q = cache.get(v)
+            if q is None:
+                q = cache[v] = log2_fixed(int(v))
+            return q
+
+        pmi = [l2(ca) + l2_t - l2(m1) - l2(m2)
+               for ca, m1, m2 in zip(df['c_ab'], df['m1'], df['m2'])]
+        return pd.DataFrame({'w1': df['w1'], 'w2': df['w2'],
+                             'c_ab': df['c_ab'].astype('int64'),
+                             'pmi_q': pd.Series(pmi, dtype='int64')})
+
+    return j.map_batches(score, batch_format='pandas',
+                         batch_size=AGG_BATCH_SIZE)
