@@ -616,30 +616,34 @@ def edit_distance_pairs(docs_ds, text_col: str = 'text', min_len: int = 4,
                              batch_size=AGG_BATCH_SIZE)
 
     def pairs(bucket: pd.DataFrame) -> Optional[pd.DataFrame]:
+        # almost every neighborhood entry is a singleton — drop those
+        # VECTORIZED before the per-group Python loop (same reasoning as
+        # the LSH singleton-bucket drop in _candidate_pairs_from_buckets)
+        sizes = bucket['nk'].map(bucket['nk'].value_counts())
+        bucket = bucket[sizes.to_numpy() >= 2]
+        if not len(bucket):
+            return None
         out_a, out_b = [], []
         for nk, g in bucket.groupby('nk', sort=False):
             toks = sorted(set(g['token']))
             if len(toks) < 2:
                 continue
+            seen = set()
             for i in range(len(toks) - 1):
                 for k in range(i + 1, len(toks)):
                     a, b = toks[i], toks[k]
-                    if not _ed_le1(a, b):
+                    if (a, b) in seen or not _ed_le1(a, b):
                         continue
-                    # cross-bucket dedup: emit only from the FIRST shared
-                    # neighborhood entry (pure function of the pair)
-                    first = min(_shared_entries(a, b))
-                    if nk == first:
-                        out_a.append(a)
-                        out_b.append(b)
+                    seen.add((a, b))
+                    out_a.append(a)
+                    out_b.append(b)
         if not out_a:
             return None
         return pd.DataFrame({'a': out_a, 'b': out_b})
 
-    return bucketed_map(rows, ['nk'], pairs)
-
-
-def _shared_entries(a: str, b: str) -> List[str]:
-    na = {a} | {a[:i] + a[i + 1:] for i in range(len(a))}
-    nb = {b} | {b[:i] + b[i + 1:] for i in range(len(b))}
-    return sorted(na & nb)
+    # a pair verifies in EVERY shared neighborhood entry (2-3 of them) —
+    # one pair-keyed two-phase count collapses the duplicates; cheaper
+    # than computing each pair's canonical first-shared-entry in Python
+    from .relational import two_phase_count
+    return two_phase_count(bucketed_map(rows, ['nk'], pairs),
+                           ['a', 'b']).drop_columns(['cnt'])
