@@ -69,6 +69,10 @@ def run_benchmarks() -> dict:
 
     # headline: full KG flagship (parse → link → canonicalize → triples)
     n_triples = timed('flagship_triples', lambda: run_flagship_on_documents(SF_DIR).count())
+    # the full ED stack (bi-encoder embed → candidate top-k → cross-encoder
+    # rerank actor pools — the reference's 86%-of-runtime profile slot)
+    timed('flagship_scored',
+          lambda: run_flagship_on_documents(SF_DIR, linking='scored').count())
 
     timed('pricing_summary', lambda: Q.q_pricing_summary(SF_DIR))
     timed('revenue_by_nation', lambda: Q.q_revenue_by_nation(SF_DIR))
