@@ -2228,6 +2228,78 @@ ORDER BY p.w1, p.w2
 """
 
 
+def q_training_data_prep(sf_dir: str):
+    """End-to-end training-data preparation composite (pipelines/
+    data_prep.training_data_prep): lang gate → length gate → split gate →
+    host-quality gate → exact dedup → decontamination → sequence packing,
+    hash-gated END TO END (each stage is also individually gated)."""
+    from .data_prep import training_data_prep
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text', 'source'])
+    out = rel.collect_pandas(training_data_prep(docs))
+    cols = ['doc_id', 'n_tokens', 'tok_offset', 'first_seq', 'last_seq']
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype='int64') for c in cols})
+    out = out[cols].astype('int64')
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
+SQL_TRAINING_PREP = f"""
+WITH g AS (
+  SELECT doc_id, text, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+  WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 10 <> 0),
+g2 AS (
+  SELECT doc_id, text, source, toks,
+         len(toks) AS n_toks,
+         len(list_distinct(toks)) AS n_uniq,
+         len(list_filter(toks, x -> x IN {{stops}})) AS stop
+  FROM g WHERE len(toks) >= 10),
+g3 AS (SELECT * FROM g2 WHERE stop * 1000 >= 50 * n_toks),
+hosts AS (
+  SELECT source FROM (
+    SELECT source, CAST(sum(n_uniq) AS BIGINT) AS su,
+           CAST(sum(n_toks) AS BIGINT) AS sn
+    FROM g3 GROUP BY source)
+  WHERE su * 1000 >= 430 * sn),
+g4 AS (SELECT g3.* FROM g3 JOIN hosts USING (source)),
+reps AS (SELECT md5(text) AS th, min(doc_id) AS rep FROM g4
+         GROUP BY md5(text)),
+g5 AS (SELECT g4.* FROM g4
+       JOIN reps ON md5(g4.text) = reps.th AND g4.doc_id = reps.rep),
+ev AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+  WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 10 = 0),
+evh AS (
+  SELECT DISTINCT md5_number_upper(unnest(
+    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(range(len(toks) - 4),
+              i -> array_to_string(toks[i+1:i+5], ' '))) END)) AS h
+  FROM ev),
+trh AS (
+  SELECT doc_id, md5_number_upper(unnest(
+    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(range(len(toks) - 4),
+              i -> array_to_string(toks[i+1:i+5], ' '))) END)) AS h
+  FROM g5),
+bad AS (SELECT DISTINCT t.doc_id FROM trh t JOIN evh USING (h)),
+g6 AS (SELECT doc_id, n_toks FROM g5
+       WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+o AS (
+  SELECT doc_id, n_toks AS n_tokens,
+         CAST(coalesce(sum(n_toks) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS tok_offset
+  FROM g6)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // 512 AS first_seq,
+       (tok_offset + n_tokens - 1) // 512 AS last_seq
+FROM o ORDER BY doc_id
+""".replace('{stops}', _STOP_SQL)
+
+
 # --- corpus-LM scoring + contamination check --------------------------------
 
 def q_unigram_logprob_scores(sf_dir: str):
@@ -2882,6 +2954,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'typo_name_pairs': q_typo_name_pairs,
     'event_type_hops': q_event_type_hops,
     'cooccurrence_pmi': q_cooccurrence_pmi,
+    'training_data_prep': q_training_data_prep,
     'flagship_triples': q_flagship_triples,
 }
 
@@ -2964,6 +3037,7 @@ ORACLES: Dict[str, str] = {
     'typo_name_pairs': SQL_TYPO_PAIRS,
     'event_type_hops': SQL_BFS_HOPS,
     'cooccurrence_pmi': SQL_COOC_PMI,
+    'training_data_prep': SQL_TRAINING_PREP,
     # rows-only (non-SQL-expressible): flagship_triples (full KG pipeline;
     # gated instead by the single-process oracle in tests/oracle_kg.py)
 }

@@ -128,3 +128,19 @@ def test_ed_le1_scalar_against_dp():
     for a in words:
         for b in words:
             assert _ed_le1(a, b) == (ed(a, b) <= 1), (a, b)
+
+
+def test_training_data_prep_invariants(ray_session):
+    from caligraph_ray.functions.hashing import md5_hash64
+    from caligraph_ray.pipelines.queries import q_training_data_prep
+    out = q_training_data_prep('/root/testdata/sf0.001')
+    assert len(out)
+    ids = out['doc_id'].tolist()
+    # no held-out-split doc trains
+    assert all(md5_hash64(str(i)) % 10 != 0 for i in ids)
+    # packing is a gapless concat: offsets are the exclusive prefix sum
+    run = 0
+    for _, r in out.sort_values('doc_id').iterrows():
+        assert r['tok_offset'] == run
+        assert r['first_seq'] == run // 512
+        run += r['n_tokens']
