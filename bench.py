@@ -131,6 +131,7 @@ def run_benchmarks() -> dict:
     timed('event_type_hops', lambda: Q.q_event_type_hops(SF_DIR))
     timed('cooccurrence_pmi', lambda: Q.q_cooccurrence_pmi(SF_DIR))
     timed('training_data_prep', lambda: Q.q_training_data_prep(SF_DIR))
+    timed('event_type_kcore', lambda: Q.q_event_type_kcore(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

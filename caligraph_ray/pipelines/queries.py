@@ -2784,6 +2784,50 @@ FROM walk GROUP BY node ORDER BY node
 """
 
 
+def q_event_type_kcore(sf_dir: str, k: int = 2, rounds: int = 3):
+    """Bounded 2-core of the undirected event-type graph via 3 peeling
+    rounds (stages/graph.kcore_prune). Oracle = the same rounds as a
+    finite CTE chain."""
+    from ..stages.graph import kcore_prune, transition_edges, undirected_edges
+    ev = rel.read_table(sf_dir, 'events',
+                        ['user_id', 'ts', 'event_id', 'event_type'])
+    out = rel.collect_pandas(
+        kcore_prune(undirected_edges(transition_edges(ev)), k=k,
+                    rounds=rounds))
+    if out.empty:
+        return pd.DataFrame({'node': pd.Series(dtype=object),
+                             'deg': pd.Series(dtype='int64')})
+    out = out.astype({'deg': 'int64'})
+    return out.sort_values('node').reset_index(drop=True)
+
+
+def _sql_kcore(k: int = 2, rounds: int = 3) -> str:
+    parts = ["""
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM seq WHERE dst IS NOT NULL AND src <> dst)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT node, count(*) AS deg
+  FROM (SELECT a AS node FROM e{r-1} UNION ALL SELECT b FROM e{r-1})
+  GROUP BY node),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r-1} e
+  JOIN d{r} da ON da.node = e.a AND da.deg >= {k}
+  JOIN d{r} db ON db.node = e.b AND db.deg >= {k})""")
+    parts.append(f"""
+SELECT node, CAST(count(*) AS BIGINT) AS deg
+FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY node ORDER BY node""")
+    return ''.join(parts)
+
+
 def _sql_pagerank(iters: int = 3, scale: int = 1_000_000_000_000) -> str:
     parts = [f"""
 WITH seq AS (
@@ -2955,6 +2999,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'event_type_hops': q_event_type_hops,
     'cooccurrence_pmi': q_cooccurrence_pmi,
     'training_data_prep': q_training_data_prep,
+    'event_type_kcore': q_event_type_kcore,
     'flagship_triples': q_flagship_triples,
 }
 
@@ -3038,6 +3083,7 @@ ORACLES: Dict[str, str] = {
     'event_type_hops': SQL_BFS_HOPS,
     'cooccurrence_pmi': SQL_COOC_PMI,
     'training_data_prep': SQL_TRAINING_PREP,
+    'event_type_kcore': _sql_kcore(),
     # rows-only (non-SQL-expressible): flagship_triples (full KG pipeline;
     # gated instead by the single-process oracle in tests/oracle_kg.py)
 }

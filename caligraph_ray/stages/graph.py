@@ -281,3 +281,42 @@ def bfs_hops(edges_ds, source, max_hops: int = 4):
         labels = labels.union(contrib).groupby('node') \
             .aggregate(Min('hops', alias_name='hops')).materialize()
     return labels
+
+
+def kcore_prune(und_edges_ds, k: int = 2, rounds: int = 3):
+    """Bounded k-core via ``rounds`` of degree peeling over a canonical
+    undirected edge Dataset (a, b): each round drops every edge with an
+    endpoint of degree < k, the classic iterative reduction toward the
+    k-core fixpoint (bounded rounds keep the exchange count fixed and the
+    SQL twin a finite CTE chain; the full core is the fixpoint of the same
+    loop — run until the edge count stops changing). Each round is one
+    two-phase degree count + two degree-dim shuffle joins — nothing
+    driver-side, so 10^12 edges peel at cluster width. Returns (node, deg)
+    of the surviving subgraph."""
+    from .relational import shuffle_join, two_phase_count
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({'node': pd.concat([batch['a'], batch['b']],
+                                               ignore_index=True)})
+
+    edges = und_edges_ds.materialize()
+    for _ in range(rounds):
+        deg = two_phase_count(
+            edges.map_batches(explode, batch_format='pandas',
+                              batch_size=AGG_BATCH_SIZE),
+            ['node'], alias='deg')
+        keep = deg.map_batches(
+            lambda df: df[df['deg'] >= k][['node']],
+            batch_format='pandas')
+        j = shuffle_join(edges, keep.map_batches(
+            lambda t: t.rename_columns(['ka']), batch_format='pyarrow'),
+            left_on='a', right_on='ka', how='inner')
+        edges = shuffle_join(j, keep.map_batches(
+            lambda t: t.rename_columns(['kb']), batch_format='pyarrow'),
+            left_on='b', right_on='kb', how='inner') \
+            .select_columns(['a', 'b']).materialize()
+        if not edges.count():
+            break
+    return two_phase_count(
+        edges.map_batches(explode, batch_format='pandas',
+                          batch_size=AGG_BATCH_SIZE), ['node'], alias='deg')

@@ -150,3 +150,32 @@ def test_bfs_hops_isolated_source(ray_session):
     df = pd.DataFrame({'src': ['a'], 'dst': ['b'], 'w': 1})
     out = bfs_hops(rd.from_pandas(df), 'zzz', max_hops=3).to_pandas()
     assert dict(zip(out['node'], out['hops'])) == {'zzz': 0}
+
+
+def test_kcore_prune_matches_reference_peel(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from caligraph_ray.stages.graph import kcore_prune, undirected_edges
+    rng = np.random.RandomState(4)
+    nodes = [f'n{i}' for i in range(15)]
+    raw = {(nodes[rng.randint(15)], nodes[rng.randint(15)])
+           for _ in range(35)}
+    df = pd.DataFrame({'src': [a for a, _ in raw],
+                       'dst': [b for _, b in raw], 'w': 1})
+    got = kcore_prune(undirected_edges(rd.from_pandas(df)), k=2,
+                      rounds=3).to_pandas()
+    got_map = dict(zip(got['node'], got['deg'].astype(int)))
+    # reference: same bounded peel on canonical undirected edges
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    for _ in range(3):
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        edges = {(a, b) for a, b in edges
+                 if deg[a] >= 2 and deg[b] >= 2}
+    exp = {}
+    for a, b in edges:
+        exp[a] = exp.get(a, 0) + 1
+        exp[b] = exp.get(b, 0) + 1
+    assert got_map == exp
