@@ -132,6 +132,8 @@ def run_benchmarks() -> dict:
     timed('cooccurrence_pmi', lambda: Q.q_cooccurrence_pmi(SF_DIR))
     timed('training_data_prep', lambda: Q.q_training_data_prep(SF_DIR))
     timed('event_type_kcore', lambda: Q.q_event_type_kcore(SF_DIR))
+    timed('retention_cohorts', lambda: Q.q_retention_cohorts(SF_DIR))
+    timed('funnel_counts', lambda: Q.q_funnel_counts(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

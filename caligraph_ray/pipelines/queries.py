@@ -2784,6 +2784,80 @@ FROM walk GROUP BY node ORDER BY node
 """
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Daily cohort retention matrix over the events log
+    (stages/temporal.retention_cohorts) — the product-analytics shape:
+    first-active-day cohorts × day offsets × distinct active users."""
+    from ..stages.temporal import retention_cohorts
+    ev = rel.read_table(sf_dir, 'events', ['user_id', 'ts'])
+    out = rel.collect_pandas(retention_cohorts(ev))
+    cols = ['cohort_day', 'day_offset', 'n_users']
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype='int64') for c in cols})
+    out = out[cols].astype('int64')
+    return out.sort_values(['cohort_day', 'day_offset']).reset_index(drop=True)
+
+
+SQL_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events),
+coh AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id)
+SELECT c.cohort AS cohort_day,
+       CAST(a.day - c.cohort AS BIGINT) AS day_offset,
+       count(*) AS n_users
+FROM act a JOIN coh c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_funnel_counts(sf_dir: str, n_steps: int = 3):
+    """Ordered funnel conversion over the events log
+    (stages/temporal.funnel_counts): users completing each prefix of the
+    n lexicographically-first event types IN ORDER (greedy match under
+    the (ts, event_id) total order). Steps from a small distinct dim —
+    type vocab is a dim by contract."""
+    from ..stages.temporal import funnel_counts
+    ev = rel.read_table(sf_dir, 'events',
+                        ['user_id', 'ts', 'event_type', 'event_id'])
+    types = sorted(ev.unique('event_type'))[:n_steps]
+    out = rel.collect_pandas(funnel_counts(ev, types))
+    if out.empty:
+        return pd.DataFrame({'reached': pd.Series(dtype='int64'),
+                             'n_users': pd.Series(dtype='int64')})
+    out = out.astype({'reached': 'int64', 'n_users': 'int64'})
+    return out.sort_values('reached').reset_index(drop=True)
+
+
+SQL_FUNNEL = """
+WITH st AS (
+  SELECT event_type, row_number() OVER (ORDER BY event_type) AS k
+  FROM (SELECT DISTINCT event_type FROM events)
+  QUALIFY k <= 3),
+ev2 AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+s1 AS (SELECT e.user_id, min(e.rn) AS r FROM ev2 e
+       JOIN st ON st.k = 1 AND e.event_type = st.event_type
+       GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, min(e.rn) AS r FROM ev2 e
+       JOIN s1 USING (user_id)
+       JOIN st ON st.k = 2 AND e.event_type = st.event_type
+       WHERE e.rn > s1.r GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.rn) AS r FROM ev2 e
+       JOIN s2 USING (user_id)
+       JOIN st ON st.k = 3 AND e.event_type = st.event_type
+       WHERE e.rn > s2.r GROUP BY e.user_id)
+SELECT 1 AS reached, count(*) AS n_users FROM s1
+UNION ALL SELECT 2, count(*) FROM s2
+UNION ALL SELECT 3, count(*) FROM s3
+ORDER BY reached
+"""
+
+
 def q_event_type_kcore(sf_dir: str, k: int = 2, rounds: int = 3):
     """Bounded 2-core of the undirected event-type graph via 3 peeling
     rounds (stages/graph.kcore_prune). Oracle = the same rounds as a
@@ -3000,6 +3074,8 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'cooccurrence_pmi': q_cooccurrence_pmi,
     'training_data_prep': q_training_data_prep,
     'event_type_kcore': q_event_type_kcore,
+    'retention_cohorts': q_retention_cohorts,
+    'funnel_counts': q_funnel_counts,
     'flagship_triples': q_flagship_triples,
 }
 
@@ -3084,6 +3160,8 @@ ORACLES: Dict[str, str] = {
     'cooccurrence_pmi': SQL_COOC_PMI,
     'training_data_prep': SQL_TRAINING_PREP,
     'event_type_kcore': _sql_kcore(),
+    'retention_cohorts': SQL_RETENTION,
+    'funnel_counts': SQL_FUNNEL,
     # rows-only (non-SQL-expressible): flagship_triples (full KG pipeline;
     # gated instead by the single-process oracle in tests/oracle_kg.py)
 }

@@ -409,3 +409,74 @@ def rolling_window(events_ds, key_col: str = 'user_id', ts_col: str = 'ts',
         return out[[key_col, order_col, 'roll_sum', 'roll_n']]
 
     return bucketed_map(prepped, [key_col], roll)
+
+
+def retention_cohorts(events_ds, user_col: str = 'user_id',
+                      ts_col: str = 'ts',
+                      day_us: int = 86_400_000_000):
+    """Cohort retention matrix (the product-analytics shape): users are
+    cohorted by their FIRST active day; for every (cohort_day, day_offset)
+    the count of cohort members active that many days later. Three
+    exchanges, all key-shaped: a (user, day) two-phase distinct, a
+    user-keyed min (the cohort dim — itself a Dataset, never collected),
+    one user-keyed shuffle join, then a two-phase count on the tiny
+    (cohort, offset) key space. All integer (epoch-microsecond floor
+    division), so SQL replays exactly."""
+    from .relational import shuffle_join, two_phase_count, two_phase_pandas_agg
+
+    def to_days(batch: pd.DataFrame) -> pd.DataFrame:
+        days = batch[ts_col].astype('datetime64[us]').astype('int64') // day_us
+        return pd.DataFrame({user_col: batch[user_col], 'day': days})
+
+    act = two_phase_count(
+        events_ds.map_batches(to_days, batch_format='pandas'),
+        [user_col, 'day']).drop_columns(['cnt'])
+    cohort = two_phase_pandas_agg(act, [user_col],
+                                  {'cohort': ('day', 'min')})
+    j = shuffle_join(act, cohort, left_on=user_col, right_on=user_col,
+                     how='inner')
+
+    def offset(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({'cohort_day': pd.Series([], dtype='int64'),
+                                 'day_offset': pd.Series([], dtype='int64')})
+        return pd.DataFrame({
+            'cohort_day': df['cohort'].astype('int64'),
+            'day_offset': (df['day'] - df['cohort']).astype('int64')})
+
+    pairs = j.map_batches(offset, batch_format='pandas',
+                          batch_size=AGG_BATCH_SIZE)
+    return two_phase_count(pairs, ['cohort_day', 'day_offset'],
+                           alias='n_users')
+
+
+def funnel_counts(events_ds, steps, user_col: str = 'user_id',
+                  ts_col: str = 'ts', type_col: str = 'event_type',
+                  id_col: str = 'event_id'):
+    """Ordered funnel conversion: for each prefix of ``steps`` the number
+    of users with a GREEDY in-order match (first step-1 occurrence, then
+    the first step-2 occurrence after it, …) under the total event order
+    (ts, event_id) — the product-analytics funnel. ONE user-keyed
+    exchange; the per-user scan is linear in that user's events. SQL
+    replays the greedy exactly via row_number over the same total order
+    and chained min() prefixes."""
+    from .relational import grouped_map, two_phase_count
+
+    steps = list(steps)
+    step_ix = {s: i for i, s in enumerate(steps)}
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind='mergesort')
+        want = 0
+        for t in g[type_col]:
+            if want < len(steps) and t == steps[want]:
+                want += 1
+        if not want:
+            return pd.DataFrame()
+        return pd.DataFrame({'reached': np.arange(1, want + 1,
+                                                  dtype='int64')})
+
+    reached = grouped_map(
+        events_ds.select_columns([user_col, ts_col, type_col, id_col]),
+        [user_col], per_user)
+    return two_phase_count(reached, ['reached'], alias='n_users')

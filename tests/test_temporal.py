@@ -464,3 +464,53 @@ def test_asof_join_null_rows_dont_demote_big_int_keys():
         right_cols=['okey'], inner=True))
     got = {int(r.event_id): int(r.okey) for r in out.itertuples()}
     assert got == {1: 10, 2: 11}
+
+
+def test_funnel_greedy_matches_subsequence_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from caligraph_ray.stages.temporal import funnel_counts
+    rng = np.random.RandomState(6)
+    rows = []
+    eid = 0
+    for u in range(40):
+        for _ in range(rng.randint(0, 12)):
+            rows.append({'user_id': u, 'event_id': eid,
+                         'ts': pd.Timestamp('2024-01-01')
+                         + pd.Timedelta(microseconds=int(rng.randint(0, 10**9))),
+                         'event_type': rng.choice(['A', 'B', 'C', 'D'])})
+            eid += 1
+    df = pd.DataFrame(rows)
+    steps = ['A', 'B', 'C']
+    got = funnel_counts(rd.from_pandas(df), steps).to_pandas()
+    got_map = dict(zip(got['reached'].astype(int),
+                       got['n_users'].astype(int)))
+    # reference: exists-in-order subsequence check per user
+    exp = {1: 0, 2: 0, 3: 0}
+    for u, g in df.sort_values(['ts', 'event_id']).groupby('user_id'):
+        want = 0
+        for t in g['event_type']:
+            if want < 3 and t == steps[want]:
+                want += 1
+        for k in range(1, want + 1):
+            exp[k] += 1
+    assert got_map == {k: v for k, v in exp.items() if v}
+
+
+def test_retention_cohorts_small_golden(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from caligraph_ray.stages.temporal import retention_cohorts
+    day = 86_400_000_000
+    base = pd.Timestamp('2024-01-01')
+    df = pd.DataFrame({
+        'user_id': [1, 1, 1, 2, 2, 3],
+        'ts': [base, base + pd.Timedelta(days=1), base + pd.Timedelta(days=1),
+               base + pd.Timedelta(days=1), base + pd.Timedelta(days=2),
+               base]})
+    out = retention_cohorts(rd.from_pandas(df)).to_pandas()
+    d0 = int(base.value // 1000) // day
+    got = {(int(r['cohort_day']), int(r['day_offset'])): int(r['n_users'])
+           for _, r in out.iterrows()}
+    assert got == {(d0, 0): 2, (d0, 1): 1, (d0 + 1, 0): 1, (d0 + 1, 1): 1}
