@@ -284,6 +284,13 @@ def _coarse_key(batch: pd.DataFrame, keys: Sequence[str], coarse: int) -> pd.Ser
 # materialize below does not change streaming semantics.
 SMALL_EXCHANGE_BYTES = 128 * 1024 * 1024
 
+#: right sides at or below this many materialized bytes broadcast through
+#: shuffle_join's merge kernel instead of the union-shuffle (object-store
+#: budget class: the dim is put once and read once per worker process).
+#: 0 disables — tests force the shuffle path to pin regime equality.
+JOIN_BROADCAST_BYTES = int(__import__('os').environ.get(
+    'JOIN_BROADCAST_BYTES', 32 * 1024 * 1024))
+
 
 def _to_plain_pandas(block) -> pd.DataFrame:
     """Block → pandas with extension dtypes (Ray tensor arrays, nullable
@@ -580,6 +587,35 @@ def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
             return l.merge(r, how=how, left_on=left_on, right_on=right_on,
                            suffixes=('_x', '_y'))
         return l.merge(r, how=how, left_on=left_on, right_on=right_on)
+
+    # BROADCAST regime: a dim-sized right side skips the union-shuffle
+    # entirely — collected once, ray.put once, merged per LEFT batch with
+    # the SAME merge_sides kernel (semantics identical by construction:
+    # one side-by-side code path, gated only on measured bytes). This is
+    # both the correct 10^12-row shape for genuinely small dims (type
+    # vocab, degree dim of a small graph, kept-host sets) AND removes the
+    # dominant fixed cost of iterative operators (pagerank/bfs/k-core
+    # rounds) whose per-round dims are tiny. 0 disables (tests force the
+    # shuffle path to pin regime equality).
+    rmat = right_ds.materialize()
+    if (rmat.size_bytes() or 0) <= JOIN_BROADCAST_BYTES:
+        from ..state.broadcast import get_broadcast
+        rblocks = collect_blocks(rmat)
+        rdf = (pd.concat([b for b in rblocks if len(b)], ignore_index=True)
+               if any(len(b) for b in rblocks) else
+               pd.DataFrame({c: pd.Series(dtype=object) for c in rcols}))
+        rdf = rdf[rcols] if all(c in rdf.columns for c in rcols) else \
+            pd.DataFrame({c: pd.Series(dtype=object) for c in rcols})
+        ref = ray.put(rdf)
+
+        def bcast_merge(batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch) and left_on not in batch.columns:
+                return batch   # schema-less empty block
+            return merge_sides(batch, get_broadcast(ref))
+
+        return left_ds.map_batches(bcast_merge, batch_format='pandas',
+                                   batch_size=AGG_BATCH_SIZE)
+    right_ds = rmat
 
     if arrow_ok:
         # ARROW path: typed null padding travels the exchange (int64 stays

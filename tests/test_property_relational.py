@@ -225,3 +225,24 @@ def test_col_hash_value_pure_with_embedded_nul(keys):
     solo = {k: _col_hash(pd.Series([k]))[0] for k in keys}
     together = dict(zip(keys, _col_hash(pd.Series(keys))))
     assert solo == together
+
+
+def test_shuffle_join_broadcast_regime_equals_shuffle(ray_session, monkeypatch):
+    """The JOIN_BROADCAST_BYTES auto-gate must be invisible: same rows for
+    the broadcast-merge regime and the forced union-shuffle regime, inner
+    and left, with nulls on both key sides."""
+    import ray.data as rd
+    import caligraph_ray.stages.relational as rel
+    L = pd.DataFrame({'k': [1, 2, 2, None, 5], 'lv': ['a', 'b', 'c', 'd', 'e']})
+    R = pd.DataFrame({'k': [2, 2, None, 7], 'rv': [10, 20, 30, 40]})
+    for how in ('inner', 'left'):
+        outs = []
+        for forced in (32 << 20, 0):
+            monkeypatch.setattr(rel, 'JOIN_BROADCAST_BYTES', forced)
+            out = rel.collect_pandas(rel.shuffle_join(
+                rd.from_pandas(L), rd.from_pandas(R),
+                left_on='k', right_on='k', how=how))
+            canon = out.fillna('_N_').astype(str)
+            outs.append(canon.sort_values(list(canon.columns))
+                        .reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
