@@ -2784,6 +2784,49 @@ FROM walk GROUP BY node ORDER BY node
 """
 
 
+def q_trending_event_types(sf_dir: str, k: int = 3):
+    """Per-day top-k event types by count (windowed trending — the
+    composition of the two-phase count and the per-group top-k exchange;
+    ties break to the lexicographically-first type)."""
+    ev = rel.read_table(sf_dir, 'events', ['ts', 'event_type'])
+
+    def to_days(batch: pd.DataFrame) -> pd.DataFrame:
+        days = batch['ts'].astype('datetime64[us]').astype('int64') \
+            // 86_400_000_000
+        return pd.DataFrame({'day': days, 'event_type': batch['event_type']})
+
+    daily = rel.two_phase_count(
+        ev.map_batches(to_days, batch_format='pandas'),
+        ['day', 'event_type'], alias='n')
+
+    def neg(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch['_nn'] = -batch['n'].astype('int64')
+        return batch
+
+    out = rel.collect_pandas(rel.topk_per_group(
+        daily.map_batches(neg, batch_format='pandas'), 'day',
+        ['_nn', 'event_type'], [True, True], k))
+    if out.empty:
+        return pd.DataFrame({'day': pd.Series(dtype='int64'),
+                             'event_type': pd.Series(dtype=object),
+                             'n': pd.Series(dtype='int64')})
+    out = out[['day', 'event_type', 'n']].astype({'day': 'int64',
+                                                  'n': 'int64'})
+    return out.sort_values(['day', 'event_type']).reset_index(drop=True)
+
+
+SQL_TRENDING = """
+SELECT day, event_type, n FROM (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2)
+QUALIFY row_number() OVER (PARTITION BY day
+                           ORDER BY n DESC, event_type) <= 3
+ORDER BY day, event_type
+"""
+
+
 def q_retention_cohorts(sf_dir: str):
     """Daily cohort retention matrix over the events log
     (stages/temporal.retention_cohorts) — the product-analytics shape:
@@ -3076,6 +3119,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'event_type_kcore': q_event_type_kcore,
     'retention_cohorts': q_retention_cohorts,
     'funnel_counts': q_funnel_counts,
+    'trending_event_types': q_trending_event_types,
     'flagship_triples': q_flagship_triples,
 }
 
@@ -3162,6 +3206,7 @@ ORACLES: Dict[str, str] = {
     'event_type_kcore': _sql_kcore(),
     'retention_cohorts': SQL_RETENTION,
     'funnel_counts': SQL_FUNNEL,
+    'trending_event_types': SQL_TRENDING,
     # rows-only (non-SQL-expressible): flagship_triples (full KG pipeline;
     # gated instead by the single-process oracle in tests/oracle_kg.py)
 }
