@@ -106,12 +106,13 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
         # spelling guard) BEFORE alias grouping, so distinct surfaces that
         # redirect to one entity merge (reference resource.py:290-305)
         from ..stages.redirects import fold_redirects
-        mentions = fold_redirects(mentions, redirects_ds, col='name')
-    # pin the slim mention rows once (reused by count, index build, linking,
-    # CC); `combined`'s blocks release here — at no point does the store
-    # hold the fat parsed item rows
-    mentions = mentions.materialize()
-    del combined
+        mentions = fold_redirects(mentions, redirects_ds, col='name').materialize()
+        del combined
+    # else: mentions stays a LAZY filter over the pinned slim union — its
+    # consumers (count, index scan, linking) fuse the cheap arrow mask into
+    # their own scans. Re-materializing the filter was a full extra
+    # write pass of ~95% of the union's rows (15 s at 2M pages / 16 CPUs)
+    # that bought nothing: the union IS the pinned copy.
     n_mentions = mentions.count()
     use_join = linking == 'join' or (linking == 'auto'
                                      and n_mentions > ALIAS_BROADCAST_LIMIT)

@@ -149,8 +149,11 @@ def alias_counts(mentions_ds):
     """(norm_surface, name, freq) Dataset via two-phase aggregation
     (arrow partial combine per batch, coarse-bucket final merge)."""
     from .relational import two_phase_pandas_agg
+    # batch_size=None: whole blocks, zero-copy from plasma — an explicit
+    # batch_size re-slices materialized blocks, which costs ~25% of this
+    # scan at 2M pages for a kernel whose output is tiny either way
     partial = mentions_ds.map_batches(_partial_alias_counts, batch_format='pyarrow',
-                                      batch_size=TOKEN_BATCH_SIZE)
+                                      batch_size=None)
     return two_phase_pandas_agg(partial, ['norm_surface', 'name'],
                                 {'freq': ('cnt', 'sum')})
 
@@ -173,14 +176,30 @@ def build_alias_index(mentions_ds) -> Tuple["ray.ObjectRef", int]:
 
 def build_alias_index_local(mentions_ds) -> AliasIndex:
     """Driver-side alias index dict (also the source of the known-entity
-    dimension: every linked target appears as some surface's candidate)."""
-    from .relational import collect_rows
-    rows = collect_rows(alias_counts(mentions_ds))
+    dimension: every linked target appears as some surface's candidate).
+
+    Vectorized build: ONE global mergesort on (surface, freq desc, name)
+    replaces the per-key sorts, and numpy boundary slicing replaces the
+    per-row setdefault/append — the dict construction was a 13 s serial
+    driver stall at 2M pages (fixed cost on every leg of the scaling
+    ratio) and is ~6× cheaper this way."""
+    import numpy as np
+
+    from .relational import collect_pandas
+    df = collect_pandas(alias_counts(mentions_ds))
+    if df.empty:
+        return {}
+    df = df.sort_values(['norm_surface', 'freq', 'name'],
+                        ascending=[True, False, True], kind='mergesort')
+    surfaces = df['norm_surface'].to_numpy()
+    names = df['name'].to_numpy()
+    freqs = df['freq'].to_numpy().astype('int64')
+    starts = np.flatnonzero(np.r_[True, surfaces[1:] != surfaces[:-1]])
+    ends = np.r_[starts[1:], len(surfaces)]
     index: AliasIndex = {}
-    for r in rows:
-        index.setdefault(r['norm_surface'], []).append((r['name'], int(r['freq'])))
-    for k in index:
-        index[k].sort(key=lambda x: (-x[1], x[0]))
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        index[surfaces[s]] = list(zip(names[s:e].tolist(),
+                                      freqs[s:e].tolist()))
     return index
 
 
