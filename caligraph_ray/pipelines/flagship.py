@@ -391,8 +391,11 @@ def _assemble_triples(linked, cats, me_threshold, mm_threshold, path_threshold,
             lambda c: id_to_name_.get(c, _ne_name(c)))
         return _emit_subject_pairs(canon, df['url'], df['label'])
 
+    # whole blocks: the kernel is vectorized masks + dict lookups with a
+    # Python loop only over the minority multi-entity rows; an explicit
+    # batch_size re-slices the materialized linked blocks for no benefit
     subj_triples = linked_subjects.map_batches(subject_triples, batch_format='pyarrow',
-                                               batch_size=TOKEN_BATCH_SIZE)
+                                               batch_size=None)
     return _with_cats(subj_triples)
 
 

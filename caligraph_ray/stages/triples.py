@@ -51,7 +51,7 @@ def dedup_triples(triples_ds):
         g = batch.group_by(keys).aggregate([([], 'count_all')])
         return g.drop_columns(['count_all'])
 
-    pre = triples_ds.map_batches(batch_dedup, batch_format='pyarrow', batch_size=AGG_BATCH_SIZE)
+    pre = triples_ds.map_batches(batch_dedup, batch_format='pyarrow', batch_size=None)
     return bucketed_map(pre, keys, lambda b: b.drop_duplicates(subset=keys))
 
 
