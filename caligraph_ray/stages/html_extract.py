@@ -131,6 +131,8 @@ def _pre_clean(s: str) -> str:
 
 
 def _unescape(s: str) -> str:
+    if '&' not in s:       # every entity starts with '&' — the common
+        return s           # entity-free string skips all the replaces
     for ent, ch in _ENTITIES:
         s = s.replace(ent, ch)
     return s
