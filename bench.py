@@ -135,6 +135,7 @@ def run_benchmarks() -> dict:
     timed('retention_cohorts', lambda: Q.q_retention_cohorts(SF_DIR))
     timed('funnel_counts', lambda: Q.q_funnel_counts(SF_DIR))
     timed('trending_event_types', lambda: Q.q_trending_event_types(SF_DIR))
+    timed('revenue_rollup', lambda: Q.q_revenue_rollup(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

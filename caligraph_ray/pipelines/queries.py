@@ -114,6 +114,61 @@ GROUP BY r_name
 """
 
 
+def q_revenue_rollup(sf_dir: str):
+    """ROLLUP(region, nation) revenue with subtotal and grand-total rows —
+    computed the scale-smart way: ONE exchange aggregates the fine
+    (region, nation) level in exact integer cents (floor-cents contract,
+    stages/temporal), then the coarser levels re-aggregate the tiny fine
+    table (a dim by contract) instead of re-scanning the fact rows.
+    Integer sums are order-independent, so the re-aggregated subtotals
+    equal SQL ROLLUP's raw-row subtotals bit-for-bit."""
+    cust = rel.read_table(sf_dir, 'customer',
+                          ['c_custkey', 'c_nationkey']).to_pandas()
+    nation = rel.read_table(sf_dir, 'nation',
+                            ['n_nationkey', 'n_name', 'n_regionkey']).to_pandas()
+    region = rel.read_table(sf_dir, 'region',
+                            ['r_regionkey', 'r_name']).to_pandas()
+    dim = (cust.merge(nation, left_on='c_nationkey', right_on='n_nationkey')
+           .merge(region, left_on='n_regionkey', right_on='r_regionkey')
+           [['c_custkey', 'r_name', 'n_name']])
+    orders = rel.read_table(sf_dir, 'orders', ['o_custkey', 'o_totalprice'])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b['cents'] = np.floor(b['o_totalprice'].to_numpy() * 100) \
+            .astype('int64')
+        return b[['o_custkey', 'cents']]
+
+    joined = rel.broadcast_join(orders.map_batches(to_cents,
+                                                   batch_format='pandas'),
+                                dim, left_on='o_custkey',
+                                right_on='c_custkey')
+    fine = rel.collect_pandas(rel.two_phase_sum(
+        joined, ['r_name', 'n_name'], 'cents', alias='revenue_cents'))
+    fine['revenue_cents'] = fine['revenue_cents'].astype('int64')
+    regions = (fine.groupby('r_name', as_index=False)['revenue_cents']
+               .sum().assign(n_name=None))
+    grand = pd.DataFrame({'r_name': [None], 'n_name': [None],
+                          'revenue_cents': [fine['revenue_cents'].sum()]})
+    out = pd.concat([fine, regions, grand], ignore_index=True)
+    out = out[['r_name', 'n_name', 'revenue_cents']]
+    out['revenue_cents'] = out['revenue_cents'].astype('int64')
+    return out.sort_values(['r_name', 'n_name'],
+                           na_position='first').reset_index(drop=True)
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+"""
+
+
 def q_customers_without_orders(sf_dir: str):
     """Anti join via broadcast key set (J3, extract.py:286-289)."""
     order_keys = rel.read_table(sf_dir, 'orders', ['o_custkey']).unique('o_custkey')
@@ -3120,6 +3175,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'retention_cohorts': q_retention_cohorts,
     'funnel_counts': q_funnel_counts,
     'trending_event_types': q_trending_event_types,
+    'revenue_rollup': q_revenue_rollup,
     'flagship_triples': q_flagship_triples,
 }
 
@@ -3207,6 +3263,7 @@ ORACLES: Dict[str, str] = {
     'retention_cohorts': SQL_RETENTION,
     'funnel_counts': SQL_FUNNEL,
     'trending_event_types': SQL_TRENDING,
+    'revenue_rollup': SQL_REVENUE_ROLLUP,
     # rows-only (non-SQL-expressible): flagship_triples (full KG pipeline;
     # gated instead by the single-process oracle in tests/oracle_kg.py)
 }
