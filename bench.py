@@ -136,6 +136,7 @@ def run_benchmarks() -> dict:
     timed('funnel_counts', lambda: Q.q_funnel_counts(SF_DIR))
     timed('trending_event_types', lambda: Q.q_trending_event_types(SF_DIR))
     timed('revenue_rollup', lambda: Q.q_revenue_rollup(SF_DIR))
+    timed('json_prop_stats', lambda: Q.q_json_prop_stats(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

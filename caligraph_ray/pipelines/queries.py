@@ -169,6 +169,39 @@ ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
 """
 
 
+def q_json_prop_stats(sf_dir: str):
+    """JSON property extraction + aggregate (§2.8 scalar-fn surface over
+    the events ``props`` JSON column): per event_type integer stats of
+    $.k, extracted VECTORIZED arrow-side (pc.extract_regex over the
+    serialized form — the zero-copy scale path; the SQL twin uses real
+    json_extract). All-int64 aggregates — exact."""
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'props'])
+
+    def extract(t: pa.Table) -> pd.DataFrame:
+        m = pc.extract_regex(t.column('props'), r'"k"\s*:\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, 'k'), pa.int64())
+        return pd.DataFrame({'event_type': t.column('event_type').to_pandas(),
+                             'k': k.to_pandas()})
+
+    rows = ev.map_batches(extract, batch_format='pyarrow', batch_size=None)
+    out = rel.collect_pandas(rel.two_phase_pandas_agg(
+        rows, ['event_type'],
+        {'n': (None, 'count'), 'sum_k': ('k', 'sum'),
+         'min_k': ('k', 'min'), 'max_k': ('k', 'max')}))
+    out = out.astype({'n': 'int64', 'sum_k': 'int64',
+                      'min_k': 'int64', 'max_k': 'int64'})
+    return out.sort_values('event_type').reset_index(drop=True)
+
+
+SQL_JSON_PROPS = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_customers_without_orders(sf_dir: str):
     """Anti join via broadcast key set (J3, extract.py:286-289)."""
     order_keys = rel.read_table(sf_dir, 'orders', ['o_custkey']).unique('o_custkey')
@@ -3176,6 +3209,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'funnel_counts': q_funnel_counts,
     'trending_event_types': q_trending_event_types,
     'revenue_rollup': q_revenue_rollup,
+    'json_prop_stats': q_json_prop_stats,
     'flagship_triples': q_flagship_triples,
 }
 
@@ -3264,6 +3298,7 @@ ORACLES: Dict[str, str] = {
     'funnel_counts': SQL_FUNNEL,
     'trending_event_types': SQL_TRENDING,
     'revenue_rollup': SQL_REVENUE_ROLLUP,
+    'json_prop_stats': SQL_JSON_PROPS,
     # rows-only (non-SQL-expressible): flagship_triples (full KG pipeline;
     # gated instead by the single-process oracle in tests/oracle_kg.py)
 }
