@@ -137,6 +137,8 @@ def run_benchmarks() -> dict:
     timed('trending_event_types', lambda: Q.q_trending_event_types(SF_DIR))
     timed('revenue_rollup', lambda: Q.q_revenue_rollup(SF_DIR))
     timed('json_prop_stats', lambda: Q.q_json_prop_stats(SF_DIR))
+    timed('priority_lineitem_revenue',
+          lambda: Q.q_priority_lineitem_revenue(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

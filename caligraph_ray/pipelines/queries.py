@@ -169,6 +169,40 @@ ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
 """
 
 
+def q_priority_lineitem_revenue(sf_dir: str):
+    """FACT-FACT join: lineitem ⋈ orders on orderkey (both dataset-sized —
+    the co-partitioned shuffle_join path, with the small-side broadcast
+    gate routing automatically at small sf), then a two-phase integer-cents
+    aggregate per order priority. The only query shape the suite lacked:
+    neither side is a broadcastable dim at 10^12 rows."""
+    li = rel.read_table(sf_dir, 'lineitem', ['l_orderkey', 'l_extendedprice'])
+    orders = rel.read_table(sf_dir, 'orders', ['o_orderkey', 'o_orderpriority'])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b['cents'] = np.floor(b['l_extendedprice'].to_numpy() * 100) \
+            .astype('int64')
+        return b[['l_orderkey', 'cents']]
+
+    j = rel.shuffle_join(li.map_batches(to_cents, batch_format='pandas'),
+                         orders, left_on='l_orderkey',
+                         right_on='o_orderkey', how='inner')
+    out = rel.collect_pandas(rel.two_phase_pandas_agg(
+        j, ['o_orderpriority'],
+        {'n_items': (None, 'count'), 'revenue_cents': ('cents', 'sum')}))
+    out = out.astype({'n_items': 'int64', 'revenue_cents': 'int64'})
+    return out.sort_values('o_orderpriority').reset_index(drop=True)
+
+
+SQL_PRIORITY_LINEITEM = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def q_json_prop_stats(sf_dir: str):
     """JSON property extraction + aggregate (§2.8 scalar-fn surface over
     the events ``props`` JSON column): per event_type integer stats of
@@ -3210,6 +3244,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'trending_event_types': q_trending_event_types,
     'revenue_rollup': q_revenue_rollup,
     'json_prop_stats': q_json_prop_stats,
+    'priority_lineitem_revenue': q_priority_lineitem_revenue,
     'flagship_triples': q_flagship_triples,
 }
 
@@ -3299,6 +3334,7 @@ ORACLES: Dict[str, str] = {
     'trending_event_types': SQL_TRENDING,
     'revenue_rollup': SQL_REVENUE_ROLLUP,
     'json_prop_stats': SQL_JSON_PROPS,
+    'priority_lineitem_revenue': SQL_PRIORITY_LINEITEM,
     # rows-only (non-SQL-expressible): flagship_triples (full KG pipeline;
     # gated instead by the single-process oracle in tests/oracle_kg.py)
 }
