@@ -139,6 +139,7 @@ def run_benchmarks() -> dict:
     timed('json_prop_stats', lambda: Q.q_json_prop_stats(SF_DIR))
     timed('priority_lineitem_revenue',
           lambda: Q.q_priority_lineitem_revenue(SF_DIR))
+    timed('supplier_activity', lambda: Q.q_supplier_activity(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -203,6 +203,52 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_supplier_activity(sf_dir: str):
+    """Per-nation supplier roster + shipping activity (completes the
+    testdata table coverage: supplier was the one unjoined table): dim
+    aggregates (supplier count, floor-cents acctbal) merge with a
+    lineitem ⋈ supplier broadcast join counted two-phase per nation."""
+    supp = rel.read_table(sf_dir, 'supplier',
+                          ['s_suppkey', 's_nationkey', 's_acctbal']).to_pandas()
+    nation = rel.read_table(sf_dir, 'nation',
+                            ['n_nationkey', 'n_name']).to_pandas()
+    supp['acct_cents'] = np.floor(supp['s_acctbal'].to_numpy() * 100) \
+        .astype('int64')
+    roster = (supp.groupby('s_nationkey', as_index=False)
+              .agg(n_suppliers=('s_suppkey', 'count'),
+                   acctbal_cents=('acct_cents', 'sum')))
+    li = rel.read_table(sf_dir, 'lineitem', ['l_suppkey'])
+    j = rel.broadcast_join(li, supp[['s_suppkey', 's_nationkey']],
+                           left_on='l_suppkey', right_on='s_suppkey')
+    acts = rel.collect_pandas(rel.two_phase_count(
+        j, ['s_nationkey'], alias='n_lineitems'))
+    out = (roster.merge(acts, on='s_nationkey', how='left')
+           .merge(nation, left_on='s_nationkey', right_on='n_nationkey'))
+    out['n_lineitems'] = out['n_lineitems'].fillna(0).astype('int64')
+    out = out[['n_name', 'n_suppliers', 'acctbal_cents', 'n_lineitems']]
+    out = out.astype({'n_suppliers': 'int64', 'acctbal_cents': 'int64'})
+    return out.sort_values('n_name').reset_index(drop=True)
+
+
+SQL_SUPPLIER_ACTIVITY = """
+WITH roster AS (
+  SELECT s_nationkey, count(*) AS n_suppliers,
+         CAST(sum(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+  FROM supplier GROUP BY s_nationkey),
+acts AS (
+  SELECT s_nationkey, count(*) AS n_lineitems
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey)
+SELECT n_name, r.n_suppliers, r.acctbal_cents,
+       CAST(coalesce(a.n_lineitems, 0) AS BIGINT) AS n_lineitems
+FROM roster r
+LEFT JOIN acts a USING (s_nationkey)
+JOIN nation ON n_nationkey = r.s_nationkey
+ORDER BY n_name
+"""
+
+
 def q_json_prop_stats(sf_dir: str):
     """JSON property extraction + aggregate (§2.8 scalar-fn surface over
     the events ``props`` JSON column): per event_type integer stats of
@@ -3245,6 +3291,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'revenue_rollup': q_revenue_rollup,
     'json_prop_stats': q_json_prop_stats,
     'priority_lineitem_revenue': q_priority_lineitem_revenue,
+    'supplier_activity': q_supplier_activity,
     'flagship_triples': q_flagship_triples,
 }
 
@@ -3335,6 +3382,7 @@ ORACLES: Dict[str, str] = {
     'revenue_rollup': SQL_REVENUE_ROLLUP,
     'json_prop_stats': SQL_JSON_PROPS,
     'priority_lineitem_revenue': SQL_PRIORITY_LINEITEM,
+    'supplier_activity': SQL_SUPPLIER_ACTIVITY,
     # rows-only (non-SQL-expressible): flagship_triples (full KG pipeline;
     # gated instead by the single-process oracle in tests/oracle_kg.py)
 }
