@@ -144,3 +144,38 @@ def test_training_data_prep_invariants(ray_session):
         assert r['tok_offset'] == run
         assert r['first_seq'] == run // 512
         run += r['n_tokens']
+
+
+def test_cooccurrence_pmi_matches_brute_force(ray_session):
+    from caligraph_ray.functions.hashing import log2_fixed
+    from caligraph_ray.stages.textstats import cooccurrence_pmi
+    import ray.data as rd
+    rng = np.random.RandomState(8)
+    vocab = [f'w{i}' for i in range(8)]
+    rows = [{'doc_id': i,
+             'text': ' '.join(rng.choice(vocab)
+                              for _ in range(rng.randint(0, 15)))}
+            for i in range(40)]
+    got = collect_pandas(cooccurrence_pmi(
+        rd.from_pandas(pd.DataFrame(rows)), window=3, min_pairs=2))
+    got_map = {(r['w1'], r['w2']): (int(r['c_ab']), int(r['pmi_q']))
+               for _, r in got.iterrows()}
+    # brute force
+    from collections import Counter
+    pc_, marg = Counter(), Counter()
+    for r in rows:
+        toks = [t for t in r['text'].split(' ') if t]
+        for i in range(len(toks) - 1):
+            for j in range(i + 1, min(i + 4, len(toks))):
+                a, b = sorted((toks[i], toks[j]))
+                pc_[(a, b)] += 1
+    for (a, b), c in pc_.items():
+        marg[a] += c
+        marg[b] += c
+    total = sum(pc_.values())
+    exp = {}
+    for (a, b), c in pc_.items():
+        if c >= 2:
+            exp[(a, b)] = (c, log2_fixed(c) + log2_fixed(total)
+                           - log2_fixed(marg[a]) - log2_fixed(marg[b]))
+    assert got_map == exp and exp
