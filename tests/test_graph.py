@@ -179,3 +179,15 @@ def test_kcore_prune_matches_reference_peel(ray_session):
         exp[a] = exp.get(a, 0) + 1
         exp[b] = exp.get(b, 0) + 1
     assert got_map == exp
+
+
+def test_triangles_with_nul_bearing_names(ray_session):
+    # node names containing NUL exercise the value-pure _col_hash contract
+    # on the packed pair keys (the bug class fixed in round 3)
+    import ray.data as rd
+    from caligraph_ray.stages.graph import triangles, undirected_edges
+    names = ['a\x00b', 'b\x00a', 'c\x00c', 'd']
+    k4e = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    df = pd.DataFrame({'src': [a for a, _ in k4e],
+                       'dst': [b for _, b in k4e], 'w': 1})
+    assert triangles(undirected_edges(rd.from_pandas(df))).count() == 4
