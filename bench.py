@@ -140,6 +140,7 @@ def run_benchmarks() -> dict:
     timed('priority_lineitem_revenue',
           lambda: Q.q_priority_lineitem_revenue(SF_DIR))
     timed('supplier_activity', lambda: Q.q_supplier_activity(SF_DIR))
+    timed('personalized_pagerank', lambda: Q.q_personalized_pagerank(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -3113,6 +3113,72 @@ GROUP BY node ORDER BY node""")
     return ''.join(parts)
 
 
+def q_personalized_pagerank(sf_dir: str, iters: int = 3, n_seeds: int = 2):
+    """Personalized PageRank over the event-type transition graph: the
+    walk restarts at the ``n_seeds`` lexicographically-first nodes, so
+    ranks measure proximity to the seed set (stages/graph.pagerank_int
+    with seeds=...). Same exact-integer contract; chained-CTE oracle
+    with seed-cased teleport."""
+    from ..stages.graph import pagerank_int, transition_edges
+    ev = rel.read_table(sf_dir, 'events',
+                        ['user_id', 'ts', 'event_id', 'event_type'])
+    edges = transition_edges(ev).materialize()
+    node_set = set()
+    for col in ('src', 'dst'):
+        node_set.update(edges.unique(col))
+    seeds = sorted(node_set)[:n_seeds]
+    out = rel.collect_pandas(pagerank_int(edges, iters=iters, seeds=seeds))
+    out = out.rename(columns={'node': 'event_type'})
+    out = out.astype({'rank_q': 'int64'})
+    return out.sort_values('event_type').reset_index(drop=True)
+
+
+def _sql_personalized_pagerank(iters: int = 3,
+                               scale: int = 1_000_000_000_000,
+                               n_seeds: int = 2) -> str:
+    parts = [f"""
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+), e AS MATERIALIZED (
+  SELECT src, dst, count(*) AS w FROM seq WHERE dst IS NOT NULL
+  GROUP BY src, dst
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT t AS node
+  FROM (SELECT src AS t FROM e UNION ALL SELECT dst FROM e)
+), sd AS MATERIALIZED (
+  SELECT node FROM nodes ORDER BY node LIMIT {n_seeds}
+), ns AS MATERIALIZED (SELECT count(*) AS n FROM sd),
+ow AS MATERIALIZED (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT node,
+         CAST(CASE WHEN node IN (SELECT node FROM sd)
+                   THEN {scale} // (SELECT n FROM ns) ELSE 0 END
+              AS BIGINT) AS r
+  FROM nodes
+)"""]
+    for t in range(iters):
+        parts.append(f""", r{t + 1} AS MATERIALIZED (
+  SELECT nd.node,
+         CAST(CASE WHEN nd.node IN (SELECT node FROM sd)
+                   THEN (15 * {scale}) // (100 * (SELECT n FROM ns))
+                   ELSE 0 END
+              + coalesce(sum((CAST(p.r AS HUGEINT) * 85 * e.w)
+                             // (100 * o.ow)), 0) AS BIGINT) AS r
+  FROM nodes nd
+  LEFT JOIN e ON e.dst = nd.node
+  LEFT JOIN r{t} p ON p.node = e.src
+  LEFT JOIN ow o ON o.src = e.src
+  GROUP BY nd.node
+)""")
+    parts.append(f"""
+SELECT node AS event_type, r AS rank_q FROM r{iters} ORDER BY event_type
+""")
+    return ''.join(parts)
+
+
 def _sql_pagerank(iters: int = 3, scale: int = 1_000_000_000_000) -> str:
     parts = [f"""
 WITH seq AS (
@@ -3292,6 +3358,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'json_prop_stats': q_json_prop_stats,
     'priority_lineitem_revenue': q_priority_lineitem_revenue,
     'supplier_activity': q_supplier_activity,
+    'personalized_pagerank': q_personalized_pagerank,
     'flagship_triples': q_flagship_triples,
 }
 
@@ -3383,6 +3450,7 @@ ORACLES: Dict[str, str] = {
     'json_prop_stats': SQL_JSON_PROPS,
     'priority_lineitem_revenue': SQL_PRIORITY_LINEITEM,
     'supplier_activity': SQL_SUPPLIER_ACTIVITY,
+    'personalized_pagerank': _sql_personalized_pagerank(),
     # rows-only (non-SQL-expressible): flagship_triples (full KG pipeline;
     # gated instead by the single-process oracle in tests/oracle_kg.py)
 }

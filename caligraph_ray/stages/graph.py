@@ -48,10 +48,18 @@ def transition_edges(events_ds, user_col: str = 'user_id',
     return two_phase_count(seq, ['src', 'dst'], alias='w')
 
 
-def pagerank_int(edges_ds, iters: int = 3, scale: int = PAGERANK_SCALE):
+def pagerank_int(edges_ds, iters: int = 3, scale: int = PAGERANK_SCALE,
+                 seeds=None):
     """Integer fixed-point PageRank (damping 0.85) over a (src, dst, w)
     edge Dataset; returns (node, rank_q). ``iters`` exchanges, each
-    join-shaped — see module doc for the exactness contract."""
+    join-shaped — see module doc for the exactness contract.
+
+    ``seeds``: optional node list for PERSONALIZED PageRank — the initial
+    mass and the 15% teleport mass distribute over the seed set only
+    (floor-divided per seed), instead of uniformly over all nodes; the
+    random walk restarts at the seeds, ranking nodes by proximity to
+    them. Same integer-exactness contract; the seed set is a broadcast
+    dim by contract (ray.put once, read per worker)."""
     from ray.data.aggregate import Sum
 
     from .relational import shuffle_join, two_phase_count
@@ -79,13 +87,29 @@ def pagerank_int(edges_ds, iters: int = 3, scale: int = PAGERANK_SCALE):
     edges = shuffle_join(edges_ds, outw, left_on='src', right_on='src',
                          how='inner').materialize()
 
-    teleport = (15 * scale) // (100 * n_nodes)
-    r0 = scale // n_nodes
-    ranks = nodes.map_batches(
-        lambda t: pa.Table.from_pydict(
-            {'node': t.column('node'),
-             'rank_q': pa.array([r0] * t.num_rows, pa.int64())}),
-        batch_format='pyarrow')
+    if seeds is None:
+        tele_const = (15 * scale) // (100 * n_nodes)
+        r0 = scale // n_nodes
+        seed_ref = None
+    else:
+        import ray as _ray
+        seed_set = frozenset(seeds)
+        n_seeds = max(1, len(seed_set))
+        tele_const = (15 * scale) // (100 * n_seeds)
+        r0 = scale // n_seeds
+        seed_ref = _ray.put(seed_set)
+
+    def init(t: pa.Table) -> pa.Table:
+        if seed_ref is None:
+            r = [r0] * t.num_rows
+        else:
+            from ..state.broadcast import get_broadcast
+            ss = get_broadcast(seed_ref)
+            r = [r0 if n in ss else 0 for n in t.column('node').to_pylist()]
+        return pa.Table.from_pydict({'node': t.column('node'),
+                                     'rank_q': pa.array(r, pa.int64())})
+
+    ranks = nodes.map_batches(init, batch_format='pyarrow')
 
     for _ in range(iters):
         joined = shuffle_join(edges, ranks, left_on='src', right_on='node',
@@ -112,9 +136,16 @@ def pagerank_int(edges_ds, iters: int = 3, scale: int = PAGERANK_SCALE):
                 return pd.DataFrame({'node': pd.Series([], dtype='object'),
                                      'rank_q': pd.Series([], dtype='int64')})
             infl = df['inflow'].map(lambda v: 0 if pd.isna(v) else int(v))
+            if seed_ref is None:
+                tele = tele_const
+            else:
+                from ..state.broadcast import get_broadcast
+                ss = get_broadcast(seed_ref)
+                tele = df['node'].map(
+                    lambda n: tele_const if n in ss else 0)
             return pd.DataFrame({
                 'node': df['node'],
-                'rank_q': (infl + teleport).astype('int64')})
+                'rank_q': (infl + tele).astype('int64')})
 
         ranks = merged.map_batches(add_teleport, batch_format='pandas') \
             .materialize()

@@ -191,3 +191,24 @@ def test_triangles_with_nul_bearing_names(ray_session):
     df = pd.DataFrame({'src': [a for a, _ in k4e],
                        'dst': [b for _, b in k4e], 'w': 1})
     assert triangles(undirected_edges(rd.from_pandas(df))).count() == 4
+
+
+def test_personalized_pagerank_concentrates_on_seeds(ray_session):
+    import ray.data as rd
+    from caligraph_ray.stages.graph import pagerank_int
+    # chain a -> b -> c -> d: personalizing on 'a' must rank a highest
+    # and d lowest, and an unreachable node gets rank 0
+    df = pd.DataFrame({'src': ['a', 'b', 'c', 'x'],
+                       'dst': ['b', 'c', 'd', 'y'], 'w': 1})
+    out = pagerank_int(rd.from_pandas(df), iters=3,
+                       seeds=['a']).to_pandas()
+    r = dict(zip(out['node'], out['rank_q'].astype(int)))
+    # exact 3-iteration transient (closed form: teleport 0.15 pins a;
+    # 0.85-damped pulses travel the chain one hop per iteration)
+    assert r == {'a': 150_000_000_000, 'b': 127_500_000_000,
+                 'c': 108_375_000_000, 'd': 614_125_000_000,
+                 'x': 0, 'y': 0}
+    # uniform (non-personalized) differs: x gets teleport mass
+    out2 = pagerank_int(rd.from_pandas(df), iters=3).to_pandas()
+    r2 = dict(zip(out2['node'], out2['rank_q'].astype(int)))
+    assert r2['x'] > 0
