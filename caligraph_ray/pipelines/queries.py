@@ -3062,10 +3062,65 @@ s3 AS (SELECT e.user_id, min(e.rn) AS r FROM ev2 e
        JOIN s2 USING (user_id)
        JOIN st ON st.k = 3 AND e.event_type = st.event_type
        WHERE e.rn > s2.r GROUP BY e.user_id)
-SELECT 1 AS reached, count(*) AS n_users FROM s1
-UNION ALL SELECT 2, count(*) FROM s2
-UNION ALL SELECT 3, count(*) FROM s3
-ORDER BY reached
+SELECT * FROM (
+  SELECT 1 AS reached, count(*) AS n_users FROM s1
+  UNION ALL SELECT 2, count(*) FROM s2
+  UNION ALL SELECT 3, count(*) FROM s3)
+WHERE n_users > 0 ORDER BY reached
+"""
+
+
+def q_session_funnel_counts(sf_dir: str, n_steps: int = 3):
+    """Within-session ordered funnel (stages/temporal.
+    session_funnel_counts): the greedy match must complete inside one
+    30-minute gap-session; counts (user, session) pairs per prefix."""
+    from ..stages.temporal import session_funnel_counts
+    ev = rel.read_table(sf_dir, 'events',
+                        ['user_id', 'ts', 'event_type', 'event_id'])
+    types = sorted(ev.unique('event_type'))[:n_steps]
+    out = rel.collect_pandas(session_funnel_counts(ev, types))
+    if out.empty:
+        return pd.DataFrame({'reached': pd.Series(dtype='int64'),
+                             'n_sessions': pd.Series(dtype='int64')})
+    out = out.astype({'reached': 'int64', 'n_sessions': 'int64'})
+    return out.sort_values('reached').reset_index(drop=True)
+
+
+SQL_SESSION_FUNNEL = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+ev2 AS MATERIALIZED (
+  SELECT user_id, event_type, rn,
+         CAST(sum(CASE WHEN prev IS NULL
+                        OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY rn
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+  FROM base),
+st AS (
+  SELECT event_type, row_number() OVER (ORDER BY event_type) AS k
+  FROM (SELECT DISTINCT event_type FROM events)
+  QUALIFY k <= 3),
+s1 AS (SELECT e.user_id, e.sess, min(e.rn) AS r FROM ev2 e
+       JOIN st ON st.k = 1 AND e.event_type = st.event_type
+       GROUP BY e.user_id, e.sess),
+s2 AS (SELECT e.user_id, e.sess, min(e.rn) AS r FROM ev2 e
+       JOIN s1 ON s1.user_id = e.user_id AND s1.sess = e.sess
+       JOIN st ON st.k = 2 AND e.event_type = st.event_type
+       WHERE e.rn > s1.r GROUP BY e.user_id, e.sess),
+s3 AS (SELECT e.user_id, e.sess, min(e.rn) AS r FROM ev2 e
+       JOIN s2 ON s2.user_id = e.user_id AND s2.sess = e.sess
+       JOIN st ON st.k = 3 AND e.event_type = st.event_type
+       WHERE e.rn > s2.r GROUP BY e.user_id, e.sess)
+SELECT * FROM (
+  SELECT 1 AS reached, count(*) AS n_sessions FROM s1
+  UNION ALL SELECT 2, count(*) FROM s2
+  UNION ALL SELECT 3, count(*) FROM s3)
+WHERE n_sessions > 0 ORDER BY reached
 """
 
 
@@ -3359,6 +3414,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'priority_lineitem_revenue': q_priority_lineitem_revenue,
     'supplier_activity': q_supplier_activity,
     'personalized_pagerank': q_personalized_pagerank,
+    'session_funnel_counts': q_session_funnel_counts,
     'flagship_triples': q_flagship_triples,
 }
 
@@ -3451,6 +3507,7 @@ ORACLES: Dict[str, str] = {
     'priority_lineitem_revenue': SQL_PRIORITY_LINEITEM,
     'supplier_activity': SQL_SUPPLIER_ACTIVITY,
     'personalized_pagerank': _sql_personalized_pagerank(),
+    'session_funnel_counts': SQL_SESSION_FUNNEL,
     # rows-only (non-SQL-expressible): flagship_triples (full KG pipeline;
     # gated instead by the single-process oracle in tests/oracle_kg.py)
 }

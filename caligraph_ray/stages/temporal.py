@@ -480,3 +480,42 @@ def funnel_counts(events_ds, steps, user_col: str = 'user_id',
         events_ds.select_columns([user_col, ts_col, type_col, id_col]),
         [user_col], per_user)
     return two_phase_count(reached, ['reached'], alias='n_users')
+
+
+def session_funnel_counts(events_ds, steps, user_col: str = 'user_id',
+                          ts_col: str = 'ts', type_col: str = 'event_type',
+                          id_col: str = 'event_id',
+                          gap_us: int = 30 * 60 * 1_000_000):
+    """Within-SESSION funnel conversion: like ``funnel_counts`` but the
+    ordered match must complete inside ONE gap-session (> ``gap_us`` of
+    inactivity resets the funnel — the strict product-analytics variant).
+    Counts (user, session) pairs reaching each prefix. Still one
+    user-keyed exchange; sessions are derived inside the per-user scan,
+    so no separate sessionize pass or join is needed."""
+    from .relational import grouped_map, two_phase_count
+
+    steps = list(steps)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind='mergesort')
+        ts = _ts_to_int(g[ts_col]).to_numpy()
+        breaks = np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+        reached = []
+        want = 0
+        for is_new, t in zip(breaks, g[type_col]):
+            if is_new:
+                if want:
+                    reached.extend(range(1, want + 1))
+                want = 0
+            if want < len(steps) and t == steps[want]:
+                want += 1
+        if want:
+            reached.extend(range(1, want + 1))
+        if not reached:
+            return pd.DataFrame()
+        return pd.DataFrame({'reached': pd.Series(reached, dtype='int64')})
+
+    hit = grouped_map(
+        events_ds.select_columns([user_col, ts_col, type_col, id_col]),
+        [user_col], per_user)
+    return two_phase_count(hit, ['reached'], alias='n_sessions')

@@ -514,3 +514,28 @@ def test_retention_cohorts_small_golden(ray_session):
     got = {(int(r['cohort_day']), int(r['day_offset'])): int(r['n_users'])
            for _, r in out.iterrows()}
     assert got == {(d0, 0): 2, (d0, 1): 1, (d0 + 1, 0): 1, (d0 + 1, 1): 1}
+
+
+def test_session_funnel_resets_across_gap(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from caligraph_ray.stages.temporal import session_funnel_counts
+    base = pd.Timestamp('2024-01-01')
+    rows = [
+        # user 1: A then B in one session -> reaches 2
+        {'user_id': 1, 'event_id': 1, 'ts': base, 'event_type': 'A'},
+        {'user_id': 1, 'event_id': 2, 'ts': base + pd.Timedelta(minutes=5),
+         'event_type': 'B'},
+        # user 2: A, then a 2-hour gap, then B -> funnel resets, two
+        # sessions each reaching only step 1... (B alone reaches 0)
+        {'user_id': 2, 'event_id': 3, 'ts': base, 'event_type': 'A'},
+        {'user_id': 2, 'event_id': 4, 'ts': base + pd.Timedelta(hours=2),
+         'event_type': 'B'},
+    ]
+    out = session_funnel_counts(rd.from_pandas(pd.DataFrame(rows)),
+                                ['A', 'B']).to_pandas()
+    got = dict(zip(out['reached'].astype(int),
+                   out['n_sessions'].astype(int)))
+    # sessions reaching >=1: u1-s1 (A,B) and u2-s1 (A). u2-s2 (B) never
+    # starts. reaching >=2: u1-s1 only.
+    assert got == {1: 2, 2: 1}
