@@ -562,11 +562,21 @@ def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
     types, arrow_ok = {}, True
     for c in all_cols:
         lt, rt = ltypes.get(c), rtypes.get(c)
-        t = lt if lt is not None else rt
-        if t is None or (lt is not None and rt is not None and lt != rt):
-            arrow_ok = False
-            break
-        types[c] = t
+        if c in ltypes and c in rtypes:
+            # present on BOTH sides (at least the join key): both types
+            # must be KNOWN and equal — an unknown (object) side used to
+            # be assumed compatible, letting a double-vs-object key reach
+            # a typed merge and ValueError (hypothesis-caught)
+            if lt is None or rt is None or lt != rt:
+                arrow_ok = False
+                break
+            types[c] = lt
+        else:
+            t = lt if c in ltypes else rt
+            if t is None:
+                arrow_ok = False
+                break
+            types[c] = t
 
     def merge_sides(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         # SQL equality never matches NULL = NULL; pandas merge would join
@@ -596,9 +606,12 @@ def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
     # vocab, degree dim of a small graph, kept-host sets) AND removes the
     # dominant fixed cost of iterative operators (pagerank/bfs/k-core
     # rounds) whose per-round dims are tiny. 0 disables (tests force the
-    # shuffle path to pin regime equality).
-    rmat = right_ds.materialize()
-    if (rmat.size_bytes() or 0) <= JOIN_BROADCAST_BYTES:
+    # shuffle path to pin regime equality). Only when arrow_ok: with
+    # mixed/object key dtypes the raw per-batch merge can dtype-clash
+    # (float64 vs object ValueError — hypothesis-caught); those joins
+    # need the pandas fallback's canonical string keys below.
+    rmat = right_ds.materialize() if arrow_ok else right_ds
+    if arrow_ok and (rmat.size_bytes() or 0) <= JOIN_BROADCAST_BYTES:
         from ..state.broadcast import get_broadcast
         rblocks = collect_blocks(rmat)
         rdf = (pd.concat([b for b in rblocks if len(b)], ignore_index=True)

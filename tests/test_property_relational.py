@@ -246,3 +246,41 @@ def test_shuffle_join_broadcast_regime_equals_shuffle(ray_session, monkeypatch):
             outs.append(canon.sort_values(list(canon.columns))
                         .reset_index(drop=True))
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.booleans(),
+       st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3)),
+                min_size=1, max_size=12),
+       st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3)),
+                min_size=1, max_size=8),
+       st.lists(st.booleans(), min_size=20, max_size=20))
+def test_shuffle_join_fuzz_vs_pandas_merge(ray_session, str_keys, left,
+                                           right, nulls):
+    """shuffle_join (whichever regime the gate picks) must equal a plain
+    pandas merge with SQL NULL-key semantics — int keys with NULLs, or
+    NUL-bearing string keys with NULLs (one logical key type per join,
+    the engine contract; pandas itself refuses mixed-type object keys)."""
+    import ray.data as rd
+    import caligraph_ray.stages.relational as rel
+
+    def key(i, flag):
+        if flag:
+            return None
+        return f'k\x00{i}' if str_keys else i
+
+    nit = iter(nulls + [False] * 20)
+    L = pd.DataFrame({'k': [key(k, next(nit)) for k, _ in left],
+                      'lv': [v for _, v in left]})
+    R = pd.DataFrame({'k': [key(k, next(nit)) for k, _ in right],
+                      'rv': [v * 10 for _, v in right]})
+    got = rel.collect_pandas(rel.shuffle_join(
+        rd.from_pandas(L), rd.from_pandas(R), 'k', 'k', how='inner'))
+    exp = L[L['k'].notna()].merge(R[R['k'].notna()], on='k', how='inner')
+    canon = lambda df: (df.astype(str).sort_values(list(df.columns))
+                        .reset_index(drop=True))
+    if len(got) == 0 and len(exp) == 0:
+        return
+    pd.testing.assert_frame_equal(canon(got[exp.columns.tolist()]),
+                                  canon(exp))
