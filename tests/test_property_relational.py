@@ -213,6 +213,7 @@ def test_stratified_sample_quota_and_partition_invariance(ray_session, n, k, par
         assert (out.groupby('lang').size() <= k).all()
 
 
+@settings(deadline=None)
 @given(st.lists(st.text(alphabet='ab\x00', min_size=0, max_size=6),
                 min_size=1, max_size=8, unique=True))
 def test_col_hash_value_pure_with_embedded_nul(keys):
