@@ -1,0 +1,52 @@
+"""Incremental token-count state: delta merges ≡ full recompute,
+exactly-once per partition, crash-safe LATEST pointer."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from caligraph_ray.state.incremental import (processed_partitions,
+                                             token_count_state,
+                                             update_token_counts)
+
+
+def _docs(rows):
+    import ray.data as rd
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def _state_df(root):
+    df = token_count_state(root).to_pandas()
+    return (df.sort_values('token').reset_index(drop=True)
+            .astype({'freq': 'int64'}))
+
+
+def test_incremental_equals_full_recompute(ray_session, tmp_path):
+    from caligraph_ray.stages.textstats import token_counts
+    root = str(tmp_path / 'state')
+    p1 = [{'doc_id': 1, 'text': 'a b a'}, {'doc_id': 2, 'text': 'b c'}]
+    p2 = [{'doc_id': 3, 'text': 'c c d'}]
+    r1 = update_token_counts(root, 'part-001', _docs(p1))
+    assert not r1['skipped']
+    r2 = update_token_counts(root, 'part-002', _docs(p2))
+    assert not r2['skipped'] and r2['generation'] != r1['generation']
+
+    full = token_counts(_docs(p1 + p2)).to_pandas() \
+        .sort_values('token').reset_index(drop=True).astype({'freq': 'int64'})
+    pd.testing.assert_frame_equal(_state_df(root), full)
+
+
+def test_incremental_exactly_once_and_pointer(ray_session, tmp_path):
+    root = str(tmp_path / 'state')
+    p1 = [{'doc_id': 1, 'text': 'x y'}]
+    update_token_counts(root, 'p1', _docs(p1))
+    before = _state_df(root)
+    # re-submitting the same partition is a no-op (manifest hit)
+    r = update_token_counts(root, 'p1', _docs(p1))
+    assert r['skipped']
+    pd.testing.assert_frame_equal(_state_df(root), before)
+    assert processed_partitions(root) == ['p1']
+    # a stale generation dir without a LATEST flip is invisible to readers
+    os.makedirs(os.path.join(root, 'gen_zz_phantom'), exist_ok=True)
+    pd.testing.assert_frame_equal(_state_df(root), before)
