@@ -142,6 +142,7 @@ def run_benchmarks() -> dict:
     timed('supplier_activity', lambda: Q.q_supplier_activity(SF_DIR))
     timed('personalized_pagerank', lambda: Q.q_personalized_pagerank(SF_DIR))
     timed('session_funnel_counts', lambda: Q.q_session_funnel_counts(SF_DIR))
+    timed('priority_status_cube', lambda: Q.q_priority_status_cube(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -249,6 +249,49 @@ ORDER BY n_name
 """
 
 
+def q_priority_status_cube(sf_dir: str):
+    """CUBE(o_orderpriority, o_orderstatus) revenue — all four grouping
+    sets, computed like the rollup: ONE fact exchange at the fine level in
+    exact integer cents, every coarser set re-aggregated from the tiny
+    fine table (integer sums make re-aggregation ≡ raw-row CUBE)."""
+    orders = rel.read_table(sf_dir, 'orders',
+                            ['o_orderpriority', 'o_orderstatus',
+                             'o_totalprice'])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b['cents'] = np.floor(b['o_totalprice'].to_numpy() * 100) \
+            .astype('int64')
+        return b[['o_orderpriority', 'o_orderstatus', 'cents']]
+
+    fine = rel.collect_pandas(rel.two_phase_sum(
+        orders.map_batches(to_cents, batch_format='pandas'),
+        ['o_orderpriority', 'o_orderstatus'], 'cents',
+        alias='revenue_cents'))
+    fine['revenue_cents'] = fine['revenue_cents'].astype('int64')
+    by_p = (fine.groupby('o_orderpriority', as_index=False)['revenue_cents']
+            .sum().assign(o_orderstatus=None))
+    by_s = (fine.groupby('o_orderstatus', as_index=False)['revenue_cents']
+            .sum().assign(o_orderpriority=None))
+    grand = pd.DataFrame({'o_orderpriority': [None], 'o_orderstatus': [None],
+                          'revenue_cents': [fine['revenue_cents'].sum()]})
+    out = pd.concat([fine, by_p, by_s, grand], ignore_index=True)
+    out = out[['o_orderpriority', 'o_orderstatus', 'revenue_cents']]
+    out['revenue_cents'] = out['revenue_cents'].astype('int64')
+    return out.sort_values(['o_orderpriority', 'o_orderstatus'],
+                           na_position='first').reset_index(drop=True)
+
+
+SQL_PRIORITY_STATUS_CUBE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
 def q_json_prop_stats(sf_dir: str):
     """JSON property extraction + aggregate (§2.8 scalar-fn surface over
     the events ``props`` JSON column): per event_type integer stats of
@@ -3415,6 +3458,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'supplier_activity': q_supplier_activity,
     'personalized_pagerank': q_personalized_pagerank,
     'session_funnel_counts': q_session_funnel_counts,
+    'priority_status_cube': q_priority_status_cube,
     'flagship_triples': q_flagship_triples,
 }
 
@@ -3508,6 +3552,7 @@ ORACLES: Dict[str, str] = {
     'supplier_activity': SQL_SUPPLIER_ACTIVITY,
     'personalized_pagerank': _sql_personalized_pagerank(),
     'session_funnel_counts': SQL_SESSION_FUNNEL,
+    'priority_status_cube': SQL_PRIORITY_STATUS_CUBE,
     # rows-only (non-SQL-expressible): flagship_triples (full KG pipeline;
     # gated instead by the single-process oracle in tests/oracle_kg.py)
 }
