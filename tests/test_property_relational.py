@@ -296,3 +296,43 @@ def test_shuffle_join_fuzz_vs_pandas_merge(ray_session, str_keys, left,
         return
     pd.testing.assert_frame_equal(canon(got[exp.columns.tolist()]),
                                   canon(exp))
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.booleans(),
+       st.lists(st.tuples(st.integers(0, 4), st.integers(-3, 3)),
+                min_size=1, max_size=15),
+       st.lists(st.booleans(), min_size=15, max_size=15))
+def test_grouped_map_fuzz_vs_pandas_groupby(ray_session, str_keys, rows,
+                                            nulls):
+    """grouped_map (whichever exchange regime) must see every group whole
+    and exactly once — totals per key equal a pandas groupby, for int and
+    NUL-bearing string keys with NULLs (dropna=False contract)."""
+    import ray.data as rd
+    from caligraph_ray.stages.relational import collect_pandas, grouped_map
+
+    def key(i, flag):
+        if flag:
+            return None
+        return f'g\x00{i}' if str_keys else i
+
+    nit = iter(nulls)
+    df = pd.DataFrame({'k': [key(k, next(nit)) for k, _ in rows],
+                       'v': [v for _, v in rows]})
+
+    def per_group(g: pd.DataFrame):
+        return pd.DataFrame({'k': [g['k'].iloc[0]],
+                             'n': [len(g)], 's': [int(g['v'].sum())]})
+
+    got = collect_pandas(grouped_map(rd.from_pandas(df), ['k'], per_group))
+    exp = (df.groupby('k', dropna=False, sort=False)
+           .agg(n=('v', 'size'), s=('v', 'sum')).reset_index())
+    canon = lambda d: (d.astype({'k': str, 'n': 'int64', 's': 'int64'})
+                       .sort_values(['k']).reset_index(drop=True))
+    # null keys render as None/nan/NaN depending on transit — unify
+    fix = lambda d: d.assign(k=d['k'].map(
+        lambda x: 'NULL' if x is None or (isinstance(x, float) and x != x)
+        or str(x) in ('nan', 'None', '<NA>') else x))
+    pd.testing.assert_frame_equal(canon(fix(got))[['k', 'n', 's']],
+                                  canon(fix(exp))[['k', 'n', 's']])
