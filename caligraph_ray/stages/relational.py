@@ -504,6 +504,52 @@ def bucketed_map(ds, keys: Sequence[str], bucket_fn, coarse: Optional[int] = Non
     return mat.groupby('_coarse').map_groups(per_bucket, batch_format='pandas')
 
 
+def _nul_escape(v):
+    """Bijective NUL-free encoding ('\\x01' escape char): pandas'
+    groupby/factorize hashes object keys through a C-string path that
+    TRUNCATES at an embedded NUL, silently conflating NUL-distinct keys
+    that share a prefix (same root cause as the hash_pandas_object
+    categorize bug). MULTI-column ``sort_values`` factorizes its keys the
+    same way, so the relative ORDER of NUL-conflated keys is arbitrary —
+    kernels needing a NUL-robust multi-key order must sort on escaped
+    temps too. Group on escaped values, never on raw NULs."""
+    if isinstance(v, str) and ('\x00' in v or '\x01' in v):
+        return v.replace('\x01', '\x01\x01').replace('\x00', '\x01\x02')
+    return v
+
+
+_NUL_UNESC_RE = None
+
+
+def _nul_unescape(v):
+    global _NUL_UNESC_RE
+    if isinstance(v, str) and '\x01' in v:
+        import re
+        if _NUL_UNESC_RE is None:
+            _NUL_UNESC_RE = re.compile('\x01(.)', re.S)
+        return _NUL_UNESC_RE.sub(
+            lambda m: '\x00' if m.group(1) == '\x02' else '\x01', v)
+    return v
+
+
+def _nul_safe_temp_keys(df: pd.DataFrame, keys: Sequence[str]):
+    """(group_cols, df) where object key columns containing a NUL are
+    mirrored into escaped temp columns; non-affected keys pass through.
+    Callers group on the returned columns and drop the temps."""
+    gcols, temps = [], []
+    for k in keys:
+        s = df[k]
+        if s.dtype == object and \
+                s.map(lambda v: isinstance(v, str) and '\x00' in v).any():
+            t = f'_nulsafe_{k}'
+            df = df.assign(**{t: s.map(_nul_escape)})
+            gcols.append(t)
+            temps.append(t)
+        else:
+            gcols.append(k)
+    return gcols, temps, df
+
+
 def grouped_map(ds, keys: Sequence[str], fn, coarse: Optional[int] = None):
     """Apply ``fn(group_df) → DataFrame`` per distinct `keys` group.
 
@@ -515,8 +561,9 @@ def grouped_map(ds, keys: Sequence[str], fn, coarse: Optional[int] = None):
     skewed keys: a hot key still lands in one bucket, so pair it with
     salting upstream when a single group can exceed a task's memory."""
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        outs = [fn(sub) for _, sub in g.groupby(list(keys), sort=False,
-                                                dropna=False)]
+        gcols, temps, g2 = _nul_safe_temp_keys(g, list(keys))
+        outs = [fn(sub.drop(columns=temps) if temps else sub)
+                for _, sub in g2.groupby(gcols, sort=False, dropna=False)]
         outs = [o for o in outs if o is not None]
         if not outs:
             return pd.DataFrame()
@@ -701,21 +748,33 @@ def two_phase_pandas_agg(ds, keys: Sequence[str], spec: Dict[str, Tuple[Optional
     per batch, not one shuffled row per input row."""
     keys = list(keys)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def _grouped(frame: pd.DataFrame, agg_of):
         # dropna=False: SQL GROUP BY keeps a NULL group; pandas' default
-        # silently drops those rows and undercounts
-        g = batch.groupby(keys, sort=False, dropna=False)
-        cols = {}
-        for out, (src, how) in spec.items():
-            cols[out] = g.size() if how == 'count' else g[src].agg(how)
-        return pd.DataFrame(cols).reset_index()
+        # silently drops those rows and undercounts. NUL-bearing string
+        # keys group on escaped temps (pandas factorize truncates at NUL
+        # and conflates distinct keys) and are restored in the output.
+        gcols, temps, f2 = _nul_safe_temp_keys(frame, keys)
+        g = f2.groupby(gcols, sort=False, dropna=False)
+        out = pd.DataFrame(agg_of(g)).reset_index()
+        if temps:
+            ren = {f'_nulsafe_{k}': k for k in keys
+                   if f'_nulsafe_{k}' in temps}
+            out = out.rename(columns=ren)
+            for k in ren.values():
+                out[k] = out[k].map(_nul_unescape)
+        return out
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return _grouped(batch, lambda g: {
+            out: (g.size() if how == 'count' else g[src].agg(how))
+            for out, (src, how) in spec.items()})
 
     partials = ds.map_batches(partial, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
 
     def final(bucket: pd.DataFrame) -> pd.DataFrame:
-        g = bucket.groupby(keys, sort=False, dropna=False)
-        cols = {out: g[out].agg(_AGG_COMBINE[how]) for out, (src, how) in spec.items()}
-        return pd.DataFrame(cols).reset_index()
+        return _grouped(bucket, lambda g: {
+            out: g[out].agg(_AGG_COMBINE[how])
+            for out, (src, how) in spec.items()})
 
     return bucketed_map(partials, keys, final, coarse=coarse)
 

@@ -283,19 +283,29 @@ def test_shuffle_join_fuzz_vs_pandas_merge(ray_session, str_keys, left,
     def canon(df):
         # numeric columns normalize through float (int keys can demote to
         # float64 in transit when a sibling row carried NULL — a
-        # documented, value-preserving property, not a defect)
+        # documented, value-preserving property, not a defect). Sort on
+        # NUL-escaped copies: pandas MULTI-column sort_values factorizes
+        # its keys and factorize truncates at NUL, leaving NUL-distinct
+        # keys in arbitrary relative order (the flake this canon had).
+        from caligraph_ray.stages.relational import _nul_escape
         out = {}
         for c in df.columns:
             try:
                 out[c] = pd.to_numeric(df[c]).astype('float64')
             except (ValueError, TypeError):
-                out[c] = df[c].astype(str)
+                out[c] = df[c].astype(str).map(_nul_escape)
         o = pd.DataFrame(out)
         return o.sort_values(list(o.columns)).reset_index(drop=True)
     if len(got) == 0 and len(exp) == 0:
         return
-    pd.testing.assert_frame_equal(canon(got[exp.columns.tolist()]),
-                                  canon(exp))
+    try:
+        pd.testing.assert_frame_equal(canon(got[exp.columns.tolist()]),
+                                      canon(exp))
+    except AssertionError:
+        import pickle
+        with open('/tmp/join_fuzz_fail.pkl', 'wb') as f:
+            pickle.dump({'L': L, 'R': R, 'got': got, 'exp': exp}, f)
+        raise
 
 
 @settings(max_examples=25, deadline=None,
@@ -326,8 +336,17 @@ def test_grouped_map_fuzz_vs_pandas_groupby(ray_session, str_keys, rows,
                              'n': [len(g)], 's': [int(g['v'].sum())]})
 
     got = collect_pandas(grouped_map(rd.from_pandas(df), ['k'], per_group))
-    exp = (df.groupby('k', dropna=False, sort=False)
-           .agg(n=('v', 'size'), s=('v', 'sum')).reset_index())
+    # NUL-safe reference: plain dicts (pandas groupby itself conflates
+    # NUL-distinct keys — the bug class the engine now escapes around)
+    acc = {}
+    for k, v in zip(df['k'], df['v']):
+        if k is None or (isinstance(k, float) and k != k):
+            k = 'NULL'     # one SQL-style null group (dict NaN != NaN)
+        cur = acc.setdefault(k, [0, 0])
+        cur[0] += 1
+        cur[1] += v
+    exp = pd.DataFrame({'k': list(acc), 'n': [a[0] for a in acc.values()],
+                        's': [a[1] for a in acc.values()]})
     canon = lambda d: (d.astype({'k': str, 'n': 'int64', 's': 'int64'})
                        .sort_values(['k']).reset_index(drop=True))
     # null keys render as None/nan/NaN depending on transit — unify
