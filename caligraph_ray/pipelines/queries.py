@@ -2561,7 +2561,9 @@ lp AS (SELECT c.tok, lf.l2 - ln.l2 AS lp
     FROM cnt c
     JOIN lg lf ON lf.v = c.freq
     CROSS JOIN (SELECT l2 FROM lg JOIN tot ON lg.v = tot.n) ln(l2))
-SELECT t.doc_id, SUM(lp.lp) AS logprob_q, COUNT(*) AS n_tokens
+SELECT t.doc_id,
+       CAST(SUM(lp.lp) AS BIGINT) AS logprob_q,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
 FROM toks t JOIN lp ON t.tok = lp.tok GROUP BY t.doc_id
 """
 

@@ -52,11 +52,34 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.loc[order].reset_index(drop=True)
 
 
+def _dtype_kind(dt) -> str:
+    """Coarse representation class used for hash-compat checks: the driver
+    hashes value REPRESENTATIONS, so an engine int64 vs an oracle float64
+    (e.g. DuckDB HUGEINT sums materialized by fetchdf) is a red row even
+    when values are numerically identical."""
+    if pd.api.types.is_bool_dtype(dt):
+        return 'bool'
+    if pd.api.types.is_integer_dtype(dt):
+        return 'int'
+    if pd.api.types.is_float_dtype(dt):
+        return 'float'
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return 'datetime'
+    return 'object'
+
+
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
     if sorted(ray_df.columns) != sorted(sql_df.columns):
         return f'SCHEMA MISMATCH ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}'
     if len(ray_df) != len(sql_df):
         return f'ROWCOUNT MISMATCH ray={len(ray_df)} sql={len(sql_df)}'
+    bad_dtypes = []
+    for c in ray_df.columns:
+        ka, kb = _dtype_kind(ray_df[c].dtype), _dtype_kind(sql_df[c].dtype)
+        if ka != kb and not (len(ray_df) == 0 and 'object' in (ka, kb)):
+            bad_dtypes.append(f'{c}: ray={ray_df[c].dtype} sql={sql_df[c].dtype}')
+    if bad_dtypes:
+        return f'DTYPE MISMATCH {"; ".join(bad_dtypes)}'
     a, b = canon(ray_df), canon(sql_df)
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
