@@ -71,15 +71,18 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q_revenue_by_nation(sf_dir: str):
-    """Broadcast dimension join (J2/J4): orders ⋈ customer ⋈ nation."""
-    cust = rel.read_table(sf_dir, 'customer', ['c_custkey', 'c_nationkey']).to_pandas()
-    nation = rel.read_table(sf_dir, 'nation', ['n_nationkey', 'n_name']).to_pandas()
-    dim = cust.merge(nation, left_on='c_nationkey', right_on='n_nationkey')[['c_custkey', 'n_name']]
+    """Star join (J2/J3): orders ⋈ customer through the gated shuffle_join
+    (customer scales with SF — never collected to the driver; the measured
+    JOIN_BROADCAST_BYTES gate picks broadcast when it IS small), then the
+    fixed-size nation dim (≤25 rows at any SF) broadcast per batch."""
     orders = rel.read_table(sf_dir, 'orders', ['o_custkey', 'o_totalprice'])
-    joined = rel.broadcast_join(orders, dim, left_on='o_custkey', right_on='c_custkey')
-    out = rel.two_phase_sum(joined, ['n_name'], 'o_totalprice', alias='revenue').to_pandas()
+    cust = rel.read_table(sf_dir, 'customer', ['c_custkey', 'c_nationkey'])
+    nation = rel.read_table(sf_dir, 'nation', ['n_nationkey', 'n_name']).to_pandas()
+    j = rel.shuffle_join(orders, cust, left_on='o_custkey', right_on='c_custkey')
+    j = rel.broadcast_join(j, nation, left_on='c_nationkey', right_on='n_nationkey')
+    out = rel.two_phase_sum(j, ['n_name'], 'o_totalprice', alias='revenue').to_pandas()
     out['revenue'] = out['revenue'].round(2)
-    return out
+    return out[['n_name', 'revenue']]
 
 
 SQL_REVENUE = """
@@ -91,18 +94,21 @@ GROUP BY n_name
 
 
 def q_revenue_by_region(sf_dir: str):
-    """Three-level broadcast dimension chain: orders ⋈ customer ⋈ nation ⋈
-    region (the deepest star-join in the testdata)."""
-    cust = rel.read_table(sf_dir, 'customer', ['c_custkey', 'c_nationkey']).to_pandas()
+    """Deepest star join in the testdata: orders ⋈ customer via the gated
+    shuffle_join (customer is SF-scaled), then the nation⋈region dim —
+    fixed-size at any SF (≤25 × 5 rows, TPC-H spec) — merged driver-side
+    once and broadcast per batch."""
+    orders = rel.read_table(sf_dir, 'orders', ['o_custkey', 'o_totalprice'])
+    cust = rel.read_table(sf_dir, 'customer', ['c_custkey', 'c_nationkey'])
     nation = rel.read_table(sf_dir, 'nation', ['n_nationkey', 'n_regionkey']).to_pandas()
     region = rel.read_table(sf_dir, 'region', ['r_regionkey', 'r_name']).to_pandas()
-    dim = cust.merge(nation, left_on='c_nationkey', right_on='n_nationkey') \
-              .merge(region, left_on='n_regionkey', right_on='r_regionkey')[['c_custkey', 'r_name']]
-    orders = rel.read_table(sf_dir, 'orders', ['o_custkey', 'o_totalprice'])
-    joined = rel.broadcast_join(orders, dim, left_on='o_custkey', right_on='c_custkey')
-    out = rel.two_phase_sum(joined, ['r_name'], 'o_totalprice', alias='revenue').to_pandas()
+    dim = nation.merge(region, left_on='n_regionkey',
+                       right_on='r_regionkey')[['n_nationkey', 'r_name']]
+    j = rel.shuffle_join(orders, cust, left_on='o_custkey', right_on='c_custkey')
+    j = rel.broadcast_join(j, dim, left_on='c_nationkey', right_on='n_nationkey')
+    out = rel.two_phase_sum(j, ['r_name'], 'o_totalprice', alias='revenue').to_pandas()
     out['revenue'] = out['revenue'].round(2)
-    return out
+    return out[['r_name', 'revenue']]
 
 
 SQL_REVENUE_REGION = """
@@ -122,16 +128,17 @@ def q_revenue_rollup(sf_dir: str):
     table (a dim by contract) instead of re-scanning the fact rows.
     Integer sums are order-independent, so the re-aggregated subtotals
     equal SQL ROLLUP's raw-row subtotals bit-for-bit."""
-    cust = rel.read_table(sf_dir, 'customer',
-                          ['c_custkey', 'c_nationkey']).to_pandas()
+    orders = rel.read_table(sf_dir, 'orders', ['o_custkey', 'o_totalprice'])
+    cust = rel.read_table(sf_dir, 'customer', ['c_custkey', 'c_nationkey'])
     nation = rel.read_table(sf_dir, 'nation',
                             ['n_nationkey', 'n_name', 'n_regionkey']).to_pandas()
     region = rel.read_table(sf_dir, 'region',
                             ['r_regionkey', 'r_name']).to_pandas()
-    dim = (cust.merge(nation, left_on='c_nationkey', right_on='n_nationkey')
-           .merge(region, left_on='n_regionkey', right_on='r_regionkey')
-           [['c_custkey', 'r_name', 'n_name']])
-    orders = rel.read_table(sf_dir, 'orders', ['o_custkey', 'o_totalprice'])
+    # nation⋈region is fixed-size at any SF (≤25 × 5 rows) — driver merge
+    # is legitimate; customer is SF-scaled and goes through the gated join.
+    dim = (nation.merge(region, left_on='n_regionkey',
+                        right_on='r_regionkey')
+           [['n_nationkey', 'r_name', 'n_name']])
 
     def to_cents(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -139,10 +146,11 @@ def q_revenue_rollup(sf_dir: str):
             .astype('int64')
         return b[['o_custkey', 'cents']]
 
-    joined = rel.broadcast_join(orders.map_batches(to_cents,
-                                                   batch_format='pandas'),
-                                dim, left_on='o_custkey',
-                                right_on='c_custkey')
+    j = rel.shuffle_join(orders.map_batches(to_cents,
+                                            batch_format='pandas'),
+                         cust, left_on='o_custkey', right_on='c_custkey')
+    joined = rel.broadcast_join(j, dim, left_on='c_nationkey',
+                                right_on='n_nationkey')
     fine = rel.collect_pandas(rel.two_phase_sum(
         joined, ['r_name', 'n_name'], 'cents', alias='revenue_cents'))
     fine['revenue_cents'] = fine['revenue_cents'].astype('int64')
@@ -208,18 +216,29 @@ def q_supplier_activity(sf_dir: str):
     testdata table coverage: supplier was the one unjoined table): dim
     aggregates (supplier count, floor-cents acctbal) merge with a
     lineitem ⋈ supplier broadcast join counted two-phase per nation."""
-    supp = rel.read_table(sf_dir, 'supplier',
-                          ['s_suppkey', 's_nationkey', 's_acctbal']).to_pandas()
+    # supplier is SF-scaled: both its uses stay distributed — a two-phase
+    # per-nation aggregate (≤25 output rows) and the gated shuffle_join
+    # against lineitem. Only nation (fixed ≤25 rows) is driver-collected.
     nation = rel.read_table(sf_dir, 'nation',
                             ['n_nationkey', 'n_name']).to_pandas()
-    supp['acct_cents'] = np.floor(supp['s_acctbal'].to_numpy() * 100) \
-        .astype('int64')
-    roster = (supp.groupby('s_nationkey', as_index=False)
-              .agg(n_suppliers=('s_suppkey', 'count'),
-                   acctbal_cents=('acct_cents', 'sum')))
+    supp = rel.read_table(sf_dir, 'supplier',
+                          ['s_suppkey', 's_nationkey', 's_acctbal'])
+
+    def acct_cents(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b['acct_cents'] = np.floor(b['s_acctbal'].to_numpy() * 100) \
+            .astype('int64')
+        return b[['s_suppkey', 's_nationkey', 'acct_cents']]
+
+    supp_c = supp.map_batches(acct_cents, batch_format='pandas')
+    roster = rel.collect_pandas(rel.two_phase_pandas_agg(
+        supp_c, ['s_nationkey'],
+        {'n_suppliers': (None, 'count'),
+         'acctbal_cents': ('acct_cents', 'sum')}))
     li = rel.read_table(sf_dir, 'lineitem', ['l_suppkey'])
-    j = rel.broadcast_join(li, supp[['s_suppkey', 's_nationkey']],
-                           left_on='l_suppkey', right_on='s_suppkey')
+    j = rel.shuffle_join(li, supp_c.select_columns(['s_suppkey',
+                                                    's_nationkey']),
+                         left_on='l_suppkey', right_on='s_suppkey')
     acts = rel.collect_pandas(rel.two_phase_count(
         j, ['s_nationkey'], alias='n_lineitems'))
     out = (roster.merge(acts, on='s_nationkey', how='left')
