@@ -60,6 +60,14 @@ RANGE_THRESHOLD = 0.77
 # (surface, entity) dim stops fitting one object-store entry / the driver)
 ALIAS_BROADCAST_LIMIT = 20_000_000
 
+# distinct-surface-name cardinality above which the scored ED path must NOT
+# collect the entity-name dim to the driver (flagship linking='scored'); the
+# linker then runs against object-store name shards instead (ed.py
+# link_mentions_scored_sharded). Env-overridable so tests force the sharded
+# regime at toy size.
+import os as _os
+SCORED_NAME_LIMIT = int(_os.environ.get('SCORED_NAME_LIMIT', 2_000_000))
+
 # --- skew handling ---
 # groupby keys whose observed count exceeds this get salted into
 # HOT_KEY_SALT_BUCKETS sub-keys, aggregated two-phase (SURVEY.md §4 skew row)

@@ -66,6 +66,36 @@ def _cats_of(t: pa.Table) -> pa.Table:
     return t.select(['url', 'page_id', 'cat_name'])
 
 
+def _scored_linked(mentions):
+    """Scored-ED linking with a MEASURED entity-name-dim budget: the
+    distinct non-empty wikilink-target names are computed distributed
+    (two-phase distinct — one partial-combine exchange); only when the
+    measured cardinality fits config.SCORED_NAME_LIMIT is the dim collected
+    and broadcast (the fast regime). Over budget, linking runs against the
+    name shards in the object store (ed.link_mentions_scored_sharded) —
+    nothing dim-sized ever touches the driver, and the emitted links are
+    bit-identical across regimes (pinned by test_flagship's forced-low-gate
+    comparison). Returns (linked_ds, ent_names_or_None)."""
+    from .. import config
+    from ..stages.ed import link_mentions_scored, link_mentions_scored_sharded
+    from ..stages.relational import arrow_filter, collect_pandas, two_phase_count
+
+    named = arrow_filter(
+        mentions, lambda t: pc.and_(pc.is_valid(t['name']),
+                                    pc.not_equal(t['name'], pa.scalar(''))))
+    names_ds = two_phase_count(
+        named.select_columns(['name']), ['name']).select_columns(['name']) \
+        .materialize()
+    if names_ds.count() <= config.SCORED_NAME_LIMIT:
+        ent_names = sorted(collect_pandas(names_ds)['name'])
+        return link_mentions_scored(mentions, ent_names), ent_names
+    import logging
+    logging.getLogger('caligraph_ray.flagship').warning(
+        'scored-ED entity-name dim over budget (> %d); linking against '
+        'object-store name shards', config.SCORED_NAME_LIMIT)
+    return link_mentions_scored_sharded(mentions, names_ds), None
+
+
 def run_flagship(pages_ds, out_dir: Optional[str] = None,
                  me_threshold: float = MENTION_ENTITY_THRESHOLD,
                  mm_threshold: float = MENTION_MENTION_THRESHOLD,
@@ -117,9 +147,8 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
     use_join = linking == 'join' or (linking == 'auto'
                                      and n_mentions > ALIAS_BROADCAST_LIMIT)
     if linking == 'scored':
-        from ..stages.ed import link_mentions_scored
-        ent_names = sorted(n for n in mentions.unique('name') if n)
-        linked = link_mentions_scored(mentions, ent_names).materialize()
+        linked, ent_names = _scored_linked(mentions)
+        linked = linked.materialize()
     elif use_join:
         linked = link_mentions_join(mentions).materialize()
         ent_names = None   # derived distributed inside _assemble_triples
@@ -190,11 +219,19 @@ def run_flagship_checkpointed(pages_ds, root: str,
 
     mentions = run_stage(root, '03_mentions', build_mentions, fingerprint=fp_in)
     if linking == 'scored':
-        from ..stages.ed import link_mentions_scored
-        ent_names = sorted(n for n in mentions.unique('name') if n)
-        linked = run_stage(root, '04_linked',
-                           lambda: link_mentions_scored(mentions, ent_names),
+        # budget-gated: collects the name dim only under SCORED_NAME_LIMIT.
+        # ent_names is only consumed by _assemble_triples below, which
+        # derives the dim from `linked` itself when None (over-budget path).
+        _ent_holder = {}
+
+        def _linked_scored():
+            linked_, names_ = _scored_linked(mentions)
+            _ent_holder['names'] = names_
+            return linked_
+
+        linked = run_stage(root, '04_linked', _linked_scored,
                            fingerprint=fp_link)
+        ent_names = _ent_holder.get('names')
     elif linking == 'join':
         ent_names = None
         linked = run_stage(root, '04_linked',

@@ -408,3 +408,115 @@ def link_mentions_scored(mentions_ds, entity_labels: List[str], k: int = 4,
     return mentions_ds.map_batches(ScoredLinker, batch_format='pandas',
                                    batch_size=AGG_BATCH_SIZE,
                                    concurrency=_pool_size())
+
+
+def link_mentions_scored_sharded(mentions_ds, names_ds, k: int = 4,
+                                 dim: int = 64, embedder_factory=None,
+                                 reranker_factory=None,
+                                 max_cached_shards: int = 8):
+    """``link_mentions_scored`` for an entity-name dim too large to collect
+    to the driver: the DISTINCT names stay in the object store as block
+    shards (``names_ds`` — one globally-distinct ``name`` column), and each
+    linker actor streams mention batches against the shards, merging
+    per-shard top-k into the exact global top-k (same (score desc, label
+    asc) comparator as ``_topk_idx``, so the candidate SET — and therefore
+    every emitted link — is bit-identical to the broadcast variant; pinned
+    by tests). Per-actor memory is bounded: at most ``max_cached_shards``
+    embedded shards are cached (LRU); other shards are re-fetched from the
+    object store and re-embedded per batch — the exactness-preserving
+    trade. At 10^12 rows prefer the IVF/LSH candidate path (similarity.py)
+    when approximate candidates are acceptable."""
+    if embedder_factory is None:
+        embedder_factory = lambda: HashEmbedder(dim=dim)   # noqa: E731
+    if reranker_factory is None:
+        reranker_factory = lambda: CrossEncoderReranker(dim=dim)   # noqa: E731
+
+    mat = names_ds.materialize()
+    n_names = mat.count()
+    if n_names == 0:
+        def nil(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.copy()
+            linked = out['name'].notna()
+            out['entity'] = out['name'].where(linked, None)
+            out['link_score'] = np.where(linked, 1.0, 0.0)
+            return out
+        return mentions_ds.map_batches(nil, batch_format='pandas')
+    # block refs only — the driver never holds the names themselves; the
+    # refs are captured in the actor closure (Ray refcounts nested refs)
+    shard_refs = mat.to_pandas_refs()
+    kk = min(k, n_names)
+
+    class ShardedScoredLinker:
+        def __init__(self):
+            self.emb = embedder_factory()
+            self.rr = reranker_factory()
+            self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+            self._lru: List[int] = []
+
+        def _shard(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+            got = self._cache.get(i)
+            if got is not None:
+                self._lru.remove(i)
+                self._lru.append(i)
+                return got
+            df = ray.get(shard_refs[i])
+            labels = df['name'].to_numpy(dtype=object)
+            emat = self.emb.embed_batch([str(x) for x in labels])
+            emat = emat / np.maximum(
+                np.linalg.norm(emat, axis=1, keepdims=True), 1e-12)
+            if len(self._lru) >= max_cached_shards:
+                self._cache.pop(self._lru.pop(0), None)
+            self._cache[i] = (labels, emat)
+            self._lru.append(i)
+            return labels, emat
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                out = batch.copy()
+                out['entity'] = pd.Series(dtype=object)
+                out['link_score'] = pd.Series(dtype='float64')
+                return out
+            q = self.emb.embed_batch(list(batch['label']))
+            n = len(batch)
+            # running global top-k per mention across shards: merging each
+            # shard's top-k under the same comparator yields exactly the
+            # full-matrix top-k (any global winner wins its shard too)
+            cand_s = [np.empty(0, dtype=np.float64) for _ in range(n)]
+            cand_l = [np.empty(0, dtype=object) for _ in range(n)]
+            need = np.array([x is None or (isinstance(x, float) and np.isnan(x))
+                             for x in batch['name']], dtype=bool)
+            for si in range(len(shard_refs)):
+                labels, emat = self._shard(si)
+                if not len(labels):
+                    continue
+                sims = q @ emat.T
+                ks = min(kk, len(labels))
+                for i in np.where(need)[0]:
+                    idx = _topk_idx(sims[i], labels, ks)
+                    s = np.concatenate([cand_s[i], sims[i][idx]])
+                    l = np.concatenate([cand_l[i], labels[idx]])
+                    keep = np.lexsort((l, -s))[:kk]
+                    cand_s[i], cand_l[i] = s[keep], l[keep]
+            entities: List[Optional[str]] = []
+            scores: List[float] = []
+            for i, (name, label) in enumerate(zip(batch['name'],
+                                                  batch['label'])):
+                if not need[i]:
+                    entities.append(name)
+                    scores.append(1.0)
+                    continue
+                best_e, best_s = None, 0.0
+                for lab in cand_l[i]:
+                    ce = self.rr.score_pair(label or '', str(lab))
+                    if ce > best_s or (ce == best_s and best_e is not None
+                                       and str(lab) < best_e):
+                        best_e, best_s = str(lab), ce
+                entities.append(best_e)
+                scores.append(round(best_s, 6) if best_e is not None else 0.0)
+            batch['entity'] = entities
+            batch['link_score'] = scores
+            return batch
+
+    return mentions_ds.map_batches(ShardedScoredLinker, batch_format='pandas',
+                                   batch_size=AGG_BATCH_SIZE,
+                                   concurrency=_pool_size())

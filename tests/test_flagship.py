@@ -49,6 +49,21 @@ def test_flagship_join_scale_path_matches_surface(ray_session, small_corpus):
     assert joined == oracle_triples(pages)
 
 
+def test_flagship_scored_sharded_gate_matches_broadcast(
+        ray_session, small_corpus, monkeypatch):
+    """Forced-low-gate run of the scored-ED path: SCORED_NAME_LIMIT=0 makes
+    _scored_linked skip the driver collect and link against object-store
+    name shards (ed.link_mentions_scored_sharded). The per-shard top-k
+    merge must reproduce the broadcast candidate sets exactly, so the
+    emitted triple set is identical across regimes."""
+    from caligraph_ray import config
+    broadcast = _run(small_corpus, linking='scored')
+    monkeypatch.setattr(config, 'SCORED_NAME_LIMIT', 0)
+    sharded = _run(small_corpus, linking='scored')
+    assert sharded == broadcast
+    assert sharded, 'scored path produced no triples'
+
+
 def test_flagship_on_documents_smoke(ray_session):
     from caligraph_ray.pipelines.flagship import run_flagship_on_documents
     ds = run_flagship_on_documents('/root/testdata/sf0.001')
