@@ -261,17 +261,40 @@ def _contract_block(batch: pa.Table) -> pa.Table:
                                  'dst': pa.array(out_dst, pa.int64())})
 
 
+def _distinct_edges(ds):
+    """Two-phase distinct over (src, dst): per-batch dedup, then one
+    key-bucketed exchange dedup — removes the (node → same root) duplicates
+    a node accumulates by appearing in several blocks."""
+    from .relational import bucketed_map
+
+    def dd(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates()
+
+    return bucketed_map(ds.map_batches(dd, batch_format='pandas'),
+                        ['src', 'dst'], dd)
+
+
 def connected_components(edges_ds, contraction_passes: int = 2,
                          driver_limit: int = 5_000_000,
-                         fan_in: Optional[int] = None) -> Dict[int, int]:
+                         fan_in: Optional[int] = None,
+                         max_passes: int = 32) -> Dict[int, int]:
     """Edge Dataset → {node: component_label} (label = min node id).
 
     Distributed contraction passes bound the driver tail to ≤ (#nodes -
     #components) forest edges; each pass halves the partition count
     (geometric fan-in from ``fan_in``, default = current block count), so
-    chains collapse geometrically (pointer-jumping analogue) and both the
-    pass count and the fan-in scale with the input instead of being fixed.
-    """
+    chains collapse geometrically (pointer-jumping analogue).
+
+    ADAPTIVE: after the mandatory ``contraction_passes``, the tail is
+    measured each pass (edge count, then distinct-edge count — a node seen
+    in several blocks carries duplicate forest edges that a two-phase
+    distinct removes without any driver state). Passes continue until the
+    deduped tail fits ``driver_limit``; the per-pass lineage counters are
+    carried in the error raised only when the tail stops shrinking above
+    budget (the true forest is ≥ #nodes − #components edges, and the
+    RETURNED node map is the same size — a tail genuinely over budget means
+    the caller must raise ``driver_limit`` or consume components
+    distributed) or ``max_passes`` is exhausted."""
     ds = edges_ds.select_columns(['src', 'dst'])
     if fan_in is None:
         try:
@@ -279,16 +302,38 @@ def connected_components(edges_ds, contraction_passes: int = 2,
         except Exception:
             fan_in = 8
     parts = fan_in
-    for p in range(contraction_passes):
+    lineage: List[int] = []
+    passes = 0
+    prev_dedup: Optional[int] = None
+    while True:
         ds = ds.map_batches(_contract_block, batch_format='pyarrow')
         parts = max(2, parts // 2)
         ds = ds.repartition(parts, shuffle=True)
+        passes += 1
+        if passes < contraction_passes:
+            continue
+        ds = ds.materialize()
+        n = ds.count()
+        lineage.append(n)
+        if n <= driver_limit:
+            break
+        ds = _distinct_edges(ds).materialize()
+        nd = ds.count()
+        lineage.append(nd)
+        if nd <= driver_limit:
+            break
+        stalled = prev_dedup is not None and nd >= prev_dedup
+        prev_dedup = nd
+        if passes >= max_passes or stalled:
+            raise RuntimeError(
+                f'connected_components forest tail does not fit the driver '
+                f'after {passes} passes (per-pass edge counts: {lineage}; '
+                f'limit {driver_limit}). The deduped tail stopped shrinking '
+                f'— it is (close to) the true forest, and the returned node '
+                f'map would be the same size: raise driver_limit or consume '
+                f'components distributed.')
     from .relational import collect_rows
     rows = collect_rows(ds)
-    if len(rows) > driver_limit:
-        raise RuntimeError(
-            f'connected_components tail too large for driver ({len(rows)}); '
-            'increase contraction_passes')
     uf = _UnionFind()
     for r in rows:
         uf.union(int(r['src']), int(r['dst']))

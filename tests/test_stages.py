@@ -55,6 +55,36 @@ def test_connected_components_matches_unionfind(ray_session, rd):
     assert got == want
 
 
+def test_connected_components_adaptive_converges(ray_session, rd):
+    """Long-chain graph whose 2-pass forest tail exceeds a tiny forced
+    driver_limit: the adaptive loop (extra passes + distributed distinct of
+    the tail) must converge to the correct components instead of raising.
+    The limit sits above the true forest floor (#nodes − #components) but
+    below the duplicated early-pass tail."""
+    n = 240
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = np.arange(1, n, dtype=np.int64)
+    edges = rd.from_arrow(pa.Table.from_pydict(
+        {'src': src, 'dst': dst})).repartition(8)
+    got = connected_components(edges, contraction_passes=2,
+                               driver_limit=n + 10)
+    assert set(got) == set(range(1, n))
+    assert all(v == 0 for v in got.values())
+
+
+def test_connected_components_true_overflow_raises(ray_session, rd):
+    """A forced limit BELOW the true forest floor must still raise (the
+    returned node map would not fit either) — with lineage counters."""
+    n = 64
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = np.arange(1, n, dtype=np.int64)
+    edges = rd.from_arrow(pa.Table.from_pydict(
+        {'src': src, 'dst': dst})).repartition(4)
+    with pytest.raises(RuntimeError, match='edge counts'):
+        connected_components(edges, contraction_passes=2, driver_limit=10,
+                             max_passes=6)
+
+
 def test_split_component_nasty_linker():
     # two entities bridged by a weak chain: m1 -e1 strong, m2 -e2 strong,
     # m1-m2 weak → mentions split to their entities (path threshold prunes)
