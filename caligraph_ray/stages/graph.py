@@ -29,6 +29,13 @@ from ..config import AGG_BATCH_SIZE
 PAGERANK_SCALE = 1_000_000_000_000   # 10^12 fixed-point units of rank mass
 
 
+def _pin(ds, **cols):
+    """Alias of relational.pin_arrow (the graph exchanges were its first
+    user — see that docstring)."""
+    from .relational import pin_arrow
+    return pin_arrow(ds, **cols)
+
+
 def transition_edges(events_ds, user_col: str = 'user_id',
                      ts_col: str = 'ts', id_col: str = 'event_id',
                      type_col: str = 'event_type'):
@@ -64,7 +71,7 @@ def pagerank_int(edges_ds, iters: int = 3, scale: int = PAGERANK_SCALE,
 
     from .relational import shuffle_join, two_phase_count
 
-    edges_ds = edges_ds.materialize()
+    edges_ds = _pin(edges_ds, src='str', dst='str', w='int').materialize()
 
     # node dim: distinct src ∪ dst (two-phase over the tagged union)
     def node_union(batch: pa.Table) -> pa.Table:
@@ -72,9 +79,9 @@ def pagerank_int(edges_ds, iters: int = 3, scale: int = PAGERANK_SCALE,
                 + batch.column('dst').to_pylist())
         return pa.Table.from_pydict({'node': pa.array(vals, pa.string())})
 
-    nodes = two_phase_count(
+    nodes = _pin(two_phase_count(
         edges_ds.map_batches(node_union, batch_format='pyarrow'),
-        ['node'], alias='_c').drop_columns(['_c']).materialize()
+        ['node'], alias='_c').drop_columns(['_c']), node='str').materialize()
     n_nodes = nodes.count()
     if n_nodes == 0:
         import ray.data as rd
@@ -82,10 +89,15 @@ def pagerank_int(edges_ds, iters: int = 3, scale: int = PAGERANK_SCALE,
             {'node': pa.array([], pa.string()),
              'rank_q': pa.array([], pa.int64())}))
 
-    # out-weight joined onto every edge once (src-keyed exchange)
-    outw = edges_ds.groupby('src').aggregate(Sum('w', alias_name='ow'))
-    edges = shuffle_join(edges_ds, outw, left_on='src', right_on='src',
-                         how='inner').materialize()
+    # out-weight joined onto every edge once (src-keyed exchange); the join
+    # output is pandas blocks, so re-pin before it feeds the per-iteration
+    # ranks join below (groupby-aggregate outputs are pandas blocks too —
+    # pin them or the join falls back to the object-dtype exchange)
+    outw = _pin(edges_ds.groupby('src').aggregate(Sum('w', alias_name='ow')),
+                src='str', ow='int')
+    edges = _pin(shuffle_join(edges_ds, outw, left_on='src', right_on='src',
+                              how='inner'),
+                 src='str', dst='str', w='int', ow='int').materialize()
 
     if seeds is None:
         tele_const = (15 * scale) // (100 * n_nodes)
@@ -93,8 +105,30 @@ def pagerank_int(edges_ds, iters: int = 3, scale: int = PAGERANK_SCALE,
         seed_ref = None
     else:
         import ray as _ray
-        seed_set = frozenset(seeds)
-        n_seeds = max(1, len(seed_set))
+        seed_set = frozenset(str(s) for s in seeds)
+        if not seed_set:
+            raise ValueError('personalized pagerank needs a non-empty '
+                             'seeds list')
+        # drop seeds absent from the graph: they would silently discard
+        # their share of the initial/teleport mass (all-zero ranks in the
+        # worst case). One broadcast-dim filter pass over the node dim;
+        # the collected survivors are bounded by len(seeds).
+        _sref = _ray.put(seed_set)
+
+        def _in_seeds(t: pa.Table) -> pa.Table:
+            from ..state.broadcast import get_broadcast
+            ss = get_broadcast(_sref)
+            mask = pa.array([v in ss for v in t.column('node').to_pylist()])
+            return t.filter(mask)
+
+        from .relational import collect_rows
+        present = frozenset(r['node'] for r in collect_rows(
+            nodes.map_batches(_in_seeds, batch_format='pyarrow')))
+        if not present:
+            raise ValueError('no personalized-pagerank seed is present in '
+                             'the graph')
+        seed_set = present
+        n_seeds = len(seed_set)
         tele_const = (15 * scale) // (100 * n_seeds)
         r0 = scale // n_seeds
         seed_ref = _ray.put(seed_set)
@@ -115,26 +149,31 @@ def pagerank_int(edges_ds, iters: int = 3, scale: int = PAGERANK_SCALE,
         joined = shuffle_join(edges, ranks, left_on='src', right_on='node',
                               how='inner')
 
-        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        def contrib(df: pd.DataFrame) -> pa.Table:
             if df.empty:
-                return pd.DataFrame({'dst': pd.Series([], dtype='object'),
-                                     '_c': pd.Series([], dtype='int64')})
+                return pa.Table.from_pydict(
+                    {'dst': pa.array([], pa.string()),
+                     '_c': pa.array([], pa.int64())})
             # unbounded-int product (HUGEINT analog): rank*85*w can pass
             # 2^63 at web-scale edge weights before the floor division
             c = [(int(r) * 85 * int(w)) // (100 * int(ow))
                  for r, w, ow in zip(df['rank_q'], df['w'], df['ow'])]
-            return pd.DataFrame({'dst': df['dst'],
-                                 '_c': pd.Series(c, dtype='int64')})
+            return pa.Table.from_pydict(
+                {'dst': pa.array(df['dst'], pa.string(), from_pandas=True),
+                 '_c': pa.array(c, pa.int64())})
 
-        inflow = joined.map_batches(contrib, batch_format='pandas') \
-            .groupby('dst').aggregate(Sum('_c', alias_name='inflow'))
+        inflow = _pin(joined.map_batches(contrib, batch_format='pandas')
+                      .groupby('dst').aggregate(Sum('_c',
+                                                    alias_name='inflow')),
+                      dst='str', inflow='int')
         merged = shuffle_join(nodes, inflow, left_on='node', right_on='dst',
                               how='left')
 
-        def add_teleport(df: pd.DataFrame) -> pd.DataFrame:
+        def add_teleport(df: pd.DataFrame) -> pa.Table:
             if df.empty:
-                return pd.DataFrame({'node': pd.Series([], dtype='object'),
-                                     'rank_q': pd.Series([], dtype='int64')})
+                return pa.Table.from_pydict(
+                    {'node': pa.array([], pa.string()),
+                     'rank_q': pa.array([], pa.int64())})
             infl = df['inflow'].map(lambda v: 0 if pd.isna(v) else int(v))
             if seed_ref is None:
                 tele = tele_const
@@ -143,9 +182,10 @@ def pagerank_int(edges_ds, iters: int = 3, scale: int = PAGERANK_SCALE,
                 ss = get_broadcast(seed_ref)
                 tele = df['node'].map(
                     lambda n: tele_const if n in ss else 0)
-            return pd.DataFrame({
-                'node': df['node'],
-                'rank_q': (infl + tele).astype('int64')})
+            return pa.Table.from_pydict(
+                {'node': pa.array(df['node'], pa.string(), from_pandas=True),
+                 'rank_q': pa.array((infl + tele).astype('int64'),
+                                    pa.int64())})
 
         ranks = merged.map_batches(add_teleport, batch_format='pandas') \
             .materialize()
@@ -186,7 +226,7 @@ def triangles(und_edges_ds):
     """
     from .relational import grouped_map, shuffle_join, two_phase_count
 
-    und = und_edges_ds.materialize()
+    und = _pin(und_edges_ds, a='str', b='str').materialize()
 
     def explode_nodes(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({'node': pd.concat([batch['a'], batch['b']],
@@ -199,7 +239,8 @@ def triangles(und_edges_ds):
     j = shuffle_join(und, deg.map_batches(
         lambda t: t.rename_columns(['na', 'dega']), batch_format='pyarrow'),
         left_on='a', right_on='na', how='inner')
-    j = shuffle_join(j, deg.map_batches(
+    j = shuffle_join(_pin(j, a='str', b='str', dega='int'),
+                     deg.map_batches(
         lambda t: t.rename_columns(['nb', 'degb']), batch_format='pyarrow'),
         left_on='b', right_on='nb', how='inner')
 
@@ -239,20 +280,27 @@ def triangles(und_edges_ds):
         hi = df[c2].where(df[c1] < df[c2], df[c1])
         return lo.astype(str) + '\x00' + hi.astype(str)
 
-    def key_wedges(df: pd.DataFrame) -> pd.DataFrame:
+    def key_wedges(df: pd.DataFrame) -> pa.Table:
         if df.empty:
-            return pd.DataFrame({'wu': pd.Series([], dtype=object),
-                                 'wv': pd.Series([], dtype=object),
-                                 'ww': pd.Series([], dtype=object),
-                                 '_pk': pd.Series([], dtype=object)})
-        return df.assign(_pk=pack(df, 'wv', 'ww'))
+            return pa.Table.from_pydict(
+                {c: pa.array([], pa.string())
+                 for c in ('wu', 'wv', 'ww', '_pk')})
+        pk = pack(df, 'wv', 'ww')
+        return pa.Table.from_pydict(
+            {'wu': pa.array(df['wu'], pa.string(), from_pandas=True),
+             'wv': pa.array(df['wv'], pa.string(), from_pandas=True),
+             'ww': pa.array(df['ww'], pa.string(), from_pandas=True),
+             '_pk': pa.array(pk, pa.string(), from_pandas=True)})
 
-    def key_edges(df: pd.DataFrame) -> pd.DataFrame:
+    def key_edges(df: pd.DataFrame) -> pa.Table:
         if df.empty:
-            return pd.DataFrame({'_pk': pd.Series([], dtype=object),
-                                 '_hit': pd.Series([], dtype='int64')})
-        return pd.DataFrame({'_pk': pack(df, 'u', 'v'),
-                             '_hit': np.ones(len(df), dtype='int64')})
+            return pa.Table.from_pydict(
+                {'_pk': pa.array([], pa.string()),
+                 '_hit': pa.array([], pa.int64())})
+        return pa.Table.from_pydict(
+            {'_pk': pa.array(pack(df, 'u', 'v'), pa.string(),
+                             from_pandas=True),
+             '_hit': pa.array(np.ones(len(df), dtype='int64'))})
 
     wk = wedge_ds.map_batches(key_wedges, batch_format='pandas',
                               batch_size=AGG_BATCH_SIZE)
@@ -288,9 +336,10 @@ def bfs_hops(edges_ds, source, max_hops: int = 4):
 
     from .relational import arrow_filter, shuffle_join
 
-    edges = edges_ds.materialize()
-    labels = rd.from_pandas(pd.DataFrame({'node': [source],
-                                          'hops': np.array([0], 'int64')}))
+    edges = _pin(edges_ds, src='str', dst='str').materialize()
+    labels = rd.from_arrow(pa.Table.from_pydict(
+        {'node': pa.array([str(source)], pa.string()),
+         'hops': pa.array([0], pa.int64())}))
     for h in range(1, max_hops + 1):
         frontier = arrow_filter(
             labels, lambda t, _h=h: __import__('pyarrow').compute.equal(
@@ -300,17 +349,20 @@ def bfs_hops(edges_ds, source, max_hops: int = 4):
         reached = shuffle_join(frontier, edges, left_on='node',
                                right_on='src', how='inner')
 
-        def step(df: pd.DataFrame, _h=h) -> pd.DataFrame:
+        def step(df: pd.DataFrame, _h=h) -> pa.Table:
             if df.empty:
-                return pd.DataFrame({'node': pd.Series([], dtype=object),
-                                     'hops': pd.Series([], dtype='int64')})
-            return pd.DataFrame({'node': df['dst'],
-                                 'hops': np.full(len(df), _h, 'int64')})
+                return pa.Table.from_pydict(
+                    {'node': pa.array([], pa.string()),
+                     'hops': pa.array([], pa.int64())})
+            return pa.Table.from_pydict(
+                {'node': pa.array(df['dst'], pa.string(), from_pandas=True),
+                 'hops': pa.array(np.full(len(df), _h, 'int64'))})
 
         contrib = reached.map_batches(step, batch_format='pandas',
                                       batch_size=AGG_BATCH_SIZE)
-        labels = labels.union(contrib).groupby('node') \
-            .aggregate(Min('hops', alias_name='hops')).materialize()
+        labels = _pin(labels.union(contrib).groupby('node')
+                      .aggregate(Min('hops', alias_name='hops')),
+                      node='str', hops='int').materialize()
     return labels
 
 
@@ -330,7 +382,7 @@ def kcore_prune(und_edges_ds, k: int = 2, rounds: int = 3):
         return pd.DataFrame({'node': pd.concat([batch['a'], batch['b']],
                                                ignore_index=True)})
 
-    edges = und_edges_ds.materialize()
+    edges = _pin(und_edges_ds, a='str', b='str').materialize()
     for _ in range(rounds):
         deg = two_phase_count(
             edges.map_batches(explode, batch_format='pandas',
@@ -342,10 +394,11 @@ def kcore_prune(und_edges_ds, k: int = 2, rounds: int = 3):
         j = shuffle_join(edges, keep.map_batches(
             lambda t: t.rename_columns(['ka']), batch_format='pyarrow'),
             left_on='a', right_on='ka', how='inner')
-        edges = shuffle_join(j, keep.map_batches(
+        edges = _pin(shuffle_join(_pin(j, a='str', b='str'),
+                                  keep.map_batches(
             lambda t: t.rename_columns(['kb']), batch_format='pyarrow'),
-            left_on='b', right_on='kb', how='inner') \
-            .select_columns(['a', 'b']).materialize()
+            left_on='b', right_on='kb', how='inner'),
+            a='str', b='str').materialize()
         if not edges.count():
             break
     return two_phase_count(

@@ -550,6 +550,30 @@ def _nul_safe_temp_keys(df: pd.DataFrame, keys: Sequence[str]):
     return gcols, temps, df
 
 
+def pin_arrow(ds, **cols):
+    """Re-emit blocks as Arrow with explicit column types
+    (kwargs: col='str'|'int'). The bucketed exchanges emit pandas blocks
+    whose string columns surface as dtype('O'), which makes a downstream
+    ``shuffle_join`` fall back to its canonical-string pandas path and
+    flip-flop block schemas (the "RefBundle with a different schema"
+    warnings — object-dtype exchange kernels, ~60× slower arithmetic).
+    Pinning at every join input keeps the typed arrow path (typed null
+    padding, int64 end-to-end). Columns not named are DROPPED; a column
+    absent from a block is emitted as typed nulls."""
+    types = {c: (pa.string() if t == 'str' else pa.int64())
+             for c, t in cols.items()}
+    schema = pa.schema(list(types.items()))
+
+    def conv(df: pd.DataFrame) -> pa.Table:
+        arrays = [pa.array(df[c] if c in df.columns else [None] * len(df),
+                           type=t, from_pandas=True)
+                  for c, t in types.items()]
+        return pa.Table.from_arrays(arrays, schema=schema)
+
+    return ds.map_batches(conv, batch_format='pandas',
+                          batch_size=AGG_BATCH_SIZE)
+
+
 def grouped_map(ds, keys: Sequence[str], fn, coarse: Optional[int] = None):
     """Apply ``fn(group_df) → DataFrame`` per distinct `keys` group.
 

@@ -1017,13 +1017,16 @@ def cooccurrence_pmi(docs_ds, text_col: str = 'text', window: int = 5,
             'pmi_q': pd.Series(dtype='int64')}))
     l2_t = log2_fixed(total)
 
-    from .relational import shuffle_join
+    from .relational import pin_arrow, shuffle_join
     kept = arrow_filter(pair_counts,
                         lambda t: pc.greater_equal(t['c_ab'], min_pairs))
     j = shuffle_join(kept, marg.map_batches(
         lambda t: t.rename_columns(['t1', 'm1']), batch_format='pyarrow'),
         left_on='w1', right_on='t1', how='inner')
-    j = shuffle_join(j, marg.map_batches(
+    # join-1 output is pandas blocks — re-pin to typed arrow so join-2
+    # keeps the arrow exchange path (stable block schemas)
+    j = shuffle_join(pin_arrow(j, w1='str', w2='str', c_ab='int', m1='int'),
+                     marg.map_batches(
         lambda t: t.rename_columns(['t2', 'm2']), batch_format='pyarrow'),
         left_on='w2', right_on='t2', how='inner')
 
