@@ -23,6 +23,18 @@ from typing import List, Optional
 import pandas as pd
 
 
+def _atomic_write(path: str, data: str):
+    """Temp file + os.replace: a crash mid-write can never leave a
+    truncated MANIFEST.json/LATEST (in-place truncation would — readers
+    would then see corrupt JSON or a dangling generation pointer)."""
+    tmp = path + '.tmp'
+    with open(tmp, 'w') as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def _latest(root: str) -> Optional[str]:
     p = os.path.join(root, 'LATEST')
     if not os.path.exists(p):
@@ -77,11 +89,18 @@ def update_token_counts(root: str, partition_id: str, docs_ds,
 
     gen = f'gen_{len(done):06d}_{partition_id}'
     out_dir = os.path.join(root, gen)
+    # a crashed previous attempt may have left partial parquet in this
+    # generation dir (write_parquet appends UUID-named files, it does not
+    # clear) — wiping first keeps the re-run's committed generation pure,
+    # preserving the exactly-once contract instead of inflating counts
+    if os.path.isdir(out_dir):
+        import shutil
+        shutil.rmtree(out_dir)
     merged.write_parquet(out_dir)
     # commit order: state parquet durable → manifest → LATEST (readers
-    # follow LATEST, so a crash between steps leaves the old state live)
-    with open(os.path.join(root, 'MANIFEST.json'), 'w') as f:
-        json.dump({'partitions': done + [partition_id]}, f)
-    with open(os.path.join(root, 'LATEST'), 'w') as f:
-        f.write(gen)
+    # follow LATEST, so a crash between steps leaves the old state live);
+    # both pointer files flip via temp-file + os.replace (atomic)
+    _atomic_write(os.path.join(root, 'MANIFEST.json'),
+                  json.dumps({'partitions': done + [partition_id]}))
+    _atomic_write(os.path.join(root, 'LATEST'), gen)
     return {'partition': partition_id, 'skipped': False, 'generation': gen}

@@ -50,3 +50,31 @@ def test_incremental_exactly_once_and_pointer(ray_session, tmp_path):
     # a stale generation dir without a LATEST flip is invisible to readers
     os.makedirs(os.path.join(root, 'gen_zz_phantom'), exist_ok=True)
     pd.testing.assert_frame_equal(_state_df(root), before)
+
+
+def test_incremental_crash_recovery_no_double_count(ray_session, tmp_path):
+    """A crash mid-write leaves partial parquet in the NEXT generation dir
+    (its deterministic name means the re-run lands in the same dir, and
+    write_parquet appends rather than clears). The re-run must wipe the
+    partials so the committed generation's counts are exact — and the
+    pointer files must never be readable half-written (atomic replace)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    root = str(tmp_path / 'state')
+    update_token_counts(root, 'p1', _docs([{'doc_id': 1, 'text': 'a a b'}]))
+    want_after = None
+    # simulate the crashed attempt: the next gen dir already holds a
+    # partial file with inflated counts, MANIFEST/LATEST never flipped
+    crash_dir = os.path.join(root, 'gen_000001_p2')
+    os.makedirs(crash_dir, exist_ok=True)
+    pq.write_table(pa.table({'token': ['a'], 'freq': [999]}),
+                   os.path.join(crash_dir, 'partial-uuid.parquet'))
+    update_token_counts(root, 'p2', _docs([{'doc_id': 2, 'text': 'b c'}]))
+    got = _state_df(root)
+    want_after = pd.DataFrame({'token': ['a', 'b', 'c'],
+                               'freq': [2, 2, 1]}).astype({'freq': 'int64'})
+    pd.testing.assert_frame_equal(got, want_after)
+    # pointer files are plain (fully-written) values
+    assert processed_partitions(root) == ['p1', 'p2']
+    with open(os.path.join(root, 'LATEST')) as f:
+        assert f.read().strip() == 'gen_000001_p2'
