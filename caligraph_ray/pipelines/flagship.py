@@ -308,8 +308,10 @@ def _assemble_triples_join(linked, me_threshold, mm_threshold, path_threshold,
     subs = linked.map_batches(
         lambda t: t.filter(pc.equal(t.column('is_subject'), pa.scalar(True))),
         batch_format='pyarrow').select_columns(['mention_uid', 'url', 'label'])
+    # cmap is mention-scale (one row per alignment-graph node): declare it
+    # fact-sized so the join streams it instead of materializing to measure
     joined = shuffle_join(subs, cmap, left_on='mention_uid', right_on='node',
-                          how='left')
+                          how='left', right_hint='fact')
 
     def emit(batch: pd.DataFrame) -> pa.Table:
         if not len(batch):

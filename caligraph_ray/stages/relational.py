@@ -539,7 +539,12 @@ def _nul_safe_temp_keys(df: pd.DataFrame, keys: Sequence[str]):
     gcols, temps = [], []
     for k in keys:
         s = df[k]
-        if s.dtype == object and \
+        # object OR any string dtype: a key carried as StringDtype /
+        # ArrowDtype after an arrow round trip must take the NUL-safe path
+        # too (factorize truncates at NUL for those just the same). The
+        # object check stays separate — pandas 2.x is_string_dtype infers
+        # on object arrays and returns False for mixed contents.
+        if (s.dtype == object or pd.api.types.is_string_dtype(s)) and \
                 s.map(lambda v: isinstance(v, str) and '\x00' in v).any():
             t = f'_nulsafe_{k}'
             df = df.assign(**{t: s.map(_nul_escape)})
@@ -597,7 +602,8 @@ def grouped_map(ds, keys: Sequence[str], fn, coarse: Optional[int] = None):
 
 
 def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
-                 how: str = 'inner', coarse: Optional[int] = None):
+                 how: str = 'inner', coarse: Optional[int] = None,
+                 right_hint: str = 'auto'):
     """Distributed hash join: both sides are co-partitioned on
     hash(key) % coarse in ONE union-shuffle, then merged per bucket with a
     vectorized pandas merge. Neither side is collected to the driver or
@@ -606,11 +612,21 @@ def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
     ``pd.merge`` (``how`` ∈ inner/left). Skewed join keys hash into one
     bucket; salt upstream if a single key's rows exceed a task's memory.
 
+    ``right_hint``: 'auto' (default) materializes the right side once to
+    measure its bytes for the broadcast gate — right for dim-or-unknown
+    sides, and the materialized blocks are reused by the shuffle when the
+    gate says no. 'fact' skips the gate AND the measuring materialization:
+    use it when the right side is known dataset-sized, so it streams
+    straight into the union-shuffle with full pipelining (results are
+    identical either way — the gate only picks the regime).
+
     Columns from both sides are preserved (pandas ``_x``/``_y`` suffixes on
     clashes). Implementation: each side is projected onto the union schema
     with a ``_side`` tag so the two Datasets can travel one shuffle."""
     if how not in ('inner', 'left'):
         raise ValueError(f"shuffle_join supports how='inner'/'left', got {how!r}")
+    if right_hint not in ('auto', 'fact'):
+        raise ValueError(f"right_hint must be 'auto'/'fact', got {right_hint!r}")
     if coarse is None:
         coarse = default_coarse()
     lcols = list(left_ds.schema().names)
@@ -681,8 +697,10 @@ def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
     # mixed/object key dtypes the raw per-batch merge can dtype-clash
     # (float64 vs object ValueError — hypothesis-caught); those joins
     # need the pandas fallback's canonical string keys below.
-    rmat = right_ds.materialize() if arrow_ok else right_ds
-    if arrow_ok and (rmat.size_bytes() or 0) <= JOIN_BROADCAST_BYTES:
+    rmat = right_ds.materialize() if (arrow_ok and right_hint == 'auto') \
+        else right_ds
+    if arrow_ok and right_hint == 'auto' \
+            and (rmat.size_bytes() or 0) <= JOIN_BROADCAST_BYTES:
         from ..state.broadcast import get_broadcast
         rblocks = collect_blocks(rmat)
         rdf = (pd.concat([b for b in rblocks if len(b)], ignore_index=True)

@@ -249,6 +249,26 @@ def test_shuffle_join_broadcast_regime_equals_shuffle(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(outs[0], outs[1])
 
 
+def test_shuffle_join_fact_hint_equals_auto(ray_session):
+    """right_hint='fact' (no gate, no measuring materialization — the
+    streaming path for dataset-sized right sides) must return the same
+    rows as the default gated path, inner and left."""
+    import ray.data as rd
+    import caligraph_ray.stages.relational as rel
+    L = pd.DataFrame({'k': [1, 2, 2, None, 5], 'lv': ['a', 'b', 'c', 'd', 'e']})
+    R = pd.DataFrame({'k': [2, 2, None, 7], 'rv': [10, 20, 30, 40]})
+    for how in ('inner', 'left'):
+        outs = []
+        for hint in ('auto', 'fact'):
+            out = rel.collect_pandas(rel.shuffle_join(
+                rd.from_pandas(L), rd.from_pandas(R),
+                left_on='k', right_on='k', how=how, right_hint=hint))
+            canon = out.fillna('_N_').astype(str)
+            outs.append(canon.sort_values(list(canon.columns))
+                        .reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
 @settings(max_examples=30, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.booleans(),
