@@ -1241,6 +1241,9 @@ def q_quantized_knn_topk(sf_dir: str):
     return sim.quantized_topk(emb, qvecs, k=10)
 
 
+# quantizer twin of similarity.quantize_int8: integer magnitudes, exact
+# integer sqrt of the magnitude norm (float sqrt + one-step correction),
+# fixed 127/isqrt scaling — see the engine docstring for the bias story
 SQL_QUANTIZED_KNN = """
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
@@ -1248,12 +1251,24 @@ WITH base AS (
   SELECT vec_id, emb,
          list_transform(emb, x -> CAST(floor(abs(x) * 1e6) AS BIGINT)) AS mm
   FROM base
+), nrm AS (
+  SELECT vec_id, emb, mm,
+         CAST(list_sum(list_transform(mm, x -> x * x)) AS BIGINT) AS n2,
+         CAST(floor(sqrt(CAST(list_sum(list_transform(mm, x -> x * x))
+                              AS DOUBLE))) AS BIGINT) AS s0
+  FROM m
+), nn AS (
+  SELECT vec_id, emb, mm,
+         greatest(s0 - (CASE WHEN s0 * s0 > n2 THEN 1 ELSE 0 END)
+                     + (CASE WHEN (s0 + 1) * (s0 + 1) <= n2
+                             THEN 1 ELSE 0 END), 1) AS isq
+  FROM nrm
 ), qv AS (
   SELECT vec_id,
          list_transform(range(1, len(emb) + 1), i ->
              (CASE WHEN emb[i] > 0 THEN 1 WHEN emb[i] < 0 THEN -1 ELSE 0 END)
-             * ((mm[i] * 127) // greatest(list_max(mm), 1))) AS q
-  FROM m
+             * ((mm[i] * 127) // isq)) AS q
+  FROM nn
 ), qs AS (SELECT vec_id AS query_idx, q AS qq FROM qv WHERE vec_id IN (0,1,2))
 SELECT qs.query_idx, d.vec_id,
        CAST(list_sum(list_transform(range(1, len(qq) + 1),

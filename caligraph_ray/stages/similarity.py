@@ -452,19 +452,32 @@ def kmeans_assignments(emb_ds, n_centroids: int = 8, n_iters: int = 2,
 # --- int8 quantized similarity (scale path: 4x smaller resident corpus) -----
 
 def quantize_int8(mat: np.ndarray) -> np.ndarray:
-    """Exact-integer int8 quantization: per-vector max-abs scaling computed
-    entirely in integer space so any engine replays it bit-identically
-    (no float rounding-mode divergence — the ivf/lsh lesson applied
-    upfront).  m_i = floor(|v_i| * 1e6); scale = max_i m_i;
-    q_i = sign(v_i) * (m_i * 127 // scale)  ∈ [-127, 127].
+    """Exact-integer int8 quantization of the L2-NORMALIZED vector,
+    computed entirely in integer space so any engine replays it
+    bit-identically (no float rounding-mode divergence — the ivf/lsh
+    lesson applied upfront).
 
-    float32 inputs widen exactly to float64; the *1e6 and floor are single
-    IEEE ops identical across numpy and SQL engines; everything after is
-    int64 arithmetic. A zero vector quantizes to all zeros."""
+        m_i  = floor(|v_i| * 1e6)                 (exact single IEEE ops)
+        s    = isqrt(Σ m_i²)                      (exact integer sqrt)
+        q_i  = sign(v_i) * (m_i * 127 // max(s, 1))   ∈ [-127, 127]
+
+    Scaling by the integer L2 norm (not the earlier per-vector max-abs)
+    makes q ≈ 127 · v/‖v‖, so int dot products approximate 127²·cosine
+    with NO per-vector scale factor — max-abs scaling multiplied every
+    corpus vector's score by its own ‖·‖₂/‖·‖∞ ratio, which systematically
+    re-ranked clustered corpora (recall@10 collapsed to ~0.12 on a
+    16-cluster corpus; ~0.95+ after this fix — tools/ann_recall.py).
+    The isqrt is float sqrt + a one-step integer correction, exact for
+    Σ m_i² < 2⁵³ (64-dim unit-ish vectors: ~5e17 at |v_i| ≤ 90 — inside
+    int64 and correctable); the SQL twin replays the same correction.
+    A zero vector quantizes to all zeros."""
     m64 = np.asarray(mat, dtype=np.float64)
     m = np.floor(np.abs(m64) * 1e6).astype(np.int64)
-    scale = np.maximum(m.max(axis=1, keepdims=True), 1)
-    q = (m * 127) // scale
+    n2 = (m * m).sum(axis=1, keepdims=True)
+    s = np.floor(np.sqrt(n2.astype(np.float64))).astype(np.int64)
+    s = s - (s * s > n2).astype(np.int64) \
+        + ((s + 1) * (s + 1) <= n2).astype(np.int64)
+    q = (m * 127) // np.maximum(s, 1)
     return (np.sign(m64).astype(np.int64) * q)
 
 
