@@ -195,3 +195,81 @@ class ThresholdedScoredMatcher(Matcher):
         keep = df[(df['entity'].notna())
                   & (df['link_score'] >= self.threshold)]
         return dict(zip(keep['mention_uid'].astype(int), keep['entity']))
+
+
+class BiEncoderEmbedder:
+    """``embed_batch`` seam wrapper around a (possibly trained)
+    TinyTransformer — the object each linker actor constructs once."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def embed_batch(self, texts):
+        return self.model.encode_batch([t or '' for t in texts])
+
+
+class BiEncoderCosineReranker:
+    """``score_pair`` through the SAME bi-encoder: cosine mapped into
+    [0, 1] with the stand-ins' exact-match/empty contracts, so a trained
+    model's retrieval quality flows through to the acceptance threshold."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def score_pair(self, mention_label: str, entity_label: str) -> float:
+        if not mention_label or not entity_label:
+            return 0.0
+        if mention_label.lower() == entity_label.lower():
+            return 1.0
+        z = self.model.encode_batch([mention_label, entity_label])
+        return float(round((float(z[0] @ z[1]) + 1.0) / 2.0 * 0.99, 6))
+
+
+class TrainedBiEncoderMatcher(ThresholdedScoredMatcher):
+    """Gradient-trained ED matcher — closes the reference's model-training
+    lifecycle (HF Trainer fine-tune, mention_detection/__init__.py:17-49;
+    bi-encoder fit, matching/biencoder.py:15-112) without torch: ``train``
+    fine-tunes TinyTransformer END-TO-END (numpy Adam through
+    functions/autodiff, every weight from tok_emb up) on the train split's
+    wikilink (mention-label → gold-entity-label) pairs with
+    in-batch-negative InfoNCE, then the SAME trained weights serve as both
+    embedder (candidate generation) and cosine scorer (rerank) through the
+    factory seams — the trained model rides the identical Ray actor
+    plumbing as the deterministic stand-ins. Deterministic for a fixed
+    seed (tests/test_train_transformer.py pins the val-F1 improvement
+    over the untrained seam)."""
+
+    def __init__(self, matcher_id: str = 'scored-trained', k: int = 4,
+                 dim: int = 32, epochs: int = 8, batch_size: int = 32,
+                 lr: float = 3e-3, tau: float = 0.1, seed: int = 13,
+                 entity_labels: Optional[List[str]] = None):
+        super().__init__(matcher_id, entity_labels=entity_labels, k=k)
+        self.dim, self.epochs, self.batch_size = dim, epochs, batch_size
+        self.lr, self.tau, self.seed = lr, tau, seed
+        self.loss_history: List[float] = []
+        self.model = None
+
+    def _get_param_dict(self) -> dict:
+        d = super()._get_param_dict()
+        d.update({'dim': self.dim, 'ep': self.epochs})
+        return d
+
+    def _train_model(self, train_corpus) -> None:
+        from ..functions.tiny_transformer import TinyTransformer
+        from ..functions.train_transformer import train_biencoder
+        from ..stages.relational import collect_pandas
+
+        # corpora are small by the module-doc contract; the pair collect
+        # mirrors the reference pulling its training alignment to the GPU
+        df = collect_pandas(train_corpus.select_columns(['label', 'gold']))
+        pairs = [(str(a), str(b)) for a, b in zip(df['label'], df['gold'])
+                 if a and b]
+        self.model = TinyTransformer(dim=self.dim, seed=self.seed)
+        self.loss_history = train_biencoder(
+            self.model, pairs, epochs=self.epochs,
+            batch_size=self.batch_size, lr=self.lr, tau=self.tau,
+            seed=self.seed)
+        model = self.model   # closure ships the trained weights per actor
+        self.embedder_factory = lambda: BiEncoderEmbedder(model)
+        self.reranker_factory = lambda: BiEncoderCosineReranker(model)
+        super()._train_model(train_corpus)

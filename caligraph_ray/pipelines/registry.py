@@ -123,8 +123,9 @@ def _register_builtin():
         from ..stages.ed import link_mentions_scored
         return link_mentions_scored(mentions, list(entity_labels), **kw)
 
-    from .matcher import ThresholdedScoredMatcher
+    from .matcher import ThresholdedScoredMatcher, TrainedBiEncoderMatcher
     register_trainable_matcher('scored')(ThresholdedScoredMatcher)
+    register_trainable_matcher('scored-trained')(TrainedBiEncoderMatcher)
 
 
 _register_builtin()

@@ -1,0 +1,150 @@
+"""Gradient-training tests (reference lifecycle: HF Trainer fine-tune,
+mention_detection/__init__.py:17-49; bi-encoder fit, biencoder.py:15-112):
+
+1. the micro-autodiff's backward through the FULL TinyTransformer forward
+   (embedding gather → multi-head attention → layer-norms → GELU FFN →
+   masked mean pool → L2 normalize → InfoNCE) matches central finite
+   differences coordinate-wise;
+2. seeded end-to-end training reduces the loss and lifts held-out
+   retrieval recall over the untrained seam on a synonym task that hash
+   embeddings cannot solve (zero token overlap between pair sides);
+3. the trained weights dropped through the matcher factory seams lift
+   val ME-F1 over the identical UNTRAINED model — deterministically.
+"""
+
+import numpy as np
+import pytest
+
+from caligraph_ray.functions import autodiff as ad
+from caligraph_ray.functions.tiny_transformer import TinyTransformer
+from caligraph_ray.functions.train_transformer import (
+    _encode, _params_of, info_nce, recall_at_k, train_biencoder)
+
+# mention-side tokens share NOTHING with their entity-side twins: an
+# untrained hash-token model has no lexical signal, only a LEARNED
+# alignment can solve retrieval over these pairs
+_SYN = {'crimson': 'red', 'azure': 'blue', 'amber': 'yellow',
+        'raven': 'bird', 'lupine': 'wolf', 'vulpine': 'fox',
+        'feline': 'cat', 'canine': 'dog'}
+
+
+def _synonym_split(seed: int = 5):
+    keys = sorted(_SYN)
+    combos = [(a, b) for a in keys for b in keys if a != b]
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(len(combos))
+    pairs = [(f'{combos[i][0]} {combos[i][1]}',
+              f'{_SYN[combos[i][0]]} {_SYN[combos[i][1]]}')
+             for i in order]
+    return pairs[:40], pairs[40:52]   # train, val (disjoint combos)
+
+
+def _tiny():
+    return TinyTransformer(dim=8, n_heads=2, n_layers=1, ffn=16,
+                           vocab=64, max_len=6, seed=3)
+
+
+def _loss_of(model, ps, layers, ta, tb):
+    return info_nce(_encode(model, ps, layers, ta),
+                    _encode(model, ps, layers, tb))
+
+
+def test_autodiff_matches_finite_differences():
+    model = _tiny()
+    ps, layers = _params_of(model)
+    ta = ['alpha beta', 'gamma delta epsilon', 'zeta']
+    tb = ['one two', 'three', 'four five six']
+    loss = _loss_of(model, ps, layers, ta, tb)
+    ad.backward(loss)
+    rng = np.random.RandomState(0)
+    eps = 1e-6
+    for name in ('tok_emb', 'l0.wq', 'l0.wk', 'l0.wv', 'l0.wo',
+                 'l0.w1', 'l0.w2', 'l0.g1', 'l0.b1', 'l0.g2', 'l0.b2'):
+        p = ps[name]
+        assert p.g is not None, name
+        flat, gflat = p.v.reshape(-1), p.g.reshape(-1)
+        for j in rng.choice(flat.size, size=4, replace=False):
+            orig = flat[j]
+            flat[j] = orig + eps
+            lp = float(_loss_of(model, ps, layers, ta, tb).v)
+            flat[j] = orig - eps
+            lm = float(_loss_of(model, ps, layers, ta, tb).v)
+            flat[j] = orig
+            fd = (lp - lm) / (2 * eps)
+            assert abs(fd - gflat[j]) <= 1e-5 + 1e-4 * abs(fd), \
+                (name, int(j), fd, float(gflat[j]))
+
+
+def test_training_reduces_loss_and_lifts_heldout_recall():
+    train, val = _synonym_split()
+    queries = [m for m, _ in val]
+    golds = [e for _, e in val]
+    entities = sorted({e for _, e in train} | set(golds))
+
+    base = TinyTransformer(dim=32, seed=13)
+    r_untrained = recall_at_k(base, queries, golds, entities, k=4)
+
+    model = TinyTransformer(dim=32, seed=13)
+    hist = train_biencoder(model, train, epochs=12, batch_size=16,
+                           lr=3e-3, seed=13)
+    assert hist[-1] < hist[0] * 0.5, hist
+    r_trained = recall_at_k(model, queries, golds, entities, k=4)
+    assert r_trained > r_untrained, (r_trained, r_untrained)
+    assert r_trained >= 0.5, r_trained
+
+    # determinism: same seed → bit-identical weights and history
+    model2 = TinyTransformer(dim=32, seed=13)
+    hist2 = train_biencoder(model2, train, epochs=12, batch_size=16,
+                            lr=3e-3, seed=13)
+    assert hist2 == hist
+    assert all(np.array_equal(a[k], b[k])
+               for a, b in zip(model.layers, model2.layers) for k in a)
+    assert np.array_equal(model.tok_emb, model2.tok_emb)
+
+
+def test_trained_matcher_beats_untrained_seam_on_val_f1(ray_session):
+    import pandas as pd
+    import ray
+
+    from caligraph_ray.pipelines.matcher import (
+        BiEncoderCosineReranker, BiEncoderEmbedder, ThresholdedScoredMatcher,
+        TrainedBiEncoderMatcher)
+    from caligraph_ray.pipelines.registry import make_trainable_matcher
+
+    train, val = _synonym_split()
+
+    def corpus_of(pairs, base_uid):
+        return ray.data.from_pandas(pd.DataFrame({
+            'mention_uid': np.arange(base_uid, base_uid + len(pairs)),
+            'label': [m for m, _ in pairs],
+            'gold': [e for _, e in pairs]}))
+
+    train_ds = corpus_of(train, 0).materialize()
+    val_ds = corpus_of(val, 1000).materialize()
+    ents = sorted({e for _, e in train} | {e for _, e in val})
+
+    untrained_model = TinyTransformer(dim=32, seed=13)
+    baseline = ThresholdedScoredMatcher(
+        entity_labels=ents,
+        embedder_factory=lambda: BiEncoderEmbedder(untrained_model),
+        reranker_factory=lambda: BiEncoderCosineReranker(untrained_model))
+    baseline.train(train_ds)
+    f1_untrained = baseline._evaluate(
+        baseline.MODE_EVAL, val_ds)['metrics']['f1']
+
+    trained = make_trainable_matcher('scored-trained', entity_labels=ents,
+                                     epochs=12, batch_size=16)
+    assert isinstance(trained, TrainedBiEncoderMatcher)
+    report = trained.train(train_ds, eval_on_train=True)
+    assert report['train']['metrics']['f1'] > 0
+    f1_trained = trained._evaluate(
+        trained.MODE_EVAL, val_ds)['metrics']['f1']
+    assert f1_trained > f1_untrained, (f1_trained, f1_untrained)
+
+    # deterministic: retraining reproduces threshold and predictions
+    again = make_trainable_matcher('scored-trained', entity_labels=ents,
+                                   epochs=12, batch_size=16)
+    again.train(train_ds)
+    assert again.threshold == trained.threshold
+    assert again.predict(again.MODE_EVAL, val_ds) == \
+        trained.predict(trained.MODE_EVAL, val_ds)
