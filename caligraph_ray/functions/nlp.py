@@ -26,17 +26,60 @@ _IRREGULAR = {
     'feet': 'foot', 'teeth': 'tooth', 'geese': 'goose', 'mice': 'mouse',
     'lives': 'life', 'wives': 'wife', 'leaves': 'leaf', 'halves': 'half',
     'criteria': 'criterion', 'phenomena': 'phenomenon', 'media': 'medium',
+    # latinate/greek plurals common in category heads (inflection rules
+    # matrices$/indices$/^oxen$ + the (cris|the|…)(sis|ses)$ family)
+    'matrices': 'matrix', 'indices': 'index', 'vertices': 'vertex',
+    'appendices': 'appendix', 'codices': 'codex', 'oxen': 'ox',
+    'crises': 'crisis', 'theses': 'thesis', 'analyses': 'analysis',
+    'diagnoses': 'diagnosis', 'hypotheses': 'hypothesis',
+    'parentheses': 'parenthesis', 'synopses': 'synopsis',
+    # -s nouns the generic rules mangle (spaCy lemmatizes these; the
+    # stand-in pins the net reference output)
+    'gases': 'gas', 'lenses': 'lens', 'quizzes': 'quiz',
+    'aliases': 'alias', 'buses': 'bus', 'busses': 'bus',
+    'geniuses': 'genius',
 }
 # words ending in s that are not plurals
 _NOT_PLURAL = frozenset({
     'species', 'series', 'news', 'mathematics', 'physics', 'politics',
     'economics', 'athletics', 'analysis', 'basis', 'crisis', 'tennis',
     'chess', 'class', 'glass', 'grass', 'brass', 'bus', 'status', 'campus',
-    'virus', 'census', 'is', 'its', 'this', 'was', 'has', 'gas',
+    'virus', 'census', 'is', 'its', 'this', 'was', 'has', 'gas', 'lens',
+    'ethics', 'statistics', 'linguistics', 'genetics', 'aesthetics',
+    'logistics', 'gymnastics', 'electronics', 'optics',
 })
 
 _PREPOSITIONS = frozenset({'in', 'from', 'of', 'by', 'at', 'on', 'for',
                            'to', 'with', 'about', 'during', 'near'})
+
+# plurals of -oe nouns keep the e under the -oes rule (shoes → shoe, not
+# sho; everything else follows inflection's (o)es$ → o: heroes → hero)
+_OES_KEEP_E = frozenset({
+    'shoes', 'toes', 'canoes', 'oboes', 'woes', 'foes', 'hoes', 'aloes',
+    'throes', 'tiptoes', 'horseshoes', 'backhoes', 'mistletoes',
+})
+# -ves plurals: f-stem (wolves → wolf), fe-stem (knives → knife);
+# anything else keeps the v and drops only the s (caves → cave)
+_VES_TO_F = frozenset({
+    'wolves', 'werewolves', 'shelves', 'calves', 'halves', 'leaves',
+    'loaves', 'thieves', 'scarves', 'elves', 'selves', 'themselves',
+    'sheaves', 'hooves', 'dwarves', 'wharves',
+})
+_VES_TO_FE = frozenset({
+    'knives', 'wives', 'lives', 'midwives', 'housewives', 'afterlives',
+    'jackknives', 'penknives',
+})
+
+# lowercase past participles that END the head phrase of real category
+# names ('People born in Paris', 'Companies based in France', 'Species
+# described in 1900'): the reference's dependency parse attaches them as
+# postmodifiers, so the head is the noun BEFORE them. Irregular forms that
+# don't end in -ed need listing; regular -ed forms are caught generically.
+_PARTICIPLE_IRREGULAR = frozenset({
+    'born', 'built', 'held', 'won', 'written', 'made', 'shot', 'drawn',
+    'known', 'begun', 'set', 'sung', 'given', 'run', 'taken', 'broken',
+    'chosen', 'grown', 'thrown', 'sold', 'bought', 'found', 'lost',
+})
 
 
 # words ending in -men that are not plurals of -man
@@ -71,27 +114,71 @@ def singularize(word: str) -> str:
             # through to its generic s$-drop rule
             return word[:-1]
         return word[:-3] + ('Y' if word[-3].isupper() else 'y')
-    if lw.endswith(('ches', 'shes', 'sses', 'xes', 'zes')):
+    if lw.endswith('oes') and len(lw) > 4 and lw not in _OES_KEEP_E:
+        return word[:-2]   # inflection (o)es$ → o: heroes, volcanoes
+    if lw.endswith('ves') and len(lw) > 4:
+        if lw in _VES_TO_F:
+            return word[:-3] + ('F' if word[-3].isupper() else 'f')
+        if lw in _VES_TO_FE:
+            return word[:-3] + ('FE' if word[-3].isupper() else 'fe')
+        return word[:-1]   # caves → cave, graves → grave
+    if lw.endswith('zzes'):
+        return word[:-3]   # buzzes → buzz (inflection (quiz)zes shape)
+    if lw.endswith('tzes'):
+        return word[:-2]   # waltzes → waltz
+    if lw.endswith(('ches', 'shes', 'sses', 'xes')):
         return word[:-2]
+    if lw.endswith('uses') and len(lw) >= 6 and lw[-5] not in 'aeiou':
+        return word[:-2]   # viruses → virus, statuses → status
     if lw.endswith('ss') or lw.endswith('us') or lw.endswith('is'):
         return word
     return word[:-1]
 
 
+# invariant plurals: singularize() keeps them, but as head SUBJECTS they
+# read plural ('Species described in 1900' is a conceptual category)
+_INVARIANT_PLURAL = frozenset({'species'})
+
+
 def is_plural(word: str) -> bool:
-    return singularize(word) != word
+    return singularize(word) != word or word.lower() in _INVARIANT_PLURAL
 
 
-def lexical_head(label: str) -> Optional[str]:
-    """Head noun of a category-style label: last word before the first
-    preposition of the canonical label."""
+def _is_participle_stop(word: str, collected: list) -> bool:
+    """True when ``word`` reads as a past-participle POSTMODIFIER of an
+    already-collected plural noun ('People born…', 'Companies based…',
+    'Species described…'): lowercase (category names capitalize only the
+    first word and proper nouns — 'Manchester United players' must not
+    break at 'United'), a regular -ed form or a listed irregular, and at
+    least one preceding collected word is a plural noun (so 'Land speed
+    record holders' keeps scanning past 'speed')."""
+    if not word.islower():
+        return False
+    if word in _PARTICIPLE_IRREGULAR:
+        pass
+    elif not (len(word) >= 5 and word.endswith('ed')):
+        return False
+    return any(w.isalpha() and is_plural(w) for w in collected)
+
+
+def _head_phrase(label: str) -> list:
+    """Words of the lexical-head phrase: everything before the first
+    preposition or a participial postmodifier of a plural noun."""
     words = tokenize(get_canonical_label(label))
     head_phrase = []
     for w in words:
         if w.lower() in _PREPOSITIONS:
             break
+        if _is_participle_stop(w, head_phrase):
+            break
         head_phrase.append(w)
-    head_words = [w for w in head_phrase if w.isalpha()]
+    return head_phrase
+
+
+def lexical_head(label: str) -> Optional[str]:
+    """Head noun of a category-style label: last word of the head phrase
+    (before the first preposition / participial postmodifier)."""
+    head_words = [w for w in _head_phrase(label) if w.isalpha()]
     return head_words[-1] if head_words else None
 
 
@@ -105,12 +192,7 @@ def lexical_head_subjects(label: str) -> list:
     and/or/',' — 'Cities and towns in France' → ['Cities', 'towns'].
     Stops (as the reference does) once the word before a collected subject
     is not a connector."""
-    words = tokenize(get_canonical_label(label))
-    head_phrase = []
-    for w in words:
-        if w.lower() in _PREPOSITIONS:
-            break
-        head_phrase.append(w)
+    head_phrase = _head_phrase(label)
     subjects = []
     i = len(head_phrase) - 1
     while i >= 0:
