@@ -2602,6 +2602,77 @@ FROM toks t JOIN lp ON t.tok = lp.tok GROUP BY t.doc_id
 """
 
 
+def q_importance_weights(sf_dir: str):
+    """DSIR-style importance weights (Xie et al. 2023) with the English
+    subset as the target distribution and the full corpus as raw: per-doc
+    Σ tf·(lp_target − lp_raw) in exact integer fixed-point log2 units
+    (stages/textstats.importance_weights), Laplace-+1 smoothed over the
+    raw vocabulary — every per-token ratio replays bit-for-bit through
+    the shift-and-square log2 CTE."""
+    import pyarrow.compute as _pc
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text', 'lang'])
+    target = rel.arrow_filter(docs, lambda t: _pc.equal(t['lang'], 'en'))
+    out = rel.collect_pandas(ts.importance_weights(
+        docs.drop_columns(['lang']), target.drop_columns(['lang'])))
+    out = out.astype({'doc_id': 'int64', 'weight_q': 'int64',
+                      'n_tokens': 'int64'})
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
+# Same shift-and-square log2 kernel as SQL_UNIGRAM_LP over BOTH smoothed
+# distributions: fr1 = raw freq + 1, ft1 = target freq + 1 (0 for tokens
+# absent from the target), denominators N_X + |V|.
+SQL_IMPORTANCE_WEIGHTS = """
+WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+    FROM documents),
+ttoks AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+    FROM documents WHERE lang = 'en'),
+cr AS MATERIALIZED (SELECT tok, count(*) AS fr FROM toks GROUP BY tok),
+ct AS MATERIALIZED (SELECT tok, count(*) AS ft FROM ttoks GROUP BY tok),
+consts AS MATERIALIZED (SELECT
+    (SELECT CAST(sum(fr) AS BIGINT) FROM cr) + (SELECT count(*) FROM cr) AS nrv,
+    coalesce((SELECT CAST(sum(ft) AS BIGINT) FROM ct), 0)
+        + (SELECT count(*) FROM cr) AS ntv),
+dim AS MATERIALIZED (SELECT cr.tok, cr.fr + 1 AS fr1,
+        coalesce(ct.ft, 0) + 1 AS ft1
+    FROM cr LEFT JOIN ct ON cr.tok = ct.tok),
+vals(v) AS (SELECT DISTINCT fr1 FROM dim UNION SELECT DISTINCT ft1 FROM dim
+            UNION SELECT nrv FROM consts UNION SELECT ntv FROM consts),
+lgrec(v, iter, y, frac) AS (
+    SELECT v, 0,
+           (CAST(v AS HUGEINT) * (1::BIGINT << 40))
+               // (1::BIGINT << (length(bin(v)) - 1)),
+           CAST(0 AS HUGEINT)
+    FROM vals
+    UNION ALL
+    SELECT v, iter + 1,
+           CASE WHEN (y*y) // (1::BIGINT << 40)
+                     >= CAST(2 AS HUGEINT) * (1::BIGINT << 40)
+                THEN ((y*y) // (1::BIGINT << 40)) // 2
+                ELSE (y*y) // (1::BIGINT << 40) END,
+           CASE WHEN (y*y) // (1::BIGINT << 40)
+                     >= CAST(2 AS HUGEINT) * (1::BIGINT << 40)
+                THEN frac*2 + 1 ELSE frac*2 END
+    FROM lgrec WHERE iter < 20
+),
+lg AS MATERIALIZED (SELECT v,
+        CAST(CAST(length(bin(v)) - 1 AS HUGEINT) * (1::BIGINT << 20) + frac
+             AS BIGINT) AS l2
+    FROM lgrec WHERE iter = 20),
+w AS MATERIALIZED (SELECT d.tok,
+        (lt.l2 - (SELECT lg.l2 FROM lg JOIN consts ON lg.v = consts.ntv))
+      - (lr.l2 - (SELECT lg.l2 FROM lg JOIN consts ON lg.v = consts.nrv))
+        AS w_q
+    FROM dim d JOIN lg lr ON lr.v = d.fr1 JOIN lg lt ON lt.v = d.ft1)
+SELECT t.doc_id,
+       CAST(sum(w.w_q) AS BIGINT) AS weight_q,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM toks t JOIN w ON t.tok = w.tok GROUP BY t.doc_id
+"""
+
+
 def q_bigram_backoff_scores(sf_dir: str):
     """Bigram-LM document scores with stupid-backoff to the unigram model
     (stages/textstats.bigram_backoff_scores) — exact-integer log2 fixed
@@ -3412,6 +3483,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'stratified_sample_docs': q_stratified_sample_docs,
     'domain_cap_docs': q_domain_cap_docs,
     'unigram_logprob_scores': q_unigram_logprob_scores,
+    'importance_weights': q_importance_weights,
     'tfidf_top_terms': q_tfidf_top_terms,
     'passage_chunks': q_passage_chunks,
     'mixture_sample_docs': q_mixture_sample_docs,
@@ -3506,6 +3578,7 @@ ORACLES: Dict[str, str] = {
     'stratified_sample_docs': _sql_stratified_sample(),
     'domain_cap_docs': SQL_DOMAIN_CAP,
     'unigram_logprob_scores': SQL_UNIGRAM_LP,
+    'importance_weights': SQL_IMPORTANCE_WEIGHTS,
     'tfidf_top_terms': _sql_tfidf_top_terms(),
     'passage_chunks': _sql_passage_chunks(),
     'mixture_sample_docs': SQL_MIXTURE_SAMPLE,

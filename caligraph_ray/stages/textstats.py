@@ -337,6 +337,159 @@ def _unigram_scores_join(docs_ds, counts_ds, id_col: str, text_col: str):
         Sum('tf_part', alias_name='n_tokens'))
 
 
+def importance_weights(docs_ds, target_docs_ds, id_col: str = 'doc_id',
+                       text_col: str = 'text',
+                       vocab_broadcast_limit: Optional[int] = None):
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    per-document ``weight_q = Σ_tok tf(tok) · (lp_target(tok) −
+    lp_raw(tok))`` — the log importance ratio between a TARGET
+    distribution (e.g. the high-quality subset one wants more of) and the
+    RAW corpus distribution. Documents are then importance-resampled by
+    rank or softmax downstream; the weight itself is the operator.
+
+    Both unigram distributions are Laplace-(+1)-smoothed over the RAW
+    vocabulary V (``target_docs_ds`` must be a subset of ``docs_ds``, so
+    target tokens ⊆ raw tokens): ``lp_X(tok) = log2f(freq_X(tok)+1) −
+    log2f(N_X + |V|)`` in integer fixed-point log2 units
+    (functions/hashing.log2_fixed, scale 2^-20), making document weights
+    exact integer sums that a SQL engine replays bit-for-bit.
+
+    Scale shape mirrors ``unigram_logprob_scores``: two token-count
+    passes (two-phase each), ONE token-keyed join to form the weight dim,
+    then broadcast scoring when |V| ≤ ``vocab_broadcast_limit`` (default
+    UNIGRAM_BROADCAST_LIMIT) or an exploded token-keyed shuffle join +
+    per-doc sum above it — no driver collect in the scale regime. Both
+    regimes are bit-identical (forced-low-gate test)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import log2_fixed
+    from ..state.broadcast import get_broadcast
+    from .relational import collect_pandas, shuffle_join
+
+    limit = (UNIGRAM_BROADCAST_LIMIT if vocab_broadcast_limit is None
+             else vocab_broadcast_limit)
+    raw_counts = token_counts(docs_ds, text_col=text_col).materialize()
+    tgt_counts = token_counts(target_docs_ds,
+                              text_col=text_col).materialize()
+    n_vocab = raw_counts.count()
+
+    def _tot(ds) -> int:
+        agg = ds.aggregate(Sum('freq', alias_name='n'))
+        return int(agg['n']) if agg and agg.get('n') else 0
+
+    n_raw, n_tgt = _tot(raw_counts), _tot(tgt_counts)
+    if n_vocab == 0:
+        return docs_ds.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {id_col: pa.array([], pa.int64()),
+                 'weight_q': pa.array([], pa.int64()),
+                 'n_tokens': pa.array([], pa.int64())}),
+            batch_format='pyarrow')
+    l2_nr = log2_fixed(n_raw + n_vocab)
+    l2_nt = log2_fixed(n_tgt + n_vocab)
+
+    # weight dim: one token-keyed left join of the two count dims (a
+    # token-less target yields a schema-less empty counts dataset — every
+    # raw token then carries freq_t = 0)
+    if tgt_counts.count() == 0:
+        dim = raw_counts.map_batches(
+            lambda t: t.append_column('freq_t',
+                                      pa.nulls(len(t), pa.int64())),
+            batch_format='pyarrow')
+    else:
+        tgt_renamed = tgt_counts.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {'token': t.column('token'), 'freq_t': t.column('freq')}),
+            batch_format='pyarrow')
+        dim = shuffle_join(raw_counts, tgt_renamed,
+                           left_on='token', right_on='token', how='left')
+
+    def to_w(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({'token': pd.Series([], dtype=object),
+                                 'w_q': pd.Series([], dtype='int64')})
+        cache: Dict[int, int] = {}
+
+        def l2(v: int) -> int:
+            q = cache.get(v)
+            if q is None:
+                q = cache[v] = log2_fixed(v)
+            return q
+
+        fr = df['freq'].astype('int64')
+        ft = df['freq_t'].fillna(0).astype('int64')
+        w = [(l2(int(t) + 1) - l2_nt) - (l2(int(r) + 1) - l2_nr)
+             for r, t in zip(fr, ft)]
+        return pd.DataFrame({'token': df['token'],
+                             'w_q': pd.Series(w, dtype='int64')})
+
+    w_dim = dim.map_batches(to_w, batch_format='pandas')
+
+    if n_vocab > max(limit, 0):
+        # scale regime: exploded (doc, token, tf) rows shuffle-join the
+        # weight dim; per-doc partial sums combine before the final groupby
+        def explode(batch: pa.Table) -> pa.Table:
+            ids, toks, tfs = [], [], []
+            for i, text in zip(batch.column(id_col).to_pylist(),
+                               batch.column(text_col).to_pylist()):
+                for t, n in Counter(_split_tokens(text)).items():
+                    ids.append(i)
+                    toks.append(t)
+                    tfs.append(n)
+            return pa.Table.from_pydict({
+                id_col: pa.array(ids, batch.schema.field(id_col).type),
+                'token': pa.array(toks, pa.string()),
+                'tf': pa.array(tfs, pa.int64())})
+
+        doc_tokens = docs_ds.map_batches(explode, batch_format='pyarrow',
+                                         batch_size=AGG_BATCH_SIZE)
+        joined = shuffle_join(doc_tokens, w_dim,
+                              left_on='token', right_on='token',
+                              how='inner')
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame(
+                    {id_col: pd.Series([], dtype='int64'),
+                     'w_part': pd.Series([], dtype='int64'),
+                     'tf_part': pd.Series([], dtype='int64')})
+            df = df.assign(
+                _c=df['tf'].astype('int64') * df['w_q'].astype('int64'))
+            return df.groupby(id_col, as_index=False, sort=False).agg(
+                w_part=('_c', 'sum'), tf_part=('tf', 'sum'))
+
+        pre = joined.map_batches(part, batch_format='pandas')
+        return pre.groupby(id_col).aggregate(
+            Sum('w_part', alias_name='weight_q'),
+            Sum('tf_part', alias_name='n_tokens'))
+
+    wt = collect_pandas(w_dim)
+    wmap = dict(zip(wt['token'], wt['w_q'].astype('int64')))
+    ref = ray.put(wmap)
+
+    def score(batch: pa.Table) -> pa.Table:
+        w_ = get_broadcast(ref)
+        ids, sums, ns = [], [], []
+        for i, text in zip(batch.column(id_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            toks = _split_tokens(text)
+            if not toks:
+                continue   # token-less docs carry no weight (SQL inner join)
+            ids.append(i)
+            sums.append(sum(int(w_.get(t, 0)) for t in toks))
+            ns.append(len(toks))
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids, pa.int64()),
+            'weight_q': pa.array(sums, pa.int64()),
+            'n_tokens': pa.array(ns, pa.int64()),
+        })
+
+    return docs_ds.map_batches(score, batch_format='pyarrow',
+                               batch_size=AGG_BATCH_SIZE)
+
+
 def passage_chunks(docs_ds, window: int = 64, stride: int = 48,
                    id_col: str = 'doc_id', text_col: str = 'text'):
     """Overlapping passage windows per document (the RAG/embedding

@@ -278,3 +278,53 @@ def test_mixture_sample_rates(ray_session):
             if md5_hash64(f'mix:42:{i}') % 1000 < rates.get(l, 0)}
     assert set(out['doc_id'].astype(int)) == want
     assert 'xx' not in set(out['lang'])
+
+
+@SETTINGS
+@given(doc_frame())
+def test_importance_weights_match_reference(ray_session, df):
+    """DSIR importance weights vs a Counter/loop reference: target = even
+    doc_ids (a subset of raw), Laplace-+1 smoothing over the raw vocab,
+    exact integer fixed-point sums."""
+    import ray.data as rd
+    from caligraph_ray.functions.hashing import log2_fixed
+    from caligraph_ray.stages.textstats import importance_weights
+    tgt_df = df[df['doc_id'] % 2 == 0]
+    got_df = importance_weights(
+        rd.from_pandas(df).repartition(2),
+        rd.from_pandas(tgt_df).repartition(2)).to_pandas()
+    got = {int(r['doc_id']): (int(r['weight_q']), int(r['n_tokens']))
+           for _, r in got_df.iterrows()}
+    raw = Counter(t for text in df['text'] for t in _toks(text))
+    tgt = Counter(t for text in tgt_df['text'] for t in _toks(text))
+    want = {}
+    if raw:
+        v = len(raw)
+        l2_nr = log2_fixed(sum(raw.values()) + v)
+        l2_nt = log2_fixed(sum(tgt.values()) + v)
+        w = {t: (log2_fixed(tgt.get(t, 0) + 1) - l2_nt)
+                - (log2_fixed(f + 1) - l2_nr) for t, f in raw.items()}
+        for _, r in df.iterrows():
+            toks = _toks(r['text'])
+            if toks:
+                want[int(r['doc_id'])] = (sum(w[t] for t in toks), len(toks))
+    assert got == want
+
+
+@SETTINGS
+@given(doc_frame())
+def test_importance_weights_join_regime_equivalent(ray_session, df):
+    """Forced-low-gate equivalence: vocab_broadcast_limit=0 routes scoring
+    through the exploded token-keyed shuffle join, bit-identical to the
+    broadcast regime."""
+    import ray.data as rd
+    from caligraph_ray.stages.textstats import importance_weights
+    tgt_df = df[df['doc_id'] % 2 == 0]
+    ds = rd.from_pandas(df).repartition(2)
+    tgt = rd.from_pandas(tgt_df).repartition(2)
+    base = importance_weights(ds, tgt).to_pandas()
+    joined = importance_weights(ds, tgt, vocab_broadcast_limit=0).to_pandas()
+    key = lambda d: {int(r['doc_id']): (int(r['weight_q']),
+                                        int(r['n_tokens']))
+                     for _, r in d.iterrows()}
+    assert key(base) == key(joined)
