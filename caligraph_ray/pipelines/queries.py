@@ -1124,6 +1124,37 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 """
 
 
+def q_semdedup_keep(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means-bucketed semantic dedup —
+    keep a vector iff no same-cluster vector with a smaller id has rounded
+    cosine ≥ threshold. The oracle replays the full Lloyd training chain
+    (the kmeans_assignments CTE stack) and the within-cluster EXISTS."""
+    emb = rel.read_table(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    out = dd.semdedup_keep(emb, n_centroids=8, n_iters=2,
+                           threshold=EMB_DUP_THRESHOLD).to_pandas()
+    out = out.astype({'vec_id': 'int64', 'centroid': 'int64',
+                      'kept': 'int64'})
+    return out.sort_values('vec_id').reset_index(drop=True)
+
+
+def _sql_semdedup(threshold: float) -> str:
+    return f"""
+WITH asg AS MATERIALIZED (SELECT * FROM ({_sql_kmeans_assign()})),
+eb AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id, a.centroid,
+       CAST(CASE WHEN EXISTS (
+           SELECT 1 FROM asg b
+           JOIN eb be ON be.vec_id = b.vec_id
+           JOIN eb ae ON ae.vec_id = a.vec_id
+           WHERE b.centroid = a.centroid AND b.vec_id < a.vec_id
+             AND round(list_cosine_similarity(ae.emb, be.emb), 6)
+                 >= {threshold})
+       THEN 0 ELSE 1 END AS BIGINT) AS kept
+FROM asg a
+"""
+
+
 def q_doc_fingerprints(sf_dir: str):
     """Winnowing fingerprints (8 smallest distinct rolling-16-char hashes)
     with the md5-based hash, exploded to one row per (doc_id, fp) and
@@ -3527,6 +3558,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'simhash_pairs': q_simhash_pairs,
     'ngram_jaccard_pairs': q_ngram_jaccard_pairs,
     'embedding_near_dups': q_embedding_near_dups,
+    'semdedup_keep': q_semdedup_keep,
     'doc_fingerprints': q_doc_fingerprints,
     'fingerprint_overlap_pairs': q_fingerprint_overlap_pairs,
     'knn_topk': q_knn_topk,
@@ -3624,6 +3656,7 @@ ORACLES: Dict[str, str] = {
     'doc_fingerprints': SQL_FINGERPRINTS,
     'fingerprint_overlap_pairs': SQL_FP_OVERLAP,
     'embedding_near_dups': SQL_EMB_DUPS,
+    'semdedup_keep': _sql_semdedup(EMB_DUP_THRESHOLD),
     'knn_topk': SQL_KNN,
     'quantized_knn_topk': SQL_QUANTIZED_KNN,
     'taxonomy_edges': SQL_TAXONOMY_EDGES,

@@ -647,3 +647,69 @@ def edit_distance_pairs(docs_ds, text_col: str = 'text', min_len: int = 4,
     from .relational import two_phase_count
     return two_phase_count(bucketed_map(rows, ['nk'], pairs),
                            ['a', 'b']).drop_columns(['cnt'])
+
+
+def semdedup_keep(emb_ds, n_centroids: int = 8, n_iters: int = 2,
+                  threshold: float = 0.45, id_col: str = 'vec_id',
+                  vec_col: str = 'embedding'):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering the embedding space, then pruning
+    within-cluster semantic duplicates. A vector is KEPT iff no other
+    vector in its cluster has rounded cosine ≥ ``threshold`` and a
+    smaller id — the deterministic keep-lowest-id variant of the paper's
+    keep-one-per-duplicate-group rule. Emits (id, centroid, kept 0/1).
+
+    Scale shape — the paper's core trick is that clustering bounds the
+    pairwise work: training is the distributed Lloyd loop
+    (similarity.kmeans_centroids — one stateless pass per iteration, K×D
+    driver reduce), labeling is ONE stateless broadcast map fused with
+    the embedding read (no assignment join), and the quadratic check runs
+    per CLUSTER via one centroid-keyed exchange, so per-bucket cost is
+    (N/K)² with K chosen ∝ N / target_cluster_size. Partitioning
+    assumption: no megacluster — at web scale pick K so the largest
+    cluster fits a task (the reference point: SemDeDup uses K=50k on
+    LAION); cluster sizes surface in ds.stats() for the exchange."""
+    from .relational import bucketed_map
+    from .similarity import _normalize, kmeans_centroids
+
+    cmat, _ = kmeans_centroids(emb_ds, n_centroids, n_iters,
+                               id_col=id_col, vec_col=vec_col)
+    ref = ray.put(cmat)
+
+    def label(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import get_broadcast
+        if not len(batch):
+            return pd.DataFrame({id_col: pd.Series(dtype='int64'),
+                                 'centroid': pd.Series(dtype='int64'),
+                                 vec_col: pd.Series(dtype=object)})
+        cm = get_broadcast(ref)
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in batch[vec_col]])
+        sims = np.round(_normalize(mat) @ _normalize(cm).T, 6)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            'centroid': np.argmax(sims, axis=1).astype(np.int64),
+            vec_col: list(batch[vec_col])})
+
+    labeled = emb_ds.map_batches(label, batch_format='pandas',
+                                 batch_size=4096)
+
+    def prune(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cen, g in bucket.groupby('centroid', sort=False):
+            g = g.sort_values(id_col, kind='mergesort')
+            mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                       for v in g[vec_col]]))
+            sims = np.round(mat @ mat.T, 6)
+            lower = np.tril(sims >= threshold, k=-1)   # only smaller ids
+            kept = (~lower.any(axis=1)).astype(np.int64)
+            out.append(pd.DataFrame({
+                id_col: g[id_col].to_numpy(),
+                'centroid': np.full(len(g), cen, dtype=np.int64),
+                'kept': kept}))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {id_col: pd.Series(dtype='int64'),
+             'centroid': pd.Series(dtype='int64'),
+             'kept': pd.Series(dtype='int64')})
+
+    return bucketed_map(labeled, ['centroid'], prune)
