@@ -2633,6 +2633,32 @@ FROM toks t JOIN lp ON t.tok = lp.tok GROUP BY t.doc_id
 """
 
 
+def q_perplexity_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020):
+    exact-integer normalized LM scores split at the exact global tertiles
+    (stages/textstats.perplexity_buckets); the oracle replays the unigram
+    chain and the same quantile_disc cuts."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    out = rel.collect_pandas(ts.perplexity_buckets(docs))
+    out = out.astype({'doc_id': 'int64', 'ppl_q': 'int64',
+                      'bucket': 'string'}).astype({'bucket': object})
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH s AS MATERIALIZED (SELECT * FROM ({{unigram_lp}})),
+p AS MATERIALIZED (
+    SELECT doc_id, (-logprob_q) // n_tokens AS ppl_q FROM s),
+c AS (SELECT quantile_disc(ppl_q, 0.33) AS q33,
+             quantile_disc(ppl_q, 0.67) AS q67 FROM p)
+SELECT p.doc_id, p.ppl_q,
+       CASE WHEN p.ppl_q <= c.q33 THEN 'head'
+            WHEN p.ppl_q <= c.q67 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM p, c
+"""
+
+
 def q_importance_weights(sf_dir: str):
     """DSIR-style importance weights (Xie et al. 2023) with the English
     subset as the target distribution and the full corpus as raw: per-doc
@@ -3515,6 +3541,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'domain_cap_docs': q_domain_cap_docs,
     'unigram_logprob_scores': q_unigram_logprob_scores,
     'importance_weights': q_importance_weights,
+    'perplexity_buckets': q_perplexity_buckets,
     'tfidf_top_terms': q_tfidf_top_terms,
     'passage_chunks': q_passage_chunks,
     'mixture_sample_docs': q_mixture_sample_docs,
@@ -3611,6 +3638,8 @@ ORACLES: Dict[str, str] = {
     'domain_cap_docs': SQL_DOMAIN_CAP,
     'unigram_logprob_scores': SQL_UNIGRAM_LP,
     'importance_weights': SQL_IMPORTANCE_WEIGHTS,
+    'perplexity_buckets': SQL_PERPLEXITY_BUCKETS.format(
+        unigram_lp=SQL_UNIGRAM_LP),
     'tfidf_top_terms': _sql_tfidf_top_terms(),
     'passage_chunks': _sql_passage_chunks(),
     'mixture_sample_docs': SQL_MIXTURE_SAMPLE,

@@ -490,6 +490,55 @@ def importance_weights(docs_ds, target_docs_ds, id_col: str = 'doc_id',
                                batch_size=AGG_BATCH_SIZE)
 
 
+def perplexity_buckets(docs_ds, id_col: str = 'doc_id',
+                       text_col: str = 'text'):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per-document
+    normalized LM score ``ppl_q = (-logprob_q) // n_tokens`` (integer
+    floor-division of the exact fixed-point unigram score — lower = more
+    fluent), split into head / middle / tail at the EXACT global tertiles
+    of the ppl_q distribution (the smallest value whose cumulative count
+    reaches ceil(q·n) — quantile_disc semantics on both engines).
+
+    Scale shape: the unigram scorer's two gated regimes upstream; the cut
+    computation is grouped_quantiles_exact's value-HISTOGRAM exchange
+    (bounded by the distinct-score dim, never row count; the two cut
+    scalars are the only driver values); assignment is one stateless map."""
+    from .relational import collect_pandas, grouped_quantiles_exact
+
+    scores = unigram_logprob_scores(docs_ds, id_col=id_col,
+                                    text_col=text_col)
+
+    def to_ppl(t: pa.Table) -> pa.Table:
+        lp = t.column('logprob_q').to_numpy(zero_copy_only=False)
+        nt = t.column('n_tokens').to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            id_col: t.column(id_col),
+            'ppl_q': pa.array((-lp) // nt, pa.int64())})
+
+    ppl = scores.map_batches(to_ppl, batch_format='pyarrow').materialize()
+
+    def with_g(t: pa.Table) -> pa.Table:
+        return t.append_column('g', pa.array([0] * len(t), pa.int8()))
+
+    cuts = collect_pandas(grouped_quantiles_exact(
+        ppl.map_batches(with_g, batch_format='pyarrow'), ['g'], 'ppl_q',
+        qs=(0.33, 0.67)))
+    if cuts.empty:
+        return ppl.map_batches(
+            lambda t: t.append_column('bucket',
+                                      pa.array([''] * len(t), pa.string())),
+            batch_format='pyarrow')
+    q33, q67 = int(cuts['q33'].iloc[0]), int(cuts['q67'].iloc[0])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        p = t.column('ppl_q').to_numpy(zero_copy_only=False)
+        lab = np.where(p <= q33, 'head',
+                       np.where(p <= q67, 'middle', 'tail'))
+        return t.append_column('bucket', pa.array(lab, pa.string()))
+
+    return ppl.map_batches(bucket, batch_format='pyarrow')
+
+
 def passage_chunks(docs_ds, window: int = 64, stride: int = 48,
                    id_col: str = 'doc_id', text_col: str = 'text'):
     """Overlapping passage windows per document (the RAG/embedding
