@@ -237,3 +237,72 @@ def hll_registers(ds, column: str, p: int = 12, hash_fn=None):
     nz = np.nonzero(merged.registers)[0]
     return pd.DataFrame({'bucket': nz.astype(np.int64),
                          'rank': merged.registers[nz].astype(np.int64)})
+
+
+class BloomFilter:
+    """Salted-md5 Bloom filter: k bit positions per key, positions =
+    hash(f'{i}|{key}') % m for i in 0..k-1 — the cross-crawl membership
+    sketch ('have we ingested this url/id before') that incremental
+    dedup needs at 100 TB: per-batch filters merge by bit-OR (KB-to-MB
+    mergeable state, no value-keyed shuffle), false-positive rate
+    (1-e^{-kn/m})^k is a capacity choice, false negatives are impossible.
+    With an md5 hash the bit positions replay exactly in SQL
+    (md5_number_upper(i || '|' || key) % m), so the merged state is
+    exactness-gated like the HLL registers."""
+
+    __slots__ = ('m', 'k', 'bits', 'hash_fn')
+
+    def __init__(self, m: int = 16384, k: int = 4, hash_fn=None):
+        self.m, self.k = m, k
+        self.bits = np.zeros(m, dtype=bool)
+        self.hash_fn = hash_fn or stable_hash64
+
+    def _positions(self, key: str):
+        return [self.hash_fn(f'{i}|{key}') % self.m for i in range(self.k)]
+
+    def add(self, keys) -> None:
+        for key in keys:
+            for p in self._positions(str(key)):
+                self.bits[p] = True
+
+    def contains(self, key: str) -> bool:
+        return all(self.bits[p] for p in self._positions(str(key)))
+
+    def merge(self, other: 'BloomFilter') -> 'BloomFilter':
+        assert (self.m, self.k) == (other.m, other.k)
+        out = BloomFilter(self.m, self.k, self.hash_fn)
+        out.bits = self.bits | other.bits
+        return out
+
+    def to_bytes(self) -> bytes:
+        return np.packbits(self.bits).tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes, m: int = 16384, k: int = 4,
+                   hash_fn=None) -> 'BloomFilter':
+        bf = cls(m, k, hash_fn)
+        bf.bits = np.unpackbits(
+            np.frombuffer(raw, dtype=np.uint8))[:m].astype(bool)
+        return bf
+
+
+def bloom_bits(ds, column: str, m: int = 16384, k: int = 4, hash_fn=None):
+    """The merged Bloom STATE as a sorted (bit_pos) table: one filter per
+    batch (map_batches), bit-OR merged on the driver — same shuffle-free
+    shape as the HLL register build."""
+    import pandas as pd
+
+    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(m, k, hash_fn)
+        bf.add(batch[column])
+        return pd.DataFrame({'sketch': [bf.to_bytes()]})
+
+    parts = ds.select_columns([column]).map_batches(sketch,
+                                                    batch_format='pandas')
+    from ..stages.relational import collect_rows
+    merged = BloomFilter(m, k, hash_fn)
+    for r in collect_rows(parts):
+        merged = merged.merge(BloomFilter.from_bytes(r['sketch'], m, k,
+                                                     hash_fn))
+    nz = np.nonzero(merged.bits)[0]
+    return pd.DataFrame({'bit_pos': nz.astype(np.int64)})

@@ -2014,6 +2014,27 @@ def q_approx_distinct_users(sf_dir: str):
     return pd.DataFrame({'approx_distinct_users': [round(est, 6)]})
 
 
+def q_bloom_user_bits(sf_dir: str):
+    """The Bloom filter's merged BIT STATE over event users (salted md5,
+    k=4, m=16384): per-batch filters bit-OR merged driver-side, nonzero
+    positions out. The bit table IS the mergeable sketch (the cross-crawl
+    'seen before' membership primitive of incremental dedup), and with the
+    md5 hash it replays bit-identically in SQL — exactness-gated like the
+    HLL registers even though membership answers are probabilistic."""
+    from ..functions.hashing import md5_hash64
+    from ..functions.sketches import bloom_bits
+    ev = rel.read_table(sf_dir, 'events', ['user_id'])
+    return bloom_bits(ev, 'user_id', m=16384, k=4, hash_fn=md5_hash64)
+
+
+SQL_BLOOM_BITS = """
+SELECT DISTINCT CAST(md5_number_upper(
+           CAST(i.i AS VARCHAR) || '|' || CAST(user_id AS VARCHAR))
+       % 16384 AS BIGINT) AS bit_pos
+FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) i
+"""
+
+
 def q_user_components(sf_dir: str):
     """Connected components (D4): users linked via shared event_type (star
     edges to the min user per type), CC via distributed contraction."""
@@ -3548,6 +3569,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'split_contamination': q_split_contamination,
     'multimodal_image_stats': q_multimodal_image_stats,
     'hll_user_registers': q_hll_user_registers,
+    'bloom_user_bits': q_bloom_user_bits,
     'cms_user_heavy_hitters': q_cms_user_heavy_hitters,
     'pagerank_event_types': q_pagerank_event_types,
     'event_pairs_window': q_event_pairs_window,
@@ -3646,6 +3668,7 @@ ORACLES: Dict[str, str] = {
     'split_contamination': SQL_CONTAMINATION,
     'multimodal_image_stats': SQL_MM_IMAGE,
     'hll_user_registers': SQL_HLL_REGISTERS,
+    'bloom_user_bits': SQL_BLOOM_BITS,
     'cms_user_heavy_hitters': _sql_cms_heavy_hitters(),
     'pagerank_event_types': _sql_pagerank(),
     'event_pairs_window': SQL_EVENT_PAIRS,

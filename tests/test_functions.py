@@ -230,3 +230,43 @@ def test_bpe_segment_counts_matches_per_word_encode(ray_session):
         want = sum(len(bpe_encode(w, merges))
                    for w in r['text'].split(' ') if w)
         assert got[r['doc_id']] == want, r['text']
+
+
+def test_bloom_filter_membership_and_merge(ray_session):
+    """No false negatives ever; per-batch merge ≡ one bulk filter
+    (partition-invariant state); FP rate on unseen keys stays near the
+    (1-e^{-kn/m})^k design point."""
+    import math
+
+    import pandas as pd
+    import ray
+
+    from caligraph_ray.functions.hashing import md5_hash64
+    from caligraph_ray.functions.sketches import BloomFilter, bloom_bits
+
+    keys = [f'user_{i}' for i in range(500)]
+    bulk = BloomFilter(m=16384, k=4, hash_fn=md5_hash64)
+    bulk.add(keys)
+    assert all(bulk.contains(k) for k in keys)        # no false negatives
+
+    ghosts = [f'ghost_{i}' for i in range(2000)]
+    fp = sum(1 for g in ghosts if bulk.contains(g)) / len(ghosts)
+    expect = (1 - math.exp(-4 * 500 / 16384)) ** 4
+    assert fp <= expect * 3 + 0.01, (fp, expect)
+
+    half = BloomFilter(m=16384, k=4, hash_fn=md5_hash64)
+    half.add(keys[:250])
+    other = BloomFilter(m=16384, k=4, hash_fn=md5_hash64)
+    other.add(keys[250:])
+    assert (half.merge(other).bits == bulk.bits).all()
+
+    rt = BloomFilter.from_bytes(bulk.to_bytes(), 16384, 4, md5_hash64)
+    assert (rt.bits == bulk.bits).all()
+
+    df = pd.DataFrame({'k': keys})
+    for parts in (1, 3):
+        got = bloom_bits(ray.data.from_pandas(df).repartition(parts), 'k',
+                         m=16384, k=4, hash_fn=md5_hash64)
+        import numpy as np
+        assert (got['bit_pos'].to_numpy()
+                == np.nonzero(bulk.bits)[0]).all()
