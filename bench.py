@@ -143,6 +143,12 @@ def run_benchmarks() -> dict:
     timed('personalized_pagerank', lambda: Q.q_personalized_pagerank(SF_DIR))
     timed('session_funnel_counts', lambda: Q.q_session_funnel_counts(SF_DIR))
     timed('priority_status_cube', lambda: Q.q_priority_status_cube(SF_DIR))
+    # round-4 additions
+    timed('importance_weights', lambda: Q.q_importance_weights(SF_DIR))
+    timed('semdedup_keep', lambda: Q.q_semdedup_keep(SF_DIR))
+    timed('perplexity_buckets', lambda: Q.q_perplexity_buckets(SF_DIR))
+    timed('bloom_user_bits', lambda: Q.q_bloom_user_bits(SF_DIR))
+    timed('gopher_quality_flags', lambda: Q.q_gopher_quality_flags(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

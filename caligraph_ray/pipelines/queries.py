@@ -2654,6 +2654,46 @@ FROM toks t JOIN lp ON t.tok = lp.tok GROUP BY t.doc_id
 """
 
 
+def q_gopher_quality_flags(sf_dir: str):
+    """Gopher rule-suite quality flags (Rae et al. 2021 §A1.1) — every
+    rule an integer cross-multiplication, replayed exactly in SQL."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    out = rel.collect_pandas(ts.gopher_quality_flags(docs))
+    out = out.astype({c: 'int64' for c in out.columns})
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
+SQL_GOPHER_FLAGS = """
+WITH t AS (SELECT doc_id, text,
+        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents),
+m AS (SELECT doc_id,
+        len(toks) AS n,
+        coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS tl,
+        (length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) // 3 AS sy,
+        len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS al,
+        len(list_filter(['the','be','to','of','and','that','have','with'],
+                        s -> list_contains(toks, s))) AS st
+    FROM t),
+f AS (SELECT doc_id, n,
+        CASE WHEN n BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS f_wc,
+        CASE WHEN n > 0 AND 3*n <= tl AND tl <= 10*n THEN 1 ELSE 0 END AS f_ml,
+        CASE WHEN 10*sy <= n THEN 1 ELSE 0 END AS f_sy,
+        CASE WHEN 5*al >= 4*n THEN 1 ELSE 0 END AS f_al,
+        CASE WHEN st >= 2 THEN 1 ELSE 0 END AS f_st
+    FROM m)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       CAST(f_wc AS BIGINT) AS pass_word_count,
+       CAST(f_ml AS BIGINT) AS pass_mean_word_len,
+       CAST(f_sy AS BIGINT) AS pass_symbol_ratio,
+       CAST(f_al AS BIGINT) AS pass_alpha_ratio,
+       CAST(f_st AS BIGINT) AS pass_stopwords,
+       CAST(f_wc * f_ml * f_sy * f_al * f_st AS BIGINT) AS pass_all
+FROM f
+"""
+
+
 def q_perplexity_buckets(sf_dir: str):
     """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020):
     exact-integer normalized LM scores split at the exact global tertiles
@@ -3563,6 +3603,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'unigram_logprob_scores': q_unigram_logprob_scores,
     'importance_weights': q_importance_weights,
     'perplexity_buckets': q_perplexity_buckets,
+    'gopher_quality_flags': q_gopher_quality_flags,
     'tfidf_top_terms': q_tfidf_top_terms,
     'passage_chunks': q_passage_chunks,
     'mixture_sample_docs': q_mixture_sample_docs,
@@ -3662,6 +3703,7 @@ ORACLES: Dict[str, str] = {
     'importance_weights': SQL_IMPORTANCE_WEIGHTS,
     'perplexity_buckets': SQL_PERPLEXITY_BUCKETS.format(
         unigram_lp=SQL_UNIGRAM_LP),
+    'gopher_quality_flags': SQL_GOPHER_FLAGS,
     'tfidf_top_terms': _sql_tfidf_top_terms(),
     'passage_chunks': _sql_passage_chunks(),
     'mixture_sample_docs': SQL_MIXTURE_SAMPLE,

@@ -490,6 +490,68 @@ def importance_weights(docs_ds, target_docs_ds, id_col: str = 'doc_id',
                                batch_size=AGG_BATCH_SIZE)
 
 
+_GOPHER_STOPWORDS = ('the', 'be', 'to', 'of', 'and', 'that', 'have',
+                     'with')
+
+
+def gopher_quality_flags(docs_ds, id_col: str = 'doc_id',
+                         text_col: str = 'text', min_words: int = 50,
+                         max_words: int = 100_000):
+    """The Gopher rule-based quality filter suite (Rae et al. 2021 §A1.1)
+    as per-document pass/fail flags, every rule in INTEGER
+    cross-multiplication (no float ratios, so any engine replays each flag
+    bit-for-bit):
+
+    * ``pass_word_count`` — min_words ≤ n ≤ max_words
+    * ``pass_mean_word_len`` — 3·n ≤ Σ len(word) ≤ 10·n (mean in [3, 10])
+    * ``pass_symbol_ratio`` — 10·(#hashes + #ellipses) ≤ n (ratio ≤ 0.1)
+    * ``pass_alpha_ratio`` — 5·|words with an ASCII letter| ≥ 4·n (≥80%;
+      ASCII-letter contract so regex engines agree — swap in \\p{L} on
+      both sides for unicode corpora)
+    * ``pass_stopwords`` — ≥ 2 distinct words from the paper's 8-word list
+    * ``pass_all`` — conjunction
+
+    Stateless one-pass map; training pipelines drop pass_all = 0."""
+    stop = frozenset(_GOPHER_STOPWORDS)
+
+    def flags(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in
+                (id_col, 'n_words', 'pass_word_count', 'pass_mean_word_len',
+                 'pass_symbol_ratio', 'pass_alpha_ratio', 'pass_stopwords',
+                 'pass_all')}
+        for i, text in zip(batch[id_col], batch[text_col]):
+            text = text or ''
+            toks = _split_tokens(text)
+            n = len(toks)
+            total_len = sum(len(t) for t in toks)
+            symbols = text.count('#') + text.count('...')
+            alpha = sum(1 for t in toks
+                        if any('a' <= c <= 'z' or 'A' <= c <= 'Z'
+                               for c in t))
+            n_stop = len(stop.intersection(toks))
+            f_wc = int(min_words <= n <= max_words)
+            f_ml = int(n > 0 and 3 * n <= total_len <= 10 * n)
+            f_sy = int(10 * symbols <= n)
+            f_al = int(5 * alpha >= 4 * n)
+            f_st = int(n_stop >= 2)
+            rows[id_col].append(i)
+            rows['n_words'].append(n)
+            rows['pass_word_count'].append(f_wc)
+            rows['pass_mean_word_len'].append(f_ml)
+            rows['pass_symbol_ratio'].append(f_sy)
+            rows['pass_alpha_ratio'].append(f_al)
+            rows['pass_stopwords'].append(f_st)
+            rows['pass_all'].append(f_wc & f_ml & f_sy & f_al & f_st)
+        out = pd.DataFrame(rows)
+        for c in out.columns:
+            if c != id_col:
+                out[c] = out[c].astype('int64')
+        return out
+
+    return docs_ds.map_batches(flags, batch_format='pandas',
+                               batch_size=AGG_BATCH_SIZE)
+
+
 def perplexity_buckets(docs_ds, id_col: str = 'doc_id',
                        text_col: str = 'text'):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): per-document
