@@ -193,6 +193,29 @@ def cross_entropy_rows(logits: Var, targets: np.ndarray) -> Var:
     return Var(loss, (logits,), bw)
 
 
+def cross_entropy_tokens(logits: Var, targets: np.ndarray,
+                         valid: np.ndarray) -> Var:
+    """Mean CE over VALID token positions: logits (B,T,C), targets (B,T)
+    class ids (ignored where ``valid`` is 0), valid (B,T) of 0/1."""
+    x = logits.v - logits.v.max(-1, keepdims=True)
+    e = np.exp(x)
+    p = e / e.sum(-1, keepdims=True)
+    v = valid.astype(bool)
+    n = max(int(v.sum()), 1)
+    tgt = np.where(v, targets, 0)
+    b_idx, t_idx = np.nonzero(v)
+    loss = -np.sum(np.log(np.maximum(
+        p[b_idx, t_idx, tgt[b_idx, t_idx]], 1e-30))) / n
+
+    def bw(go):
+        g = p.copy()
+        np.subtract.at(g, (b_idx, t_idx, tgt[b_idx, t_idx]), 1.0)
+        g *= v[:, :, None]
+        return (go * g / n,)
+
+    return Var(loss, (logits,), bw)
+
+
 def backward(out: Var):
     """Reverse-topological accumulation from a scalar output."""
     order: List[Var] = []

@@ -143,3 +143,133 @@ def recall_at_k(model: TinyTransformer, queries: Sequence[str],
         if g in {ents[j] for j in top}:
             hits += 1
     return hits / max(len(golds), 1)
+
+
+# --- token classification (mention-detection lifecycle, ST3) ----------------
+
+def _ids_for_tokens(tokens: Sequence[str], vocab: int) -> List[int]:
+    """Per-token hash ids — the same mapping _token_ids applies to the
+    whitespace-split words of a text."""
+    from .hashing import stable_hash64
+    return [2 + stable_hash64((t or '').lower()) % (vocab - 2)
+            for t in tokens]
+
+
+def _encode_tokens(model: TinyTransformer, ps, layers,
+                   token_seqs: Sequence[Sequence[str]]):
+    """Autodiff twin of the transformer trunk WITHOUT pooling: returns the
+    (B, T, D) per-token states plus the pad mask — the
+    token-classification forward (reference MD model: roberta token
+    classifier, mention_detection/model.py:13-57). The head reads the
+    final hidden state PLUS an embedding skip (x_t + tok_emb[id_t]): the
+    seeded trunk adds unit-scale sinusoidal positions to 0.05-scale token
+    embeddings and layer-norms twice per block, which washes token
+    identity out of the linear readout (61% head-only separability
+    measured); the skip restores identity and its gradient path while the
+    trunk still trains end-to-end through both branches."""
+    seqs = [_ids_for_tokens(t, model.vocab) or [1] for t in token_seqs]
+    ids, mask = model._pad(seqs)
+    b, t = ids.shape
+    h, dh = model.n_heads, model.dim // model.n_heads
+    x = ad.add_const(ad.gather_rows(ps['tok_emb'], ids), model.pos[:t])
+    neg = (1.0 - mask)[:, None, None, :] * -1e9
+    for lv in layers:
+        def heads(m):
+            return ad.transpose(ad.reshape(m, (b, t, h, dh)), (0, 2, 1, 3))
+        q = heads(ad.matmul(x, lv['wq']))
+        k = heads(ad.matmul(x, lv['wk']))
+        v = heads(ad.matmul(x, lv['wv']))
+        att = ad.softmax_last(ad.add_const(
+            ad.scale(ad.matmul(q, ad.transpose(k, (0, 1, 3, 2))),
+                     1.0 / np.sqrt(dh)), neg))
+        ctx = ad.reshape(ad.transpose(ad.matmul(att, v), (0, 2, 1, 3)),
+                         (b, t, model.dim))
+        x = ad.layer_norm(ad.add(x, ad.matmul(ctx, lv['wo'])),
+                          lv['g1'], lv['b1'])
+        x = ad.layer_norm(
+            ad.add(x, ad.matmul(ad.gelu(ad.matmul(x, lv['w1'])), lv['w2'])),
+            lv['g2'], lv['b2'])
+    x = ad.add(x, ad.gather_rows(ps['tok_emb'], ids))   # embedding skip
+    return x, mask
+
+
+class TokenClassifier:
+    """Trained mention-detection head: transformer trunk + (D, 2) readout.
+    ``predict_batch(token_lists)`` → 0/1 subject-token tags per position —
+    the inference object a map_batches actor holds (model state in
+    __init__, batched forward per call), mirroring the reference's MD
+    inference (mention_detection/__init__.py:90-101)."""
+
+    def __init__(self, model: TinyTransformer, head: np.ndarray):
+        self.model, self.head = model, head
+
+    def predict_batch(self, token_seqs: Sequence[Sequence[str]]):
+        seqs = [_ids_for_tokens(t, self.model.vocab) or [1]
+                for t in token_seqs]
+        ids, mask = self.model._pad(seqs)
+        x = self.model.forward(ids, mask) + self.model.tok_emb[ids]
+        logits = x @ self.head
+        pred = (logits[:, :, 1] > logits[:, :, 0]).astype(np.int64)
+        return [list(pred[i, :int(mask[i].sum())]) for i in range(len(seqs))]
+
+
+def train_token_classifier(model: TinyTransformer,
+                           chunks: Sequence[Tuple[Sequence[str], Sequence[int]]],
+                           epochs: int = 8, batch_size: int = 16,
+                           lr: float = 3e-3, seed: int = 13):
+    """Fine-tune trunk + fresh head END-TO-END on (tokens, labels) chunks
+    with masked token cross-entropy — the numpy analogue of the
+    reference's two-stage MD fine-tune (HF Trainer,
+    mention_detection/__init__.py:17-49). Labels: 1 = subject token,
+    0 = other, negative (IGNORE/NO_ENTITY sentinels) = masked out.
+    Returns (TokenClassifier, per-epoch loss history); deterministic for a
+    fixed seed."""
+    ps, layers = _params_of(model)
+    rng0 = np.random.RandomState(seed + 1)
+    head = ad.param(rng0.randn(model.dim, 2) / np.sqrt(model.dim))
+    ps['head'] = head
+    names = list(ps)
+    m = {n: np.zeros_like(ps[n].v) for n in names}
+    v = {n: np.zeros_like(ps[n].v) for n in names}
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    rng = np.random.RandomState(seed)
+    chunks = [(list(t), list(l)) for t, l in chunks if len(t)]
+    history: List[float] = []
+    step = 0
+    for _ in range(epochs):
+        order = rng.permutation(len(chunks))
+        losses = []
+        for s in range(0, len(chunks), batch_size):
+            idx = order[s:s + batch_size]
+            if not len(idx):
+                continue
+            batch = [chunks[i] for i in idx]
+            toks = [t for t, _ in batch]
+            x, mask = _encode_tokens(model, ps, layers, toks)
+            t_max = mask.shape[1]
+            tgt = np.zeros(mask.shape, dtype=np.int64)
+            val = np.zeros(mask.shape, dtype=np.float64)
+            for bi, (_, labels) in enumerate(batch):
+                for ti, lab in enumerate(labels[:t_max]):
+                    if lab >= 0:
+                        tgt[bi, ti] = 1 if lab > 0 else 0
+                        val[bi, ti] = 1.0
+            val *= mask
+            if not val.any():
+                continue
+            logits = ad.matmul(x, head)
+            loss = ad.cross_entropy_tokens(logits, tgt, val)
+            ad.backward(loss)
+            step += 1
+            corr = np.sqrt(1 - b2 ** step) / (1 - b1 ** step)
+            for n in names:
+                g = ps[n].g
+                if g is None:
+                    continue
+                m[n] = b1 * m[n] + (1 - b1) * g
+                v[n] = b2 * v[n] + (1 - b2) * g * g
+                ps[n].v -= lr * corr * m[n] / (np.sqrt(v[n]) + eps)
+            losses.append(float(loss.v))
+        history.append(float(np.mean(losses)) if losses else float('nan'))
+    _write_back(model, ps, layers)
+    return TokenClassifier(model, head.v.copy()), history

@@ -148,3 +148,98 @@ def test_trained_matcher_beats_untrained_seam_on_val_f1(ray_session):
     assert again.threshold == trained.threshold
     assert again.predict(again.MODE_EVAL, val_ds) == \
         trained.predict(trained.MODE_EVAL, val_ds)
+
+
+def test_token_classifier_grad_matches_finite_differences():
+    from caligraph_ray.functions.train_transformer import _encode_tokens
+
+    model = _tiny()
+    ps, layers = _params_of(model)
+    rng0 = np.random.RandomState(1)
+    head = ad.param(rng0.randn(model.dim, 2) / np.sqrt(model.dim))
+    ps['head'] = head
+    toks = [['alpha', 'beta', 'gamma'], ['delta'], ['eps', 'zeta']]
+    tgt = np.array([[1, 0, 1], [0, 0, 0], [1, 0, 0]])
+    val = np.array([[1, 1, 0], [1, 0, 0], [1, 1, 0]], dtype=float)
+
+    def loss_of():
+        x, mask = _encode_tokens(model, ps, layers, toks)
+        return ad.cross_entropy_tokens(ad.matmul(x, head), tgt, val * mask)
+
+    loss = loss_of()
+    ad.backward(loss)
+    rng = np.random.RandomState(0)
+    eps = 1e-6
+    for name in ('head', 'tok_emb', 'l0.wv', 'l0.g2'):
+        p = ps[name]
+        flat, gflat = p.v.reshape(-1), p.g.reshape(-1)
+        for j in rng.choice(flat.size, size=4, replace=False):
+            orig = flat[j]
+            flat[j] = orig + eps
+            lp = float(loss_of().v)
+            flat[j] = orig - eps
+            lm = float(loss_of().v)
+            flat[j] = orig
+            fd = (lp - lm) / (2 * eps)
+            assert abs(fd - gflat[j]) <= 1e-5 + 1e-4 * abs(fd), (name, int(j))
+
+
+def _md_chunks(rng, n, subj_vocab, ctx_vocab):
+    """Synthetic MD chunks: subject tokens from one vocabulary, background
+    from another, first token an ignored context marker."""
+    chunks = []
+    for _ in range(n):
+        toks, labs = ['[CTX]'], [-1]
+        for _ in range(rng.randint(4, 9)):
+            if rng.rand() < 0.4:
+                toks.append(subj_vocab[rng.randint(len(subj_vocab))])
+                labs.append(1)
+            else:
+                toks.append(ctx_vocab[rng.randint(len(ctx_vocab))])
+                labs.append(0)
+        chunks.append((toks, labs))
+    return chunks
+
+
+def test_token_classifier_training_lifts_f1():
+    from caligraph_ray.functions.train_transformer import (
+        TokenClassifier, train_token_classifier)
+
+    rng = np.random.RandomState(11)
+    subj = [f'name{i}' for i in range(12)]
+    ctx = [f'word{i}' for i in range(12)]
+    train = _md_chunks(rng, 60, subj, ctx)
+    val = _md_chunks(rng, 20, subj, ctx)
+
+    def token_f1(clf):
+        tp = fp = fn = 0
+        preds = clf.predict_batch([t for t, _ in val])
+        for (toks, labs), pred in zip(val, preds):
+            for lab, pr in zip(labs, pred):
+                if lab < 0:
+                    continue
+                tp += int(lab == 1 and pr == 1)
+                fp += int(lab == 0 and pr == 1)
+                fn += int(lab == 1 and pr == 0)
+        return 2 * tp / max(2 * tp + fp + fn, 1)
+
+    base_model = TinyTransformer(dim=32, seed=13)
+    rng0 = np.random.RandomState(14)
+    untrained = TokenClassifier(
+        base_model, rng0.randn(32, 2) / np.sqrt(32))
+    f1_untrained = token_f1(untrained)
+
+    model = TinyTransformer(dim=32, seed=13)
+    clf, hist = train_token_classifier(model, train, epochs=10,
+                                       batch_size=16, seed=13)
+    assert hist[-1] < hist[0] * 0.5, hist
+    f1_trained = token_f1(clf)
+    assert f1_trained > f1_untrained, (f1_trained, f1_untrained)
+    assert f1_trained >= 0.9, f1_trained
+
+    # determinism
+    clf2, hist2 = train_token_classifier(TinyTransformer(dim=32, seed=13),
+                                         train, epochs=10, batch_size=16,
+                                         seed=13)
+    assert hist2 == hist
+    assert np.array_equal(clf2.head, clf.head)
