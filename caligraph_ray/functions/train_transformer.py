@@ -16,7 +16,7 @@ constructor-swap seam, stages/ed.py).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -273,3 +273,28 @@ def train_token_classifier(model: TinyTransformer,
         history.append(float(np.mean(losses)) if losses else float('nan'))
     _write_back(model, ps, layers)
     return TokenClassifier(model, head.v.copy()), history
+
+
+def snapshot_weights(model: TinyTransformer) -> dict:
+    """Plain-array state dict of a (trained) TinyTransformer — the object
+    to ``ray.put`` so every inference actor rebuilds the model once."""
+    return {'dim': model.dim, 'n_heads': model.n_heads,
+            'vocab': model.vocab, 'max_len': model.max_len,
+            'tok_emb': model.tok_emb.copy(),
+            'layers': [{k: np.asarray(v).copy() for k, v in L.items()}
+                       for L in model.layers]}
+
+
+def restore_weights(state: Optional[dict]) -> TinyTransformer:
+    """Rebuild a TinyTransformer from ``snapshot_weights`` output (None →
+    the default seeded model, the untrained seam)."""
+    if state is None:
+        return TinyTransformer(dim=32, seed=13)
+    ffn = state['layers'][0]['w1'].shape[1]
+    model = TinyTransformer(dim=state['dim'], n_heads=state['n_heads'],
+                            n_layers=len(state['layers']), ffn=ffn,
+                            vocab=state['vocab'],
+                            max_len=state['max_len'])
+    model.tok_emb = state['tok_emb']
+    model.layers = [dict(L) for L in state['layers']]
+    return model

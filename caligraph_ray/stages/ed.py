@@ -520,3 +520,41 @@ def link_mentions_scored_sharded(mentions_ds, names_ds, k: int = 4,
     return mentions_ds.map_batches(ShardedScoredLinker, batch_format='pandas',
                                    batch_size=AGG_BATCH_SIZE,
                                    concurrency=_pool_size())
+
+
+def md_predict_tokens(items_ds, model_weights=None, head=None,
+                      tokens_col: str = 'tokens',
+                      out_col: str = 'md_tags', concurrency=None):
+    """Distributed mention-detection inference with the TRAINED token
+    classifier (the GPU-batch-inference slot of the reference,
+    mention_detection/__init__.py:90-101, PREDICTION_BATCH_SIZE=500):
+    an actor pool whose workers rebuild the TokenClassifier ONCE in
+    ``__init__`` from the broadcast trained weights (``model_weights`` =
+    the TinyTransformer state dict from ``snapshot_weights``; ``head`` =
+    the trained (D, 2) readout) and tag every item's tokens per batch.
+    Adds ``out_col``: list<int64> of 0/1 subject-token tags per row."""
+    import ray as _ray
+
+    from ..functions.train_transformer import (TokenClassifier,
+                                               restore_weights)
+    ref = _ray.put((model_weights, head))
+
+    class MdTagger:
+        def __init__(self):
+            from ..state.broadcast import get_broadcast
+            weights, hd = get_broadcast(ref)
+            model = restore_weights(weights)
+            if hd is None:   # untrained seam: seeded readout
+                rng = np.random.RandomState(14)
+                hd = rng.randn(model.dim, 2) / np.sqrt(model.dim)
+            self.clf = TokenClassifier(model, np.asarray(hd))
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.copy()
+            out[out_col] = self.clf.predict_batch(
+                [list(t) for t in batch[tokens_col]])
+            return out
+
+    return items_ds.map_batches(MdTagger, batch_format='pandas',
+                                batch_size=500,
+                                concurrency=concurrency or _pool_size())

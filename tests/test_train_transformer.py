@@ -243,3 +243,38 @@ def test_token_classifier_training_lifts_f1():
                                          seed=13)
     assert hist2 == hist
     assert np.array_equal(clf2.head, clf.head)
+
+
+def test_md_predict_tokens_distributed_matches_local(ray_session):
+    import pandas as pd
+    import ray
+
+    from caligraph_ray.functions.train_transformer import (
+        TokenClassifier, restore_weights, snapshot_weights,
+        train_token_classifier)
+    from caligraph_ray.stages.ed import md_predict_tokens
+
+    rng = np.random.RandomState(11)
+    subj = [f'name{i}' for i in range(12)]
+    ctx = [f'word{i}' for i in range(12)]
+    train = _md_chunks(rng, 40, subj, ctx)
+    clf, _ = train_token_classifier(TinyTransformer(dim=32, seed=13),
+                                    train, epochs=6, seed=13)
+
+    items = _md_chunks(rng, 25, subj, ctx)
+    df = pd.DataFrame({'item_id': np.arange(25, dtype='int64'),
+                       'tokens': [t for t, _ in items]})
+    out = md_predict_tokens(ray.data.from_pandas(df).repartition(3),
+                            model_weights=snapshot_weights(clf.model),
+                            head=clf.head).to_pandas()
+    got = {int(r['item_id']): list(r['md_tags'])
+           for _, r in out.iterrows()}
+    want = {i: pred for i, pred in
+            enumerate(clf.predict_batch([t for t, _ in items]))}
+    assert got == want
+
+    # weight snapshot round-trip is exact
+    rt = restore_weights(snapshot_weights(clf.model))
+    assert np.array_equal(rt.tok_emb, clf.model.tok_emb)
+    assert all(np.array_equal(a[k], b[k]) for a, b in
+               zip(rt.layers, clf.model.layers) for k in a)
