@@ -278,3 +278,47 @@ def test_md_predict_tokens_distributed_matches_local(ray_session):
     assert np.array_equal(rt.tok_emb, clf.model.tok_emb)
     assert all(np.array_equal(a[k], b[k]) for a, b in
                zip(rt.layers, clf.model.layers) for k in a)
+
+
+def test_crossencoder_training_separates_pairs():
+    from caligraph_ray.functions.tiny_transformer import TransformerCrossScorer
+    from caligraph_ray.functions.train_transformer import (
+        TrainedCrossScorer, train_crossencoder)
+
+    train_pairs, val_pairs = _synonym_split()
+    rng = np.random.RandomState(3)
+
+    def with_negatives(pairs):
+        out = []
+        ents = [e for _, e in pairs]
+        for i, (m, e) in enumerate(pairs):
+            out.append((m, e, 1))
+            j = (i + 1 + rng.randint(len(pairs) - 1)) % len(pairs)
+            out.append((m, ents[j], 0))
+        return out
+
+    train = with_negatives(train_pairs)
+    val = with_negatives(val_pairs)
+
+    def accuracy(score_pair):
+        ok = 0
+        for m, e, lab in val:
+            ok += int((score_pair(m, e) >= 0.5) == bool(lab))
+        return ok / len(val)
+
+    untrained = TransformerCrossScorer(dim=32, seed=13)
+    acc_untrained = accuracy(untrained.score_pair)
+
+    scorer, hist = train_crossencoder(TinyTransformer(dim=32, seed=13),
+                                      train, epochs=12, batch_size=16,
+                                      seed=13)
+    assert hist[-1] < hist[0] * 0.5, hist
+    acc_trained = accuracy(scorer.score_pair)
+    assert acc_trained > acc_untrained, (acc_trained, acc_untrained)
+    assert acc_trained >= 0.8, acc_trained
+
+    # deterministic
+    scorer2, hist2 = train_crossencoder(TinyTransformer(dim=32, seed=13),
+                                        train, epochs=12, batch_size=16,
+                                        seed=13)
+    assert hist2 == hist and np.array_equal(scorer2.head, scorer.head)
