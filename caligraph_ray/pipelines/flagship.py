@@ -66,7 +66,7 @@ def _cats_of(t: pa.Table) -> pa.Table:
     return t.select(['url', 'page_id', 'cat_name'])
 
 
-def _scored_linked(mentions):
+def _scored_linked(mentions, embedder_factory=None, reranker_factory=None):
     """Scored-ED linking with a MEASURED entity-name-dim budget: the
     distinct non-empty wikilink-target names are computed distributed
     (two-phase distinct — one partial-combine exchange); only when the
@@ -88,12 +88,16 @@ def _scored_linked(mentions):
         .materialize()
     if names_ds.count() <= config.SCORED_NAME_LIMIT:
         ent_names = sorted(collect_pandas(names_ds)['name'])
-        return link_mentions_scored(mentions, ent_names), ent_names
+        return link_mentions_scored(
+            mentions, ent_names, embedder_factory=embedder_factory,
+            reranker_factory=reranker_factory), ent_names
     import logging
     logging.getLogger('caligraph_ray.flagship').warning(
         'scored-ED entity-name dim over budget (> %d); linking against '
         'object-store name shards', config.SCORED_NAME_LIMIT)
-    return link_mentions_scored_sharded(mentions, names_ds), None
+    return link_mentions_scored_sharded(
+        mentions, names_ds, embedder_factory=embedder_factory,
+        reranker_factory=reranker_factory), None
 
 
 def run_flagship(pages_ds, out_dir: Optional[str] = None,
@@ -103,7 +107,8 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
                  concurrency: Optional[int] = None, linking: str = 'auto',
                  redirects_ds=None, canon: str = 'auto',
                  surface_budget: Optional[int] = None,
-                 markup: str = 'html'):
+                 markup: str = 'html', embedder_factory=None,
+                 reranker_factory=None):
     """pages Dataset (F1 schema) → deduped, sorted triples Dataset.
 
     ``linking``: 'broadcast' (index collected + ray.put once — fastest while
@@ -147,7 +152,12 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
     use_join = linking == 'join' or (linking == 'auto'
                                      and n_mentions > ALIAS_BROADCAST_LIMIT)
     if linking == 'scored':
-        linked, ent_names = _scored_linked(mentions)
+        # the constructor-swap seam reaches the full pipeline: pass
+        # factories returning TRAINED models (functions/train_transformer)
+        # and the whole KG build runs on learned weights
+        linked, ent_names = _scored_linked(
+            mentions, embedder_factory=embedder_factory,
+            reranker_factory=reranker_factory)
         linked = linked.materialize()
     elif use_join:
         linked = link_mentions_join(mentions).materialize()

@@ -322,3 +322,40 @@ def test_crossencoder_training_separates_pairs():
                                         train, epochs=12, batch_size=16,
                                         seed=13)
     assert hist2 == hist and np.array_equal(scorer2.head, scorer.head)
+
+
+def test_flagship_runs_on_trained_models(ray_session, small_corpus):
+    """The full KG pipeline on LEARNED weights: train the bi-encoder on
+    the corpus's own wikilink supervision, drop it through run_flagship's
+    factory seams, and verify the scored pipeline still produces the
+    deterministic triple set (wikilinked mentions bypass scoring, so
+    triples from linked mentions are invariant to the model swap)."""
+    import ray
+
+    from caligraph_ray.pipelines.flagship import run_flagship
+    from caligraph_ray.pipelines.matcher import (BiEncoderCosineReranker,
+                                                 BiEncoderEmbedder)
+    from caligraph_ray.functions.train_transformer import train_biencoder
+    from caligraph_ray.stages.alias import explode_mentions
+    from caligraph_ray.stages.html_extract import items_view, parse_pages
+
+    pages = ray.data.from_arrow(small_corpus)
+    m = explode_mentions(items_view(parse_pages(pages))).to_pandas()
+    m = m[m['name'].notna() & (m['label'] != '')]
+    pairs = list(zip(m['label'].head(64), m['name'].head(64)))
+
+    model = TinyTransformer(dim=32, seed=13)
+    train_biencoder(model, pairs, epochs=2, batch_size=16, seed=13)
+
+    trained = run_flagship(
+        ray.data.from_arrow(small_corpus), linking='scored',
+        embedder_factory=lambda: BiEncoderEmbedder(model),
+        reranker_factory=lambda: BiEncoderCosineReranker(model)).to_pandas()
+    base = run_flagship(ray.data.from_arrow(small_corpus),
+                        linking='scored').to_pandas()
+    assert len(trained) > 0
+    key = lambda d: set(map(tuple, d[['subj', 'pred', 'obj']]
+                            .itertuples(index=False)))
+    linked_base = {t for t in key(base) if not t[0].startswith('NE_')}
+    linked_trained = {t for t in key(trained) if not t[0].startswith('NE_')}
+    assert linked_base == linked_trained
