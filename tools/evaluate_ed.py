@@ -35,11 +35,18 @@ def main():
                     help='me=<comma list>: sweep the mention-entity '
                          'threshold through the flagship instead')
     ap.add_argument('--matcher', default=None,
-                    help='trainable matcher name (e.g. "scored"): build a '
-                         'wikilink-supervised mention corpus from the sf '
-                         'dir, 60/20/20 split, train (entity dim + '
-                         'threshold) and report train vs val vs test ME '
-                         'metrics (reference matcher.py:29-42 contract)')
+                    help='trainable matcher name (e.g. "scored", '
+                         '"scored-trained"): build a wikilink-supervised '
+                         'mention corpus from the sf dir, 60/20/20 split, '
+                         'train (entity dim + threshold; scored-trained '
+                         'also gradient-fine-tunes the bi-encoder) and '
+                         'report train vs val vs test ME metrics '
+                         '(reference matcher.py:29-42 contract)')
+    ap.add_argument('--matcher-params', default=None,
+                    help='comma list of k=v hyperparameters for the '
+                         'matcher (ints/floats parsed), e.g. '
+                         '"epochs=4,dim=32,lr=0.003" — the reference '
+                         'tune_entity_disambiguation arg surface')
     ap.add_argument('--num-cpus', type=int, default=8)
     args = ap.parse_args()
 
@@ -57,7 +64,18 @@ def main():
         train, val, test = corpus.random_shuffle(seed=42) \
             .split_proportionately([0.6, 0.2])
         train, val, test = (d.materialize() for d in (train, val, test))
-        matcher = make_trainable_matcher(args.matcher)
+        params = {}
+        if args.matcher_params:
+            for kv in args.matcher_params.split(','):
+                k, _, v = kv.partition('=')
+                try:
+                    params[k.strip()] = int(v)
+                except ValueError:
+                    try:
+                        params[k.strip()] = float(v)
+                    except ValueError:
+                        params[k.strip()] = v
+        matcher = make_trainable_matcher(args.matcher, **params)
         report = matcher.train(train, eval_on_train=True)
         report[matcher.MODE_EVAL] = matcher._evaluate(matcher.MODE_EVAL, val)
         report.update(matcher.test(test))
