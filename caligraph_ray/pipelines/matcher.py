@@ -254,16 +254,20 @@ class TrainedBiEncoderMatcher(ThresholdedScoredMatcher):
         d.update({'dim': self.dim, 'ep': self.epochs})
         return d
 
-    def _train_model(self, train_corpus) -> None:
+    def _train_pairs(self, train_corpus) -> List:
+        """(label, gold) pairs from the train split — small by the
+        module-doc corpus contract; the collect mirrors the reference
+        pulling its training alignment to the GPU."""
+        from ..stages.relational import collect_pandas
+        df = collect_pandas(train_corpus.select_columns(['label', 'gold']))
+        return [(str(a), str(b)) for a, b in zip(df['label'], df['gold'])
+                if a and b]
+
+    def _fit_encoders(self, train_corpus) -> None:
         from ..functions.tiny_transformer import TinyTransformer
         from ..functions.train_transformer import train_biencoder
-        from ..stages.relational import collect_pandas
 
-        # corpora are small by the module-doc contract; the pair collect
-        # mirrors the reference pulling its training alignment to the GPU
-        df = collect_pandas(train_corpus.select_columns(['label', 'gold']))
-        pairs = [(str(a), str(b)) for a, b in zip(df['label'], df['gold'])
-                 if a and b]
+        pairs = self._train_pairs(train_corpus)
         self.model = TinyTransformer(dim=self.dim, seed=self.seed)
         self.loss_history = train_biencoder(
             self.model, pairs, epochs=self.epochs,
@@ -272,4 +276,50 @@ class TrainedBiEncoderMatcher(ThresholdedScoredMatcher):
         model = self.model   # closure ships the trained weights per actor
         self.embedder_factory = lambda: BiEncoderEmbedder(model)
         self.reranker_factory = lambda: BiEncoderCosineReranker(model)
+
+    def _train_model(self, train_corpus) -> None:
+        self._fit_encoders(train_corpus)
         super()._train_model(train_corpus)
+
+
+class TrainedCrossBiMatcher(TrainedBiEncoderMatcher):
+    """The reference's COMPLETE ED training recipe
+    (entity_disambiguation/__init__.py:15-89: train bi-encoder for
+    candidates, train cross-encoder for rerank): on top of the parent's
+    bi-encoder fine-tune, a SECOND TinyTransformer fine-tunes as a pair
+    classifier (train_crossencoder) on the train split's gold pairs plus
+    seeded shuffled negatives, and serves as the reranker through the
+    factory seam. Deterministic for a fixed seed."""
+
+    def __init__(self, matcher_id: str = 'scored-trained-ce',
+                 ce_epochs: int = 8, **kw):
+        super().__init__(matcher_id, **kw)
+        self.ce_epochs = ce_epochs
+        self.ce_model = None
+        self.ce_loss_history: List[float] = []
+
+    def _get_param_dict(self) -> dict:
+        d = super()._get_param_dict()
+        d['ce_ep'] = self.ce_epochs
+        return d
+
+    def _fit_encoders(self, train_corpus) -> None:
+        from ..functions.tiny_transformer import TinyTransformer
+        from ..functions.train_transformer import train_crossencoder
+
+        super()._fit_encoders(train_corpus)   # bi-encoder + embed factory
+        pairs = self._train_pairs(train_corpus)
+        rng = np.random.RandomState(self.seed + 7)
+        golds = [e for _, e in pairs]
+        triples = []
+        for i, (m, e) in enumerate(pairs):
+            triples.append((m, e, 1))
+            if len(pairs) > 1:
+                j = (i + 1 + rng.randint(len(pairs) - 1)) % len(pairs)
+                if golds[j] != e:
+                    triples.append((m, golds[j], 0))
+        self.ce_model = TinyTransformer(dim=self.dim, seed=self.seed + 1)
+        scorer, self.ce_loss_history = train_crossencoder(
+            self.ce_model, triples, epochs=self.ce_epochs,
+            batch_size=self.batch_size, lr=self.lr, seed=self.seed)
+        self.reranker_factory = lambda: scorer

@@ -123,9 +123,11 @@ def _register_builtin():
         from ..stages.ed import link_mentions_scored
         return link_mentions_scored(mentions, list(entity_labels), **kw)
 
-    from .matcher import ThresholdedScoredMatcher, TrainedBiEncoderMatcher
+    from .matcher import (ThresholdedScoredMatcher, TrainedBiEncoderMatcher,
+                          TrainedCrossBiMatcher)
     register_trainable_matcher('scored')(ThresholdedScoredMatcher)
     register_trainable_matcher('scored-trained')(TrainedBiEncoderMatcher)
+    register_trainable_matcher('scored-trained-ce')(TrainedCrossBiMatcher)
 
 
 _register_builtin()

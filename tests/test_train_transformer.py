@@ -359,3 +359,41 @@ def test_flagship_runs_on_trained_models(ray_session, small_corpus):
     linked_base = {t for t in key(base) if not t[0].startswith('NE_')}
     linked_trained = {t for t in key(trained) if not t[0].startswith('NE_')}
     assert linked_base == linked_trained
+
+
+def test_crossbi_matcher_trains_both_encoders(ray_session):
+    import pandas as pd
+    import ray
+
+    from caligraph_ray.functions.train_transformer import TrainedCrossScorer
+    from caligraph_ray.pipelines.matcher import TrainedCrossBiMatcher
+    from caligraph_ray.pipelines.registry import make_trainable_matcher
+
+    train, val = _synonym_split()
+
+    def corpus_of(pairs, base_uid):
+        return ray.data.from_pandas(pd.DataFrame({
+            'mention_uid': np.arange(base_uid, base_uid + len(pairs)),
+            'label': [m for m, _ in pairs],
+            'gold': [e for _, e in pairs]}))
+
+    train_ds = corpus_of(train, 0).materialize()
+    val_ds = corpus_of(val, 1000).materialize()
+    ents = sorted({e for _, e in train} | {e for _, e in val})
+
+    m = make_trainable_matcher('scored-trained-ce', entity_labels=ents,
+                               epochs=12, ce_epochs=12, batch_size=16)
+    assert isinstance(m, TrainedCrossBiMatcher)
+    m.train(train_ds)
+    assert isinstance(m.reranker_factory(), TrainedCrossScorer)
+    assert m.ce_loss_history[-1] < m.ce_loss_history[0] * 0.5
+    assert m.loss_history[-1] < m.loss_history[0] * 0.5
+    f1 = m._evaluate(m.MODE_EVAL, val_ds)['metrics']['f1']
+    assert f1 > 0.3, f1
+
+    again = make_trainable_matcher('scored-trained-ce', entity_labels=ents,
+                                   epochs=12, ce_epochs=12, batch_size=16)
+    again.train(train_ds)
+    assert again.threshold == m.threshold
+    assert again.predict(again.MODE_EVAL, val_ds) == \
+        m.predict(m.MODE_EVAL, val_ds)
