@@ -194,7 +194,9 @@ def q_priority_lineitem_revenue(sf_dir: str):
 
     j = rel.shuffle_join(li.map_batches(to_cents, batch_format='pandas'),
                          orders, left_on='l_orderkey',
-                         right_on='o_orderkey', how='inner')
+                         right_on='o_orderkey', how='inner',
+                         right_hint='fact')   # orders is fact-sized: skip
+    # the gate's measuring materialization (it would never broadcast)
     out = rel.collect_pandas(rel.two_phase_pandas_agg(
         j, ['o_orderpriority'],
         {'n_items': (None, 'count'), 'revenue_cents': ('cents', 'sum')}))
