@@ -52,7 +52,9 @@ def category_statistics(membership_ds, facts_ds):
     member_counts = {r['cat_name']: int(r['cnt'])
                      for r in collect_rows(two_phase_count(membership_ds, ['cat_name'], 'cnt'))}
 
-    joined = shuffle_join(membership_ds, facts_ds, 'member', 'subj', how='inner')
+    # facts is triple-scale: skip the gate's measuring materialization
+    joined = shuffle_join(membership_ds, facts_ds, 'member', 'subj',
+                          how='inner', right_hint='fact')
 
     def to_kind(batch: pd.DataFrame) -> pd.DataFrame:
         # literal-valued props STAY in the stats: the reference mines

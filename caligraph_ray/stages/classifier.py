@@ -103,7 +103,9 @@ def train_quality_classifier(docs_ds, label_fn=None,
 
     q = quality_scores(docs_ds)
     r = repetition_stats(docs_ds)
-    feats = shuffle_join(q, r, left_on='doc_id', right_on='doc_id')
+    # both sides are doc-scale: skip the gate's measuring materialization
+    feats = shuffle_join(q, r, left_on='doc_id', right_on='doc_id',
+                         right_hint='fact')
     cols = ['n_tokens', 'n_uniq_tokens', 'avg_token_len', 'stopword_ratio',
             'top_bigram_frac', 'dup_5gram_frac']
     if label_fn is None:
