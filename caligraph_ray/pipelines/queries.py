@@ -2656,6 +2656,31 @@ FROM toks t JOIN lp ON t.tok = lp.tok GROUP BY t.doc_id
 """
 
 
+_BLOCKLIST_TERMS = ('slow', 'drop', 'kill', 'crash')
+
+
+def q_blocklist_flags(sf_dir: str):
+    """C4-style blocklist flags (token-exact counts against a broadcast
+    term set — stand-in terms; the real bad-words list is a drop-in)."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    out = rel.collect_pandas(ts.blocklist_flags(docs, _BLOCKLIST_TERMS))
+    out = out.astype({'doc_id': 'int64', 'n_blocked': 'int64',
+                      'blocked': 'int64'})
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
+_BLOCKLIST_SQL_SET = ', '.join(f"'{t}'" for t in _BLOCKLIST_TERMS)
+SQL_BLOCKLIST_FLAGS = f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+            x -> x IN ({_BLOCKLIST_SQL_SET}))) AS BIGINT) AS n_blocked,
+       CAST(CASE WHEN len(list_filter(string_split(text, ' '),
+            x -> x IN ({_BLOCKLIST_SQL_SET}))) > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS blocked
+FROM documents
+"""
+
+
 def q_gopher_quality_flags(sf_dir: str):
     """Gopher rule-suite quality flags (Rae et al. 2021 §A1.1) — every
     rule an integer cross-multiplication, replayed exactly in SQL."""
@@ -3606,6 +3631,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'importance_weights': q_importance_weights,
     'perplexity_buckets': q_perplexity_buckets,
     'gopher_quality_flags': q_gopher_quality_flags,
+    'blocklist_flags': q_blocklist_flags,
     'tfidf_top_terms': q_tfidf_top_terms,
     'passage_chunks': q_passage_chunks,
     'mixture_sample_docs': q_mixture_sample_docs,
@@ -3706,6 +3732,7 @@ ORACLES: Dict[str, str] = {
     'perplexity_buckets': SQL_PERPLEXITY_BUCKETS.format(
         unigram_lp=SQL_UNIGRAM_LP),
     'gopher_quality_flags': SQL_GOPHER_FLAGS,
+    'blocklist_flags': SQL_BLOCKLIST_FLAGS,
     'tfidf_top_terms': _sql_tfidf_top_terms(),
     'passage_chunks': _sql_passage_chunks(),
     'mixture_sample_docs': SQL_MIXTURE_SAMPLE,

@@ -490,6 +490,30 @@ def importance_weights(docs_ds, target_docs_ds, id_col: str = 'doc_id',
                                batch_size=AGG_BATCH_SIZE)
 
 
+def blocklist_flags(docs_ds, terms: Sequence[str],
+                    id_col: str = 'doc_id', text_col: str = 'text'):
+    """C4-style blocklist filter (Raffel et al. 2020 'bad words' rule):
+    per document, the count of TOKEN matches against a blocklist and the
+    drop flag (any match). Token-exact matching (the module's
+    whitespace-token contract) so any engine replays the counts; the real
+    deployment swaps in the full published list — the operator is the
+    same broadcast set + one stateless pass at any list size."""
+    block = frozenset(terms)
+
+    def flags(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, counts = [], []
+        for i, text in zip(batch[id_col], batch[text_col]):
+            toks = _split_tokens(text)
+            ids.append(i)
+            counts.append(sum(1 for t in toks if t in block))
+        n = pd.Series(counts, dtype='int64')
+        return pd.DataFrame({id_col: ids, 'n_blocked': n,
+                             'blocked': (n > 0).astype('int64')})
+
+    return docs_ds.map_batches(flags, batch_format='pandas',
+                               batch_size=AGG_BATCH_SIZE)
+
+
 _GOPHER_STOPWORDS = ('the', 'be', 'to', 'of', 'and', 'that', 'have',
                      'with')
 
