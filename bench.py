@@ -149,6 +149,7 @@ def run_benchmarks() -> dict:
     timed('perplexity_buckets', lambda: Q.q_perplexity_buckets(SF_DIR))
     timed('bloom_user_bits', lambda: Q.q_bloom_user_bits(SF_DIR))
     timed('gopher_quality_flags', lambda: Q.q_gopher_quality_flags(SF_DIR))
+    timed('blocklist_flags', lambda: Q.q_blocklist_flags(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

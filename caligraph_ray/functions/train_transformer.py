@@ -453,3 +453,38 @@ def train_crossencoder(model: TinyTransformer,
         history.append(float(np.mean(losses)) if losses else float('nan'))
     _write_back(model, ps, layers)
     return TrainedCrossScorer(model, head.v.copy()), history
+
+
+def save_weights(model: TinyTransformer, path: str,
+                 head: Optional[np.ndarray] = None) -> None:
+    """Persist a trained model (and optional task head) as one .npz —
+    the stage-cache analogue of the reference's trained-model caches
+    (config.yaml model registry): train once, reload in later runs."""
+    state = snapshot_weights(model)
+    arrays = {'tok_emb': state['tok_emb'],
+              'meta': np.array([state['dim'], state['n_heads'],
+                                state['vocab'], state['max_len']],
+                               dtype=np.int64)}
+    for li, L in enumerate(state['layers']):
+        for k, v in L.items():
+            arrays[f'l{li}.{k}'] = v
+    if head is not None:
+        arrays['head'] = np.asarray(head)
+    np.savez(path, **arrays)
+
+
+def load_weights(path: str):
+    """(TinyTransformer, head-or-None) from ``save_weights`` output."""
+    with np.load(path) as z:
+        dim, n_heads, vocab, max_len = (int(x) for x in z['meta'])
+        layers = []
+        li = 0
+        while f'l{li}.wq' in z:
+            layers.append({k: z[f'l{li}.{k}']
+                           for k in _MAT_KEYS + _LN_KEYS})
+            li += 1
+        state = {'dim': dim, 'n_heads': n_heads, 'vocab': vocab,
+                 'max_len': max_len, 'tok_emb': z['tok_emb'],
+                 'layers': layers}
+        head = z['head'] if 'head' in z else None
+        return restore_weights(state), head

@@ -397,3 +397,24 @@ def test_crossbi_matcher_trains_both_encoders(ray_session):
     assert again.threshold == m.threshold
     assert again.predict(again.MODE_EVAL, val_ds) == \
         m.predict(m.MODE_EVAL, val_ds)
+
+
+def test_weight_persistence_round_trip(tmp_path):
+    from caligraph_ray.functions.train_transformer import (load_weights,
+                                                           save_weights,
+                                                           train_biencoder)
+
+    model = TinyTransformer(dim=16, n_heads=2, n_layers=2, ffn=32,
+                            vocab=256, max_len=8, seed=5)
+    train_biencoder(model, [('a b', 'c d'), ('e f', 'g h'),
+                            ('i j', 'k l')], epochs=1, batch_size=3)
+    head = np.random.RandomState(0).randn(16, 2)
+    p = str(tmp_path / 'model.npz')
+    save_weights(model, p, head=head)
+    rt, rt_head = load_weights(p)
+    assert np.array_equal(rt.tok_emb, model.tok_emb)
+    assert all(np.array_equal(a[k], b[k])
+               for a, b in zip(rt.layers, model.layers) for k in a)
+    assert np.array_equal(rt_head, head)
+    texts = ['a b c', 'k l']
+    assert np.array_equal(rt.encode_batch(texts), model.encode_batch(texts))
