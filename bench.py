@@ -150,6 +150,8 @@ def run_benchmarks() -> dict:
     timed('bloom_user_bits', lambda: Q.q_bloom_user_bits(SF_DIR))
     timed('gopher_quality_flags', lambda: Q.q_gopher_quality_flags(SF_DIR))
     timed('blocklist_flags', lambda: Q.q_blocklist_flags(SF_DIR))
+    timed('hygiene_filtered_docs',
+          lambda: Q.q_hygiene_filtered_docs(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

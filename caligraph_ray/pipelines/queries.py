@@ -2681,6 +2681,43 @@ FROM documents
 """
 
 
+def q_hygiene_filtered_docs(sf_dir: str):
+    """Round-4 hygiene composite — the C4/Gopher/CCNet filter chain as ONE
+    operator: keep documents with at most 2 blocklist tokens, passing the
+    four corpus-applicable Gopher rules (word count, mean word length,
+    symbol ratio, alpha ratio — the stopword rule is vacuous on the
+    synthetic word-salad corpus: every doc has exactly one distinct
+    stopword), and CCNet's head/middle perplexity cut (tail dropped).
+    Signals are computed over the full corpus (independent one-pass maps
+    + the gated LM chain), intersected by two doc-keyed joins; hash-gated
+    END-TO-END by one CTE stack."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    bl = ts.blocklist_flags(docs, _BLOCKLIST_TERMS)
+    gf = ts.gopher_quality_flags(docs)
+    pb = ts.perplexity_buckets(docs)
+    j = rel.shuffle_join(bl, gf, left_on='doc_id', right_on='doc_id',
+                         how='inner', right_hint='fact')
+    j = rel.shuffle_join(j, pb, left_on='doc_id', right_on='doc_id',
+                         how='inner', right_hint='fact')
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[(df['n_blocked'] <= 2) & (df['pass_word_count'] == 1)
+                 & (df['pass_mean_word_len'] == 1)
+                 & (df['pass_symbol_ratio'] == 1)
+                 & (df['pass_alpha_ratio'] == 1)
+                 & (df['bucket'] != 'tail')]
+        return out[['doc_id', 'n_words', 'ppl_q', 'bucket']]
+
+    out = rel.collect_pandas(j.map_batches(keep, batch_format='pandas'))
+    cols = {'doc_id': 'int64', 'n_words': 'int64', 'ppl_q': 'int64'}
+    if out.empty:
+        out = pd.DataFrame({**{c: pd.Series(dtype=t)
+                               for c, t in cols.items()},
+                            'bucket': pd.Series(dtype=object)})
+    out = out.astype(cols)
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
 def q_gopher_quality_flags(sf_dir: str):
     """Gopher rule-suite quality flags (Rae et al. 2021 §A1.1) — every
     rule an integer cross-multiplication, replayed exactly in SQL."""
@@ -3632,6 +3669,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'perplexity_buckets': q_perplexity_buckets,
     'gopher_quality_flags': q_gopher_quality_flags,
     'blocklist_flags': q_blocklist_flags,
+    'hygiene_filtered_docs': q_hygiene_filtered_docs,
     'tfidf_top_terms': q_tfidf_top_terms,
     'passage_chunks': q_passage_chunks,
     'mixture_sample_docs': q_mixture_sample_docs,
@@ -3733,6 +3771,18 @@ ORACLES: Dict[str, str] = {
         unigram_lp=SQL_UNIGRAM_LP),
     'gopher_quality_flags': SQL_GOPHER_FLAGS,
     'blocklist_flags': SQL_BLOCKLIST_FLAGS,
+    'hygiene_filtered_docs': f"""
+WITH bl AS MATERIALIZED (SELECT * FROM ({SQL_BLOCKLIST_FLAGS})),
+gf AS MATERIALIZED (SELECT * FROM ({SQL_GOPHER_FLAGS})),
+pb AS MATERIALIZED (SELECT * FROM (
+    {SQL_PERPLEXITY_BUCKETS.format(unigram_lp=SQL_UNIGRAM_LP)}))
+SELECT bl.doc_id, gf.n_words, pb.ppl_q, pb.bucket
+FROM bl JOIN gf ON gf.doc_id = bl.doc_id
+JOIN pb ON pb.doc_id = bl.doc_id
+WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
+  AND gf.pass_mean_word_len = 1 AND gf.pass_symbol_ratio = 1
+  AND gf.pass_alpha_ratio = 1 AND pb.bucket <> 'tail'
+""",
     'tfidf_top_terms': _sql_tfidf_top_terms(),
     'passage_chunks': _sql_passage_chunks(),
     'mixture_sample_docs': SQL_MIXTURE_SAMPLE,
