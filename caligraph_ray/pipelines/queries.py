@@ -2037,6 +2037,55 @@ FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) i
 """
 
 
+def q_user_communities(sf_dir: str):
+    """Label-propagation communities (Raghavan et al. 2007, bounded
+    synchronous rounds with ties → smallest label) over the same star
+    graph as user_components; the oracle replays every round as a chained
+    mode-argmax CTE."""
+    from ..stages.graph import label_propagation, undirected_edges
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'user_id'])
+    pairs = rel.two_phase_count(ev, ['event_type', 'user_id'], alias='cnt') \
+        .drop_columns(['cnt'])
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        users = np.sort(g['user_id'].unique())
+        rep = users[0]
+        return pd.DataFrame({'src': np.full(len(users), rep, dtype=np.int64),
+                             'dst': users.astype(np.int64)})
+
+    edges = pairs.groupby('event_type').map_groups(star,
+                                                   batch_format='pandas')
+    out = label_propagation(undirected_edges(edges), iters=3).to_pandas()
+    out = out.rename(columns={'node': 'user_id'}).astype('int64')
+    return out.sort_values('user_id').reset_index(drop=True)
+
+
+def _sql_label_propagation(iters: int = 3) -> str:
+    parts = ["""
+WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+m AS (SELECT event_type, min(user_id) AS rep FROM pairs GROUP BY event_type),
+und AS MATERIALIZED (
+    SELECT DISTINCT least(m.rep, p.user_id) AS a,
+                    greatest(m.rep, p.user_id) AS b
+    FROM pairs p JOIN m ON m.event_type = p.event_type
+    WHERE p.user_id <> m.rep),
+sym AS MATERIALIZED (
+    SELECT a AS node, b AS nbr FROM und
+    UNION ALL SELECT b, a FROM und),
+l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lab FROM sym)"""]
+    for t in range(iters):
+        parts.append(f""",
+l{t + 1} AS MATERIALIZED (SELECT node, lab FROM (
+    SELECT node, lab, row_number() OVER (
+        PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM (SELECT s.node, l.lab, count(*) AS c
+          FROM sym s JOIN l{t} l ON l.node = s.nbr
+          GROUP BY s.node, l.lab)) WHERE rn = 1)""")
+    parts.append(f"""
+SELECT node AS user_id, lab FROM l{iters}""")
+    return ''.join(parts)
+
+
 def q_user_components(sf_dir: str):
     """Connected components (D4): users linked via shared event_type (star
     edges to the min user per type), CC via distributed contraction."""
@@ -3735,6 +3784,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'normalized_customer_names': q_normalized_customer_names,
     'approx_distinct_users': q_approx_distinct_users,
     'user_components': q_user_components,
+    'user_communities': q_user_communities,
     'alias_counts_docs': q_alias_counts_docs,
     'packed_sequences': q_packed_sequences,
     'host_quality_docs': q_host_quality_docs,
@@ -3844,6 +3894,7 @@ WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
     'domain_of_event_types': SQL_DOMAIN_EVENTS,
     'normalized_customer_names': SQL_NORM_NAMES,
     'user_components': SQL_COMPONENTS,
+    'user_communities': _sql_label_propagation(),
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     'approx_distinct_users': SQL_APPROX_DISTINCT,
     'hearst_hypernyms': SQL_HEARST,

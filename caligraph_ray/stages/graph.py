@@ -404,3 +404,63 @@ def kcore_prune(und_edges_ds, k: int = 2, rounds: int = 3):
     return two_phase_count(
         edges.map_batches(explode, batch_format='pandas',
                           batch_size=AGG_BATCH_SIZE), ['node'], alias='deg')
+
+
+def label_propagation(und_edges_ds, iters: int = 3):
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) with a deterministic contract: every node starts as its own
+    label; each round EVERY node simultaneously adopts the most frequent
+    label among its neighbors, ties → smallest label. Bounded ``iters``
+    rounds (classic LPA oscillates on bipartite structures; a fixed round
+    budget is the deterministic, engine-replayable variant).
+
+    Shape per round: one labels ⋈ symmetric-edges shuffle_join plus the
+    mode exchange (two-phase pair counts → per-node argmax) — label state
+    never touches the driver. Input: the canonical undirected edge set
+    (``undirected_edges``). Returns (node, lab)."""
+    from .relational import mode_per_group, shuffle_join, two_phase_count
+
+    und = und_edges_ds.materialize()
+
+    def sym(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'node': pd.concat([batch['a'], batch['b']], ignore_index=True),
+            'nbr': pd.concat([batch['b'], batch['a']], ignore_index=True)})
+
+    sym_ds = und.map_batches(sym, batch_format='pandas',
+                             batch_size=AGG_BATCH_SIZE).materialize()
+
+    def only_node(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[['node']]
+
+    nodes = two_phase_count(sym_ds.map_batches(only_node,
+                                               batch_format='pandas'),
+                            ['node'], alias='c').drop_columns(['c'])
+
+    def self_label(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({'ln': t.column('node'),
+                                     'lab': t.column('node')})
+
+    labels = nodes.map_batches(self_label, batch_format='pyarrow')
+    for _ in range(max(iters, 0)):
+        j = shuffle_join(sym_ds, labels, left_on='nbr', right_on='ln',
+                         how='inner')
+
+        def project(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[['node', 'lab']]
+
+        votes = j.map_batches(project, batch_format='pandas',
+                              batch_size=AGG_BATCH_SIZE)
+        new = mode_per_group(votes, 'node', 'lab', alias='lab')
+
+        def as_dim(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({'ln': t.column('node'),
+                                         'lab': t.column('lab')})
+
+        labels = new.map_batches(as_dim, batch_format='pyarrow').materialize()
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({'node': t.column('ln'),
+                                     'lab': t.column('lab')})
+
+    return labels.map_batches(out, batch_format='pyarrow')

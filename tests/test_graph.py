@@ -212,3 +212,44 @@ def test_personalized_pagerank_concentrates_on_seeds(ray_session):
     out2 = pagerank_int(rd.from_pandas(df), iters=3).to_pandas()
     r2 = dict(zip(out2['node'], out2['rank_q'].astype(int)))
     assert r2['x'] > 0
+
+
+def test_label_propagation_matches_loop_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from caligraph_ray.stages.graph import label_propagation, undirected_edges
+
+    rng = np.random.RandomState(4)
+    # two planted cliques + random cross edges
+    edges = []
+    for base in (0, 10):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.append((base + i, base + j))
+    for _ in range(5):
+        edges.append((int(rng.randint(0, 6)), int(10 + rng.randint(0, 6))))
+    df = pd.DataFrame(edges, columns=['src', 'dst']).astype('int64')
+    und = undirected_edges(ray.data.from_pandas(df))
+    got_df = label_propagation(und, iters=3).to_pandas()
+    got = dict(zip(got_df['node'].astype(int), got_df['lab'].astype(int)))
+
+    # synchronous loop reference: mode of neighbor labels, ties → min
+    adj = {}
+    for a, b in {(min(a, b), max(a, b)) for a, b in edges if a != b}:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, nbrs in adj.items():
+            from collections import Counter
+            c = Counter(lab[v] for v in nbrs)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = min(l for l, cnt in c.items() if cnt == best[1])
+        lab = new
+    assert got == lab
+    # the planted cliques end up internally uniform
+    assert len({got[n] for n in range(6)}) == 1
+    assert len({got[n] for n in range(10, 16)}) == 1
