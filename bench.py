@@ -256,6 +256,60 @@ def _ensure_scale_corpus():
     ray.shutdown()
 
 
+def run_data_prep_corpus() -> dict:
+    """Scaling job #3: the LLM-training-data composite (lang → length →
+    split → host-quality → exact-dedup → decontaminate → pack,
+    pipelines/data_prep.training_data_prep) over documents derived from
+    the SHARED page corpus (doc_id = url hash, source = url host) — the
+    data-pipeline counterpart of the KG flagship for the north-rule
+    evidence. Uses a GRAFT_SCALE_PREP_PAGES-sized slice (default 250k)
+    selected by a DETERMINISTIC url-hash filter — ``Dataset.limit`` keeps
+    whichever blocks the streaming executor finishes first, a different
+    subset every run, which would hand the two scaling legs different
+    inputs (measured: ±4 packed rows run-to-run before the fix)."""
+    import ray
+    ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level='ERROR')
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from caligraph_ray.functions.hashing import stable_hash64
+    from caligraph_ray.pipelines.data_prep import training_data_prep
+
+    n_docs = int(os.environ.get('GRAFT_SCALE_PREP_PAGES', '250000'))
+    permille = max(1, round(1000 * n_docs / SCALE_PAGES))
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        urls = t.column('url').to_pylist()
+        keep = [i for i, u in enumerate(urls)
+                if stable_hash64('prep|' + u) % 1000 < permille]
+        t = t.take(keep)
+        host = pc.replace_substring_regex(
+            t.column('url'), r'^https?://([^/]+)/.*$', r'\1')
+        return pa.Table.from_pydict({
+            'doc_id': pa.array([stable_hash64(u) % (1 << 62)
+                                for u in t.column('url').to_pylist()],
+                               pa.int64()),
+            'text': t.column('text'),
+            'source': host.cast(pa.string())})
+
+    docs = rd.read_parquet(SCALE_CORPUS_DIR) \
+        .map_batches(to_docs, batch_format='pyarrow')
+    t0 = time.time()
+    n = training_data_prep(docs).count()
+    dt = round(time.time() - t0, 3)
+    ray.shutdown()
+    return {'metric': 'data_prep', 'value': dt, 'unit': 'sec',
+            'num_cpus': NUM_CPUS, 'n_docs_target': n_docs,
+            'sample_permille': permille,
+            'packed_rows': int(n),
+            'docs_per_sec': round(n_docs / dt, 1),
+            **_window_health()}
+
+
 def run_scaling() -> dict:
     """Same job, same input, fresh processes at GRAFT_SCALE_CPUS_LO/HI
     (defaults 4 and 16; north-rule two-cluster-size evidence — see
@@ -289,7 +343,9 @@ def run_scaling() -> dict:
     n_hi = int(os.environ.get('GRAFT_SCALE_CPUS_HI', '16'))
     result = {'metric': f'scaling_efficiency_{n_lo}_to_{n_hi}_cpus',
               'n_pages': SCALE_PAGES, **_window_health()}
-    for mode, key in [('flagship_corpus', 'end_to_end'), ('parse_extract', 'parse_extract')]:
+    for mode, key in [('flagship_corpus', 'end_to_end'),
+                      ('parse_extract', 'parse_extract'),
+                      ('data_prep', 'data_prep')]:
         lo, hi = run_at(n_lo, mode), run_at(n_hi, mode)
         eff = (lo['value'] / hi['value']) / (n_hi / n_lo)
         result[key] = {
@@ -306,5 +362,7 @@ if __name__ == '__main__':
         print(json.dumps(run_flagship_corpus()))
     elif os.environ.get('BENCH_MODE') == 'parse_extract':
         print(json.dumps(run_parse_extract()))
+    elif os.environ.get('BENCH_MODE') == 'data_prep':
+        print(json.dumps(run_data_prep_corpus()))
     else:
         print(json.dumps(run_benchmarks()))
