@@ -271,14 +271,27 @@ class CrossEncoderReranker:
         self.mention_col = mention_col
         self.entity_col = entity_col
         self.dim = dim
+        # per-actor embedding memo: the linker scores each mention against
+        # k candidates (k redundant mention embeds) and entity labels
+        # repeat across every batch (the dim is bounded) — same floats,
+        # just computed once. Capped so unbounded mention streams cannot
+        # grow actor heap; eviction clears wholesale (regrows in one batch)
+        self._memo: dict = {}
+
+    def _emb(self, text: str) -> np.ndarray:
+        v = self._memo.get(text)
+        if v is None:
+            if len(self._memo) >= 65536:
+                self._memo.clear()
+            v = self._memo[text] = hash_embed(text, self.dim)
+        return v
 
     def score_pair(self, mention_label: str, entity_label: str) -> float:
         if not mention_label or not entity_label:
             return 0.0
         if mention_label.lower() == entity_label.lower():
             return 1.0
-        cos = float(hash_embed(mention_label, self.dim)
-                    @ hash_embed(entity_label, self.dim))
+        cos = float(self._emb(mention_label) @ self._emb(entity_label))
         return round(0.5 + 0.5 * max(cos, -1.0) * 0.99, 6)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
