@@ -71,3 +71,49 @@ def test_flagship_checkpointed_resumes(ray_session, small_corpus, tmp_path):
     # partitioned triple sink exists
     out_parts = os.listdir(os.path.join(root, 'triples_out'))
     assert any(p.startswith('subj_bucket=') for p in out_parts)
+
+
+def test_training_data_prep_checkpointed_resume(ray_session, tmp_path):
+    """The LLM-data composite's checkpointed variant: same output as the
+    direct run, and a rerun against the same root reuses every stage
+    (dirs untouched)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from caligraph_ray.pipelines.data_prep import (
+        training_data_prep, training_data_prep_checkpointed)
+
+    rng = np.random.RandomState(3)
+    words = ['the', 'of', 'and'] + [f'w{i}' for i in range(60)]
+    docs = pd.DataFrame({
+        'doc_id': np.arange(200, dtype='int64'),
+        'text': [' '.join(['the', 'of'] + list(rng.choice(
+                     words, size=rng.randint(10, 38))))
+                 for _ in range(200)],
+        'source': [f'host{i % 7}.org' for i in range(200)]})
+    ds = ray.data.from_pandas(docs).repartition(3)
+
+    direct = training_data_prep(ds).to_pandas() \
+        .sort_values(['doc_id']).reset_index(drop=True)
+    root = str(tmp_path / 'prep')
+    first = training_data_prep_checkpointed(ds, root).to_pandas() \
+        .sort_values(['doc_id']).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        direct.sort_index(axis=1), first.sort_index(axis=1))
+
+    stamps = {n: os.path.getmtime(os.path.join(root, n, '_SUCCESS'))
+              for n in ('01_gated', '02_clean', '03_packed')}
+    again = training_data_prep_checkpointed(ds, root).to_pandas() \
+        .sort_values(['doc_id']).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        first.sort_index(axis=1), again.sort_index(axis=1))
+    for n, t in stamps.items():
+        assert os.path.getmtime(os.path.join(root, n, '_SUCCESS')) == t, n
+
+    # a changed config invalidates the stale checkpoints instead of
+    # silently reusing them
+    other = training_data_prep_checkpointed(ds, root, capacity=64)
+    assert other.count() >= first['last_seq'].max()
