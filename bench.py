@@ -169,6 +169,7 @@ def run_benchmarks() -> dict:
     timed('blocklist_flags', lambda: Q.q_blocklist_flags(SF_DIR))
     timed('hygiene_filtered_docs',
           lambda: Q.q_hygiene_filtered_docs(SF_DIR))
+    timed('user_communities', lambda: Q.q_user_communities(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {
