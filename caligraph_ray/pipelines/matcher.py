@@ -211,18 +211,29 @@ class BiEncoderEmbedder:
 class BiEncoderCosineReranker:
     """``score_pair`` through the SAME bi-encoder: cosine mapped into
     [0, 1] with the stand-ins' exact-match/empty contracts, so a trained
-    model's retrieval quality flows through to the acceptance threshold."""
+    model's retrieval quality flows through to the acceptance threshold.
+    Per-actor capped memo: each distinct label encodes once instead of
+    per candidate pair (identical floats — single-row encode_batch)."""
 
     def __init__(self, model):
         self.model = model
+        self._memo: dict = {}
+
+    def _vec(self, text: str):
+        v = self._memo.get(text)
+        if v is None:
+            if len(self._memo) >= 65536:
+                self._memo.clear()
+            v = self._memo[text] = self.model.encode_batch([text])[0]
+        return v
 
     def score_pair(self, mention_label: str, entity_label: str) -> float:
         if not mention_label or not entity_label:
             return 0.0
         if mention_label.lower() == entity_label.lower():
             return 1.0
-        z = self.model.encode_batch([mention_label, entity_label])
-        return float(round((float(z[0] @ z[1]) + 1.0) / 2.0 * 0.99, 6))
+        cos = float(self._vec(mention_label) @ self._vec(entity_label))
+        return float(round((cos + 1.0) / 2.0 * 0.99, 6))
 
 
 class TrainedBiEncoderMatcher(ThresholdedScoredMatcher):
