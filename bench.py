@@ -170,6 +170,7 @@ def run_benchmarks() -> dict:
     timed('hygiene_filtered_docs',
           lambda: Q.q_hygiene_filtered_docs(SF_DIR))
     timed('user_communities', lambda: Q.q_user_communities(SF_DIR))
+    timed('ngram_novelty', lambda: Q.q_ngram_novelty(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

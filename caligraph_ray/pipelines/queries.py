@@ -2705,6 +2705,35 @@ FROM toks t JOIN lp ON t.tok = lp.tok GROUP BY t.doc_id
 """
 
 
+def q_ngram_novelty(sf_dir: str):
+    """Per-doc 5-gram novelty (distinct grams + corpus-unique grams) —
+    stages/textstats.ngram_novelty; plain gram strings both sides."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    out = rel.collect_pandas(ts.ngram_novelty(docs))
+    out = out.astype({'doc_id': 'int64', 'n_shingles': 'int64',
+                      'n_novel': 'int64'})
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
+SQL_NGRAM_NOVELTY = """
+WITH t AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents),
+sh AS MATERIALIZED (SELECT doc_id, unnest(
+        CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(range(len(toks) - 4),
+                      i -> array_to_string(toks[i+1:i+5], ' ')))
+        END) AS g
+    FROM t WHERE len(toks) > 0),
+df AS MATERIALIZED (SELECT g, count(*) AS df FROM sh GROUP BY g)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+FROM sh JOIN df ON df.g = sh.g GROUP BY sh.doc_id
+"""
+
+
 _BLOCKLIST_TERMS = ('slow', 'drop', 'kill', 'crash')
 
 
@@ -3719,6 +3748,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'gopher_quality_flags': q_gopher_quality_flags,
     'blocklist_flags': q_blocklist_flags,
     'hygiene_filtered_docs': q_hygiene_filtered_docs,
+    'ngram_novelty': q_ngram_novelty,
     'tfidf_top_terms': q_tfidf_top_terms,
     'passage_chunks': q_passage_chunks,
     'mixture_sample_docs': q_mixture_sample_docs,
@@ -3821,6 +3851,7 @@ ORACLES: Dict[str, str] = {
         unigram_lp=SQL_UNIGRAM_LP),
     'gopher_quality_flags': SQL_GOPHER_FLAGS,
     'blocklist_flags': SQL_BLOCKLIST_FLAGS,
+    'ngram_novelty': SQL_NGRAM_NOVELTY,
     'hygiene_filtered_docs': f"""
 WITH bl AS MATERIALIZED (SELECT * FROM ({SQL_BLOCKLIST_FLAGS})),
 gf AS MATERIALIZED (SELECT * FROM ({SQL_GOPHER_FLAGS})),

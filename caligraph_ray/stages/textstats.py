@@ -490,6 +490,64 @@ def importance_weights(docs_ds, target_docs_ds, id_col: str = 'doc_id',
                                batch_size=AGG_BATCH_SIZE)
 
 
+def ngram_novelty(docs_ds, shingle_size: int = 5, id_col: str = 'doc_id',
+                  text_col: str = 'text'):
+    """Per-document n-gram novelty — the memorization/diversity signal of
+    a training corpus (Lee et al. 2022 framing: repeated n-grams are what
+    models memorize): ``n_shingles`` = distinct word n-grams in the doc,
+    ``n_novel`` = those appearing in NO other document (corpus
+    doc-frequency 1). Docs shorter than the shingle get one whole-text
+    shingle (the minhash contract).
+
+    Scale shape: one exploded (doc, gram) pass with per-doc distinct, the
+    two-phase gram-frequency dim (bounded by the distinct-gram count),
+    one gram-keyed shuffle join back, per-doc partial sums — no driver
+    state, no pair blowup."""
+    from ray.data.aggregate import Sum
+
+    from .relational import shuffle_join, two_phase_count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for i, text in zip(batch.column(id_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            toks = _split_tokens(text)
+            if not toks:
+                continue
+            if len(toks) < shingle_size:
+                doc_grams = {' '.join(toks)}
+            else:
+                doc_grams = {' '.join(toks[j:j + shingle_size])
+                             for j in range(len(toks) - shingle_size + 1)}
+            for g in doc_grams:
+                ids.append(i)
+                grams.append(g)
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids, batch.schema.field(id_col).type),
+            'g': pa.array(grams, pa.string())})
+
+    pairs = docs_ds.map_batches(explode, batch_format='pyarrow',
+                                batch_size=AGG_BATCH_SIZE).materialize()
+    dim = two_phase_count(pairs, ['g'], alias='df')
+    joined = shuffle_join(pairs, dim, left_on='g', right_on='g',
+                          how='inner')
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype='int64'),
+                                 's_part': pd.Series([], dtype='int64'),
+                                 'n_part': pd.Series([], dtype='int64')})
+        df = df.assign(_nov=(df['df'].astype('int64') == 1).astype('int64'),
+                       _one=1)
+        return df.groupby(id_col, as_index=False, sort=False).agg(
+            s_part=('_one', 'sum'), n_part=('_nov', 'sum'))
+
+    pre = joined.map_batches(part, batch_format='pandas')
+    return pre.groupby(id_col).aggregate(
+        Sum('s_part', alias_name='n_shingles'),
+        Sum('n_part', alias_name='n_novel'))
+
+
 def blocklist_flags(docs_ds, terms: Sequence[str],
                     id_col: str = 'doc_id', text_col: str = 'text'):
     """C4-style blocklist filter (Raffel et al. 2020 'bad words' rule):
