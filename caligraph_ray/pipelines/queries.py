@@ -2719,18 +2719,18 @@ SQL_NGRAM_NOVELTY = """
 WITH t AS (SELECT doc_id,
         list_filter(string_split(text, ' '), x -> x <> '') AS toks
     FROM documents),
-sh AS MATERIALIZED (SELECT doc_id, unnest(
+sh AS MATERIALIZED (SELECT doc_id, md5_number_upper(unnest(
         CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
              ELSE list_distinct(list_transform(range(len(toks) - 4),
                       i -> array_to_string(toks[i+1:i+5], ' ')))
-        END) AS g
+        END)) AS h
     FROM t WHERE len(toks) > 0),
-df AS MATERIALIZED (SELECT g, count(*) AS df FROM sh GROUP BY g)
+df AS MATERIALIZED (SELECT h, count(*) AS df FROM sh GROUP BY h)
 SELECT sh.doc_id,
        CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_novel
-FROM sh JOIN df ON df.g = sh.g GROUP BY sh.doc_id
+FROM sh JOIN df ON df.h = sh.h GROUP BY sh.doc_id
 """
 
 

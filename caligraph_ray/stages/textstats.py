@@ -332,9 +332,12 @@ def _unigram_scores_join(docs_ds, counts_ds, id_col: str, text_col: str):
         return g
 
     pre = joined.map_batches(part, batch_format='pandas')
-    return pre.groupby(id_col).aggregate(
-        Sum('lp_part', alias_name='logprob_q'),
-        Sum('tf_part', alias_name='n_tokens'))
+    # two-phase final sum (Dataset.groupby().aggregate() pays a ~70 s
+    # sort-aggregate floor on the many tiny partial blocks a join emits)
+    from .relational import two_phase_pandas_agg
+    return two_phase_pandas_agg(pre, [id_col],
+                                {'logprob_q': ('lp_part', 'sum'),
+                                 'n_tokens': ('tf_part', 'sum')})
 
 
 def importance_weights(docs_ds, target_docs_ds, id_col: str = 'doc_id',
@@ -461,9 +464,10 @@ def importance_weights(docs_ds, target_docs_ds, id_col: str = 'doc_id',
                 w_part=('_c', 'sum'), tf_part=('tf', 'sum'))
 
         pre = joined.map_batches(part, batch_format='pandas')
-        return pre.groupby(id_col).aggregate(
-            Sum('w_part', alias_name='weight_q'),
-            Sum('tf_part', alias_name='n_tokens'))
+        from .relational import two_phase_pandas_agg
+        return two_phase_pandas_agg(pre, [id_col],
+                                    {'weight_q': ('w_part', 'sum'),
+                                     'n_tokens': ('tf_part', 'sum')})
 
     wt = collect_pandas(w_dim)
     wmap = dict(zip(wt['token'], wt['w_q'].astype('int64')))
@@ -499,16 +503,18 @@ def ngram_novelty(docs_ds, shingle_size: int = 5, id_col: str = 'doc_id',
     doc-frequency 1). Docs shorter than the shingle get one whole-text
     shingle (the minhash contract).
 
-    Scale shape: one exploded (doc, gram) pass with per-doc distinct, the
-    two-phase gram-frequency dim (bounded by the distinct-gram count),
-    one gram-keyed shuffle join back, per-doc partial sums — no driver
-    state, no pair blowup."""
-    from ray.data.aggregate import Sum
-
-    from .relational import shuffle_join, two_phase_count
+    Scale shape: ONE gram-keyed exchange — (doc, md5(gram)) pairs
+    (distinct per doc) bucket on the 64-bit hash, each bucket computes
+    every gram's doc-frequency and emits per-doc partials, then one tiny
+    doc-keyed sum. Hashing the gram shrinks the exchange from ~30-byte
+    strings to int64 keys (3-5× fewer bytes; both engines hash with md5
+    so any 64-bit collision — ~10^-7 at 10^6 grams — hits both sides
+    identically)."""
+    from ..functions.hashing import md5_hash64
+    from .relational import bucketed_map, two_phase_pandas_agg
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, grams = [], []
+        ids, hs = [], []
         for i, text in zip(batch.column(id_col).to_pylist(),
                            batch.column(text_col).to_pylist()):
             toks = _split_tokens(text)
@@ -521,31 +527,35 @@ def ngram_novelty(docs_ds, shingle_size: int = 5, id_col: str = 'doc_id',
                              for j in range(len(toks) - shingle_size + 1)}
             for g in doc_grams:
                 ids.append(i)
-                grams.append(g)
+                hs.append(np.int64(np.uint64(md5_hash64(g)) - (1 << 63)))
         return pa.Table.from_pydict({
             id_col: pa.array(ids, batch.schema.field(id_col).type),
-            'g': pa.array(grams, pa.string())})
+            'h': pa.array(hs, pa.int64())})
 
     pairs = docs_ds.map_batches(explode, batch_format='pyarrow',
-                                batch_size=AGG_BATCH_SIZE).materialize()
-    dim = two_phase_count(pairs, ['g'], alias='df')
-    joined = shuffle_join(pairs, dim, left_on='g', right_on='g',
-                          how='inner')
+                                batch_size=AGG_BATCH_SIZE)
 
-    def part(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
             return pd.DataFrame({id_col: pd.Series([], dtype='int64'),
                                  's_part': pd.Series([], dtype='int64'),
                                  'n_part': pd.Series([], dtype='int64')})
-        df = df.assign(_nov=(df['df'].astype('int64') == 1).astype('int64'),
-                       _one=1)
-        return df.groupby(id_col, as_index=False, sort=False).agg(
+        df = bucket.groupby('h')['h'].transform('size')
+        nov = (df.to_numpy() == 1).astype('int64')
+        out = pd.DataFrame({id_col: bucket[id_col].to_numpy(),
+                            '_nov': nov, '_one': np.ones(len(bucket),
+                                                         dtype='int64')})
+        return out.groupby(id_col, as_index=False, sort=False).agg(
             s_part=('_one', 'sum'), n_part=('_nov', 'sum'))
 
-    pre = joined.map_batches(part, batch_format='pandas')
-    return pre.groupby(id_col).aggregate(
-        Sum('s_part', alias_name='n_shingles'),
-        Sum('n_part', alias_name='n_novel'))
+    pre = bucketed_map(pairs, ['h'], per_bucket)
+    # two-phase final sum (NOT Dataset.groupby().aggregate(): Ray's
+    # sort-based aggregate took 74 s on the ~200k-row partials the
+    # hash exchange emits as many tiny blocks — the repo's own combiner
+    # does the same reduction in under a second)
+    return two_phase_pandas_agg(pre, [id_col],
+                                {'n_shingles': ('s_part', 'sum'),
+                                 'n_novel': ('n_part', 'sum')})
 
 
 def blocklist_flags(docs_ds, terms: Sequence[str],
