@@ -3,6 +3,13 @@
 Prints ONE JSON line:
   {"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ..., "num_cpus": N}
 
+Every query is timed BENCH_REPS times (default 3) and reported as the
+per-query MEDIAN, with min/max spread in ``queries_spread`` — single-shot
+timings on this host swing ±35% between same-code runs (the r4 artifacts:
+137.5 s vs 184.1 s on an identical query set; a round-5 fresh-window replay
+of the same code scored 112.4 s), so a number without its dispersion cannot
+distinguish a real regression from a bad host window.
+
 --scaling: run the same job in fresh processes at two CPU counts (defaults
 4 and 16 via GRAFT_SCALE_CPUS_LO/HI — below this host's ~16-core memory-bus
 wall; set 8/32 to reproduce the pessimistic pair) and report throughput at
@@ -19,6 +26,7 @@ import time
 
 SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
 NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
+BENCH_REPS = max(1, int(os.environ.get('BENCH_REPS', '3')))
 
 
 def _window_health() -> dict:
@@ -77,11 +85,17 @@ def run_benchmarks() -> dict:
     _warm_page_cache()
     _warm_cluster()
     timings = {}
+    spread = {}
 
     def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        ts, out = [], None
+        for _ in range(BENCH_REPS):
+            t0 = time.time()
+            out = fn()
+            ts.append(round(time.time() - t0, 3))
+        ts.sort()
+        timings[name] = ts[len(ts) // 2]
+        spread[name] = [ts[0], ts[-1]]
         return out
 
     # headline: full KG flagship (parse → link → canonicalize → triples)
@@ -178,6 +192,8 @@ def run_benchmarks() -> dict:
         'value': total,
         'unit': 'sec',
         'queries': timings,
+        'queries_spread': spread,
+        'reps': BENCH_REPS,
         'sf': SF_DIR,
         'num_cpus': NUM_CPUS,
         'flagship_triples': int(n_triples),

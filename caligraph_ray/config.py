@@ -68,6 +68,21 @@ ALIAS_BROADCAST_LIMIT = 20_000_000
 import os as _os
 SCORED_NAME_LIMIT = int(_os.environ.get('SCORED_NAME_LIMIT', 2_000_000))
 
+# SemDeDup megacluster guard (dedup.semdedup_keep): a cluster larger than
+# this many rows is split into ceil(size/cap) deterministic id-hash chunks
+# and pruned via a chunk-PAIR exchange (cross comparisons only) — keep
+# decisions identical to the single-bucket path, per-task memory bounded by
+# 2·cap rows. Env-overridable so the guard pytest forces a tiny cap.
+SEMDEDUP_CLUSTER_CAP = int(_os.environ.get('SEMDEDUP_CLUSTER_CAP', 65_536))
+
+# candidate-pair count above which pairs_to_groups must NOT collect the pair
+# list to the driver (near-dup pairs scale WITH a web corpus — 30-50% of
+# crawl docs have a near-dup): groups then derive from the adaptive
+# distributed connected_components (canonicalize.py) whose driver tail is a
+# contracted spanning forest, not the raw edge list. Env so tests force it.
+PAIR_GROUPS_DRIVER_LIMIT = int(
+    _os.environ.get('PAIR_GROUPS_DRIVER_LIMIT', 5_000_000))
+
 # --- skew handling ---
 # groupby keys whose observed count exceeds this get salted into
 # HOT_KEY_SALT_BUCKETS sub-keys, aggregated two-phase (SURVEY.md §4 skew row)

@@ -196,14 +196,49 @@ def minhash_candidate_pairs(docs_ds, id_col: str = 'doc_id', text_col: str = 'te
                                          sig_dtype='uint64')
 
 
-def pairs_to_groups(pairs_ds, all_ids: Optional[List[int]] = None) -> pd.DataFrame:
-    """Candidate pairs → (id, group) via union-find; group = min member id.
-    Driver-side tail of the distributed CC (pairs are already heavily
-    pruned); unpaired ids become singleton groups when all_ids given."""
-    uf = _UnionFind()
-    members: set = set(all_ids) if all_ids else set()
+def pairs_to_groups(pairs_ds, all_ids: Optional[List[int]] = None,
+                    driver_limit: Optional[int] = None) -> pd.DataFrame:
+    """Candidate pairs → (id, group); group = min member id.
+
+    Size-gated (measured pair count vs ``PAIR_GROUPS_DRIVER_LIMIT``): small
+    pair sets take the driver union-find fast path; above the gate the pair
+    Dataset routes through the adaptive distributed
+    ``connected_components`` (canonicalize.py — contraction passes until
+    the spanning-forest tail fits the driver), because near-dup pairs scale
+    WITH a web corpus and an O(N)-edge driver collect is a scale-killer.
+    Both regimes label a component by its min member id, so outputs are
+    identical (equality-pinned by test_dedup_scale_guards). Unpaired ids
+    become singleton groups when ``all_ids`` is given."""
+    if driver_limit is None:
+        from ..config import PAIR_GROUPS_DRIVER_LIMIT
+        driver_limit = PAIR_GROUPS_DRIVER_LIMIT
     from .relational import collect_rows
-    for r in collect_rows(pairs_ds):
+    mat = pairs_ds.materialize()
+    members: set = set(all_ids) if all_ids else set()
+    if mat.count() > driver_limit:
+        from .canonicalize import connected_components
+
+        def as_edges(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {'src': t.column('a').cast(pa.int64()),
+                 'dst': t.column('b').cast(pa.int64())})
+
+        # NOTE: CC's own driver_limit (forest-TAIL size) stays at its
+        # default — this gate is on the raw pair count, a different and
+        # much larger quantity (tests force this gate to 0 to pin regime
+        # equality; a 0 tail budget would always raise).
+        comp = connected_components(
+            mat.map_batches(as_edges, batch_format='pyarrow'))
+        members.update(comp)
+        # component ROOTS are absent from the CC dict's keys (union-find
+        # parent records losers only) but present as its values — a root's
+        # group is itself, which comp.get(i, i) below yields
+        members.update(comp.values())
+        rows = sorted((i, comp.get(i, i)) for i in members)
+        return pd.DataFrame({'doc_id': [r[0] for r in rows],
+                             'group': [r[1] for r in rows]})
+    uf = _UnionFind()
+    for r in collect_rows(mat):
         a, b = int(r['a']), int(r['b'])
         uf.union(a, b)
         # track every paired node explicitly: uf.parent only records union
@@ -651,7 +686,8 @@ def edit_distance_pairs(docs_ds, text_col: str = 'text', min_len: int = 4,
 
 def semdedup_keep(emb_ds, n_centroids: int = 8, n_iters: int = 2,
                   threshold: float = 0.45, id_col: str = 'vec_id',
-                  vec_col: str = 'embedding'):
+                  vec_col: str = 'embedding',
+                  cluster_cap: Optional[int] = None):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means clustering the embedding space, then pruning
     within-cluster semantic duplicates. A vector is KEPT iff no other
@@ -665,12 +701,31 @@ def semdedup_keep(emb_ds, n_centroids: int = 8, n_iters: int = 2,
     driver reduce), labeling is ONE stateless broadcast map fused with
     the embedding read (no assignment join), and the quadratic check runs
     per CLUSTER via one centroid-keyed exchange, so per-bucket cost is
-    (N/K)² with K chosen ∝ N / target_cluster_size. Partitioning
-    assumption: no megacluster — at web scale pick K so the largest
-    cluster fits a task (the reference point: SemDeDup uses K=50k on
-    LAION); cluster sizes surface in ds.stats() for the exchange."""
-    from .relational import bucketed_map
+    (N/K)² with K chosen ∝ N / target_cluster_size (the reference point:
+    SemDeDup uses K=50k on LAION).
+
+    MEGACLUSTER GUARD: the no-megacluster assumption is ENFORCED, not just
+    documented. Cluster sizes are measured (one two-phase count over a
+    K-row dim); any cluster above ``cluster_cap`` (default
+    config.SEMDEDUP_CLUSTER_CAP) is split into C = ceil(size/cap)
+    deterministic id-hash chunks and pruned via a chunk-PAIR exchange:
+    bucket (c, p, q) compares chunk p against chunk q only (within-chunk
+    lower-triangle when p == q), emitting per-vector ``killed`` partials
+    folded by a two-phase max. Exact same keep decisions as the
+    single-bucket path (equality-pinned by test_dedup_scale_guards), total
+    work still (size)²/2 comparisons — inherent to exact SemDeDup — but
+    per-task memory is bounded by 2·cap rows, so one dense web-scale
+    cluster degrades into more tasks instead of one task-killer. Each
+    split is logged (centroid, size, n_chunks) — no silent caps."""
+    import logging
+    from .relational import bucketed_map, collect_rows, two_phase_count, \
+        two_phase_pandas_agg
     from .similarity import _normalize, kmeans_centroids
+
+    if cluster_cap is None:
+        from ..config import SEMDEDUP_CLUSTER_CAP
+        cluster_cap = SEMDEDUP_CLUSTER_CAP
+    cluster_cap = max(2, int(cluster_cap))
 
     cmat, _ = kmeans_centroids(emb_ds, n_centroids, n_iters,
                                id_col=id_col, vec_col=vec_col)
@@ -692,15 +747,30 @@ def semdedup_keep(emb_ds, n_centroids: int = 8, n_iters: int = 2,
             vec_col: list(batch[vec_col])})
 
     labeled = emb_ds.map_batches(label, batch_format='pandas',
-                                 batch_size=4096)
+                                 batch_size=4096).materialize()
+
+    # cluster-size dim: ≤ n_centroids rows — driver-bounded by construction
+    sizes = {int(r['centroid']): int(r['n']) for r in collect_rows(
+        two_phase_count(labeled.map_batches(
+            lambda df: df[[id_col, 'centroid']], batch_format='pandas'),
+            ['centroid'], alias='n'))}
+    chunks = {c: -(-n // cluster_cap) for c, n in sizes.items()
+              if n > cluster_cap}
+    for c, nch in sorted(chunks.items()):
+        logging.getLogger('caligraph_ray.dedup').warning(
+            'semdedup megacluster guard: cluster %d (%d rows > cap %d) '
+            'split into %d chunk-pair buckets',
+            c, sizes[c], cluster_cap, nch)
+
+    def _vecs(g: pd.DataFrame) -> np.ndarray:
+        return _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                    for v in g[vec_col]]))
 
     def prune(bucket: pd.DataFrame) -> pd.DataFrame:
         out = []
         for cen, g in bucket.groupby('centroid', sort=False):
             g = g.sort_values(id_col, kind='mergesort')
-            mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                                       for v in g[vec_col]]))
-            sims = np.round(mat @ mat.T, 6)
+            sims = np.round(_vecs(g) @ _vecs(g).T, 6)
             lower = np.tril(sims >= threshold, k=-1)   # only smaller ids
             kept = (~lower.any(axis=1)).astype(np.int64)
             out.append(pd.DataFrame({
@@ -712,4 +782,103 @@ def semdedup_keep(emb_ds, n_centroids: int = 8, n_iters: int = 2,
              'centroid': pd.Series(dtype='int64'),
              'kept': pd.Series(dtype='int64')})
 
-    return bucketed_map(labeled, ['centroid'], prune)
+    if not chunks:
+        return bucketed_map(labeled, ['centroid'], prune)
+
+    chunks_ref = ray.put(chunks)
+
+    def split_small(df: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import get_broadcast
+        ch = get_broadcast(chunks_ref)
+        return df[~df['centroid'].isin(ch)]
+
+    small_part = labeled.map_batches(split_small, batch_format='pandas')
+    small_out = bucketed_map(small_part, ['centroid'], prune)
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        """Replicate each megacluster row to its C chunk-pair buckets:
+        a row in chunk i participates in every bucket (c, min(i,j),
+        max(i,j)). C copies per row — the exchange carries C× the
+        megacluster bytes, the price of bounding per-task memory."""
+        from ..state.broadcast import get_broadcast
+        ch = get_broadcast(chunks_ref)
+        df = df[df['centroid'].isin(ch)]
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series(dtype='int64'),
+                                 'centroid': pd.Series(dtype='int64'),
+                                 vec_col: pd.Series(dtype=object),
+                                 '_ci': pd.Series(dtype='int64'),
+                                 '_p': pd.Series(dtype='int64'),
+                                 '_q': pd.Series(dtype='int64')})
+        outs = []
+        for cen, g in df.groupby('centroid', sort=False):
+            c_n = ch[int(cen)]
+            ids = g[id_col].to_numpy(dtype=np.int64)
+            ci = ids % c_n
+            rep = np.repeat(np.arange(len(g)), c_n)
+            j = np.tile(np.arange(c_n, dtype=np.int64), len(g))
+            ci_rep = ci[rep]
+            outs.append(pd.DataFrame({
+                id_col: ids[rep],
+                'centroid': np.full(len(rep), cen, dtype=np.int64),
+                vec_col: [g[vec_col].iloc[i] for i in rep],
+                '_ci': ci_rep,
+                '_p': np.minimum(ci_rep, j),
+                '_q': np.maximum(ci_rep, j)}))
+        return pd.concat(outs, ignore_index=True)
+
+    fanned = labeled.map_batches(fan_out, batch_format='pandas')
+
+    def pair_prune(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (cen, p, q), g in bucket.groupby(['centroid', '_p', '_q'],
+                                             sort=False):
+            g = g.drop_duplicates(subset=[id_col]) \
+                 .sort_values(id_col, kind='mergesort')
+            if p == q:
+                sims = np.round(_vecs(g) @ _vecs(g).T, 6)
+                lower = np.tril(sims >= threshold, k=-1)
+                killed = lower.any(axis=1).astype(np.int64)
+                out.append(pd.DataFrame({
+                    id_col: g[id_col].to_numpy(),
+                    'centroid': np.full(len(g), cen, dtype=np.int64),
+                    'killed': killed}))
+                continue
+            gp = g[g['_ci'] == p]
+            gq = g[g['_ci'] == q]
+            if not len(gp) or not len(gq):
+                sub = g
+                out.append(pd.DataFrame({
+                    id_col: sub[id_col].to_numpy(),
+                    'centroid': np.full(len(sub), cen, dtype=np.int64),
+                    'killed': np.zeros(len(sub), dtype=np.int64)}))
+                continue
+            sims = np.round(_vecs(gp) @ _vecs(gq).T, 6)
+            hit = sims >= threshold
+            idp = gp[id_col].to_numpy(dtype=np.int64)
+            idq = gq[id_col].to_numpy(dtype=np.int64)
+            # p-side killed by a smaller-id q-side hit, and vice versa
+            kp = (hit & (idq[None, :] < idp[:, None])).any(axis=1)
+            kq = (hit.T & (idp[None, :] < idq[:, None])).any(axis=1)
+            out.append(pd.DataFrame({
+                id_col: np.concatenate([idp, idq]),
+                'centroid': np.full(len(idp) + len(idq), cen,
+                                    dtype=np.int64),
+                'killed': np.concatenate([kp, kq]).astype(np.int64)}))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {id_col: pd.Series(dtype='int64'),
+             'centroid': pd.Series(dtype='int64'),
+             'killed': pd.Series(dtype='int64')})
+
+    partials = bucketed_map(fanned, ['centroid', '_p', '_q'], pair_prune)
+    folded = two_phase_pandas_agg(partials, [id_col, 'centroid'],
+                                  {'killed': ('killed', 'max')})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(dtype=np.int64),
+            'centroid': df['centroid'].to_numpy(dtype=np.int64),
+            'kept': (1 - df['killed'].to_numpy(dtype=np.int64))})
+
+    big_out = folded.map_batches(finish, batch_format='pandas')
+    return small_out.union(big_out)
