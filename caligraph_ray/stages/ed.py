@@ -434,11 +434,19 @@ def link_mentions_scored_sharded(mentions_ds, names_ds, k: int = 4,
     per-shard top-k into the exact global top-k (same (score desc, label
     asc) comparator as ``_topk_idx``, so the candidate SET — and therefore
     every emitted link — is bit-identical to the broadcast variant; pinned
-    by tests). Per-actor memory is bounded: at most ``max_cached_shards``
-    embedded shards are cached (LRU); other shards are re-fetched from the
-    object store and re-embedded per batch — the exactness-preserving
-    trade. At 10^12 rows prefer the IVF/LSH candidate path (similarity.py)
-    when approximate candidates are acceptable."""
+    by tests).
+
+    Shard embeddings are PRECOMPUTED: one distributed pass embeds each
+    name shard exactly once (one remote task per shard — an embed-call
+    counter pins this in tests) and ray.puts the normalized (labels, emat)
+    pair, so linker actors only ever FETCH embedded shards from the object
+    store — never re-embed. Before this, shards beyond the LRU budget were
+    re-embedded per mention batch: O(batches × shards) embed calls in
+    exactly the over-budget regime that exists because the corpus is huge.
+    Per-actor heap stays bounded by ``max_cached_shards`` embedded shards
+    (LRU); evicted shards cost a re-FETCH (plasma, zero-copy float64), not
+    a re-embed. At 10^12 rows prefer the IVF/LSH candidate path
+    (similarity.py) when approximate candidates are acceptable."""
     if embedder_factory is None:
         embedder_factory = lambda: HashEmbedder(dim=dim)   # noqa: E731
     if reranker_factory is None:
@@ -459,6 +467,21 @@ def link_mentions_scored_sharded(mentions_ds, names_ds, k: int = 4,
     shard_refs = mat.to_pandas_refs()
     kk = min(k, n_names)
 
+    @ray.remote
+    def _embed_shard(df: pd.DataFrame) -> Tuple[np.ndarray, np.ndarray]:
+        emb = embedder_factory()
+        labels = df['name'].to_numpy(dtype=object)
+        if not len(labels):
+            return labels, np.empty((0, dim), dtype=np.float64)
+        emat = emb.embed_batch([str(x) for x in labels])
+        emat = emat / np.maximum(
+            np.linalg.norm(emat, axis=1, keepdims=True), 1e-12)
+        return labels, emat
+
+    # ONE embed per shard, cluster-wide; the returned refs live in plasma
+    # and are captured (and refcounted) in the actor closure below
+    embedded_refs = [_embed_shard.remote(r) for r in shard_refs]
+
     class ShardedScoredLinker:
         def __init__(self):
             self.emb = embedder_factory()
@@ -472,11 +495,7 @@ def link_mentions_scored_sharded(mentions_ds, names_ds, k: int = 4,
                 self._lru.remove(i)
                 self._lru.append(i)
                 return got
-            df = ray.get(shard_refs[i])
-            labels = df['name'].to_numpy(dtype=object)
-            emat = self.emb.embed_batch([str(x) for x in labels])
-            emat = emat / np.maximum(
-                np.linalg.norm(emat, axis=1, keepdims=True), 1e-12)
+            labels, emat = ray.get(embedded_refs[i])
             if len(self._lru) >= max_cached_shards:
                 self._cache.pop(self._lru.pop(0), None)
             self._cache[i] = (labels, emat)
