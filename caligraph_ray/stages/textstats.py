@@ -742,14 +742,13 @@ def mixture_sample(ds, rates_permille: Dict[str, int], stratum_col: str,
     downsample boilerplate-heavy sources). Membership is the pure salted
     md5 function of the id, like hash_sample; unknown strata drop (rate
     0). No shuffle, no RNG state, resumable."""
-    from ..functions.hashing import md5_hash64
+    from ..functions.hashing import md5_hash64_batch
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         rates = batch[stratum_col].map(
-            lambda s: rates_permille.get(s, 0))
-        mask = [md5_hash64(f'{salt}:{v}') % 1000 < r
-                for v, r in zip(batch[id_col], rates)]
-        return batch[pd.Series(mask, index=batch.index)]
+            lambda s: rates_permille.get(s, 0)).to_numpy(dtype=np.int64)
+        hv = md5_hash64_batch(batch[id_col], f'{salt}:')
+        return batch[(hv % 1000).astype(np.int64) < rates]
 
     return ds.map_batches(keep, batch_format='pandas',
                           batch_size=AGG_BATCH_SIZE)

@@ -270,3 +270,25 @@ def test_bloom_filter_membership_and_merge(ray_session):
         import numpy as np
         assert (got['bit_pos'].to_numpy()
                 == np.nonzero(bulk.bits)[0]).all()
+
+
+def test_md5_hash64_batch_matches_per_row():
+    """The vectorized sampling-membership hash must be bit-identical to
+    md5_hash64(f'{prefix}{v}') on every dtype an id column can carry."""
+    import numpy as np
+    import pandas as pd
+
+    from caligraph_ray.functions.hashing import md5_hash64, md5_hash64_batch
+
+    cases = [
+        pd.Series(np.arange(-5, 50, dtype=np.int64) * 7919),
+        pd.Series(np.arange(20).astype(np.uint32)),
+        pd.Series([f'doc_{i}' for i in range(30)]),
+        pd.Series(['a', None, 'b', float('nan'), 'ü', ''], dtype=object),
+        pd.Series([1.5, -0.0, float('nan')]),
+    ]
+    for s in cases:
+        got = md5_hash64_batch(s, 'salt:42:')
+        want = np.array([md5_hash64(f'salt:42:{v}') for v in s],
+                        dtype=np.uint64)
+        assert (got == want).all(), s.dtype
