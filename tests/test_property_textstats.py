@@ -328,3 +328,88 @@ def test_importance_weights_join_regime_equivalent(ray_session, df):
                                         int(r['n_tokens']))
                      for _, r in d.iterrows()}
     assert key(base) == key(joined)
+
+
+# --- Arrow fast-path ≡ _split_tokens Python reference (VERDICT r4 #6) ---
+
+_ADVERSARIAL = ['', ' ', '  ', 'a  b', 'tab\tinside token', ' lead',
+                'trail ', '...', '......', '#a#b ... #', 'ü ü ü',
+                'the the the of', 'x' * 300, 'a\x00b c', "it's a test"]
+
+
+@st.composite
+def adversarial_frame(draw):
+    n = draw(st.integers(min_value=1, max_value=10))
+    texts = [draw(st.one_of(
+        st.sampled_from(_ADVERSARIAL),
+        st.text(alphabet=' aZ#.\tü', max_size=30)))
+        for _ in range(n)]
+    return pd.DataFrame({'doc_id': np.arange(n, dtype='int64'),
+                         'text': texts})
+
+
+@SETTINGS
+@given(adversarial_frame())
+def test_quality_scores_arrow_matches_python(ray_session, df):
+    import ray.data as rd
+    from caligraph_ray.stages.textstats import EN_STOPWORDS, quality_scores
+    got = quality_scores(rd.from_pandas(df).repartition(2)).to_pandas() \
+        .sort_values('doc_id').reset_index(drop=True)
+    for _, row in got.iterrows():
+        toks = _toks(df.loc[df['doc_id'] == row['doc_id'], 'text'].iloc[0])
+        n = len(toks)
+        assert row['n_tokens'] == n
+        assert row['n_uniq_tokens'] == len(set(toks))
+        assert row['avg_token_len'] == (
+            round(sum(map(len, toks)) / n, 6) if n else 0.0)
+        assert row['stopword_ratio'] == (
+            round(sum(t in EN_STOPWORDS for t in toks) / n, 6) if n else 0.0)
+
+
+@SETTINGS
+@given(adversarial_frame())
+def test_gopher_flags_arrow_matches_python(ray_session, df):
+    import ray.data as rd
+    from caligraph_ray.stages.textstats import (_GOPHER_STOPWORDS,
+                                                gopher_quality_flags)
+    got = gopher_quality_flags(rd.from_pandas(df).repartition(2),
+                               min_words=2, max_words=10).to_pandas() \
+        .sort_values('doc_id').reset_index(drop=True)
+    stop = frozenset(_GOPHER_STOPWORDS)
+    for _, row in got.iterrows():
+        text = df.loc[df['doc_id'] == row['doc_id'], 'text'].iloc[0] or ''
+        toks = _toks(text)
+        n = len(toks)
+        total_len = sum(len(t) for t in toks)
+        symbols = text.count('#') + text.count('...')
+        alpha = sum(1 for t in toks
+                    if any('a' <= c <= 'z' or 'A' <= c <= 'Z' for c in t))
+        n_stop = len(stop.intersection(toks))
+        assert row['n_words'] == n
+        assert row['pass_word_count'] == int(2 <= n <= 10)
+        assert row['pass_mean_word_len'] == int(
+            n > 0 and 3 * n <= total_len <= 10 * n)
+        assert row['pass_symbol_ratio'] == int(10 * symbols <= n)
+        assert row['pass_alpha_ratio'] == int(5 * alpha >= 4 * n)
+        assert row['pass_stopwords'] == int(n_stop >= 2)
+        assert row['pass_all'] == (
+            row['pass_word_count'] & row['pass_mean_word_len']
+            & row['pass_symbol_ratio'] & row['pass_alpha_ratio']
+            & row['pass_stopwords'])
+
+
+@SETTINGS
+@given(adversarial_frame())
+def test_blocklist_flags_arrow_matches_python(ray_session, df):
+    import ray.data as rd
+    from caligraph_ray.stages.textstats import blocklist_flags
+    terms = ['the', '...', 'ü', '#a#b']
+    got = blocklist_flags(rd.from_pandas(df).repartition(2),
+                          terms).to_pandas() \
+        .sort_values('doc_id').reset_index(drop=True)
+    block = frozenset(terms)
+    for _, row in got.iterrows():
+        toks = _toks(df.loc[df['doc_id'] == row['doc_id'], 'text'].iloc[0])
+        want = sum(1 for t in toks if t in block)
+        assert row['n_blocked'] == want
+        assert row['blocked'] == int(want > 0)
