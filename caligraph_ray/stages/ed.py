@@ -84,17 +84,23 @@ class HashEmbedder:
 
 def embed_texts(ds, text_col: str, out_col: str = 'embedding', dim: int = 64,
                 concurrency: Optional[Tuple[int, int]] = None, batch_size: int = 384,
-                embedder_cls: type = HashEmbedder):
+                embedder_cls: type = HashEmbedder,
+                num_gpus: Optional[float] = None):
     """Add an embedding column (actor pool; batch 384 mirrors the reference
     bi-encoder batch size, entity_disambiguation/__init__.py:54).
     ``embedder_cls``: any (text_col, out_col, dim) actor class — the
     constructor-swap seam (functions.tiny_transformer.TransformerEmbedder
-    is the proved real-model instance)."""
+    is the proved real-model instance). ``num_gpus``: per-actor GPU share
+    forwarded to the pool (the reference's hot path is GPU batch
+    inference, mention_detection/__init__.py:41-46 — on a GPU cluster set
+    num_gpus=1 and size concurrency to accelerator count; pinned by
+    tests/test_gpu_seam.py)."""
+    kw = {} if num_gpus is None else {'num_gpus': num_gpus}
     return ds.map_batches(
         embedder_cls,
         fn_constructor_kwargs={'text_col': text_col, 'out_col': out_col, 'dim': dim},
         batch_format='pandas', batch_size=batch_size,
-        concurrency=concurrency or _pool_size())
+        concurrency=concurrency or _pool_size(), **kw)
 
 
 # --- ST8: BM25 --------------------------------------------------------------
@@ -306,19 +312,23 @@ def rerank_candidates(pairs_ds, mention_id_col: str = 'mention_uid',
                       entity_col: str = 'entity_label',
                       concurrency: Optional[Tuple[int, int]] = None,
                       batch_size: int = 128,
-                      reranker_cls: type = CrossEncoderReranker):
+                      reranker_cls: type = CrossEncoderReranker,
+                      num_gpus: Optional[float] = None):
     """Score every candidate pair (actor pool, batch 128 as the reference)
     then keep the argmax entity per mention (ties → lexicographically first
     entity label). Returns (mention_id, entity_label, ce_score).
     ``reranker_cls``: any (mention_col, entity_col) pair-scoring actor —
     the constructor-swap seam (TransformerCrossScorer is the proved
-    real-model instance)."""
+    real-model instance). ``num_gpus``: per-actor GPU share (the
+    reference's cross-encoder runs batch 128 on GPU,
+    matching/crossencoder.py:81-104)."""
     from .relational import bucketed_map
+    kw = {} if num_gpus is None else {'num_gpus': num_gpus}
     scored = pairs_ds.map_batches(
         reranker_cls,
         fn_constructor_kwargs={'mention_col': mention_col, 'entity_col': entity_col},
         batch_format='pandas', batch_size=batch_size,
-        concurrency=concurrency or _pool_size())
+        concurrency=concurrency or _pool_size(), **kw)
 
     def argmax(bucket: pd.DataFrame) -> pd.DataFrame:
         s = bucket.sort_values([mention_id_col, 'ce_score', entity_col],
@@ -556,7 +566,9 @@ def link_mentions_scored_sharded(mentions_ds, names_ds, k: int = 4,
 
 def md_predict_tokens(items_ds, model_weights=None, head=None,
                       tokens_col: str = 'tokens',
-                      out_col: str = 'md_tags', concurrency=None):
+                      out_col: str = 'md_tags', concurrency=None,
+                      batch_size: int = 500,
+                      num_gpus: Optional[float] = None):
     """Distributed mention-detection inference with the TRAINED token
     classifier (the GPU-batch-inference slot of the reference,
     mention_detection/__init__.py:90-101, PREDICTION_BATCH_SIZE=500):
@@ -587,6 +599,8 @@ def md_predict_tokens(items_ds, model_weights=None, head=None,
                 [list(t) for t in batch[tokens_col]])
             return out
 
+    kw = {} if num_gpus is None else {'num_gpus': num_gpus}
     return items_ds.map_batches(MdTagger, batch_format='pandas',
-                                batch_size=500,
-                                concurrency=concurrency or _pool_size())
+                                batch_size=batch_size,
+                                concurrency=concurrency or _pool_size(),
+                                **kw)

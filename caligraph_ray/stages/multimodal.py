@@ -191,13 +191,25 @@ class ImageResizer:
         return out
 
 
+def _pool_kwargs(num_gpus, batch_size):
+    """Shared GPU-seam plumbing for the media actor pools: per-actor GPU
+    share + batch-size override (large binary payloads need small batches;
+    a GPU decoder wants num_gpus=1 and concurrency = accelerator count).
+    Pinned by tests/test_gpu_seam.py."""
+    kw = {'batch_size': MEDIA_BATCH_SIZE if batch_size is None
+          else batch_size}
+    if num_gpus is not None:
+        kw['num_gpus'] = num_gpus
+    return kw
+
+
 def resize_images(media_ds, out_w: int = 64, out_h: int = 64,
-                  concurrency: int = 4):
+                  concurrency: int = 4, num_gpus=None, batch_size=None):
     """PPM image rows → resized PPM rows (real kernel, actor pool)."""
     return media_ds.map_batches(
         ImageResizer, fn_constructor_kwargs={'out_w': out_w, 'out_h': out_h},
-        batch_format='pandas', batch_size=MEDIA_BATCH_SIZE,
-        concurrency=(1, concurrency))
+        batch_format='pandas', concurrency=(1, concurrency),
+        **_pool_kwargs(num_gpus, batch_size))
 
 
 class FrameSampler:
@@ -227,20 +239,22 @@ class FrameSampler:
                                            'frame_payload'])
 
 
-def decode_images(media_ds, concurrency: int = 4, fake: bool = True):
+def decode_images(media_ds, concurrency: int = 4, fake: bool = True,
+                  num_gpus=None, batch_size=None):
     """media rows → per-image features (actor pool, small batches)."""
     return media_ds.map_batches(
         ImageDecoder, fn_constructor_kwargs={'fake': fake},
-        batch_format='pandas', batch_size=MEDIA_BATCH_SIZE,
-        concurrency=(1, concurrency))
+        batch_format='pandas', concurrency=(1, concurrency),
+        **_pool_kwargs(num_gpus, batch_size))
 
 
-def sample_frames(media_ds, stride_ms: int = 1000, concurrency: int = 4):
+def sample_frames(media_ds, stride_ms: int = 1000, concurrency: int = 4,
+                  num_gpus=None, batch_size=None):
     """video rows → frame rows (flat, one row per frame)."""
     return media_ds.map_batches(
         FrameSampler, fn_constructor_kwargs={'stride_ms': stride_ms},
-        batch_format='pandas', batch_size=MEDIA_BATCH_SIZE,
-        concurrency=(1, concurrency))
+        batch_format='pandas', concurrency=(1, concurrency),
+        **_pool_kwargs(num_gpus, batch_size))
 
 
 def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
