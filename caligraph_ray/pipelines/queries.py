@@ -2037,6 +2037,77 @@ FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) i
 """
 
 
+def q_seen_before_docs(sf_dir: str, m: int = 16384, k: int = 4):
+    """Cross-crawl 'seen before' membership — the incremental-dedup
+    primitive end to end: the PRIOR crawl day (even doc_ids, a
+    deterministic stand-in for yesterday's partition) flows through the
+    generation-dir Bloom state (state/incremental.update_bloom_bits —
+    manifest, atomic LATEST flip), and every document is then flagged
+    against the committed state with a broadcast bit set + the vectorized
+    salted-md5 membership check (k=4 hashes per id, no per-row Python
+    md5). Bloom semantics: every even doc is seen (no false negatives);
+    an odd doc is seen only on a k-fold bit collision — and with the md5
+    hash the oracle replays those collisions bit-for-bit."""
+    import tempfile
+
+    import ray as _ray
+
+    from ..functions.hashing import md5_hash64, md5_hash64_batch
+    from ..state.broadcast import get_broadcast
+    from ..state.incremental import bloom_bits_state, update_bloom_bits
+
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id'])
+
+    def even_only(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b['doc_id'] % 2 == 0]
+
+    with tempfile.TemporaryDirectory() as root:
+        update_bloom_bits(root, 'day0',
+                          docs.map_batches(even_only,
+                                           batch_format='pandas'),
+                          'doc_id', m=m, k=k, hash_fn=md5_hash64)
+        positions = bloom_bits_state(root)['bit_pos'].to_numpy()
+    bitset = np.zeros(m, dtype=bool)
+    bitset[positions] = True
+    ref = _ray.put(bitset)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        bs = get_broadcast(ref)
+        seen = np.ones(len(b), dtype=bool)
+        for i in range(k):
+            pos = (md5_hash64_batch(b['doc_id'], f'{i}|')
+                   % np.uint64(m)).astype(np.int64)
+            seen &= bs[pos]
+        return pd.DataFrame({'doc_id': b['doc_id'].to_numpy(),
+                             'seen': seen.astype('int64')})
+
+    out = rel.collect_pandas(docs.map_batches(flag, batch_format='pandas'))
+    if out.empty:
+        return pd.DataFrame({'doc_id': pd.Series(dtype='int64'),
+                             'seen': pd.Series(dtype='int64')})
+    out = out.astype({'doc_id': 'int64', 'seen': 'int64'})
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
+SQL_SEEN_BEFORE = """
+WITH bits AS MATERIALIZED (
+  SELECT DISTINCT CAST(md5_number_upper(
+             CAST(i.i AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR))
+         % 16384 AS BIGINT) AS b
+  FROM documents CROSS JOIN (SELECT unnest(range(4)) AS i) i
+  WHERE doc_id % 2 = 0),
+pos AS (
+  SELECT doc_id, CAST(md5_number_upper(
+             CAST(i.i AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR))
+         % 16384 AS BIGINT) AS p
+  FROM documents CROSS JOIN (SELECT unnest(range(4)) AS i) i)
+SELECT doc_id,
+       CAST(min(CASE WHEN b.b IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS seen
+FROM pos LEFT JOIN bits b ON b.b = pos.p
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_user_communities(sf_dir: str):
     """Label-propagation communities (Raghavan et al. 2007, bounded
     synchronous rounds with ties → smallest label) over the same star
@@ -3755,6 +3826,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'multimodal_image_stats': q_multimodal_image_stats,
     'hll_user_registers': q_hll_user_registers,
     'bloom_user_bits': q_bloom_user_bits,
+    'seen_before_docs': q_seen_before_docs,
     'cms_user_heavy_hitters': q_cms_user_heavy_hitters,
     'pagerank_event_types': q_pagerank_event_types,
     'event_pairs_window': q_event_pairs_window,
@@ -3870,6 +3942,7 @@ WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
     'multimodal_image_stats': SQL_MM_IMAGE,
     'hll_user_registers': SQL_HLL_REGISTERS,
     'bloom_user_bits': SQL_BLOOM_BITS,
+    'seen_before_docs': SQL_SEEN_BEFORE,
     'cms_user_heavy_hitters': _sql_cms_heavy_hitters(),
     'pagerank_event_types': _sql_pagerank(),
     'event_pairs_window': SQL_EVENT_PAIRS,

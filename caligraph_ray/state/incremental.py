@@ -104,3 +104,58 @@ def update_token_counts(root: str, partition_id: str, docs_ds,
                   json.dumps({'partitions': done + [partition_id]}))
     _atomic_write(os.path.join(root, 'LATEST'), gen)
     return {'partition': partition_id, 'skipped': False, 'generation': gen}
+
+
+def bloom_bits_state(root: str) -> pd.DataFrame:
+    """Current merged Bloom state as a sorted (bit_pos:int64) frame —
+    KB-sized at any corpus size (the state IS the sketch), empty if no
+    generation exists yet."""
+    import pyarrow.parquet as pq
+    cur = _latest(root)
+    if cur is None:
+        return pd.DataFrame({'bit_pos': pd.Series(dtype='int64')})
+    return pq.read_table(cur).to_pandas()
+
+
+def update_bloom_bits(root: str, partition_id: str, ds, id_col: str,
+                      m: int = 16384, k: int = 4, hash_fn=None) -> dict:
+    """Merge one crawl partition's Bloom membership bits into the running
+    'seen before' state — the LLM-data counterpart of the token-count
+    generation chain (daily-append crawl dedup: yesterday's ids live as a
+    KB-sized bit set, today's ingest ORs its bits in and asks membership
+    against the PREVIOUS state). Same manifest/atomic-pointer contract as
+    ``update_token_counts``: exactly-once per partition_id, generation dir
+    wiped on retry, parquet durable → MANIFEST → LATEST. Bloom merge is
+    bit-OR, i.e. set union of bit positions, so delta ≡ full recompute
+    bit-for-bit (pinned by test_incremental)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.sketches import bloom_bits
+
+    os.makedirs(root, exist_ok=True)
+    done = processed_partitions(root)
+    if partition_id in done:
+        return {'partition': partition_id, 'skipped': True,
+                'generation': os.path.basename(_latest(root) or '')}
+
+    delta = bloom_bits(ds, id_col, m=m, k=k, hash_fn=hash_fn)
+    prev = bloom_bits_state(root)
+    merged = sorted(set(prev['bit_pos'].tolist())
+                    | set(delta['bit_pos'].tolist()))
+
+    gen = f'gen_{len(done):06d}_{partition_id}'
+    out_dir = os.path.join(root, gen)
+    if os.path.isdir(out_dir):
+        import shutil
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    # the state is KB-sized by construction (≤ m bit positions) — a
+    # driver-side parquet write is the honest shape, not a Ray job
+    pq.write_table(pa.Table.from_pydict(
+        {'bit_pos': pa.array(merged, pa.int64())}),
+        os.path.join(out_dir, 'bloom.parquet'))
+    _atomic_write(os.path.join(root, 'MANIFEST.json'),
+                  json.dumps({'partitions': done + [partition_id]}))
+    _atomic_write(os.path.join(root, 'LATEST'), gen)
+    return {'partition': partition_id, 'skipped': False, 'generation': gen}

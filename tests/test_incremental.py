@@ -78,3 +78,40 @@ def test_incremental_crash_recovery_no_double_count(ray_session, tmp_path):
     assert processed_partitions(root) == ['p1', 'p2']
     with open(os.path.join(root, 'LATEST')) as f:
         assert f.read().strip() == 'gen_000001_p2'
+
+
+def test_bloom_incremental_delta_equals_full(ray_session, tmp_path):
+    """VERDICT r4 #8: daily-append Bloom state — merging day0 then day1
+    must equal one full-recompute Bloom over the union (bit-OR == set
+    union of positions), re-submission is a no-op, and the generation/
+    LATEST contract matches the token-count chain."""
+    import pandas as pd
+    import ray.data as rd
+
+    from caligraph_ray.functions.hashing import md5_hash64
+    from caligraph_ray.functions.sketches import bloom_bits
+    from caligraph_ray.state.incremental import (bloom_bits_state,
+                                                 update_bloom_bits)
+
+    day0 = pd.DataFrame({'doc_id': [1, 2, 3, 40, 50]})
+    day1 = pd.DataFrame({'doc_id': [3, 60, 70]})
+    root = str(tmp_path / 'bloom_state')
+
+    r0 = update_bloom_bits(root, 'day0', rd.from_pandas(day0), 'doc_id',
+                           m=512, k=3, hash_fn=md5_hash64)
+    assert not r0['skipped']
+    r1 = update_bloom_bits(root, 'day1', rd.from_pandas(day1), 'doc_id',
+                           m=512, k=3, hash_fn=md5_hash64)
+    assert not r1['skipped']
+
+    state = bloom_bits_state(root)
+    full = bloom_bits(rd.from_pandas(pd.concat([day0, day1])), 'doc_id',
+                      m=512, k=3, hash_fn=md5_hash64)
+    assert state['bit_pos'].tolist() == sorted(full['bit_pos'].tolist())
+
+    # re-submission: exactly-once, state untouched
+    r2 = update_bloom_bits(root, 'day0', rd.from_pandas(day0), 'doc_id',
+                           m=512, k=3, hash_fn=md5_hash64)
+    assert r2['skipped'] and r2['generation'] == r1['generation']
+    assert bloom_bits_state(root)['bit_pos'].tolist() == \
+        state['bit_pos'].tolist()
