@@ -29,29 +29,35 @@ from ..stages.triples import TRIPLES_SCHEMA, materialize_triples
 
 
 def _mentions_cats_batch(t: pa.Table) -> pa.Table:
-    """PARSED batch → slim (mention rows ∪ category rows) union batch.
+    """PARSED batch → slim (mention ∪ category ∪ drop-marker) union batch.
 
     Fusing the projection into the parse consumption means the pipeline
     never materializes the full parsed union (item token lists dominate its
     bytes); only mention rows plus (url, page_id, cat_name) category rows
-    are pinned for the later phases."""
+    are pinned for the later phases. Pages the parser dropped (kind='drop',
+    e.g. over the 60 s row budget) pass through as slim url-only marker
+    rows so per-partition drop accounting (north-rule lineage) survives the
+    fusion — every downstream view filters on its own kind."""
     from ..stages.alias import MENTIONS_SCHEMA, _explode_mentions_batch
     items = t.filter(pc.equal(t.column('kind'), pa.scalar('item'))) \
              .drop_columns(['kind', 'cat_name'])
     m = _explode_mentions_batch(items)
     m = m.append_column('cat_name', pa.nulls(m.num_rows, pa.string()))
     m = m.append_column('kind', pa.array(['m'] * m.num_rows, pa.string()))
-    ct = t.filter(pc.equal(t.column('kind'), pa.scalar('cat')))
-    cols = {}
-    for f in MENTIONS_SCHEMA:
-        if f.name in ('url', 'page_id'):
-            cols[f.name] = ct.column(f.name).cast(f.type)
-        else:
-            cols[f.name] = pa.nulls(ct.num_rows, f.type)
-    cols['cat_name'] = ct.column('cat_name')
-    cols['kind'] = pa.array(['cat'] * ct.num_rows, pa.string())
-    c = pa.Table.from_pydict(cols, schema=m.schema)
-    return pa.concat_tables([m, c])
+    parts = [m]
+    for kind in ('cat', 'drop'):
+        ct = t.filter(pc.equal(t.column('kind'), pa.scalar(kind)))
+        cols = {}
+        for f in MENTIONS_SCHEMA:
+            if f.name in ('url', 'page_id'):
+                cols[f.name] = ct.column(f.name).cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(ct.num_rows, f.type)
+        cols['cat_name'] = ct.column('cat_name') if kind == 'cat' \
+            else pa.nulls(ct.num_rows, pa.string())
+        cols['kind'] = pa.array([kind] * ct.num_rows, pa.string())
+        parts.append(pa.Table.from_pydict(cols, schema=m.schema))
+    return pa.concat_tables(parts)
 
 
 def _mentions_of(t: pa.Table) -> pa.Table:
@@ -108,7 +114,7 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
                  redirects_ds=None, canon: str = 'auto',
                  surface_budget: Optional[int] = None,
                  markup: str = 'html', embedder_factory=None,
-                 reranker_factory=None):
+                 reranker_factory=None, stage_hook=None):
     """pages Dataset (F1 schema) → deduped, sorted triples Dataset.
 
     ``linking``: 'broadcast' (index collected + ray.put once — fastest while
@@ -116,7 +122,16 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
     hash join, nothing driver-side — the 10^12-row path), 'scored' (the full
     ED stack: bi-encoder embed → candidate top-k → cross-encoder rerank,
     deterministic stand-ins behind the real actor interfaces — stages/ed.py),
-    or 'auto' (pick broadcast/join by mention volume vs ALIAS_BROADCAST_LIMIT)."""
+    or 'auto' (pick broadcast/join by mention volume vs ALIAS_BROADCAST_LIMIT).
+
+    ``stage_hook(name, build) -> Dataset`` intercepts every wide stage
+    boundary (01_combined parse+slim-union, 02_categories, 03_mentions,
+    04_linked, 05_triples) — the same seam as
+    ``data_prep.training_data_prep``, so ``run_flagship_checkpointed`` is
+    THIS code path with Parquet+lineage persistence, never a drifting
+    re-implementation. Without a hook, only the stages the streaming plan
+    genuinely needs pinned are materialized (mentions stays a lazy filter
+    view; assembled triples stream into the sink)."""
     from ..config import ALIAS_BROADCAST_LIMIT
     from ..stages.alias import link_mentions_join
     from ..stages.html_extract import parse_pages
@@ -130,10 +145,13 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
         from ..stages.wikitext import parse_wikitext_pages as _parse
     else:
         _parse = parse_pages
+    run = stage_hook or (lambda name, build: build().materialize())
     parsed = _parse(pages_ds, concurrency=concurrency)
-    combined = parsed.map_batches(_mentions_cats_batch,
-                                  batch_format='pyarrow').materialize()
-    cats = combined.map_batches(_cats_of, batch_format='pyarrow').materialize()
+    combined = run('01_combined',
+                   lambda: parsed.map_batches(_mentions_cats_batch,
+                                              batch_format='pyarrow'))
+    cats = run('02_categories',
+               lambda: combined.map_batches(_cats_of, batch_format='pyarrow'))
     mentions = combined.map_batches(_mentions_of, batch_format='pyarrow')
 
     if redirects_ds is not None:
@@ -141,8 +159,14 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
         # spelling guard) BEFORE alias grouping, so distinct surfaces that
         # redirect to one entity merge (reference resource.py:290-305)
         from ..stages.redirects import fold_redirects
-        mentions = fold_redirects(mentions, redirects_ds, col='name').materialize()
+        mentions = run('03_mentions',
+                       lambda: fold_redirects(mentions, redirects_ds,
+                                              col='name'))
         del combined
+    elif stage_hook is not None:
+        # resumability wants the exploded mentions durable; the extra write
+        # is the checkpointing price and only paid when a hook is installed
+        mentions = run('03_mentions', lambda: mentions)
     # else: mentions stays a LAZY filter over the pinned slim union — its
     # consumers (count, index scan, linking) fuse the cheap arrow mask into
     # their own scans. Re-materializing the filter was a full extra
@@ -154,25 +178,40 @@ def run_flagship(pages_ds, out_dir: Optional[str] = None,
     if linking == 'scored':
         # the constructor-swap seam reaches the full pipeline: pass
         # factories returning TRAINED models (functions/train_transformer)
-        # and the whole KG build runs on learned weights
-        linked, ent_names = _scored_linked(
-            mentions, embedder_factory=embedder_factory,
-            reranker_factory=reranker_factory)
-        linked = linked.materialize()
+        # and the whole KG build runs on learned weights. ent_names rides a
+        # holder: on a hook-resumed run the build is skipped and ent_names
+        # stays None — _assemble_triples then derives the dim from `linked`
+        # itself, distributed.
+        _ent_holder = {}
+
+        def _build_scored():
+            linked_, names_ = _scored_linked(
+                mentions, embedder_factory=embedder_factory,
+                reranker_factory=reranker_factory)
+            _ent_holder['names'] = names_
+            return linked_
+
+        linked = run('04_linked', _build_scored)
+        ent_names = _ent_holder.get('names')
     elif use_join:
-        linked = link_mentions_join(mentions).materialize()
+        linked = run('04_linked', lambda: link_mentions_join(mentions))
         ent_names = None   # derived distributed inside _assemble_triples
     else:
         index = build_alias_index_local(mentions)
         index_ref = ray.put(index)
-        linked = link_mentions(mentions, index_ref, concurrency=concurrency)
-        linked = linked.materialize()
+        linked = run('04_linked',
+                     lambda: link_mentions(mentions, index_ref,
+                                           concurrency=concurrency))
         ent_names = entity_names_from_index(index)
 
     all_triples = _assemble_triples(linked, cats, me_threshold, mm_threshold,
                                     path_threshold, ent_names=ent_names,
                                     total_rows=n_mentions, canon=canon,
                                     surface_budget=surface_budget)
+    if stage_hook is not None:
+        # default path streams the assembled triples straight into the
+        # sink; under a hook they persist as their own resumable stage
+        all_triples = run('05_triples', lambda: all_triples)
     return materialize_triples(all_triples, out_dir=out_dir)
 
 
@@ -181,17 +220,21 @@ def run_flagship_checkpointed(pages_ds, root: str,
                               mm_threshold: float = MENTION_MENTION_THRESHOLD,
                               path_threshold: float = PATH_THRESHOLD,
                               linking: str = 'broadcast',
-                              redirects_ds=None):
-    """Checkpointed flagship: every wide stage writes Parquet +
-    _LINEAGE.json + _SUCCESS under ``root``; a rerun (after a crash or a
-    partial run) skips completed stages (north-rule resumability). The final
-    triples land hash-partitioned under ``root``/triples_out. Accepts the
-    same ``linking`` modes and optional ``redirects_ds`` as
-    ``run_flagship``."""
+                              redirects_ds=None, **kw):
+    """Checkpointed flagship: ``run_flagship`` with a ``stage_hook`` that
+    persists every wide stage as Parquet + _LINEAGE.json + _SUCCESS under
+    ``root`` — the SAME code path as the direct run (the data_prep.py
+    pattern), so the two can never drift. A rerun (after a crash or a
+    partial run) skips completed stages (north-rule resumability); a
+    changed corpus/config invalidates stale checkpoints via per-stage
+    fingerprints. The final triples land hash-partitioned under
+    ``root``/triples_out (idempotent sink: wipe-or-skip via _SUCCESS).
+    Drop accounting (pages the parser rejected) rides the 01_combined
+    stage as kind='drop' marker rows and is stamped into its lineage."""
+    import json as _json
     import os
-    from ..state.checkpoint import run_stage
-    from ..stages.alias import explode_mentions, link_mentions_join
-    from ..stages.html_extract import cats_view, items_view, parse_pages
+
+    from ..state.checkpoint import read_lineage, run_stage
 
     # fingerprint: input size + thresholds — a rerun of the same root with a
     # different corpus or config invalidates stale checkpoints instead of
@@ -202,65 +245,29 @@ def run_flagship_checkpointed(pages_ds, root: str,
     fp_link = fp_in | {'linking': linking}
     fp_cfg = fp_link | {'me': me_threshold, 'mm': mm_threshold,
                         'path': path_threshold}
+    fps = {'01_combined': fp_in, '02_categories': fp_in,
+           '03_mentions': fp_in, '04_linked': fp_link,
+           '05_triples': fp_cfg}
 
-    parsed = run_stage(root, '01_parsed', lambda: parse_pages(pages_ds),
-                       fingerprint=fp_in)
-    # drop accounting (north rule): failed pages are kind='drop' rows;
-    # record the count next to the stage's lineage
-    from ..stages.html_extract import parse_drops
-    from ..state.checkpoint import read_lineage
-    lin = read_lineage(root, '01_parsed')
-    if lin is not None and 'parse_drops' not in lin:
-        import json as _json
-        n_drops, _ = parse_drops(parsed)
-        lin['parse_drops'] = int(n_drops)
-        with open(os.path.join(root, '01_parsed', '_LINEAGE.json'), 'w') as f:
-            _json.dump(lin, f, indent=2)
-    items = items_view(parsed)
-    cats = run_stage(root, '02_categories', lambda: cats_view(parsed),
-                     fingerprint=fp_in)
+    def hook(name, build):
+        out = run_stage(root, name, build, fingerprint=fps[name])
+        if name == '01_combined':
+            lin = read_lineage(root, name)
+            if lin is not None and 'parse_drops' not in lin:
+                n_drops = out.map_batches(
+                    lambda t: t.filter(pc.equal(t.column('kind'),
+                                                pa.scalar('drop'))),
+                    batch_format='pyarrow').count()
+                lin['parse_drops'] = int(n_drops)
+                with open(os.path.join(root, name, '_LINEAGE.json'),
+                          'w') as f:
+                    _json.dump(lin, f, indent=2)
+        return out
 
-    def build_mentions():
-        m = explode_mentions(items)
-        if redirects_ds is not None:
-            from ..stages.redirects import fold_redirects
-            m = fold_redirects(m, redirects_ds, col='name')
-        return m
-
-    mentions = run_stage(root, '03_mentions', build_mentions, fingerprint=fp_in)
-    if linking == 'scored':
-        # budget-gated: collects the name dim only under SCORED_NAME_LIMIT.
-        # ent_names is only consumed by _assemble_triples below, which
-        # derives the dim from `linked` itself when None (over-budget path).
-        _ent_holder = {}
-
-        def _linked_scored():
-            linked_, names_ = _scored_linked(mentions)
-            _ent_holder['names'] = names_
-            return linked_
-
-        linked = run_stage(root, '04_linked', _linked_scored,
-                           fingerprint=fp_link)
-        ent_names = _ent_holder.get('names')
-    elif linking == 'join':
-        ent_names = None
-        linked = run_stage(root, '04_linked',
-                           lambda: link_mentions_join(mentions),
-                           fingerprint=fp_link)
-    else:
-        index = build_alias_index_local(mentions)
-        index_ref = ray.put(index)
-        ent_names = entity_names_from_index(index)
-        linked = run_stage(root, '04_linked',
-                           lambda: link_mentions(mentions, index_ref),
-                           fingerprint=fp_link)
-    triples = run_stage(root, '05_triples', lambda: _assemble_triples(
-        linked, cats, me_threshold, mm_threshold, path_threshold,
-        ent_names=ent_names), fingerprint=fp_cfg)
-    # materialize_triples is itself idempotent (wipe-or-skip via _SUCCESS),
-    # so a resumed run can never double rows in the durable sink
-    out_dir = os.path.join(root, 'triples_out')
-    return materialize_triples(triples, out_dir=out_dir)
+    return run_flagship(pages_ds, out_dir=os.path.join(root, 'triples_out'),
+                        me_threshold=me_threshold, mm_threshold=mm_threshold,
+                        path_threshold=path_threshold, linking=linking,
+                        redirects_ds=redirects_ds, stage_hook=hook, **kw)
 
 
 def _emit_subject_pairs(canon: pd.Series, urls: pd.Series,

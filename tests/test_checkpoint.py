@@ -52,8 +52,8 @@ def test_flagship_checkpointed_resumes(ray_session, small_corpus, tmp_path):
     t1 = run_flagship_checkpointed(pages, root)
     rows1 = {(r['subj'], r['pred'], r['obj'], r['is_literal']) for r in t1.take_all()}
     report = pipeline_report(root)
-    assert set(report) == {'01_parsed', '02_categories', '03_mentions', '04_linked', '05_triples'}
-    mtime_items = os.path.getmtime(os.path.join(root, '01_parsed', '_SUCCESS'))
+    assert set(report) == {'01_combined', '02_categories', '03_mentions', '04_linked', '05_triples'}
+    mtime_items = os.path.getmtime(os.path.join(root, '01_combined', '_SUCCESS'))
 
     # wipe the last stage → rerun recomputes only it, reusing earlier stages
     import shutil
@@ -61,7 +61,7 @@ def test_flagship_checkpointed_resumes(ray_session, small_corpus, tmp_path):
     t2 = run_flagship_checkpointed(pages, root)
     rows2 = {(r['subj'], r['pred'], r['obj'], r['is_literal']) for r in t2.take_all()}
     assert rows1 == rows2
-    assert os.path.getmtime(os.path.join(root, '01_parsed', '_SUCCESS')) == mtime_items
+    assert os.path.getmtime(os.path.join(root, '01_combined', '_SUCCESS')) == mtime_items
 
     # checkpointed result == direct result
     direct = run_flagship(rd.from_arrow(small_corpus).repartition(4))
