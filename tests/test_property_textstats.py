@@ -413,3 +413,32 @@ def test_blocklist_flags_arrow_matches_python(ray_session, df):
         want = sum(1 for t in toks if t in block)
         assert row['n_blocked'] == want
         assert row['blocked'] == int(want > 0)
+
+
+@SETTINGS
+@given(adversarial_frame(), st.sampled_from([0, 2]))
+def test_token_counts_arrow_adversarial(ray_session, df, min_len):
+    import ray.data as rd
+    from caligraph_ray.stages.textstats import token_counts
+    got = token_counts(rd.from_pandas(df).repartition(2),
+                       min_len=min_len).to_pandas()
+    want = Counter(t for text in df['text'] for t in _toks(text)
+                   if len(t) >= min_len)
+    got_d = dict(zip(got['token'], got['freq'])) if len(got) else {}
+    assert got_d == dict(want)
+
+
+@SETTINGS
+@given(adversarial_frame())
+def test_bigram_counts_arrow_adversarial(ray_session, df):
+    import ray.data as rd
+    from caligraph_ray.stages.textstats import bigram_counts
+    got = bigram_counts(rd.from_pandas(df).repartition(2)).to_pandas()
+    want = Counter()
+    for text in df['text']:
+        toks = _toks(text)
+        for i in range(len(toks) - 1):
+            want[(toks[i], toks[i + 1])] += 1
+    got_d = {(a, b): c for a, b, c in
+             zip(got['w1'], got['w2'], got['freq'])} if len(got) else {}
+    assert got_d == dict(want)
