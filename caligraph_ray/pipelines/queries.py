@@ -2178,6 +2178,52 @@ def q_user_components(sf_dir: str):
                          'component': [r[1] for r in rows]})
 
 
+def q_user_components_distributed(sf_dir: str):
+    """The same user components through the FULLY distributed CC
+    (canonicalize.connected_components_ds — min-label propagation, the
+    consumer for graphs whose node map exceeds the driver): labels stay a
+    Dataset end to end and users join their component via one left
+    shuffle_join (missing → own id, the singleton contract). Same oracle
+    as user_components — the two engine paths must agree bit-for-bit."""
+    from ..stages.canonicalize import connected_components_ds
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'user_id'])
+    pairs = rel.two_phase_count(ev, ['event_type', 'user_id'], alias='cnt') \
+        .drop_columns(['cnt'])
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        users = np.sort(g['user_id'].unique())
+        rep = users[0]
+        return pd.DataFrame({'src': np.full(len(users), rep, dtype=np.int64),
+                             'dst': users.astype(np.int64)})
+
+    edges = pairs.groupby('event_type').map_groups(star, batch_format='pandas')
+    comp = connected_components_ds(edges)
+    users = rel.two_phase_count(
+        ev.map_batches(lambda df: df[['user_id']], batch_format='pandas'),
+        ['user_id'], alias='_c').drop_columns(['_c'])
+    joined = rel.shuffle_join(
+        rel.pin_arrow(users, user_id='int'),
+        comp.map_batches(lambda t: t.rename_columns(['cn', 'comp']),
+                         batch_format='pyarrow'),
+        left_on='user_id', right_on='cn', how='left')
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        comp_col = df['comp'].astype(object)
+        miss = comp_col.isna()
+        if miss.any():
+            comp_col = comp_col.mask(miss, df['user_id'][miss])
+        return pd.DataFrame({
+            'user_id': df['user_id'].astype('int64'),
+            'component': comp_col.astype('int64')})
+
+    out = rel.collect_pandas(joined.map_batches(finish,
+                                                batch_format='pandas'))
+    if out.empty:
+        return pd.DataFrame({'user_id': pd.Series(dtype='int64'),
+                             'component': pd.Series(dtype='int64')})
+    return out.sort_values('user_id').reset_index(drop=True)
+
+
 SQL_COMPONENTS = """
 WITH RECURSIVE
 edges AS (SELECT DISTINCT user_id AS a,
@@ -3885,6 +3931,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'normalized_customer_names': q_normalized_customer_names,
     'approx_distinct_users': q_approx_distinct_users,
     'user_components': q_user_components,
+    'user_components_distributed': q_user_components_distributed,
     'user_communities': q_user_communities,
     'alias_counts_docs': q_alias_counts_docs,
     'packed_sequences': q_packed_sequences,
@@ -3997,6 +4044,7 @@ WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
     'domain_of_event_types': SQL_DOMAIN_EVENTS,
     'normalized_customer_names': SQL_NORM_NAMES,
     'user_components': SQL_COMPONENTS,
+    'user_components_distributed': SQL_COMPONENTS,
     'user_communities': _sql_label_propagation(),
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     'approx_distinct_users': SQL_APPROX_DISTINCT,

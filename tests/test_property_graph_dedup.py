@@ -72,6 +72,36 @@ def test_connected_components_matches_union_find(ray_session, edges, passes):
         assert got.get(n, n) == lbl, (n, got, want)
 
 
+@SETTINGS
+@given(edge_list())
+def test_connected_components_ds_matches_union_find(ray_session, edges):
+    """The fully distributed (Dataset-returning) CC: min-label propagation
+    labels must equal the union-find labels on every node that appears in
+    an edge, and a multi-round chain must converge (not just star graphs)."""
+    import ray.data as rd
+    from caligraph_ray.stages.canonicalize import connected_components_ds
+    # append a 6-node path so propagation needs several rounds
+    edges = list(edges) + [(900, 901), (901, 902), (902, 903),
+                           (903, 904), (904, 905)]
+    df = pd.DataFrame({'src': np.array([a for a, _ in edges], dtype='int64'),
+                       'dst': np.array([b for _, b in edges], dtype='int64')})
+    out = connected_components_ds(rd.from_pandas(df).repartition(3)) \
+        .to_pandas()
+    got = dict(zip(out['node'].astype(int), out['comp'].astype(int)))
+    want = _brute_components(edges)
+    assert got == want
+
+
+def test_connected_components_ds_nonconvergence_raises(ray_session):
+    import pytest
+    import ray.data as rd
+    from caligraph_ray.stages.canonicalize import connected_components_ds
+    chain = pd.DataFrame({'src': np.arange(0, 9, dtype='int64'),
+                          'dst': np.arange(1, 10, dtype='int64')})
+    with pytest.raises(RuntimeError, match='did not converge'):
+        connected_components_ds(rd.from_pandas(chain), max_rounds=2)
+
+
 # --- taxonomy transitive closure --------------------------------------------
 
 @st.composite
