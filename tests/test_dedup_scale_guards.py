@@ -97,3 +97,26 @@ def test_pairs_to_groups_config_gate(ray_session, monkeypatch):
     monkeypatch.setattr(cfg, 'PAIR_GROUPS_DRIVER_LIMIT', 0)
     dist = pairs_to_groups(_pairs_ds(edges))
     pd.testing.assert_frame_equal(dist, fast)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_GUARD_SETTINGS = settings(max_examples=6, deadline=None,
+                           suppress_health_check=list(HealthCheck))
+
+
+@_GUARD_SETTINGS
+@given(st.integers(min_value=8, max_value=48),
+       st.integers(min_value=2, max_value=9),
+       st.integers(min_value=1, max_value=4),
+       st.integers(min_value=0, max_value=2**31))
+def test_semdedup_guard_equality_fuzz(ray_session, n, cap, n_centroids,
+                                      seed):
+    """Hypothesis fuzz over corpus size × cap × centroid count × seed:
+    the chunk-pair guard must match the single-bucket path exactly for
+    ANY combination (empty chunks, every-cluster-oversized, mixed)."""
+    ds = _emb_ds(n=n, seed=seed % 10_000, dup_every=4)
+    uncapped = _run_semdedup(ds, cap=10_000, n_centroids=n_centroids)
+    capped = _run_semdedup(ds, cap=cap, n_centroids=n_centroids)
+    pd.testing.assert_frame_equal(capped, uncapped)
