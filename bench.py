@@ -185,6 +185,10 @@ def run_benchmarks() -> dict:
           lambda: Q.q_hygiene_filtered_docs(SF_DIR))
     timed('user_communities', lambda: Q.q_user_communities(SF_DIR))
     timed('ngram_novelty', lambda: Q.q_ngram_novelty(SF_DIR))
+    # round-5 additions
+    timed('seen_before_docs', lambda: Q.q_seen_before_docs(SF_DIR))
+    timed('user_components_distributed',
+          lambda: Q.q_user_components_distributed(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -818,10 +818,11 @@ def semdedup_keep(emb_ds, n_centroids: int = 8, n_iters: int = 2,
             rep = np.repeat(np.arange(len(g)), c_n)
             j = np.tile(np.arange(c_n, dtype=np.int64), len(g))
             ci_rep = ci[rep]
+            vecs = g[vec_col].to_numpy()   # object array: fancy-index, no loop
             outs.append(pd.DataFrame({
                 id_col: ids[rep],
                 'centroid': np.full(len(rep), cen, dtype=np.int64),
-                vec_col: [g[vec_col].iloc[i] for i in rep],
+                vec_col: vecs[rep],
                 '_ci': ci_rep,
                 '_p': np.minimum(ci_rep, j),
                 '_q': np.maximum(ci_rep, j)}))
