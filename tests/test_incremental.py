@@ -115,3 +115,42 @@ def test_bloom_incremental_delta_equals_full(ray_session, tmp_path):
     assert r2['skipped'] and r2['generation'] == r1['generation']
     assert bloom_bits_state(root)['bit_pos'].tolist() == \
         state['bit_pos'].tolist()
+
+
+def test_bloom_crash_recovery_clean_generation(ray_session, tmp_path):
+    """A crashed bloom update leaves a partial generation dir; the retry
+    must wipe it and commit a clean state identical to a never-crashed
+    run (same contract as the token-count chain's crash test)."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from caligraph_ray.functions.hashing import md5_hash64
+    from caligraph_ray.state.incremental import (bloom_bits_state,
+                                                 update_bloom_bits)
+
+    root = str(tmp_path / 'bloom_crash')
+    day0 = pd.DataFrame({'doc_id': [1, 2, 3]})
+    update_bloom_bits(root, 'day0', rd.from_pandas(day0), 'doc_id',
+                      m=256, k=3, hash_fn=md5_hash64)
+    # simulate a crashed day1 attempt: its generation dir already exists
+    # with garbage that a naive append-write would merge into the state
+    crash_dir = os.path.join(root, 'gen_000001_day1')
+    os.makedirs(crash_dir, exist_ok=True)
+    with open(os.path.join(crash_dir, 'partial-uuid.parquet'), 'wb') as f:
+        f.write(b'not parquet')
+    day1 = pd.DataFrame({'doc_id': [9, 10]})
+    r = update_bloom_bits(root, 'day1', rd.from_pandas(day1), 'doc_id',
+                          m=256, k=3, hash_fn=md5_hash64)
+    assert not r['skipped']
+    # clean reference run in a fresh root
+    ref_root = str(tmp_path / 'bloom_ref')
+    update_bloom_bits(ref_root, 'day0', rd.from_pandas(day0), 'doc_id',
+                      m=256, k=3, hash_fn=md5_hash64)
+    update_bloom_bits(ref_root, 'day1', rd.from_pandas(day1), 'doc_id',
+                      m=256, k=3, hash_fn=md5_hash64)
+    assert bloom_bits_state(root)['bit_pos'].tolist() == \
+        bloom_bits_state(ref_root)['bit_pos'].tolist()
+    assert not os.path.exists(os.path.join(crash_dir,
+                                           'partial-uuid.parquet'))
