@@ -3851,6 +3851,56 @@ FROM est0
 
 # --- registry ---------------------------------------------------------------
 
+def q_pivot_event_type_counts(sf_dir: str):
+    """Long → wide pivot (relational.pivot_counts): per-user event counts
+    with one int64 column per event type — the dynamic SQL PIVOT contract
+    (columns = sorted distinct types, missing combos 0). One row-keyed
+    exchange over two-phase partials; the column dim is driver-known by
+    pivot's definition."""
+    ev = rel.read_table(sf_dir, 'events', ['user_id', 'event_type'])
+    out = rel.collect_pandas(rel.pivot_counts(ev, 'user_id', 'event_type'))
+    if out.empty:
+        return pd.DataFrame({'user_id': pd.Series(dtype='int64')})
+    out['user_id'] = out['user_id'].astype('int64')
+    return out.sort_values('user_id').reset_index(drop=True)
+
+
+SQL_PIVOT_EVENTS = """
+PIVOT events ON event_type USING count(*) GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_unpivot_event_type_counts(sf_dir: str):
+    """The melt round trip: unpivot(pivot_counts(events)) — wide back to
+    (user_id, event_type, n) INCLUDING the zero cells the pivot
+    materialized (the melt contract). Stateless per-batch melt, no
+    exchange; oracle = users × types cross join left-joined onto counts."""
+    ev = rel.read_table(sf_dir, 'events', ['user_id', 'event_type'])
+    wide = rel.pivot_counts(ev, 'user_id', 'event_type')
+    cols = [c for c in wide.schema().names if c != 'user_id']
+    out = rel.collect_pandas(rel.unpivot(wide, ['user_id'], cols,
+                                         var_name='event_type',
+                                         value_name='n'))
+    if out.empty:
+        return pd.DataFrame({'user_id': pd.Series(dtype='int64'),
+                             'event_type': pd.Series(dtype=object),
+                             'n': pd.Series(dtype='int64')})
+    out = out.astype({'user_id': 'int64', 'n': 'int64'})
+    return out.sort_values(['user_id', 'event_type']).reset_index(drop=True)
+
+
+SQL_UNPIVOT_EVENTS = """
+SELECT u.user_id, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM (SELECT DISTINCT user_id FROM events) u
+CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+LEFT JOIN (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2) c
+  ON c.user_id = u.user_id AND c.event_type = t.event_type
+ORDER BY u.user_id, t.event_type
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
     'asof_latest_order': q_asof_latest_order,
     'value_quantiles_by_type': q_value_quantiles_by_type,
@@ -3932,6 +3982,8 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'approx_distinct_users': q_approx_distinct_users,
     'user_components': q_user_components,
     'user_components_distributed': q_user_components_distributed,
+    'pivot_event_type_counts': q_pivot_event_type_counts,
+    'unpivot_event_type_counts': q_unpivot_event_type_counts,
     'user_communities': q_user_communities,
     'alias_counts_docs': q_alias_counts_docs,
     'packed_sequences': q_packed_sequences,
@@ -4045,6 +4097,8 @@ WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
     'normalized_customer_names': SQL_NORM_NAMES,
     'user_components': SQL_COMPONENTS,
     'user_components_distributed': SQL_COMPONENTS,
+    'pivot_event_type_counts': SQL_PIVOT_EVENTS,
+    'unpivot_event_type_counts': SQL_UNPIVOT_EVENTS,
     'user_communities': _sql_label_propagation(),
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     'approx_distinct_users': SQL_APPROX_DISTINCT,

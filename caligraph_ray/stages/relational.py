@@ -833,6 +833,50 @@ def two_phase_sum(ds, keys: Sequence[str], value_col: str, alias: str = 'total',
     return two_phase_pandas_agg(ds, keys, {alias: (value_col, 'sum')}, coarse=coarse)
 
 
+def pivot_counts(ds, row_key: str, col_key: str,
+                 coarse: Optional[int] = None):
+    """Long → wide COUNT pivot (the SQL ``PIVOT … USING count(*)``
+    contract): one row per distinct ``row_key``, one int64 column per
+    distinct ``col_key`` value (sorted, stringified — DuckDB's dynamic
+    PIVOT naming), missing combinations 0.
+
+    Scale shape: counts pre-aggregate two-phase (a head (row, col) pair
+    costs one partial row per batch), then ONE row-keyed exchange widens
+    each bucket. The COLUMN set is the distinct ``col_key`` dim — a
+    pivot's output schema is driver-known by definition, so that dim is
+    collected (small by the same contract that makes a wide table
+    writable); the ROW dim never touches the driver."""
+    counts = two_phase_count(ds, [row_key, col_key], alias='_n')
+    cols = sorted(str(c) for c in counts.unique(col_key))
+
+    def widen(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.copy()
+        b[col_key] = b[col_key].astype(str)
+        p = b.pivot_table(index=row_key, columns=col_key, values='_n',
+                          aggfunc='sum', fill_value=0)
+        p = p.reindex(columns=cols, fill_value=0).astype('int64')
+        p.columns = list(cols)
+        return p.reset_index()
+
+    return bucketed_map(counts, [row_key], widen, coarse=coarse)
+
+
+def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
+            var_name: str = 'variable', value_name: str = 'value'):
+    """Wide → long melt: stateless vectorized per-batch ``pd.melt`` — no
+    exchange at all (each output row derives from one input row), so it
+    streams at any scale. Inverse of ``pivot_counts`` up to row order
+    (property-pinned round trip)."""
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def melt(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.melt(id_vars=id_cols, value_vars=value_cols,
+                          var_name=var_name, value_name=value_name)
+
+    return ds.map_batches(melt, batch_format='pandas',
+                          batch_size=AGG_BATCH_SIZE)
+
+
 def topk_per_group(ds, group_key: str, sort_cols: List[str],
                    ascending: List[bool], k: int):
     """Per-group top-k (O1): coarse-bucket shuffle + in-group sort/head.

@@ -375,3 +375,32 @@ def test_grouped_map_fuzz_vs_pandas_groupby(ray_session, str_keys, rows,
         or str(x) in ('nan', 'None', '<NA>') else x))
     pd.testing.assert_frame_equal(canon(fix(got))[['k', 'n', 's']],
                                   canon(fix(exp))[['k', 'n', 's']])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=9),
+                          st.sampled_from(['a', 'b', 'view', 'click x'])),
+                min_size=1, max_size=60))
+def test_pivot_unpivot_round_trip(ray_session, pairs):
+    """pivot_counts → unpivot reproduces the exact (row, col, n) counts
+    including materialized zero cells; columns are the sorted distinct
+    col values (the dynamic SQL PIVOT contract)."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from caligraph_ray.stages.relational import pivot_counts, unpivot
+    df = pd.DataFrame({'r': np.array([p[0] for p in pairs], dtype='int64'),
+                       'c': [p[1] for p in pairs]})
+    wide = pivot_counts(rd.from_pandas(df).repartition(2), 'r', 'c')
+    names = [c for c in wide.schema().names if c != 'r']
+    assert names == sorted({p[1] for p in pairs})
+    long = unpivot(wide, ['r'], names, var_name='c',
+                   value_name='n').to_pandas()
+    want = Counter(pairs)
+    rows = {int(p[0]) for p in pairs}
+    for _, row in long.iterrows():
+        assert row['n'] == want.get((row['r'], row['c']), 0)
+    assert set(long['r'].astype(int)) == rows
+    assert len(long) == len(rows) * len(names)
