@@ -189,6 +189,10 @@ def run_benchmarks() -> dict:
     timed('seen_before_docs', lambda: Q.q_seen_before_docs(SF_DIR))
     timed('user_components_distributed',
           lambda: Q.q_user_components_distributed(SF_DIR))
+    timed('pivot_event_type_counts',
+          lambda: Q.q_pivot_event_type_counts(SF_DIR))
+    timed('unpivot_event_type_counts',
+          lambda: Q.q_unpivot_event_type_counts(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {
