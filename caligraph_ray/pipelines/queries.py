@@ -3901,6 +3901,50 @@ ORDER BY u.user_id, t.event_type
 """
 
 
+def q_value_moments_by_type(sf_dir: str):
+    """Per-type exact-integer variance/covariance analytics
+    (relational.grouped_moments): population var of milli-quantized value
+    and its covariance with the event hour — integer moments combined
+    two-phase (no float association anywhere), HUGEINT-replayed by the
+    oracle; covariance divides TRUNCATING to match DuckDB ``//``."""
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'ts', 'value'])
+
+    def add_hour(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'event_type': b['event_type'], 'value': b['value'],
+            'hour': b['ts'].astype('datetime64[us]').dt.hour
+            .astype('int64')})
+
+    out = rel.collect_pandas(rel.grouped_moments(
+        ev.map_batches(add_hour, batch_format='pandas'),
+        'event_type', 'value', y_col='hour', scale=1000))
+    if out.empty:
+        return pd.DataFrame({'event_type': pd.Series(dtype=object),
+                             'n': pd.Series(dtype='int64'),
+                             'var_q': pd.Series(dtype='int64'),
+                             'cov_q': pd.Series(dtype='int64')})
+    out = out.astype({'n': 'int64', 'var_q': 'int64', 'cov_q': 'int64'})
+    return out.sort_values('event_type').reset_index(drop=True)
+
+
+SQL_VALUE_MOMENTS = """
+WITH q AS (
+  SELECT event_type,
+         CAST(floor(value * 1000) AS HUGEINT) AS x,
+         CAST(extract(hour FROM ts) AS HUGEINT) AS y
+  FROM events),
+m AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+         sum(y) AS sy, sum(x * y) AS sxy
+  FROM q GROUP BY event_type)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST((n * sxx - sx * sx) // (n * n) AS BIGINT) AS var_q,
+       CAST((n * sxy - sx * sy) // (n * n) AS BIGINT) AS cov_q
+FROM m ORDER BY event_type
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
     'asof_latest_order': q_asof_latest_order,
     'value_quantiles_by_type': q_value_quantiles_by_type,
@@ -3984,6 +4028,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'user_components_distributed': q_user_components_distributed,
     'pivot_event_type_counts': q_pivot_event_type_counts,
     'unpivot_event_type_counts': q_unpivot_event_type_counts,
+    'value_moments_by_type': q_value_moments_by_type,
     'user_communities': q_user_communities,
     'alias_counts_docs': q_alias_counts_docs,
     'packed_sequences': q_packed_sequences,
@@ -4099,6 +4144,7 @@ WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
     'user_components_distributed': SQL_COMPONENTS,
     'pivot_event_type_counts': SQL_PIVOT_EVENTS,
     'unpivot_event_type_counts': SQL_UNPIVOT_EVENTS,
+    'value_moments_by_type': SQL_VALUE_MOMENTS,
     'user_communities': _sql_label_propagation(),
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     'approx_distinct_users': SQL_APPROX_DISTINCT,

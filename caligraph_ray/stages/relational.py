@@ -833,6 +833,87 @@ def two_phase_sum(ds, keys: Sequence[str], value_col: str, alias: str = 'total',
     return two_phase_pandas_agg(ds, keys, {alias: (value_col, 'sum')}, coarse=coarse)
 
 
+def _trunc_div(num: int, den: int) -> int:
+    """Integer division TRUNCATING toward zero — DuckDB's ``//`` semantics
+    (probed: -7 // 2 = -3), vs Python's flooring //. Shared by every
+    signed fixed-point emission so both engines round identically."""
+    num, den = int(num), int(den)
+    q = abs(num) // abs(den)
+    return q if (num >= 0) == (den >= 0) else -q
+
+
+def grouped_moments(ds, key: str, x_col: str, y_col: Optional[str] = None,
+                    scale: int = 1000, coarse: Optional[int] = None):
+    """Exact-integer grouped second moments: per ``key`` group the count,
+    population variance of ``x`` and (optionally) covariance of (x, y) —
+    the stddev/var/covar analytics aggregates, in the repo's
+    engine-replayable integer contract.
+
+    ``x`` is floor-quantized to ``scale`` units (floor(x·scale), the same
+    double op on both engines); all moments (Σx, Σx², Σy, Σxy) are INTEGER
+    sums combined two-phase, so association order can never move a ulp.
+    Emitted: ``n``, ``var_q`` = (n·Σx² − (Σx)²) // n² (population variance
+    in scale² units; numerator ≥ 0 so floor == trunc) and ``cov_q`` =
+    trunc((n·Σxy − Σx·Σy) / n²) — TRUNCATING division because the
+    covariance can be negative and DuckDB's ``//`` truncates while
+    Python's floors (``_trunc_div``). ``y`` must already be integer-valued
+    (e.g. an extracted hour).
+
+    Scale note: per-batch partials fit int64 by the quantization bound
+    (|x·scale| ≤ ~2³¹ keeps Σx² ≤ ~2⁶² per 65k batch); the partials are
+    then carried as OBJECT (exact Python ints) through the combine, so a
+    head key summed across 10^12 rows can exceed int64 without wrapping —
+    the unbounded-int HUGEINT analog used throughout the repo."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(batch[x_col].to_numpy(dtype=np.float64)
+                     * scale).astype(np.int64)
+        cols = {key: batch[key].to_numpy(),
+                '_n': np.ones(len(batch), dtype=np.int64),
+                '_sx': x, '_sxx': x * x}
+        if y_col is not None:
+            y = batch[y_col].to_numpy(dtype=np.int64)
+            cols['_sy'] = y
+            cols['_sxy'] = x * y
+        g = pd.DataFrame(cols).groupby(key, sort=False, dropna=False) \
+            .sum().reset_index()
+        # object dtype from here on: the cross-batch combine must never
+        # wrap int64 for a head key at corpus scale
+        for c in g.columns:
+            if c != key:
+                g[c] = g[c].map(int).astype(object)
+        return g
+
+    partials = ds.map_batches(partial, batch_format='pandas',
+                              batch_size=AGG_BATCH_SIZE)
+    spec = {'_n': ('_n', 'sum'), '_sx': ('_sx', 'sum'),
+            '_sxx': ('_sxx', 'sum')}
+    if y_col is not None:
+        spec['_sy'] = ('_sy', 'sum')
+        spec['_sxy'] = ('_sxy', 'sum')
+    agg = two_phase_pandas_agg(partials, [key], spec, coarse=coarse)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df['_n'].map(int)
+        sx = df['_sx'].map(int)
+        sxx = df['_sxx'].map(int)
+        out = {key: df[key],
+               'n': n.astype('int64'),
+               'var_q': pd.Series(
+                   [(nn * xx - ss * ss) // (nn * nn)
+                    for nn, ss, xx in zip(n, sx, sxx)], index=df.index,
+                   dtype='int64')}
+        if y_col is not None:
+            sy = df['_sy'].map(int)
+            sxy = df['_sxy'].map(int)
+            out['cov_q'] = pd.Series(
+                [_trunc_div(nn * xy - ss * yy, nn * nn)
+                 for nn, ss, yy, xy in zip(n, sx, sy, sxy)],
+                index=df.index, dtype='int64')
+        return pd.DataFrame(out)
+
+    return agg.map_batches(finalize, batch_format='pandas')
+
+
 def pivot_counts(ds, row_key: str, col_key: str,
                  coarse: Optional[int] = None):
     """Long → wide COUNT pivot (the SQL ``PIVOT … USING count(*)``

@@ -404,3 +404,47 @@ def test_pivot_unpivot_round_trip(ray_session, pairs):
         assert row['n'] == want.get((row['r'], row['c']), 0)
     assert set(long['r'].astype(int)) == rows
     assert len(long) == len(rows) * len(names)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.sampled_from(['a', 'b']),
+                          st.floats(min_value=-50, max_value=50,
+                                    allow_nan=False, width=32),
+                          st.integers(min_value=0, max_value=23)),
+                min_size=1, max_size=50))
+def test_grouped_moments_matches_reference(ray_session, rows):
+    """Exact-integer var/cov vs a plain-Python reference on the SAME
+    quantized ints — including negative covariances, where the truncating
+    division must match DuckDB's // semantics."""
+    import math
+
+    import ray.data as rd
+
+    from caligraph_ray.stages.relational import _trunc_div, grouped_moments
+    df = pd.DataFrame({'k': [r[0] for r in rows],
+                       'x': np.array([r[1] for r in rows], dtype='float64'),
+                       'y': np.array([r[2] for r in rows], dtype='int64')})
+    got = grouped_moments(rd.from_pandas(df).repartition(2), 'k', 'x',
+                          y_col='y', scale=1000).to_pandas()
+    got = got.set_index('k')
+    for k, g in df.groupby('k'):
+        xq = [math.floor(v * 1000) for v in g['x']]
+        ys = list(g['y'])
+        n = len(xq)
+        var = (n * sum(v * v for v in xq) - sum(xq) ** 2) // (n * n)
+        cov = _trunc_div(n * sum(a * b for a, b in zip(xq, ys))
+                         - sum(xq) * sum(ys), n * n)
+        assert int(got.loc[k, 'n']) == n
+        assert int(got.loc[k, 'var_q']) == var, k
+        assert int(got.loc[k, 'cov_q']) == cov, k
+
+
+def test_trunc_div_matches_duckdb():
+    import duckdb
+
+    from caligraph_ray.stages.relational import _trunc_div
+    for num in (-7, 7, -8, 8, 0, -1, 1, -999999999999, 999999999999):
+        for den in (2, -2, 3, -3, 7):
+            want = duckdb.sql(f'SELECT {num} // {den}').fetchone()[0]
+            assert _trunc_div(num, den) == want, (num, den)
