@@ -195,6 +195,8 @@ def run_benchmarks() -> dict:
           lambda: Q.q_unpivot_event_type_counts(SF_DIR))
     timed('value_moments_by_type',
           lambda: Q.q_value_moments_by_type(SF_DIR))
+    timed('user_type_profiles',
+          lambda: Q.q_user_type_profiles(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

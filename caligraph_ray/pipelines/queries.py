@@ -3945,6 +3945,28 @@ FROM m ORDER BY event_type
 """
 
 
+def q_user_type_profiles(sf_dir: str):
+    """Per-user sorted distinct-event-type profile string — the SQL
+    string_agg(DISTINCT … ORDER BY …) contract
+    (relational.string_agg_per_group: two-phase distinct pairs, then one
+    key-bucketed sorted join)."""
+    ev = rel.read_table(sf_dir, 'events', ['user_id', 'event_type'])
+    out = rel.collect_pandas(rel.string_agg_per_group(
+        ev, 'user_id', 'event_type', sep=',', alias='profile'))
+    if out.empty:
+        return pd.DataFrame({'user_id': pd.Series(dtype='int64'),
+                             'profile': pd.Series(dtype=object)})
+    out['user_id'] = out['user_id'].astype('int64')
+    return out.sort_values('user_id').reset_index(drop=True)
+
+
+SQL_USER_TYPE_PROFILES = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS profile
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
     'asof_latest_order': q_asof_latest_order,
     'value_quantiles_by_type': q_value_quantiles_by_type,
@@ -4029,6 +4051,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'pivot_event_type_counts': q_pivot_event_type_counts,
     'unpivot_event_type_counts': q_unpivot_event_type_counts,
     'value_moments_by_type': q_value_moments_by_type,
+    'user_type_profiles': q_user_type_profiles,
     'user_communities': q_user_communities,
     'alias_counts_docs': q_alias_counts_docs,
     'packed_sequences': q_packed_sequences,
@@ -4145,6 +4168,7 @@ WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
     'pivot_event_type_counts': SQL_PIVOT_EVENTS,
     'unpivot_event_type_counts': SQL_UNPIVOT_EVENTS,
     'value_moments_by_type': SQL_VALUE_MOMENTS,
+    'user_type_profiles': SQL_USER_TYPE_PROFILES,
     'user_communities': _sql_label_propagation(),
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     'approx_distinct_users': SQL_APPROX_DISTINCT,

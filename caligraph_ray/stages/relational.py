@@ -833,6 +833,27 @@ def two_phase_sum(ds, keys: Sequence[str], value_col: str, alias: str = 'total',
     return two_phase_pandas_agg(ds, keys, {alias: (value_col, 'sum')}, coarse=coarse)
 
 
+def string_agg_per_group(ds, key: str, value_col: str, sep: str = ',',
+                         alias: str = 'agg', coarse: Optional[int] = None):
+    """Deterministic SQL ``string_agg(DISTINCT v, sep ORDER BY v)`` per
+    group: distinct (key, value) pairs collapse two-phase FIRST (a head
+    value costs one partial row per batch, never one shuffled row per
+    occurrence), then one key-bucketed exchange joins each group's sorted
+    values. Output rows are group-sized, so the aggregate only makes sense
+    where the per-group distinct-value dim is bounded (type vocabularies,
+    tag sets) — same contract as any wide string aggregate."""
+    pairs = two_phase_count(ds.map_batches(
+        lambda df: df[[key, value_col]], batch_format='pandas'),
+        [key, value_col], alias='_c').drop_columns(['_c'])
+
+    def join_group(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(key, sort=False, dropna=False)[value_col] \
+            .agg(lambda s: sep.join(sorted(s.astype(str))))
+        return g.rename(alias).reset_index()
+
+    return bucketed_map(pairs, [key], join_group, coarse=coarse)
+
+
 def _trunc_div(num: int, den: int) -> int:
     """Integer division TRUNCATING toward zero — DuckDB's ``//`` semantics
     (probed: -7 // 2 = -3), vs Python's flooring //. Shared by every
