@@ -197,6 +197,8 @@ def run_benchmarks() -> dict:
           lambda: Q.q_value_moments_by_type(SF_DIR))
     timed('user_type_profiles',
           lambda: Q.q_user_type_profiles(SF_DIR))
+    timed('user_activity_full_join',
+          lambda: Q.q_user_activity_full_join(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

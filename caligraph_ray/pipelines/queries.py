@@ -3967,6 +3967,53 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_user_activity_full_join(sf_dir: str):
+    """FULL OUTER join of two aggregates sharing an id domain — per-user
+    event counts ⟗ per-customer order counts (relational.shuffle_join
+    how='outer': co-partitioned only, the broadcast fast path is
+    structurally wrong for outer). Missing sides coalesce to 0, the SQL
+    FULL JOIN USING shape."""
+    ev = rel.read_table(sf_dir, 'events', ['user_id'])
+    od = rel.read_table(sf_dir, 'orders', ['o_custkey'])
+    ue = rel.two_phase_count(ev, ['user_id'], alias='n_events')
+    co = rel.two_phase_count(od, ['o_custkey'], alias='n_orders')
+    j = rel.shuffle_join(rel.pin_arrow(ue, user_id='int', n_events='int'),
+                         rel.pin_arrow(co, o_custkey='int', n_orders='int'),
+                         left_on='user_id', right_on='o_custkey',
+                         how='outer')
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df['user_id'].astype(object)
+        miss = uid.isna()
+        if miss.any():
+            uid = uid.mask(miss, df['o_custkey'][miss])
+        return pd.DataFrame({
+            'user_id': uid.astype('int64'),
+            'n_events': df['n_events'].astype(object)
+            .map(lambda v: 0 if pd.isna(v) else int(v)).astype('int64'),
+            'n_orders': df['n_orders'].astype(object)
+            .map(lambda v: 0 if pd.isna(v) else int(v)).astype('int64')})
+
+    out = rel.collect_pandas(j.map_batches(finish, batch_format='pandas'))
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype='int64')
+                             for c in ('user_id', 'n_events', 'n_orders')})
+    return out.sort_values('user_id').reset_index(drop=True)
+
+
+SQL_USER_ACTIVITY_FULL_JOIN = """
+WITH ue AS (SELECT user_id, count(*) AS n_events FROM events
+            GROUP BY user_id),
+co AS (SELECT o_custkey AS user_id, count(*) AS n_orders FROM orders
+       GROUP BY o_custkey)
+SELECT coalesce(ue.user_id, co.user_id) AS user_id,
+       CAST(coalesce(ue.n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(co.n_orders, 0) AS BIGINT) AS n_orders
+FROM ue FULL JOIN co ON ue.user_id = co.user_id
+ORDER BY user_id
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
     'asof_latest_order': q_asof_latest_order,
     'value_quantiles_by_type': q_value_quantiles_by_type,
@@ -4052,6 +4099,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'unpivot_event_type_counts': q_unpivot_event_type_counts,
     'value_moments_by_type': q_value_moments_by_type,
     'user_type_profiles': q_user_type_profiles,
+    'user_activity_full_join': q_user_activity_full_join,
     'user_communities': q_user_communities,
     'alias_counts_docs': q_alias_counts_docs,
     'packed_sequences': q_packed_sequences,
@@ -4169,6 +4217,7 @@ WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
     'unpivot_event_type_counts': SQL_UNPIVOT_EVENTS,
     'value_moments_by_type': SQL_VALUE_MOMENTS,
     'user_type_profiles': SQL_USER_TYPE_PROFILES,
+    'user_activity_full_join': SQL_USER_ACTIVITY_FULL_JOIN,
     'user_communities': _sql_label_propagation(),
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     'approx_distinct_users': SQL_APPROX_DISTINCT,

@@ -623,9 +623,18 @@ def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
 
     Columns from both sides are preserved (pandas ``_x``/``_y`` suffixes on
     clashes). Implementation: each side is projected onto the union schema
-    with a ``_side`` tag so the two Datasets can travel one shuffle."""
-    if how not in ('inner', 'left'):
-        raise ValueError(f"shuffle_join supports how='inner'/'left', got {how!r}")
+    with a ``_side`` tag so the two Datasets can travel one shuffle.
+
+    ``how='outer'`` (SQL FULL OUTER): only the co-partitioned regimes —
+    the broadcast fast path is structurally wrong for it (an unmatched
+    right row would be re-emitted by EVERY left batch), so the gate is
+    skipped. SQL null-key semantics hold on both sides: a null left key
+    emits with right columns null, a null RIGHT key emits as an unmatched
+    row with left columns null (pandas would match NaN keys to each other
+    — they are dropped pre-merge and re-appended padded)."""
+    if how not in ('inner', 'left', 'outer'):
+        raise ValueError(
+            f"shuffle_join supports how='inner'/'left'/'outer', got {how!r}")
     if right_hint not in ('auto', 'fact'):
         raise ValueError(f"right_hint must be 'auto'/'fact', got {right_hint!r}")
     if coarse is None:
@@ -669,22 +678,44 @@ def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
     def merge_sides(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         # SQL equality never matches NULL = NULL; pandas merge would join
         # NaN keys to each other. Null right keys can match nothing; a null
-        # left key then finds no match (inner drops it, left NaN-pads it).
+        # left key then finds no match (inner drops it, left/outer NaN-pads
+        # it). For OUTER the dropped null-key right rows must come BACK as
+        # unmatched rows (left columns null) — SQL keeps them.
+        r_nullkey = r[r[right_on].isna()] if how == 'outer' else None
         r = r[r[right_on].notna()]
-        if how == 'left':
-            # a left join NaN-fills right columns for misses, which would
+        if how in ('left', 'outer'):
+            # a left/outer join NaN-fills columns for misses, which would
             # demote int64 payloads to float64 (lossy above 2^53) — object
             # dtype keeps exact ints + None, matching SQL NULL semantics.
             # Only integer columns need the (O(rows×cols) boxing) shield;
-            # floats/strings/datetimes NaN-fill losslessly already.
+            # floats/strings/datetimes NaN-fill losslessly already. Outer
+            # shields BOTH frames (left columns pad on right-only keys).
             int_cols = {c: object for c in r.columns
                         if pd.api.types.is_integer_dtype(r[c])}
             if int_cols:
                 r = r.astype(int_cols)
-        if shared:
-            return l.merge(r, how=how, left_on=left_on, right_on=right_on,
-                           suffixes=('_x', '_y'))
-        return l.merge(r, how=how, left_on=left_on, right_on=right_on)
+            if how == 'outer':
+                lint = {c: object for c in l.columns
+                        if pd.api.types.is_integer_dtype(l[c])}
+                if lint:
+                    l = l.astype(lint)
+                if r_nullkey is not None and len(r_nullkey):
+                    r_nullkey = r_nullkey.astype(
+                        {c: t for c, t in int_cols.items()
+                         if c in r_nullkey.columns})
+        out = l.merge(r, how=how, left_on=left_on, right_on=right_on,
+                      suffixes=('_x', '_y')) if shared else \
+            l.merge(r, how=how, left_on=left_on, right_on=right_on)
+        if how == 'outer' and r_nullkey is not None and len(r_nullkey):
+            pad = r_nullkey.copy()
+            if shared:
+                pad = pad.rename(columns={c: f'{c}_y' for c in pad.columns
+                                          if f'{c}_y' in out.columns})
+            for c in out.columns:
+                if c not in pad.columns:
+                    pad[c] = None
+            out = pd.concat([out, pad[out.columns]], ignore_index=True)
+        return out
 
     # BROADCAST regime: a dim-sized right side skips the union-shuffle
     # entirely — collected once, ray.put once, merged per LEFT batch with
@@ -698,9 +729,10 @@ def shuffle_join(left_ds, right_ds, left_on: str, right_on: str,
     # mixed/object key dtypes the raw per-batch merge can dtype-clash
     # (float64 vs object ValueError — hypothesis-caught); those joins
     # need the pandas fallback's canonical string keys below.
-    rmat = right_ds.materialize() if (arrow_ok and right_hint == 'auto') \
+    rmat = right_ds.materialize() \
+        if (arrow_ok and right_hint == 'auto' and how != 'outer') \
         else right_ds
-    if arrow_ok and right_hint == 'auto' \
+    if arrow_ok and right_hint == 'auto' and how != 'outer' \
             and (rmat.size_bytes() or 0) <= JOIN_BROADCAST_BYTES:
         from ..state.broadcast import get_broadcast
         rblocks = collect_blocks(rmat)

@@ -448,3 +448,44 @@ def test_trunc_div_matches_duckdb():
         for den in (2, -2, 3, -3, 7):
             want = duckdb.sql(f'SELECT {num} // {den}').fetchone()[0]
             assert _trunc_div(num, den) == want, (num, den)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.one_of(st.none(),
+                                    st.integers(min_value=0, max_value=5)),
+                          st.integers(min_value=-99, max_value=99)),
+                min_size=0, max_size=12),
+       st.lists(st.tuples(st.one_of(st.none(),
+                                    st.integers(min_value=0, max_value=5)),
+                          st.integers(min_value=-99, max_value=99)),
+                min_size=0, max_size=12))
+def test_shuffle_join_outer_matches_duckdb(ray_session, lrows, rrows):
+    """FULL OUTER join semantics pinned against DuckDB directly — null
+    keys on EITHER side must surface as unmatched rows, never match each
+    other, and int payloads must survive exactly."""
+    import duckdb
+    import ray.data as rd
+
+    from caligraph_ray.stages.relational import shuffle_join
+    l = pd.DataFrame({'k': pd.array([x[0] for x in lrows], dtype='Int64'),
+                      'a': np.array([x[1] for x in lrows], dtype='int64')})
+    r = pd.DataFrame({'k2': pd.array([x[0] for x in rrows], dtype='Int64'),
+                      'b': np.array([x[1] for x in rrows], dtype='int64')})
+    if not len(l) or not len(r):
+        return   # Dataset creation needs ≥1 row; empty-side is join-trivial
+    got = shuffle_join(rd.from_pandas(l).repartition(2),
+                       rd.from_pandas(r).repartition(2),
+                       left_on='k', right_on='k2', how='outer').to_pandas()
+    want = duckdb.sql(
+        'SELECT * FROM l FULL JOIN r ON l.k = r.k2').fetchdf()
+
+    def canon(df):
+        rows = []
+        for _, row in df.iterrows():
+            rows.append(tuple(None if pd.isna(v) else int(v)
+                              for v in (row['k'], row['a'],
+                                        row['k2'], row['b'])))
+        return sorted(rows, key=lambda t: tuple(
+            (v is None, v if v is not None else 0) for v in t))
+    assert canon(got) == canon(want)
