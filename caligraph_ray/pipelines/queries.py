@@ -4014,6 +4014,42 @@ ORDER BY user_id
 """
 
 
+def q_value_ntile_by_type(sf_dir: str, n: int = 4):
+    """NTILE(4) ranking window per event type under the (value, event_id)
+    total order — one type-keyed exchange (relational.grouped_map), the
+    in-group sort + SQL tile-size rule (first k%n tiles get one extra
+    row). Ties on equal doubles break by event_id, so both engines assign
+    identical tiles."""
+    ev = rel.read_table(sf_dir, 'events',
+                        ['event_id', 'event_type', 'value'])
+
+    def tile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['value', 'event_id'], kind='mergesort')
+        k = len(g)
+        base, rem = divmod(k, n)
+        sizes = [base + 1] * rem + [base] * (n - rem)
+        tiles = np.repeat(np.arange(1, n + 1, dtype=np.int64), sizes)
+        return pd.DataFrame({'event_id': g['event_id'].to_numpy(),
+                             'event_type': g['event_type'].to_numpy(),
+                             'tile': tiles[:k]})
+
+    out = rel.collect_pandas(rel.grouped_map(ev, ['event_type'], tile))
+    if out.empty:
+        return pd.DataFrame({'event_id': pd.Series(dtype='int64'),
+                             'event_type': pd.Series(dtype=object),
+                             'tile': pd.Series(dtype='int64')})
+    out = out.astype({'event_id': 'int64', 'tile': 'int64'})
+    return out.sort_values('event_id').reset_index(drop=True)
+
+
+SQL_VALUE_NTILE = """
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS BIGINT) AS tile
+FROM events ORDER BY event_id
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
     'asof_latest_order': q_asof_latest_order,
     'value_quantiles_by_type': q_value_quantiles_by_type,
@@ -4100,6 +4136,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'value_moments_by_type': q_value_moments_by_type,
     'user_type_profiles': q_user_type_profiles,
     'user_activity_full_join': q_user_activity_full_join,
+    'value_ntile_by_type': q_value_ntile_by_type,
     'user_communities': q_user_communities,
     'alias_counts_docs': q_alias_counts_docs,
     'packed_sequences': q_packed_sequences,
@@ -4218,6 +4255,7 @@ WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
     'value_moments_by_type': SQL_VALUE_MOMENTS,
     'user_type_profiles': SQL_USER_TYPE_PROFILES,
     'user_activity_full_join': SQL_USER_ACTIVITY_FULL_JOIN,
+    'value_ntile_by_type': SQL_VALUE_NTILE,
     'user_communities': _sql_label_propagation(),
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     'approx_distinct_users': SQL_APPROX_DISTINCT,
