@@ -103,6 +103,24 @@ def materialize_triples(triples_ds, out_dir: Optional[str] = None,
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)  # partial output from a crashed run
         ds.write_parquet(out_dir, partition_cols=['subj_bucket'])
+        # per-partition lineage counters (north rule): row counts per
+        # subj_bucket from the parquet FOOTERS — metadata only, no data
+        # scan — committed before _SUCCESS so a complete sink always
+        # carries its manifest
+        import json as _json
+
+        import pyarrow.parquet as _pq
+        parts = {}
+        for name in sorted(os.listdir(out_dir)):
+            p = os.path.join(out_dir, name)
+            if os.path.isdir(p) and name.startswith('subj_bucket='):
+                parts[name] = sum(
+                    _pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+                    for f in os.listdir(p) if f.endswith('.parquet'))
+        with open(os.path.join(out_dir, '_PARTITIONS.json'), 'w') as f:
+            _json.dump({'partitions': parts,
+                        'total_rows': int(sum(parts.values()))}, f,
+                       indent=1)
         with open(os.path.join(out_dir, '_SUCCESS'), 'w') as f:
             f.write('')
         import ray.data as rd

@@ -227,6 +227,14 @@ def test_triples_sink_resumable_layout(ray_session, rd, tmp_path):
             df = pq.read_table(os.path.join(tmp_path, d, f)).to_pandas()
             assert df.equals(df.sort_values(['subj', 'pred', 'obj'],
                                             kind='mergesort').reset_index(drop=True))
+    # per-partition lineage counters (north rule): manifest totals must
+    # equal the durable row count, one entry per partition dir
+    import json
+    with open(os.path.join(tmp_path, '_PARTITIONS.json')) as f:
+        manifest = json.load(f)
+    assert manifest['total_rows'] == 3
+    assert sorted(manifest['partitions']) == sorted(parts)
+    assert sum(manifest['partitions'].values()) == 3
     # idempotent sink: a rerun (resume) must not double rows in the durable copy
     out2 = materialize_triples(rd.from_arrow(t), out_dir=str(tmp_path), n_buckets=4)
     assert out2.count() == 3
