@@ -201,6 +201,8 @@ def run_benchmarks() -> dict:
           lambda: Q.q_user_activity_full_join(SF_DIR))
     timed('value_ntile_by_type',
           lambda: Q.q_value_ntile_by_type(SF_DIR))
+    timed('approx_distinct_users_by_type',
+          lambda: Q.q_approx_distinct_users_by_type(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

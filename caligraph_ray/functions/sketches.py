@@ -14,6 +14,35 @@ import pyarrow as pa
 from .hashing import stable_hash64
 
 
+def hll_bucket_ranks(hashes: np.ndarray, p: int):
+    """Vectorized (bucket_idx, rank) per hash — the HLL register update
+    kernel shared by the global sketch and the grouped estimator.
+    stable_hash64 is 63-bit (top bit 0) → remix to full 64-bit
+    (splitmix64-style multiply-xorshift, wrapping) so all p bits vary;
+    rank = leading zeros of the post-bucket bits + 1."""
+    m = 1 << p
+    h = hashes.astype(np.uint64)
+    with np.errstate(over='ignore'):
+        h = (h * np.uint64(0x9E3779B97F4A7C15))
+        h ^= h >> np.uint64(31)
+        h = (h * np.uint64(0xBF58476D1CE4E5B9))
+        h ^= h >> np.uint64(27)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64) % m
+    rest = (h << np.uint64(p)) | np.uint64(1 << (p - 1))
+    ranks = np.zeros(len(h), dtype=np.uint8)
+    v = rest.copy()
+    shift = np.uint64(63)
+    for r in range(1, 64 - p + 2):
+        mask = (v >> shift) & np.uint64(1)
+        undecided = ranks == 0
+        hit = undecided & (mask == 1)
+        ranks[hit] = r
+        shift = np.uint64(int(shift) - 1)
+        if not undecided.any():
+            break
+    return idx, ranks
+
+
 class HyperLogLog:
     """Classic HLL (Flajolet et al.): p-bit bucket index, rank of remaining
     bits; standard bias correction for small/large ranges."""
@@ -27,28 +56,7 @@ class HyperLogLog:
         self.registers = np.zeros(self.m, dtype=np.uint8)
 
     def add_hashes(self, hashes: np.ndarray):
-        # stable_hash64 is 63-bit (top bit 0) → remix to full 64-bit
-        # (splitmix64-style multiply-xorshift, wrapping) so all p bits vary
-        h = hashes.astype(np.uint64)
-        with np.errstate(over='ignore'):
-            h = (h * np.uint64(0x9E3779B97F4A7C15))
-            h ^= h >> np.uint64(31)
-            h = (h * np.uint64(0xBF58476D1CE4E5B9))
-            h ^= h >> np.uint64(27)
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64) % self.m
-        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
-        # rank = leading zeros of the remaining bits + 1
-        ranks = np.zeros(len(h), dtype=np.uint8)
-        v = rest.copy()
-        shift = np.uint64(63)
-        for r in range(1, 64 - self.p + 2):
-            mask = (v >> shift) & np.uint64(1)
-            undecided = ranks == 0
-            hit = undecided & (mask == 1)
-            ranks[hit] = r
-            shift = np.uint64(int(shift) - 1)
-            if not undecided.any():
-                break
+        idx, ranks = hll_bucket_ranks(hashes, self.p)
         np.maximum.at(self.registers, idx, ranks)
 
     def add(self, values: Iterable[str], hash_fn=None):
@@ -237,6 +245,47 @@ def hll_registers(ds, column: str, p: int = 12, hash_fn=None):
     nz = np.nonzero(merged.registers)[0]
     return pd.DataFrame({'bucket': nz.astype(np.int64),
                          'rank': merged.registers[nz].astype(np.int64)})
+
+
+def hll_grouped_estimates(ds, group_col: str, value_col: str, p: int = 12,
+                          hash_fn=None):
+    """Per-GROUP approximate distinct via HLL — count(DISTINCT v) per key
+    without a distinct shuffle: per-batch (group, bucket) max-rank
+    partials (a head group costs ≤ 2^p rows per batch, never one row per
+    value) combine two-phase, then one group-keyed exchange computes each
+    group's deterministic estimate (``hll_estimate_deterministic`` — the
+    exact-integer-sum form, so an md5 ``hash_fn`` makes the whole thing
+    SQL-replayable float-bit-exact). Returns (group, approx_distinct)."""
+    import pandas as pd
+
+    from ..stages.relational import bucketed_map, two_phase_pandas_agg
+
+    fn = hash_fn or stable_hash64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = np.fromiter((fn(str(v)) for v in batch[value_col]),
+                         dtype=np.uint64, count=len(batch))
+        idx, ranks = hll_bucket_ranks(hs, p)
+        df = pd.DataFrame({group_col: batch[group_col].to_numpy(),
+                           'bucket': idx,
+                           'rank': ranks.astype(np.int64)})
+        return df.groupby([group_col, 'bucket'], sort=False,
+                          dropna=False).max().reset_index()
+
+    partials = ds.map_batches(partial, batch_format='pandas')
+    regs = two_phase_pandas_agg(partials, [group_col, 'bucket'],
+                                {'rank': ('rank', 'max')})
+
+    def estimate(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, grp in bucket.groupby(group_col, sort=False, dropna=False):
+            est = hll_estimate_deterministic(
+                [int(r) for r in grp['rank']], p=p)
+            rows.append((g, round(est, 6)))
+        return pd.DataFrame({group_col: [r[0] for r in rows],
+                             'approx_distinct': [r[1] for r in rows]})
+
+    return bucketed_map(regs, [group_col], estimate)
 
 
 class BloomFilter:

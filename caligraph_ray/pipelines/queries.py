@@ -4050,6 +4050,57 @@ FROM events ORDER BY event_id
 """
 
 
+def q_approx_distinct_users_by_type(sf_dir: str):
+    """Per-event-type approximate distinct users — the grouped HLL
+    (functions/sketches.hll_grouped_estimates): count(DISTINCT) per key
+    with NO distinct shuffle, just (group, bucket) max-rank partials.
+    md5-hashed registers + the exact-integer-sum estimate make the floats
+    replay bit-for-bit in SQL, grouped exactly like the global
+    approx_distinct_users oracle."""
+    from ..functions.hashing import md5_hash64
+    from ..functions.sketches import hll_grouped_estimates
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'user_id'])
+    out = rel.collect_pandas(hll_grouped_estimates(
+        ev, 'event_type', 'user_id', p=12, hash_fn=md5_hash64))
+    if out.empty:
+        return pd.DataFrame({'event_type': pd.Series(dtype=object),
+                             'approx_distinct': pd.Series(dtype='float64')})
+    out['approx_distinct'] = out['approx_distinct'].astype('float64')
+    return out.sort_values('event_type').reset_index(drop=True)
+
+
+SQL_APPROX_DISTINCT_BY_TYPE = """
+WITH vals AS (SELECT DISTINCT event_type,
+                     CAST(user_id AS VARCHAR) AS v FROM events),
+h0 AS (SELECT event_type, md5_number_upper(v) AS h FROM vals),
+h1 AS (SELECT event_type, (((((h) >> 32) * CAST(11400714819323198485 AS HUGEINT)) % 4294967296) * 4294967296 + ((h) % 4294967296) * CAST(11400714819323198485 AS HUGEINT)) % 18446744073709551616 AS h FROM h0),
+h2 AS (SELECT event_type, xor(h, h >> 31) AS h FROM h1),
+h3 AS (SELECT event_type, (((((h) >> 32) * CAST(13787848793156543929 AS HUGEINT)) % 4294967296) * 4294967296 + ((h) % 4294967296) * CAST(13787848793156543929 AS HUGEINT)) % 18446744073709551616 AS h FROM h2),
+h4 AS (SELECT event_type, xor(h, h >> 27) AS h FROM h3),
+fin AS (SELECT event_type, h >> 52 AS bucket,
+        ((h % 4503599627370496) * 4096 + 2048) AS rest FROM h4),
+regs AS (SELECT event_type, bucket,
+         max(65 - length(bin(CAST(rest AS UBIGINT)))) AS rank
+         FROM fin GROUP BY event_type, bucket),
+agg AS (SELECT event_type, count(*) AS nonzero,
+               sum(CAST(1 AS BIGINT) << (63 - rank)) AS s_nz
+        FROM regs GROUP BY event_type),
+calc AS (SELECT event_type, (4096 - nonzero) AS zeros,
+                CAST(coalesce(s_nz, 0) AS HUGEINT)
+                  + CAST(4096 - nonzero AS HUGEINT) * 9223372036854775808 AS s
+         FROM agg),
+est0 AS (SELECT event_type, zeros,
+                (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                  * 9223372036854775808.0 / CAST(s AS DOUBLE) AS raw
+         FROM calc)
+SELECT event_type,
+       round(CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0
+                  THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END, 6)
+       AS approx_distinct
+FROM est0 ORDER BY event_type
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
     'asof_latest_order': q_asof_latest_order,
     'value_quantiles_by_type': q_value_quantiles_by_type,
@@ -4137,6 +4188,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'user_type_profiles': q_user_type_profiles,
     'user_activity_full_join': q_user_activity_full_join,
     'value_ntile_by_type': q_value_ntile_by_type,
+    'approx_distinct_users_by_type': q_approx_distinct_users_by_type,
     'user_communities': q_user_communities,
     'alias_counts_docs': q_alias_counts_docs,
     'packed_sequences': q_packed_sequences,
@@ -4256,6 +4308,7 @@ WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
     'user_type_profiles': SQL_USER_TYPE_PROFILES,
     'user_activity_full_join': SQL_USER_ACTIVITY_FULL_JOIN,
     'value_ntile_by_type': SQL_VALUE_NTILE,
+    'approx_distinct_users_by_type': SQL_APPROX_DISTINCT_BY_TYPE,
     'user_communities': _sql_label_propagation(),
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     'approx_distinct_users': SQL_APPROX_DISTINCT,
