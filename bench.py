@@ -203,6 +203,12 @@ def run_benchmarks() -> dict:
           lambda: Q.q_value_ntile_by_type(SF_DIR))
     timed('approx_distinct_users_by_type',
           lambda: Q.q_approx_distinct_users_by_type(SF_DIR))
+    timed('value_lag_delta', lambda: Q.q_value_lag_delta(SF_DIR))
+    timed('running_user_value', lambda: Q.q_running_user_value(SF_DIR))
+    timed('user_rank_by_type', lambda: Q.q_user_rank_by_type(SF_DIR))
+    timed('doc_snapshot_diff', lambda: Q.q_doc_snapshot_diff(SF_DIR))
+    timed('active_user_intersect',
+          lambda: Q.q_active_user_intersect(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -4101,6 +4101,171 @@ FROM est0 ORDER BY event_type
 """
 
 
+def q_value_lag_delta(sf_dir: str):
+    """LAG/LEAD window per user under the (ts, event_id) total order:
+    integer-cents delta vs the previous event + the next event's type —
+    ONE user-keyed exchange, vectorized groupby().shift() per bucket
+    (stages/temporal.lag_lead_delta). First-row-per-user NULL deltas are
+    filtered on BOTH sides (nullable-int dtype parity)."""
+    from ..stages.temporal import lag_lead_delta
+    ev = rel.read_table(sf_dir, 'events',
+                        ['event_id', 'ts', 'user_id', 'value', 'event_type'])
+    out = rel.collect_pandas(lag_lead_delta(ev))
+    out = out[out['delta_cents'].notna()].copy()
+    out = out.astype({'user_id': 'int64', 'event_id': 'int64'})
+    out['delta_cents'] = out['delta_cents'].astype('int64')
+    out['next_type'] = out['next_type'].astype(object).where(
+        out['next_type'].notna(), None)
+    return out[['user_id', 'event_id', 'delta_cents', 'next_type']] \
+        .sort_values(['user_id', 'event_id']).reset_index(drop=True)
+
+
+SQL_VALUE_LAG_DELTA = """
+SELECT user_id, event_id,
+       CAST(c - lag(c) OVER w AS BIGINT) AS delta_cents,
+       lead(event_type) OVER w AS next_type
+FROM (SELECT user_id, event_id, ts, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS c FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY delta_cents IS NOT NULL
+ORDER BY user_id, event_id
+"""
+
+
+def q_running_user_value(sf_dir: str):
+    """Per-user running cumulative sum/count (the SQL UNBOUNDED PRECEDING
+    frame) in exact integer cents — one user-keyed exchange, vectorized
+    groupby().cumsum() per bucket (stages/temporal.running_total)."""
+    from ..stages.temporal import running_total
+    ev = rel.read_table(sf_dir, 'events',
+                        ['event_id', 'ts', 'user_id', 'value'])
+    out = rel.collect_pandas(running_total(ev))
+    out = out.astype({'user_id': 'int64', 'event_id': 'int64',
+                      'run_sum_cents': 'int64', 'run_n': 'int64'})
+    return out.sort_values(['user_id', 'event_id']).reset_index(drop=True)
+
+
+SQL_RUNNING_USER_VALUE = """
+SELECT user_id, event_id,
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+      AS run_sum_cents,
+  CAST(COUNT(value) OVER w AS BIGINT) AS run_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+def q_user_rank_by_type(sf_dir: str):
+    """rank() + dense_rank() of users per event type by activity count —
+    two-phase count, then ONE type-keyed exchange with vectorized
+    groupby().rank() (relational.grouped_rank). Real ties (many users
+    share a count) exercise the gap/no-gap semantics."""
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'user_id'])
+    cnt = rel.two_phase_count(ev, ['event_type', 'user_id'],
+                              alias='n_events')
+    out = rel.collect_pandas(rel.grouped_rank(
+        cnt, 'event_type', 'n_events', ascending=False))
+    out = out.astype({'user_id': 'int64', 'n_events': 'int64',
+                      'rnk': 'int64', 'drnk': 'int64'})
+    return out[['event_type', 'user_id', 'n_events', 'rnk', 'drnk']] \
+        .sort_values(['event_type', 'user_id']).reset_index(drop=True)
+
+
+SQL_USER_RANK_BY_TYPE = """
+WITH c AS (SELECT event_type, user_id, count(*) AS n_events
+           FROM events GROUP BY 1, 2)
+SELECT event_type, user_id, n_events,
+  CAST(rank() OVER (PARTITION BY event_type ORDER BY n_events DESC)
+       AS BIGINT) AS rnk,
+  CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY n_events DESC)
+       AS BIGINT) AS drnk
+FROM c ORDER BY event_type, user_id
+"""
+
+
+def q_doc_snapshot_diff(sf_dir: str):
+    """CDC snapshot diff (relational.snapshot_diff): documents vs a
+    deterministically perturbed next-day snapshot — md5-selected ~10%
+    deleted, ~10% lang-modified, ~10% new ids — classified added/removed/
+    changed via ONE full-outer shuffle_join; unchanged rows never leave
+    the join tasks. The md5 perturbation replays exactly in SQL
+    (md5_number_upper), so the diff itself is hash-gated."""
+    from ..functions.hashing import md5_hash64_batch
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'lang'])
+
+    def to_new(b: pd.DataFrame) -> pd.DataFrame:
+        keep = md5_hash64_batch(b['doc_id'], 'del:') % 10 != 0
+        b = b[keep].copy()
+        mod = md5_hash64_batch(b['doc_id'], 'mod:') % 10 == 0
+        b['lang'] = b['lang'].astype(object).where(~mod, 'xx')
+        return b[['doc_id', 'lang']]
+
+    def added(b: pd.DataFrame) -> pd.DataFrame:
+        add = md5_hash64_batch(b['doc_id'], 'add:') % 10 == 0
+        nb = b[add]
+        return pd.DataFrame({
+            'doc_id': nb['doc_id'].to_numpy() + 100_000_000,
+            'lang': np.full(len(nb), 'new', dtype=object)})
+
+    new_ds = docs.map_batches(to_new, batch_format='pandas').union(
+        docs.map_batches(added, batch_format='pandas'))
+    out = rel.collect_pandas(
+        rel.snapshot_diff(docs, new_ds, 'doc_id', ['lang']))
+    if out.empty:
+        return pd.DataFrame({'doc_id': pd.Series(dtype='int64'),
+                             'change': pd.Series(dtype=object)})
+    out['doc_id'] = out['doc_id'].astype('int64')
+    return out.sort_values(['doc_id', 'change']).reset_index(drop=True)
+
+
+SQL_DOC_SNAPSHOT_DIFF = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN md5_number_upper('mod:' || CAST(doc_id AS VARCHAR))
+                   % 10 = 0 THEN 'xx' ELSE lang END AS lang
+  FROM documents
+  WHERE md5_number_upper('del:' || CAST(doc_id AS VARCHAR)) % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 100000000 AS doc_id, 'new' AS lang
+  FROM documents
+  WHERE md5_number_upper('add:' || CAST(doc_id AS VARCHAR)) % 10 = 0
+),
+j AS (SELECT a.doc_id AS k_old, b.doc_id AS k_new,
+             a.lang AS lang_old, b.lang AS lang_new
+      FROM documents a FULL JOIN b ON a.doc_id = b.doc_id)
+SELECT CAST(coalesce(k_old, k_new) AS BIGINT) AS doc_id,
+       CASE WHEN k_old IS NULL THEN 'added'
+            WHEN k_new IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM j
+WHERE k_old IS NULL OR k_new IS NULL
+   OR lang_old IS DISTINCT FROM lang_new
+ORDER BY doc_id, change
+"""
+
+
+def q_active_user_intersect(sf_dir: str):
+    """SQL INTERSECT as a distributed op (relational.distinct_intersect):
+    distinct user ids present in BOTH events and orders — per-batch
+    partial dedup, side-bit tags, ONE key-keyed exchange."""
+    ev = rel.read_table(sf_dir, 'events', ['user_id'])
+    orders = rel.read_table(sf_dir, 'orders', ['o_custkey'])
+    out = rel.collect_pandas(rel.distinct_intersect(
+        ev, orders, 'user_id', 'o_custkey', alias='user_id'))
+    out = out.astype({'user_id': 'int64'})
+    return out.sort_values('user_id').reset_index(drop=True)
+
+
+SQL_ACTIVE_USER_INTERSECT = """
+SELECT user_id FROM events
+INTERSECT
+SELECT o_custkey FROM orders
+ORDER BY user_id
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
     'asof_latest_order': q_asof_latest_order,
     'value_quantiles_by_type': q_value_quantiles_by_type,
@@ -4189,6 +4354,11 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'user_activity_full_join': q_user_activity_full_join,
     'value_ntile_by_type': q_value_ntile_by_type,
     'approx_distinct_users_by_type': q_approx_distinct_users_by_type,
+    'value_lag_delta': q_value_lag_delta,
+    'running_user_value': q_running_user_value,
+    'user_rank_by_type': q_user_rank_by_type,
+    'doc_snapshot_diff': q_doc_snapshot_diff,
+    'active_user_intersect': q_active_user_intersect,
     'user_communities': q_user_communities,
     'alias_counts_docs': q_alias_counts_docs,
     'packed_sequences': q_packed_sequences,
@@ -4309,6 +4479,11 @@ WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
     'user_activity_full_join': SQL_USER_ACTIVITY_FULL_JOIN,
     'value_ntile_by_type': SQL_VALUE_NTILE,
     'approx_distinct_users_by_type': SQL_APPROX_DISTINCT_BY_TYPE,
+    'value_lag_delta': SQL_VALUE_LAG_DELTA,
+    'running_user_value': SQL_RUNNING_USER_VALUE,
+    'user_rank_by_type': SQL_USER_RANK_BY_TYPE,
+    'doc_snapshot_diff': SQL_DOC_SNAPSHOT_DIFF,
+    'active_user_intersect': SQL_ACTIVE_USER_INTERSECT,
     'user_communities': _sql_label_propagation(),
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     'approx_distinct_users': SQL_APPROX_DISTINCT,

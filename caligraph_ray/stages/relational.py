@@ -1087,3 +1087,91 @@ def grouped_quantiles_exact(ds, group_cols: Sequence[str], value_col: str,
 
     hist = two_phase_count(ds, group_cols + [value_col], alias='cnt')
     return bucketed_map(hist, group_cols, quants)
+
+
+def grouped_rank(ds, group_key: str, value_col: str, ascending: bool = False,
+                 rank_alias: str = 'rnk', dense_alias: str = 'drnk'):
+    """SQL ``rank()`` + ``dense_rank()`` per group over ``value_col``
+    (ties share a rank; rank leaves gaps, dense_rank doesn't). ONE
+    group-keyed exchange, then vectorized ``groupby().rank()`` per bucket
+    — no per-group apply, no total sort. NULL group keys form one
+    partition (SQL ``PARTITION BY``)."""
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(group_key, sort=False, dropna=False)[value_col]
+        out = b.copy()
+        out[rank_alias] = g.rank(
+            method='min', ascending=ascending).astype('int64')
+        out[dense_alias] = g.rank(
+            method='dense', ascending=ascending).astype('int64')
+        return out
+
+    return bucketed_map(ds, [group_key], per_bucket)
+
+
+def snapshot_diff(old_ds, new_ds, key: str, cols: Sequence[str]):
+    """CDC-style diff of two snapshots of the same table: one FULL OUTER
+    ``shuffle_join`` on ``key``, then a vectorized row classification —
+    ``added`` (key only in new), ``removed`` (key only in old),
+    ``changed`` (key in both, any of ``cols`` differs; SQL ``IS DISTINCT
+    FROM`` — NULL vs non-NULL counts as a change, NULL vs NULL doesn't).
+    Unchanged rows are dropped. This is the incremental-crawl primitive:
+    diff today's snapshot against yesterday's without materializing
+    either side on the driver. Returns (key, change) rows."""
+    cols = list(cols)
+
+    def rename_new(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={key: f'{key}__new',
+                                 **{c: f'{c}__new' for c in cols}})
+
+    new_r = new_ds.map_batches(rename_new, batch_format='pandas')
+    j = shuffle_join(old_ds, new_r, key, f'{key}__new', how='outer')
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        old_k = b[key]
+        new_k = b[f'{key}__new']
+        added = old_k.isna().to_numpy()
+        removed = new_k.isna().to_numpy()
+        diff = np.zeros(len(b), dtype=bool)
+        for c in cols:
+            a, n = b[c], b[f'{c}__new']
+            both_null = (a.isna() & n.isna()).to_numpy()
+            eq = (a.astype(object).to_numpy() == n.astype(object).to_numpy())
+            diff |= ~(both_null | eq)
+        changed = ~added & ~removed & diff
+        keep = added | removed | changed
+        change = np.where(added[keep], 'added',
+                          np.where(removed[keep], 'removed', 'changed'))
+        kk = old_k.astype(object).where(~old_k.isna(), new_k.astype(object))
+        return pd.DataFrame({key: kk.to_numpy()[keep], 'change': change})
+
+    return j.map_batches(classify, batch_format='pandas')
+
+
+def distinct_intersect(a_ds, b_ds, col_a: str, col_b: str,
+                       alias: str = 'key'):
+    """SQL ``INTERSECT`` of two key columns: the distinct keys present on
+    BOTH sides. Each side is deduped per batch (partial distinct), tagged
+    with a side bit, and the union travels ONE key-keyed exchange where a
+    per-bucket groupby keeps keys whose side-bit OR is 3 — no driver
+    collect, no second shuffle. NULL keys intersect if present on both
+    sides (SQL INTERSECT distinct semantics treat NULLs as equal)."""
+    def tag(col: str, bit: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            k = b[col].drop_duplicates()
+            return pd.DataFrame({alias: k.to_numpy(),
+                                 '_side': np.full(len(k), bit, dtype='int64')})
+        return f
+
+    a_t = a_ds.map_batches(tag(col_a, 1), batch_format='pandas')
+    b_t = b_ds.map_batches(tag(col_b, 2), batch_format='pandas')
+    both = a_t.union(b_t)
+
+    def keep_both(b: pd.DataFrame) -> pd.DataFrame:
+        # side bits are 1 and 2: a key saw BOTH sides iff min==1 and max==2
+        # (vectorized C-path agg — no per-group Python)
+        m = b.groupby(alias, sort=False, dropna=False)['_side'].agg(
+            ['min', 'max'])
+        keys = m[(m['min'] == 1) & (m['max'] == 2)].index
+        return pd.DataFrame({alias: keys.to_numpy()})
+
+    return bucketed_map(both, [alias], keep_both)

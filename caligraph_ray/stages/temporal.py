@@ -519,3 +519,100 @@ def session_funnel_counts(events_ds, steps, user_col: str = 'user_id',
         events_ds.select_columns([user_col, ts_col, type_col, id_col]),
         [user_col], per_user)
     return two_phase_count(hit, ['reached'], alias='n_sessions')
+
+
+def lag_lead_delta(events_ds, key_col: str = 'user_id', ts_col: str = 'ts',
+                   order_col: str = 'event_id', value_col: str = 'value',
+                   type_col: str = 'event_type'):
+    """Per-key LAG/LEAD window under (ts, order_col) order: for every row,
+    the integer-cents delta vs the PREVIOUS row of the same key
+    (``value − lag(value)``) and the NEXT row's type (``lead(type)``).
+    First/last rows of a key partition get SQL NULLs. Values are floored
+    to integer cents before the subtraction so both engines subtract
+    exact integers (no float-summation ambiguity); a NULL value on either
+    side of the delta yields NULL, the SQL ``x − LAG(x)`` contract.
+
+    Shape: ONE key-keyed exchange (relational.bucketed_map), then a
+    whole-bucket mergesort + vectorized ``groupby(key).shift()`` — no
+    per-row Python, no per-group apply. NULL keys form one partition
+    (``dropna=False``), matching SQL ``PARTITION BY``."""
+    from .relational import bucketed_map
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].astype('float64')
+        return pd.DataFrame({
+            key_col: batch[key_col],
+            '_ts': _ts_to_int(batch[ts_col]),
+            order_col: batch[order_col],
+            '_c': np.floor(v.to_numpy() * 100),   # NaN stays NaN
+            type_col: batch[type_col],
+        })
+
+    prepped = events_ds.map_batches(prep, batch_format='pandas',
+                                    batch_size=AGG_BATCH_SIZE)
+
+    def window(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values([key_col, '_ts', order_col], kind='mergesort')
+        g = b.groupby(key_col, sort=False, dropna=False)
+        prev = g['_c'].shift(1)
+        delta = (b['_c'] - prev).to_numpy()   # NaN if either side NULL/first
+        nxt = g[type_col].shift(-1)           # object: last row of key → NaN
+        # build from positional numpy arrays — mixing b's sorted index with
+        # fresh RangeIndex Series would align-on-index and NaN every row.
+        # Float64 → Int64 carries NA through the cast (plain astype raises).
+        dc = pd.array(np.round(delta), dtype='Float64').astype('Int64')
+        return pd.DataFrame({
+            key_col: b[key_col].to_numpy(),
+            order_col: b[order_col].to_numpy(),
+            'delta_cents': dc,
+            'next_type': nxt.astype(object).where(nxt.notna(), None).to_numpy(),
+        })
+
+    return bucketed_map(prepped, [key_col], window)
+
+
+def running_total(events_ds, key_col: str = 'user_id', ts_col: str = 'ts',
+                  order_col: str = 'event_id', value_col: str = 'value'):
+    """Per-key running cumulative sum + count under (ts, order_col) order —
+    the SQL ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id
+    ROWS UNBOUNDED PRECEDING)`` frame. Integer-cents flooring keeps the
+    prefix sums exact; NULL values occupy a frame slot but add nothing
+    (``cumsum`` over NaN-skipped cents == SQL SUM ignoring NULLs), and a
+    prefix that has seen ONLY NULLs reports SQL NULL. One key-keyed
+    exchange, vectorized ``groupby().cumsum()`` per bucket."""
+    from .relational import bucketed_map
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].astype('float64')
+        return pd.DataFrame({
+            key_col: batch[key_col],
+            '_ts': _ts_to_int(batch[ts_col]),
+            order_col: batch[order_col],
+            '_c': np.floor(v.to_numpy() * 100),
+        })
+
+    prepped = events_ds.map_batches(prep, batch_format='pandas',
+                                    batch_size=AGG_BATCH_SIZE)
+
+    def scan(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values([key_col, '_ts', order_col], kind='mergesort')
+        # pandas cumsum leaves NaN AT a NULL row (and SQL carries the
+        # previous sum there): fill 0 for accumulation, count non-NULLs
+        # separately, and NULL only the all-NULL-so-far prefix
+        csum = b['_c'].fillna(0.0).groupby(
+            b[key_col], sort=False, dropna=False).cumsum()
+        ccnt = b['_c'].notna().groupby(
+            b[key_col], sort=False, dropna=False).cumsum().astype('int64')
+        csum = csum.where(ccnt > 0)                  # all-NULL prefix → NULL
+        # positional numpy construction (index alignment hazard — see
+        # lag_lead_delta); Float64→Int64 carries the all-NULL-prefix NA
+        rs = pd.array(np.round(csum.to_numpy()), dtype='Float64') \
+            .astype('Int64')
+        return pd.DataFrame({
+            key_col: b[key_col].to_numpy(),
+            order_col: b[order_col].to_numpy(),
+            'run_sum_cents': rs,
+            'run_n': ccnt.to_numpy(),
+        })
+
+    return bucketed_map(prepped, [key_col], scan)
