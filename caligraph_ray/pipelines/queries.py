@@ -4266,6 +4266,252 @@ ORDER BY user_id
 """
 
 
+def q_order_users_except_events(sf_dir: str):
+    """SQL EXCEPT as a distributed op (relational.distinct_except):
+    distinct customer keys that placed orders but never emitted an event —
+    per-batch partial dedup, side-bit tags, ONE key-keyed exchange (the
+    mirror of active_user_intersect)."""
+    orders = rel.read_table(sf_dir, 'orders', ['o_custkey'])
+    ev = rel.read_table(sf_dir, 'events', ['user_id'])
+    out = rel.collect_pandas(rel.distinct_except(
+        orders, ev, 'o_custkey', 'user_id', alias='o_custkey'))
+    if out.empty:
+        return pd.DataFrame({'o_custkey': pd.Series(dtype='int64')})
+    out = out.astype({'o_custkey': 'int64'})
+    return out.sort_values('o_custkey').reset_index(drop=True)
+
+
+SQL_ORDER_USERS_EXCEPT = """
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT user_id FROM events
+ORDER BY o_custkey
+"""
+
+
+_VALUE_BANDS = ([0.0, 1.0, 5.0, 20.0, 50.0, 100.0, 200.0, 500.0],
+                ['b0_lt1', 'b1_1_5', 'b2_5_20', 'b3_20_50',
+                 'b4_50_100', 'b5_100_200', 'b6_200_500'])
+
+
+def q_value_band_counts(sf_dir: str):
+    """Key-less range join against a tiny interval dimension
+    (relational.band_lookup_count): each event's value lands in a
+    half-open band via broadcast ``np.searchsorted`` — the edges ship once
+    in the task closure, no shuffle — then a two-phase count per band.
+    The broadcast-small-side regime of the range-join family (the keyed
+    dataset×dataset case is temporal.range_join)."""
+    edges, labels = _VALUE_BANDS
+    ev = rel.read_table(sf_dir, 'events', ['value'])
+    out = rel.collect_pandas(rel.band_lookup_count(
+        ev, 'value', edges, labels, alias='band', cnt_alias='n'))
+    if out.empty:
+        return pd.DataFrame({'band': pd.Series(dtype=object),
+                             'n': pd.Series(dtype='int64')})
+    out['n'] = out['n'].astype('int64')
+    return out.sort_values('band').reset_index(drop=True)
+
+
+SQL_VALUE_BAND_COUNTS = """
+WITH bands(band, lo, hi) AS (VALUES
+  ('b0_lt1', 0.0, 1.0), ('b1_1_5', 1.0, 5.0), ('b2_5_20', 5.0, 20.0),
+  ('b3_20_50', 20.0, 50.0), ('b4_50_100', 50.0, 100.0),
+  ('b5_100_200', 100.0, 200.0), ('b6_200_500', 200.0, 500.0))
+SELECT band, CAST(count(*) AS BIGINT) AS n
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band ORDER BY band
+"""
+
+
+def q_value_percent_rank_by_type(sf_dir: str):
+    """percent_rank + cume_dist ranking windows per event type under the
+    (value, event_id) total order — one type-keyed exchange
+    (relational.grouped_map) + vectorized in-group position arithmetic.
+    The total order makes rank == row_number and every peer group size 1,
+    so pct_rank = (row−1)/(n−1) and cume = row/n: single IEEE divisions
+    that replay bit-identically in the SQL window functions."""
+    ev = rel.read_table(sf_dir, 'events',
+                        ['event_id', 'event_type', 'value'])
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['value', 'event_id'], kind='mergesort')
+        n = len(g)
+        pos = np.arange(n, dtype=np.float64)
+        pct = pos / (n - 1) if n > 1 else np.zeros(n)
+        cume = (pos + 1.0) / n
+        return pd.DataFrame({'event_id': g['event_id'].to_numpy(),
+                             'event_type': g['event_type'].to_numpy(),
+                             'pct_rank': pct, 'cume': cume})
+
+    out = rel.collect_pandas(rel.grouped_map(ev, ['event_type'], win))
+    if out.empty:
+        return pd.DataFrame({'event_id': pd.Series(dtype='int64'),
+                             'event_type': pd.Series(dtype=object),
+                             'pct_rank': pd.Series(dtype='float64'),
+                             'cume': pd.Series(dtype='float64')})
+    out = out.astype({'event_id': 'int64'})
+    return out.sort_values('event_id').reset_index(drop=True)
+
+
+SQL_VALUE_PERCENT_RANK = """
+SELECT event_id, event_type,
+       percent_rank() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS pct_rank,
+       cume_dist() OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS cume
+FROM events ORDER BY event_id
+"""
+
+
+def q_weighted_sample_docs(sf_dir: str, k: int = 50):
+    """Deterministic weighted top-k sample, weight = document length
+    (relational.weighted_race_topk): race key md5(salt:id)/n_chars, the k
+    smallest win — longer docs systematically draw smaller keys. Division
+    -only (libm-free) so the oracle replays every race key bit-for-bit;
+    per-batch bottom-k combiner bounds the final exchange to k × batches
+    rows."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'n_chars'])
+    out = rel.collect_pandas(rel.weighted_race_topk(
+        docs, 'doc_id', 'n_chars', k, salt='wrs:42'))
+    if out.empty:
+        return pd.DataFrame({'doc_id': pd.Series(dtype='int64'),
+                             'n_chars': pd.Series(dtype='int64'),
+                             'race_key': pd.Series(dtype='float64')})
+    out = out.astype({'doc_id': 'int64', 'n_chars': 'int64'})
+    return out.sort_values(['race_key', 'doc_id']).reset_index(drop=True)
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars,
+       CAST(md5_number_upper('wrs:42:' || CAST(doc_id AS VARCHAR)) AS DOUBLE)
+         / CAST(n_chars AS DOUBLE) AS race_key
+FROM documents WHERE n_chars > 0
+ORDER BY race_key, doc_id LIMIT 50
+"""
+
+
+def q_lexical_diversity_scores(sf_dir: str):
+    """Per-doc lexical diversity (textstats.lexical_diversity): type-token
+    ratio + Gini–Simpson index — the libm-free diversity pair (single
+    exact-rational divisions; Shannon entropy's ln would not replay across
+    libms). Arrow-native one-pass tokenize + packed-pair np.unique."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    out = rel.collect_pandas(ts.lexical_diversity(docs))
+    out = out.astype({'doc_id': 'int64', 'n_tokens': 'int64',
+                      'n_types': 'int64'})
+    return out.sort_values('doc_id').reset_index(drop=True)
+
+
+SQL_LEXICAL_DIVERSITY = """
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+c AS (SELECT doc_id, tok, count(*) AS c FROM e GROUP BY doc_id, tok),
+a AS (SELECT doc_id, sum(c) AS n, count(*) AS u, sum(c * (c - 1)) AS rep
+      FROM c GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.u, 0) AS BIGINT) AS n_types,
+       coalesce(floor(a.u * 1.0 / a.n * 1000000) / 1000000, 0.0)
+         AS type_token_ratio,
+       CASE WHEN coalesce(a.n, 0) > 1
+            THEN floor((1.0 - a.rep * 1.0 / (a.n * (a.n - 1))) * 1000000)
+                 / 1000000
+            ELSE 0.0 END AS gini_diversity
+FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+def q_hopping_window_counts(sf_dir: str):
+    """Hopping (overlapping sliding) window counts — 2-hour windows
+    hopping 1 hour: an event at hour h is inside the windows starting at
+    h and h−1, so each event fans out to exactly width/hop window keys
+    (the standard stream-engine hopping-window expansion) and the counts
+    combine two-phase. Contrast with hourly_user_activity's tumbling
+    windows, where every event lands in one window."""
+    ev = rel.read_table(sf_dir, 'events', ['ts'])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        h = b['ts'].dt.floor('h')
+        return pd.DataFrame(
+            {'window_start': pd.concat([h, h - pd.Timedelta(hours=1)],
+                                       ignore_index=True)})
+
+    w = ev.map_batches(explode, batch_format='pandas')
+    out = rel.collect_pandas(rel.two_phase_count(
+        w, ['window_start'], alias='n_events'))
+    if out.empty:
+        return pd.DataFrame({
+            'window_start': pd.Series(dtype='datetime64[us]'),
+            'n_events': pd.Series(dtype='int64')})
+    out['n_events'] = out['n_events'].astype('int64')
+    return out.sort_values('window_start').reset_index(drop=True)
+
+
+SQL_HOPPING_WINDOW = """
+WITH h AS (SELECT date_trunc('hour', ts) AS h FROM events),
+w AS (SELECT h AS window_start FROM h
+      UNION ALL SELECT h - INTERVAL 1 HOUR FROM h)
+SELECT window_start, CAST(count(*) AS BIGINT) AS n_events
+FROM w GROUP BY window_start ORDER BY window_start
+"""
+
+
+def q_event_type_jaccard(sf_dir: str):
+    """Pairwise Jaccard similarity between event types over their distinct
+    user sets — the category-similarity operator (column/tag co-occurrence
+    analysis). Distinct (type, user) pairs two-phase; co-occurrence pairs
+    expand per user via a user-bucketed self-merge (bounded: each user
+    contributes ≤ |types|² pairs and the type dimension is small); the
+    per-type distinct counts are a constant-size dim collected driver-side
+    (nation/region treatment). jaccard = inter / (na + nb − inter), a
+    single floor-scaled division."""
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'user_id'])
+    d = rel.two_phase_count(ev, ['event_type', 'user_id'], alias='_c') \
+        .drop_columns(['_c'])
+    na = rel.collect_pandas(rel.two_phase_count(
+        d, ['event_type'], alias='n_users'))
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = bucket.merge(bucket, on='user_id')
+        m = m[m['event_type_x'] < m['event_type_y']]
+        return pd.DataFrame({'ta': m['event_type_x'].to_numpy(),
+                             'tb': m['event_type_y'].to_numpy()})
+
+    inter = rel.collect_pandas(rel.two_phase_count(
+        rel.bucketed_map(d, ['user_id'], pairs), ['ta', 'tb'],
+        alias='inter'))
+    if inter.empty:
+        return pd.DataFrame({'ta': pd.Series(dtype=object),
+                             'tb': pd.Series(dtype=object),
+                             'inter': pd.Series(dtype='int64'),
+                             'jaccard': pd.Series(dtype='float64')})
+    cnt = dict(zip(na['event_type'], na['n_users'].astype('int64')))
+    inter['inter'] = inter['inter'].astype('int64')
+    union = np.array([cnt[a] + cnt[b] for a, b in
+                      zip(inter['ta'], inter['tb'])],
+                     dtype=np.int64) - inter['inter'].to_numpy()
+    inter['jaccard'] = np.floor(
+        inter['inter'].to_numpy() / union * 1e6) / 1e6
+    return inter.sort_values(['ta', 'tb']).reset_index(drop=True)
+
+
+SQL_EVENT_TYPE_JACCARD = """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+n AS (SELECT event_type, count(*) AS n FROM d GROUP BY event_type),
+i AS (SELECT a.event_type AS ta, b.event_type AS tb,
+             count(*) AS inter
+      FROM d a JOIN d b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT ta, tb, CAST(inter AS BIGINT) AS inter,
+       floor(inter * 1.0 / (na.n + nb.n - inter) * 1000000) / 1000000
+         AS jaccard
+FROM i JOIN n na ON na.event_type = ta JOIN n nb ON nb.event_type = tb
+ORDER BY ta, tb
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
     'asof_latest_order': q_asof_latest_order,
     'value_quantiles_by_type': q_value_quantiles_by_type,
@@ -4359,6 +4605,13 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'user_rank_by_type': q_user_rank_by_type,
     'doc_snapshot_diff': q_doc_snapshot_diff,
     'active_user_intersect': q_active_user_intersect,
+    'order_users_except_events': q_order_users_except_events,
+    'value_band_counts': q_value_band_counts,
+    'value_percent_rank_by_type': q_value_percent_rank_by_type,
+    'weighted_sample_docs': q_weighted_sample_docs,
+    'lexical_diversity_scores': q_lexical_diversity_scores,
+    'hopping_window_counts': q_hopping_window_counts,
+    'event_type_jaccard': q_event_type_jaccard,
     'user_communities': q_user_communities,
     'alias_counts_docs': q_alias_counts_docs,
     'packed_sequences': q_packed_sequences,
@@ -4484,6 +4737,13 @@ WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
     'user_rank_by_type': SQL_USER_RANK_BY_TYPE,
     'doc_snapshot_diff': SQL_DOC_SNAPSHOT_DIFF,
     'active_user_intersect': SQL_ACTIVE_USER_INTERSECT,
+    'order_users_except_events': SQL_ORDER_USERS_EXCEPT,
+    'value_band_counts': SQL_VALUE_BAND_COUNTS,
+    'value_percent_rank_by_type': SQL_VALUE_PERCENT_RANK,
+    'weighted_sample_docs': SQL_WEIGHTED_SAMPLE,
+    'lexical_diversity_scores': SQL_LEXICAL_DIVERSITY,
+    'hopping_window_counts': SQL_HOPPING_WINDOW,
+    'event_type_jaccard': SQL_EVENT_TYPE_JACCARD,
     'user_communities': _sql_label_propagation(),
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     'approx_distinct_users': SQL_APPROX_DISTINCT,

@@ -1175,3 +1175,100 @@ def distinct_intersect(a_ds, b_ds, col_a: str, col_b: str,
         return pd.DataFrame({alias: keys.to_numpy()})
 
     return bucketed_map(both, [alias], keep_both)
+
+
+def distinct_except(a_ds, b_ds, col_a: str, col_b: str,
+                    alias: str = 'key'):
+    """SQL ``EXCEPT``: the distinct keys of side A that do NOT appear on
+    side B. Same one-exchange shape as :func:`distinct_intersect` — per
+    batch partial distinct + side-bit tag, then a per-bucket groupby that
+    keeps keys whose side-bit max stayed 1 (never saw B). NULL keys follow
+    SQL EXCEPT distinct semantics (a NULL on B removes A's NULL)."""
+    def tag(col: str, bit: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            k = b[col].drop_duplicates()
+            return pd.DataFrame({alias: k.to_numpy(),
+                                 '_side': np.full(len(k), bit, dtype='int64')})
+        return f
+
+    a_t = a_ds.map_batches(tag(col_a, 1), batch_format='pandas')
+    b_t = b_ds.map_batches(tag(col_b, 2), batch_format='pandas')
+    both = a_t.union(b_t)
+
+    def keep_a_only(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.groupby(alias, sort=False, dropna=False)['_side'].agg(
+            ['min', 'max'])
+        keys = m[(m['min'] == 1) & (m['max'] == 1)].index
+        return pd.DataFrame({alias: keys.to_numpy()})
+
+    return bucketed_map(both, [alias], keep_a_only)
+
+
+def band_lookup_count(ds, col: str, edges: Sequence[float],
+                      labels: Sequence[str], alias: str = 'band',
+                      cnt_alias: str = 'n'):
+    """Broadcast range join against a tiny interval dimension: assign each
+    row's ``col`` to the half-open band ``[edges[i], edges[i+1])`` with a
+    vectorized ``np.searchsorted`` inside ``map_batches`` (the
+    broadcast-small-side range-join regime — the band edges ship once in
+    the task closure, no shuffle, unlike the keyed
+    ``temporal.range_join`` which co-partitions two dataset-sized sides),
+    then count rows per band two-phase. Values outside
+    ``[edges[0], edges[-1])`` and NULLs match no band (SQL inner-join
+    drop). ``len(labels) == len(edges) - 1``."""
+    if len(labels) != len(edges) - 1:
+        raise ValueError('labels must have len(edges) - 1 entries')
+    lo, hi = float(edges[0]), float(edges[-1])
+    edge_arr = np.asarray(edges, dtype=np.float64)
+    label_arr = np.asarray(labels, dtype=object)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64, na_value=np.nan)
+        in_range = (v >= lo) & (v < hi)  # NaN compares False on both
+        idx = np.searchsorted(edge_arr, v[in_range], side='right') - 1
+        return pd.DataFrame({alias: label_arr[idx]})
+
+    banded = ds.map_batches(assign, batch_format='pandas',
+                            batch_size=AGG_BATCH_SIZE)
+    return two_phase_count(banded, [alias], alias=cnt_alias)
+
+
+def weighted_race_topk(ds, id_col: str, weight_col: str, k: int,
+                       salt: str = 'wrs:42'):
+    """Deterministic weighted top-k race sample: each row draws a uniform
+    ``u = md5(salt + ':' + id)`` (as a 64-bit integer) and competes with
+    race key ``u / w`` — the k smallest keys win, so larger weights
+    systematically draw smaller keys. This is the division-only analogue
+    of Efraimidis–Spirakis exponential jumps (``-ln(u')/w``): a single
+    IEEE division replays bit-identically in any engine (DuckDB
+    ``CAST(md5_number_upper(…) AS DOUBLE) / w``) where ``ln`` would not,
+    keeping the sample a pure function of (salt, id, weight) — identical
+    on any run, any partitioning, resumable like :func:`hash_sample`.
+
+    Scale shape: a per-batch bottom-k combiner prunes each batch to k rows
+    BEFORE the final exchange, so the sort sees ≤ k × batches rows, never
+    the corpus. Rows with weight ≤ 0 or NULL never win (SQL ``WHERE w >
+    0``); ties (md5 collisions) break on id."""
+    from ..functions.hashing import md5_hash64_batch
+
+    def local_bottomk(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[weight_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        ok = w > 0  # NaN compares False
+        b = batch[ok]
+        if not len(b):
+            return pd.DataFrame({id_col: batch[id_col].iloc[:0],
+                                 weight_col: batch[weight_col].iloc[:0],
+                                 'race_key': pd.Series(dtype='float64')})
+        u = md5_hash64_batch(b[id_col], f'{salt}:').astype(np.float64)
+        key = u / w[ok]
+        b = b[[id_col, weight_col]].assign(
+            race_key=pd.Series(key, index=b.index, dtype='float64'))
+        b = b.sort_values(['race_key', id_col], kind='mergesort')
+        return b.head(k)
+
+    pre = ds.map_batches(local_bottomk, batch_format='pandas',
+                         batch_size=AGG_BATCH_SIZE)
+    # global winner merge over the pruned ≤ k × batches rows: after the
+    # sort the limit is a deterministic prefix (unsorted Dataset.limit is
+    # NOT deterministic under the streaming executor)
+    return pre.sort(['race_key', id_col]).limit(k)

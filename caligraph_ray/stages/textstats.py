@@ -166,6 +166,53 @@ def quality_scores(docs_ds, id_col: str = 'doc_id', text_col: str = 'text'):
     return docs_ds.map_batches(score, batch_format='pandas', batch_size=AGG_BATCH_SIZE)
 
 
+def lexical_diversity(docs_ds, id_col: str = 'doc_id',
+                      text_col: str = 'text'):
+    """Per-doc lexical-diversity quality signals, libm-free so every float
+    replays bit-identically in SQL: type-token ratio ``u / n`` and the
+    Gini–Simpson diversity index ``1 − Σ c·(c−1) / (n·(n−1))`` (the
+    probability two tokens drawn without replacement differ — the exact
+    rational counterpart of Shannon entropy, whose ``ln`` would NOT replay
+    across libms). One single-division float per signal, floor-scaled 6dp.
+
+    Arrow-native one-pass: split/flatten + dictionary-encode + packed-pair
+    ``np.unique`` (the ``_doc_token_tf`` kernel) feeds per-doc bincounts —
+    no per-row Python. Empty docs emit ``n_tokens = 0`` with both signals
+    0.0 (the SQL coalesce contract)."""
+    def score(batch: pa.Table) -> pd.DataFrame:
+        n_rows = batch.num_rows
+        flat, parent, n_tokens = _ws_token_arrays(batch.column(text_col))
+        if len(flat):
+            de = pc.dictionary_encode(flat)
+            if isinstance(de, pa.ChunkedArray):
+                de = de.combine_chunks()
+            codes = de.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+            pair = (parent.astype(np.uint64) << np.uint64(32)) | codes
+            u_pair, tf = np.unique(pair, return_counts=True)
+            doc_of = (u_pair >> np.uint64(32)).astype(np.int64)
+            n_types = np.bincount(doc_of, minlength=n_rows).astype(np.int64)
+            rep = np.bincount(doc_of, weights=(tf * (tf - 1)).astype(np.float64),
+                              minlength=n_rows)
+        else:
+            n_types = np.zeros(n_rows, dtype=np.int64)
+            rep = np.zeros(n_rows, dtype=np.float64)
+        n = n_tokens.astype(np.float64)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            ttr = np.where(n_tokens > 0,
+                           np.floor(n_types / n * 1e6) / 1e6, 0.0)
+            gini = np.where(n_tokens > 1,
+                            np.floor((1.0 - rep / (n * (n - 1.0))) * 1e6) / 1e6,
+                            0.0)
+        ids = batch.column(id_col).to_pandas()
+        return pd.DataFrame({id_col: ids, 'n_tokens': n_tokens,
+                             'n_types': n_types,
+                             'type_token_ratio': ttr,
+                             'gini_diversity': gini})
+
+    return docs_ds.map_batches(score, batch_format='pyarrow',
+                               batch_size=AGG_BATCH_SIZE)
+
+
 def lang_id(docs_ds, id_col: str = 'doc_id', text_col: str = 'text',
             threshold: float = 0.05):
     """Heuristic language ID: English function-word ratio ≥ threshold → 'en'

@@ -1,0 +1,134 @@
+"""Unit tests for the round-5 batch-2 operators — the edges the driver
+oracle can't reach on the NULL-free testdata: EXCEPT NULL semantics,
+half-open band boundaries + NaN drops, weighted-race weight guards and
+brute-force equality, lexical-diversity degenerate documents."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+
+from caligraph_ray.stages import relational as rel
+from caligraph_ray.stages import textstats as ts
+
+
+def test_distinct_except_basic_and_dedup(ray_session):
+    a = ray.data.from_pandas(pd.DataFrame({'k': [1, 1, 2, 3, 7]}))
+    b = ray.data.from_pandas(pd.DataFrame({'j': [2, 2, 9]}))
+    out = rel.collect_pandas(rel.distinct_except(a, b, 'k', 'j'))
+    assert sorted(out['key'].astype(int)) == [1, 3, 7]
+
+
+def test_distinct_except_null_on_b_removes_a_null(ray_session):
+    a = ray.data.from_pandas(pd.DataFrame({'k': [1.0, None, 5.0]}))
+    b = ray.data.from_pandas(pd.DataFrame({'j': [None, 5.0]}))
+    out = rel.collect_pandas(rel.distinct_except(a, b, 'k', 'j'))
+    # SQL EXCEPT distinct semantics: B's NULL removes A's NULL
+    assert [float(v) for v in out['key']] == [1.0]
+
+
+def test_distinct_except_null_kept_when_b_has_none(ray_session):
+    a = ray.data.from_pandas(pd.DataFrame({'k': [1.0, None]}))
+    b = ray.data.from_pandas(pd.DataFrame({'j': [1.0]}))
+    out = rel.collect_pandas(rel.distinct_except(a, b, 'k', 'j'))
+    assert len(out) == 1 and pd.isna(out['key'].iloc[0])
+
+
+def test_band_lookup_half_open_boundaries_and_drops(ray_session):
+    df = pd.DataFrame({'v': [0.0, 0.99, 1.0, 4.99, 5.0,   # band edges
+                             -0.5, 5.0, np.nan]})          # drops + repeat
+    ds = ray.data.from_pandas(df)
+    out = rel.collect_pandas(rel.band_lookup_count(
+        ds, 'v', [0.0, 1.0, 5.0], ['lo', 'hi'])) \
+        .set_index('band')['n'].astype(int).to_dict()
+    # [0,1): 0.0, 0.99; [1,5): 1.0, 4.99; 5.0 is PAST the last edge
+    # (half-open), -0.5 below the first, NaN never matches
+    assert out == {'lo': 2, 'hi': 2}
+
+
+def test_band_lookup_label_arity_check(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame({'v': [1.0]}))
+    with pytest.raises(ValueError):
+        rel.band_lookup_count(ds, 'v', [0.0, 1.0], ['a', 'b'])
+
+
+def _race_brute(ids, weights, k, salt='wrs:42'):
+    rows = []
+    for i, w in zip(ids, weights):
+        if w is None or not w > 0:
+            continue
+        u = int.from_bytes(
+            hashlib.md5(f'{salt}:{i}'.encode()).digest()[:8], 'little')
+        rows.append((np.float64(u) / np.float64(w), i, w))
+    rows.sort()
+    return [(i, w) for _, i, w in rows[:k]]
+
+
+def test_weighted_race_topk_matches_brute_force(ray_session):
+    ids = list(range(1, 201))
+    weights = [(i * 37) % 90 + 1 for i in ids]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {'doc_id': ids, 'w': weights})).repartition(7)
+    out = rel.collect_pandas(rel.weighted_race_topk(ds, 'doc_id', 'w', 10))
+    got = list(zip(out['doc_id'].astype(int), out['w'].astype(int)))
+    assert got == _race_brute(ids, weights, 10)
+
+
+def test_weighted_race_topk_excludes_nonpositive_and_null(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {'doc_id': [1, 2, 3, 4], 'w': [0.0, -3.0, None, 5.0]}))
+    out = rel.collect_pandas(rel.weighted_race_topk(ds, 'doc_id', 'w', 10))
+    assert out['doc_id'].astype(int).tolist() == [4]
+
+
+def test_weighted_race_prefers_heavy_rows(ray_session):
+    # one row with overwhelming weight must always win the race
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {'doc_id': list(range(100)),
+         'w': [1.0] * 99 + [1e12]}))
+    out = rel.collect_pandas(rel.weighted_race_topk(ds, 'doc_id', 'w', 1))
+    assert out['doc_id'].astype(int).tolist() == [99]
+
+
+def _docs(texts):
+    return ray.data.from_pandas(pd.DataFrame(
+        {'doc_id': list(range(len(texts))), 'text': texts}))
+
+
+def test_lexical_diversity_exact_values(ray_session):
+    out = rel.collect_pandas(ts.lexical_diversity(
+        _docs(['a a b', '', '   ', 'x', 'a a a a']))) \
+        .sort_values('doc_id').reset_index(drop=True)
+    assert out['n_tokens'].tolist() == [3, 0, 0, 1, 4]
+    assert out['n_types'].tolist() == [2, 0, 0, 1, 1]
+    # 'a a b': ttr 2/3 floored, gini 1 - (2·1)/(3·2) = 2/3 floored
+    assert out['type_token_ratio'][0] == np.floor(2 / 3 * 1e6) / 1e6
+    assert out['gini_diversity'][0] == np.floor((1 - 2 / 6) * 1e6) / 1e6
+    # degenerate docs: empty → 0.0/0.0; single token → gini 0 (n ≤ 1 rule)
+    assert out.loc[1, ['type_token_ratio', 'gini_diversity']].tolist() == [0.0, 0.0]
+    assert out.loc[3, 'type_token_ratio'] == 1.0
+    assert out.loc[3, 'gini_diversity'] == 0.0
+    # all-same: gini exactly 0, ttr 1/4
+    assert out.loc[4, 'gini_diversity'] == 0.0
+    assert out.loc[4, 'type_token_ratio'] == 0.25
+
+
+def test_lexical_diversity_matches_counter_reference(ray_session):
+    import collections
+    texts = ['the cat sat on the mat', 'a b c d e', 'z z z y y x',
+             'one', '', 'repeat repeat repeat']
+    out = rel.collect_pandas(ts.lexical_diversity(_docs(texts))) \
+        .sort_values('doc_id').reset_index(drop=True)
+    for i, text in enumerate(texts):
+        toks = [t for t in text.split(' ') if t]
+        c = collections.Counter(toks)
+        n, u = len(toks), len(c)
+        rep = sum(v * (v - 1) for v in c.values())
+        assert out.loc[i, 'n_tokens'] == n
+        assert out.loc[i, 'n_types'] == u
+        if n > 1:
+            assert out.loc[i, 'gini_diversity'] == \
+                np.floor((1.0 - rep / (n * (n - 1.0))) * 1e6) / 1e6
