@@ -4512,6 +4512,136 @@ ORDER BY ta, tb
 """
 
 
+def q_debounced_user_events(sf_dir: str):
+    """Windowed dedup / debounce (temporal.debounce_filter): drop events
+    arriving within 24 h of the previous event of the same (user, type)
+    under the (ts, event_id) total order — the LAG-gap stream-dedup
+    formulation, one key-keyed exchange + a vectorized diff."""
+    from ..stages.temporal import debounce_filter
+    ev = rel.read_table(sf_dir, 'events',
+                        ['event_id', 'user_id', 'event_type', 'ts'])
+    out = rel.collect_pandas(debounce_filter(ev))
+    if out.empty:
+        return pd.DataFrame({'event_id': pd.Series(dtype='int64'),
+                             'user_id': pd.Series(dtype='int64'),
+                             'event_type': pd.Series(dtype=object),
+                             'ts': pd.Series(dtype='datetime64[us]')})
+    out = out.astype({'event_id': 'int64', 'user_id': 'int64'})
+    return out.sort_values('event_id').reset_index(drop=True)
+
+
+SQL_DEBOUNCED_EVENTS = """
+WITH l AS (
+  SELECT event_id, user_id, event_type, ts,
+         ts - lag(ts) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS d
+  FROM events)
+SELECT event_id, user_id, event_type, ts FROM l
+WHERE d IS NULL OR d > INTERVAL 24 HOUR
+ORDER BY event_id
+"""
+
+
+def q_value_outliers_by_type(sf_dir: str):
+    """Tukey IQR outlier filter per group — the data-cleaning operator:
+    keep events whose cents fall outside [q25 − 1.5·IQR, q75 + 1.5·IQR]
+    of their type. The quantile cuts come from the EXACT distributed
+    histogram quantiles (relational.grouped_quantiles_exact — shuffle
+    bounded by the distinct cents dim) and form a constant-size per-type
+    dim collected driver-side (nation/region treatment) and broadcast
+    into the filter. The fence test runs in pure integer arithmetic
+    (2c < 2·q25 − 3·IQR) — no float 1.5× anywhere."""
+    ev = rel.read_table(sf_dir, 'events',
+                        ['event_id', 'event_type', 'value'])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'event_id': b['event_id'], 'event_type': b['event_type'],
+            'cents': np.floor(b['value'].to_numpy() * 100).astype('int64')})
+
+    cents = ev.map_batches(to_cents, batch_format='pandas')
+    cuts = rel.collect_pandas(rel.grouped_quantiles_exact(
+        cents.drop_columns(['event_id']), ['event_type'], 'cents',
+        qs=(0.25, 0.75)))
+    lo = {t: 2 * q25 - 3 * (q75 - q25) for t, q25, q75 in
+          zip(cuts['event_type'], cuts['q25'], cuts['q75'])}
+    hi = {t: 2 * q75 + 3 * (q75 - q25) for t, q25, q75 in
+          zip(cuts['event_type'], cuts['q25'], cuts['q75'])}
+
+    def fence(b: pd.DataFrame) -> pd.DataFrame:
+        c2 = 2 * b['cents'].to_numpy()
+        lo_v = b['event_type'].map(lo).to_numpy(dtype='int64')
+        hi_v = b['event_type'].map(hi).to_numpy(dtype='int64')
+        return b[(c2 < lo_v) | (c2 > hi_v)]
+
+    out = rel.collect_pandas(cents.map_batches(fence, batch_format='pandas'))
+    if out.empty:
+        return pd.DataFrame({'event_id': pd.Series(dtype='int64'),
+                             'event_type': pd.Series(dtype=object),
+                             'cents': pd.Series(dtype='int64')})
+    out = out.astype({'event_id': 'int64', 'cents': 'int64'})
+    return out.sort_values('event_id').reset_index(drop=True)
+
+
+SQL_VALUE_OUTLIERS = """
+WITH c AS (SELECT event_id, event_type,
+                  CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+q AS (SELECT event_type, quantile_disc(cents, 0.25) AS q25,
+             quantile_disc(cents, 0.75) AS q75
+      FROM c GROUP BY event_type)
+SELECT event_id, c.event_type, cents
+FROM c JOIN q ON c.event_type = q.event_type
+WHERE 2 * cents < 2 * q25 - 3 * (q75 - q25)
+   OR 2 * cents > 2 * q75 + 3 * (q75 - q25)
+ORDER BY event_id
+"""
+
+
+def q_event_type_salted_join(sf_dir: str):
+    """Hot-key salted join (relational.salted_join, salts=8): events joined
+    to the per-type distinct-user dim on event_type — a 5-value key, i.e.
+    maximal skew, the case where one shuffle_join bucket would hold 20% of
+    the fact table. Each (type, salt) sub-bucket carries ~1/8 of a hot
+    type's rows; the output aggregates per type so the gate stays small.
+    Join-regime equality (salted ≡ unsalted) is pytest-pinned separately."""
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'user_id', 'value'])
+    d = rel.two_phase_count(ev, ['event_type', 'user_id'], alias='_c') \
+        .drop_columns(['_c'])
+    dim = rel.two_phase_count(d, ['event_type'], alias='n_users')
+
+    def ren(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={'event_type': '_et'})
+
+    dim = dim.map_batches(ren, batch_format='pandas')
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'event_type': b['event_type'],
+            'cents': np.floor(b['value'].to_numpy() * 100).astype('int64')})
+
+    facts = ev.map_batches(to_cents, batch_format='pandas')
+    j = rel.salted_join(facts, dim, 'event_type', '_et', salts=8)
+    out = rel.collect_pandas(rel.two_phase_pandas_agg(
+        j, ['event_type'],
+        {'n_events': (None, 'count'), 'total_cents': ('cents', 'sum'),
+         'n_users': ('n_users', 'max')}))
+    out = out.astype({'n_events': 'int64', 'total_cents': 'int64',
+                      'n_users': 'int64'})
+    return out.sort_values('event_type').reset_index(drop=True)
+
+
+SQL_EVENT_TYPE_SALTED_JOIN = """
+WITH d AS (SELECT event_type, count(DISTINCT user_id) AS n_users
+           FROM events GROUP BY event_type)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(max(d.n_users) AS BIGINT) AS n_users
+FROM events e JOIN d USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
     'asof_latest_order': q_asof_latest_order,
     'value_quantiles_by_type': q_value_quantiles_by_type,
@@ -4612,6 +4742,9 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'lexical_diversity_scores': q_lexical_diversity_scores,
     'hopping_window_counts': q_hopping_window_counts,
     'event_type_jaccard': q_event_type_jaccard,
+    'debounced_user_events': q_debounced_user_events,
+    'value_outliers_by_type': q_value_outliers_by_type,
+    'event_type_salted_join': q_event_type_salted_join,
     'user_communities': q_user_communities,
     'alias_counts_docs': q_alias_counts_docs,
     'packed_sequences': q_packed_sequences,
@@ -4744,6 +4877,9 @@ WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
     'lexical_diversity_scores': SQL_LEXICAL_DIVERSITY,
     'hopping_window_counts': SQL_HOPPING_WINDOW,
     'event_type_jaccard': SQL_EVENT_TYPE_JACCARD,
+    'debounced_user_events': SQL_DEBOUNCED_EVENTS,
+    'value_outliers_by_type': SQL_VALUE_OUTLIERS,
+    'event_type_salted_join': SQL_EVENT_TYPE_SALTED_JOIN,
     'user_communities': _sql_label_propagation(),
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     'approx_distinct_users': SQL_APPROX_DISTINCT,

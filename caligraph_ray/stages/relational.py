@@ -1204,6 +1204,61 @@ def distinct_except(a_ds, b_ds, col_a: str, col_b: str,
     return bucketed_map(both, [alias], keep_a_only)
 
 
+def salted_join(left_ds, right_ds, left_on: str, right_on: str,
+                salts: int = 8, how: str = 'inner'):
+    """Skew-mitigating salted hash join: the right side is replicated
+    ``salts``× (one copy per salt), left rows take a round-robin salt, and
+    the join runs on the (key, salt) composite — a hot key's rows split
+    across ``salts`` sub-buckets instead of landing in ONE task, at the
+    cost of shipping the right side ``salts``×. This is the regime for a
+    fact⋈medium-dim join whose key distribution is so skewed that one
+    bucket of :func:`shuffle_join` exceeds a task's memory (the docstring
+    advice there: "salt upstream"). The output row multiset is identical
+    to ``shuffle_join`` — the salt assignment never changes the match set
+    (pytest-pinned equality on hot-key + null frames).
+
+    ``how``: 'inner' or 'left' (a left row carries exactly one salt, so an
+    unmatched left row pads once). 'outer' is structurally wrong under
+    replication — an unmatched RIGHT row would appear ``salts``× — and
+    raises. NULL keys match nothing (SQL semantics; filtered before the
+    composite renders). Composite keys render exactly: int64 through
+    ``astype(str)`` (no float round-trip), everything else through
+    ``_canon_key_str``."""
+    if how not in ('inner', 'left'):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}")
+    if salts < 2:
+        raise ValueError('salts must be >= 2 (1 would be shuffle_join)')
+
+    def render(s: pd.Series) -> pd.Series:
+        if pd.api.types.is_integer_dtype(s):
+            return s.astype('int64').astype(str)
+        return _canon_key_str(s)
+
+    def salt_left(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[left_on].notna()] if how == 'inner' else b
+        salt = np.arange(len(b), dtype=np.int64) % salts
+        jk = np.where(b[left_on].notna(),
+                      render(b[left_on]) + '|' + salt.astype(str),
+                      # left-join null keys must survive to pad, but match
+                      # nothing: a salt no right replica carries
+                      '\x00null|-1')
+        return b.assign(_saltk=pd.Series(jk, index=b.index))
+
+    def replicate_right(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[right_on].notna()]
+        ks = render(b[right_on])
+        copies = [b.assign(_saltk=ks + f'|{s}') for s in range(salts)]
+        return pd.concat(copies, ignore_index=True)
+
+    l2 = left_ds.map_batches(salt_left, batch_format='pandas',
+                             batch_size=AGG_BATCH_SIZE)
+    r2 = right_ds.map_batches(replicate_right, batch_format='pandas',
+                              batch_size=AGG_BATCH_SIZE)
+    out = shuffle_join(l2, r2, '_saltk', '_saltk', how=how, right_hint='fact')
+    return out.drop_columns(['_saltk'])
+
+
 def band_lookup_count(ds, col: str, edges: Sequence[float],
                       labels: Sequence[str], alias: str = 'band',
                       cnt_alias: str = 'n'):

@@ -616,3 +616,30 @@ def running_total(events_ds, key_col: str = 'user_id', ts_col: str = 'ts',
         })
 
     return bucketed_map(prepped, [key_col], scan)
+
+
+def debounce_filter(events_ds, key_cols=('user_id', 'event_type'),
+                    ts_col: str = 'ts', id_col: str = 'event_id',
+                    gap_us: int = 86_400_000_000):
+    """Windowed deduplication (debounce): drop an event arriving within
+    ``gap_us`` of the PREVIOUS event of the same key under the (ts, id)
+    total order — the LAG-gap formulation (one key-keyed exchange + a
+    vectorized diff, stateless per bucket), NOT the chained
+    "previous-KEPT" variant, which is inherently sequential per key and
+    cannot be expressed as a window. First event per key always survives.
+    SQL contract: keep iff ``ts − LAG(ts) OVER (PARTITION BY keys ORDER BY
+    ts, id)`` is NULL or > gap. Equal-timestamp pairs (delta 0) debounce."""
+    from .relational import grouped_map
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        # NaT sorts last (both engines' ASC default) and any NULL-involved
+        # delta keeps the row (SQL: NULL > gap is not TRUE → the `d IS
+        # NULL` arm); float64 epoch-micros are exact below 2^53 (~year
+        # 2255)
+        g = g.sort_values([ts_col, id_col], kind='mergesort')
+        t = _ts_to_int(g[ts_col]).to_numpy(dtype='float64', na_value=np.nan)
+        mask = np.ones(len(g), dtype=bool)
+        mask[1:] = ~((t[1:] - t[:-1]) <= gap_us)
+        return g[mask]
+
+    return grouped_map(events_ds, list(key_cols), keep)

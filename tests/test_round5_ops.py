@@ -132,3 +132,78 @@ def test_lexical_diversity_matches_counter_reference(ray_session):
         if n > 1:
             assert out.loc[i, 'gini_diversity'] == \
                 np.floor((1.0 - rep / (n * (n - 1.0))) * 1e6) / 1e6
+
+
+def _canon_rows(df, cols):
+    df = df[cols].copy()
+    for c in cols:
+        # None (object pad) and NaN (float pad) are both SQL NULL — the
+        # two paths may pick either representation for padded misses
+        df[c] = df[c].where(df[c].notna(), None).astype(str) \
+            .replace('None', 'NULL')
+    return sorted(map(tuple, df.to_numpy().tolist()))
+
+
+@pytest.mark.parametrize('how', ['inner', 'left'])
+def test_salted_join_equals_shuffle_join(ray_session, how):
+    # hot key (80% of left rows are k=1) + null keys on both sides
+    rng = np.random.RandomState(7)
+    lk = np.where(rng.rand(200) < 0.8, 1, rng.randint(1, 6, 200)).astype(float)
+    lk[::37] = np.nan
+    left_df = pd.DataFrame({'k': lk, 'v': np.arange(200)})
+    right_df = pd.DataFrame({'rk': [1.0, 2.0, 3.0, np.nan],
+                             'payload': ['a', 'b', 'c', 'z']})
+    left = ray.data.from_pandas(left_df).repartition(5)
+    right = ray.data.from_pandas(right_df)
+    a = rel.collect_pandas(rel.salted_join(left, right, 'k', 'rk',
+                                           salts=4, how=how))
+    b = rel.collect_pandas(rel.shuffle_join(left, right, 'k', 'rk', how=how))
+    cols = ['k', 'v', 'rk', 'payload']
+    assert _canon_rows(a, cols) == _canon_rows(b, cols)
+
+
+def test_salted_join_rejects_outer_and_salt1(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame({'k': [1]}))
+    with pytest.raises(ValueError):
+        rel.salted_join(ds, ds, 'k', 'k', how='outer')
+    with pytest.raises(ValueError):
+        rel.salted_join(ds, ds, 'k', 'k', salts=1)
+
+
+def test_debounce_filter_gap_and_ties(ray_session):
+    from caligraph_ray.stages.temporal import debounce_filter
+    ts = pd.to_datetime([0, 50, 200, 201, 500], unit='us') \
+        .astype('datetime64[us]')
+    ev = ray.data.from_pandas(pd.DataFrame({
+        'event_id': [1, 2, 3, 4, 5],
+        'user_id': [7, 7, 7, 7, 8],
+        'event_type': ['a'] * 5,
+        'ts': ts}))
+    out = rel.collect_pandas(debounce_filter(ev, gap_us=100)) \
+        .sort_values('event_id')
+    # user 7: t=0 first (keep), t=50 within 100 (drop), t=200 gap 150
+    # (keep), t=201 gap 1 (drop); user 8 opens its own partition (keep)
+    assert out['event_id'].tolist() == [1, 3, 5]
+
+
+def test_debounce_filter_equal_timestamps_drop(ray_session):
+    from caligraph_ray.stages.temporal import debounce_filter
+    ts = pd.to_datetime([100, 100, 100], unit='us').astype('datetime64[us]')
+    ev = ray.data.from_pandas(pd.DataFrame({
+        'event_id': [3, 1, 2], 'user_id': [7, 7, 7],
+        'event_type': ['a'] * 3, 'ts': ts}))
+    out = rel.collect_pandas(debounce_filter(ev, gap_us=100))
+    # ties order by event_id: 1 opens, 2 and 3 debounce (delta 0 ≤ gap)
+    assert out['event_id'].tolist() == [1]
+
+
+def test_debounce_filter_null_ts_kept(ray_session):
+    from caligraph_ray.stages.temporal import debounce_filter
+    ev = ray.data.from_pandas(pd.DataFrame({
+        'event_id': [1, 2],
+        'user_id': [7, 7], 'event_type': ['a', 'a'],
+        'ts': pd.Series([pd.Timestamp(1), pd.NaT],
+                        dtype='datetime64[us]')}))
+    out = rel.collect_pandas(debounce_filter(ev, gap_us=100))
+    # a NULL-involved delta keeps the row (the SQL `d IS NULL` arm)
+    assert sorted(out['event_id'].tolist()) == [1, 2]
