@@ -4642,6 +4642,47 @@ GROUP BY e.event_type ORDER BY e.event_type
 """
 
 
+def q_bloom_semi_join_lineitems(sf_dir: str):
+    """Bloom-prefiltered semi join (relational.bloom_semi_join): lineitems
+    of URGENT orders — the dim's distinct keys become a broadcast Bloom
+    filter that drops ~4/5 of the fact stream BEFORE the exact exchange
+    (urgent ≈ 20% of orders), then the exact distinct-key semi join
+    removes the false positives, so the result is EXACT and the oracle is
+    the plain IN-subquery. The 100 TB shuffle-volume-reduction pattern as
+    a first-class operator."""
+    orders = rel.read_table(sf_dir, 'orders',
+                            ['o_orderkey', 'o_orderpriority'])
+
+    def urgent_only(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b['o_orderpriority'] == '1-URGENT', ['o_orderkey']]
+
+    urgent = orders.map_batches(urgent_only, batch_format='pandas')
+    li = rel.read_table(sf_dir, 'lineitem',
+                        ['l_orderkey', 'l_extendedprice'])
+    j = rel.bloom_semi_join(li, urgent, 'l_orderkey', 'o_orderkey',
+                            m=1 << 17)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b['l_extendedprice'].to_numpy() * 100) \
+            .astype('int64')
+        return pd.DataFrame({'n_items': [len(b)],
+                             'cents': [int(cents.sum())]})
+
+    parts = rel.collect_pandas(j.map_batches(part, batch_format='pandas'))
+    return pd.DataFrame({'n_items': [int(parts['n_items'].sum())],
+                         'cents': [int(parts['cents'].sum())]})
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
     'asof_latest_order': q_asof_latest_order,
     'value_quantiles_by_type': q_value_quantiles_by_type,
@@ -4745,6 +4786,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'debounced_user_events': q_debounced_user_events,
     'value_outliers_by_type': q_value_outliers_by_type,
     'event_type_salted_join': q_event_type_salted_join,
+    'bloom_semi_join_lineitems': q_bloom_semi_join_lineitems,
     'user_communities': q_user_communities,
     'alias_counts_docs': q_alias_counts_docs,
     'packed_sequences': q_packed_sequences,
@@ -4880,6 +4922,7 @@ WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
     'debounced_user_events': SQL_DEBOUNCED_EVENTS,
     'value_outliers_by_type': SQL_VALUE_OUTLIERS,
     'event_type_salted_join': SQL_EVENT_TYPE_SALTED_JOIN,
+    'bloom_semi_join_lineitems': SQL_BLOOM_SEMI_JOIN,
     'user_communities': _sql_label_propagation(),
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     'approx_distinct_users': SQL_APPROX_DISTINCT,

@@ -1204,6 +1204,67 @@ def distinct_except(a_ds, b_ds, col_a: str, col_b: str,
     return bucketed_map(both, [alias], keep_a_only)
 
 
+def bloom_semi_join(fact_ds, dim_ds, fact_on: str, dim_on: str,
+                    m: int = 1 << 20, k: int = 4,
+                    exact_verify: bool = True):
+    """Bloom-prefiltered semi join — the shuffle-volume reducer for
+    fact ⋉ dim at corpus scale: a Bloom filter over the DISTINCT dim keys
+    is built from per-batch partial filters (bit-OR mergeable KB..MB
+    state, no value-keyed shuffle — the bloom_bits shape), ``ray.put``
+    once, and every fact batch drops non-members BEFORE the exact
+    exchange, so the expensive co-partition sees |matches| + false
+    positives rows instead of the whole fact table. With
+    ``exact_verify=True`` (default) survivors then run the real
+    distinct-key semi join and the capacity-chosen false-positive rate
+    ``(1−e^{−kn/m})^k`` is removed — the RESULT IS EXACT; the Bloom pass
+    only changes how many rows travel. ``exact_verify=False`` returns the
+    prefiltered stream for fp-tolerant consumers (candidate generation).
+
+    False negatives are impossible, so no match is ever lost. Hashing is
+    the vectorized salted md5 (``md5_hash64_batch(key, f'{i}|')``), the
+    same position contract as :class:`~..functions.sketches.BloomFilter`.
+    NULL fact keys match nothing (SQL semi-join semantics)."""
+    from ..functions.hashing import md5_hash64_batch
+    from ..state.broadcast import get_broadcast
+
+    dkeys = two_phase_count(dim_ds, [dim_on], alias='_c') \
+        .drop_columns(['_c'])
+
+    def sketch(b: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m, dtype=bool)
+        vals = b[dim_on][b[dim_on].notna()]
+        for i in range(k):
+            bits[md5_hash64_batch(vals, f'{i}|') % m] = True
+        return pd.DataFrame({'sketch': [np.packbits(bits).tobytes()]})
+
+    merged = np.zeros(m, dtype=bool)
+    for r in collect_rows(dkeys.map_batches(sketch, batch_format='pandas',
+                                            batch_size=AGG_BATCH_SIZE)):
+        merged |= np.unpackbits(
+            np.frombuffer(r['sketch'], dtype=np.uint8))[:m].astype(bool)
+    ref = ray.put(merged)
+
+    def prefilter(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b) and fact_on not in b.columns:
+            return b
+        bits = get_broadcast(ref)
+        ok = b[fact_on].notna().to_numpy()
+        sub = b[fact_on][ok]
+        hit = np.ones(len(sub), dtype=bool)
+        for i in range(k):
+            hit &= bits[md5_hash64_batch(sub, f'{i}|') % m]
+        ok[ok] = hit
+        return b[ok]
+
+    survivors = fact_ds.map_batches(prefilter, batch_format='pandas',
+                                    batch_size=AGG_BATCH_SIZE)
+    if not exact_verify:
+        return survivors
+    out = shuffle_join(survivors, dkeys, fact_on, dim_on,
+                       right_hint='fact')
+    return out.drop_columns([dim_on]) if dim_on != fact_on else out
+
+
 def salted_join(left_ds, right_ds, left_on: str, right_on: str,
                 salts: int = 8, how: str = 'inner'):
     """Skew-mitigating salted hash join: the right side is replicated

@@ -207,3 +207,35 @@ def test_debounce_filter_null_ts_kept(ray_session):
     out = rel.collect_pandas(debounce_filter(ev, gap_us=100))
     # a NULL-involved delta keeps the row (the SQL `d IS NULL` arm)
     assert sorted(out['event_id'].tolist()) == [1, 2]
+
+
+def test_bloom_semi_join_exact_with_forced_false_positives(ray_session):
+    # m=64 over 40 dim keys → heavy false-positive rate; the exact verify
+    # must still produce precisely the true semi join
+    fact = pd.DataFrame({'fk': np.arange(1000) % 200, 'v': np.arange(1000)})
+    dim = pd.DataFrame({'dk': np.arange(0, 200, 5)})  # 40 keys: 0,5,...,195
+    out = rel.collect_pandas(rel.bloom_semi_join(
+        ray.data.from_pandas(fact).repartition(4),
+        ray.data.from_pandas(dim), 'fk', 'dk', m=64, k=2))
+    expect = fact[fact['fk'].isin(set(dim['dk']))]
+    assert sorted(out['v'].astype(int)) == sorted(expect['v'])
+    assert set(out['fk'].astype(int)) == set(expect['fk'])
+
+
+def test_bloom_semi_join_prefilter_superset_no_false_negatives(ray_session):
+    fact = pd.DataFrame({'fk': np.arange(500) % 100, 'v': np.arange(500)})
+    dim = pd.DataFrame({'dk': [3, 17, 42]})
+    pre = rel.collect_pandas(rel.bloom_semi_join(
+        ray.data.from_pandas(fact), ray.data.from_pandas(dim),
+        'fk', 'dk', m=32, k=2, exact_verify=False))
+    true_rows = set(fact[fact['fk'].isin({3, 17, 42})]['v'])
+    # false negatives impossible: every true match survives the prefilter
+    assert true_rows <= set(pre['v'].astype(int))
+
+
+def test_bloom_semi_join_null_fact_keys_drop(ray_session):
+    fact = pd.DataFrame({'fk': [1.0, None, 2.0], 'v': [1, 2, 3]})
+    dim = pd.DataFrame({'dk': [1.0, 2.0]})
+    out = rel.collect_pandas(rel.bloom_semi_join(
+        ray.data.from_pandas(fact), ray.data.from_pandas(dim), 'fk', 'dk'))
+    assert sorted(out['v'].astype(int)) == [1, 3]
