@@ -4683,6 +4683,141 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders
 """
 
 
+def q_event_transition_counts(sf_dir: str):
+    """First-order Markov transition counts over per-user event sequences
+    (the sequence-mining primitive behind next-event prediction features):
+    (prev_type → type) pairs under the (ts, event_id) total order per
+    user — ONE user-keyed exchange emits the lag pairs vectorized
+    (groupby shift, no Python loop), then a two-phase pair count."""
+    ev = rel.read_table(sf_dir, 'events',
+                        ['event_id', 'user_id', 'event_type', 'ts'])
+
+    def lag_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['ts', 'event_id'], kind='mergesort')
+        t = g['event_type'].to_numpy()
+        if len(t) < 2:
+            return pd.DataFrame({'from_type': [], 'to_type': []})
+        return pd.DataFrame({'from_type': t[:-1], 'to_type': t[1:]})
+
+    pairs = rel.grouped_map(ev, ['user_id'], lag_pairs)
+    out = rel.collect_pandas(rel.two_phase_count(
+        pairs, ['from_type', 'to_type'], alias='n'))
+    if out.empty:
+        return pd.DataFrame({'from_type': pd.Series(dtype=object),
+                             'to_type': pd.Series(dtype=object),
+                             'n': pd.Series(dtype='int64')})
+    out['n'] = out['n'].astype('int64')
+    return out.sort_values(['from_type', 'to_type']).reset_index(drop=True)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH l AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT prev AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM l WHERE prev IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_decayed_type_scores(sf_dir: str):
+    """Time-decayed trending aggregate with INTEGER halving decay: each
+    event contributes ``cents >> age_hours`` (a 1-hour half-life as a pure
+    bit shift — the libm-free analogue of exp-decay scoring, so both
+    engines agree bit-for-bit where pow(2.0, −x) would not). The global
+    max-ts anchor is a broadcast scalar from a first streaming pass (the
+    perplexity-cuts two-pass shape); shifts cap at 62 (older events
+    contribute exactly 0)."""
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'ts', 'value'])
+
+    def ts_max_part(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({'m': [b['ts'].max()]})
+
+    mx = rel.collect_pandas(ev.map_batches(
+        ts_max_part, batch_format='pandas'))['m'].max()
+    mx_us = int(pd.Timestamp(mx).value // 1000)
+
+    def decay(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b['value'].to_numpy() * 100).astype('int64')
+        ts_us = b['ts'].astype('datetime64[us]').astype('int64').to_numpy()
+        age_h = np.minimum((mx_us - ts_us) // 3_600_000_000, 62)
+        return pd.DataFrame({'event_type': b['event_type'],
+                             'dscore': cents >> age_h})
+
+    out = rel.collect_pandas(rel.two_phase_sum(
+        ev.map_batches(decay, batch_format='pandas'), ['event_type'],
+        'dscore', alias='decayed_cents'))
+    out['decayed_cents'] = out['decayed_cents'].astype('int64')
+    return out.sort_values('event_type').reset_index(drop=True)
+
+
+SQL_DECAYED_SCORES = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+s AS (SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT)
+               >> CAST(least((epoch_us(m) - epoch_us(ts)) // 3600000000,
+                             62) AS BIGINT) AS dscore
+      FROM events, mx)
+SELECT event_type, CAST(sum(dscore) AS BIGINT) AS decayed_cents
+FROM s GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_top_value_events_with_ties(sf_dir: str, k: int = 3):
+    """Per-group top-k WITH TIES (the RANK() ≤ k contract, vs
+    topk_per_group's row_number head): every event tying the k-th cents
+    value is kept. Scale shape: a per-batch with-ties combiner prunes each
+    batch to its local rank ≤ k rows BEFORE the one type-keyed exchange
+    (global top-k-with-ties ⊆ union of local top-k-with-ties), so the
+    exchange is bounded by k×batches + local tie width, not row count."""
+    ev = rel.read_table(sf_dir, 'events',
+                        ['event_id', 'event_type', 'value'])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'event_id': b['event_id'], 'event_type': b['event_type'],
+            'cents': np.floor(b['value'].to_numpy() * 100).astype('int64')})
+
+    def with_ties(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['cents', 'event_id'],
+                          ascending=[False, True], kind='mergesort')
+        c = g['cents'].to_numpy()
+        # RANK(): 1 + count of strictly-greater values
+        first_idx = np.searchsorted(-c, -c, side='left')
+        rnk = first_idx + 1
+        keep = rnk <= k
+        return g[keep].assign(rnk=rnk[keep])
+
+    local = ev.map_batches(to_cents, batch_format='pandas') \
+        .map_batches(lambda b: pd.concat(
+            [with_ties(g) for _, g in
+             b.groupby('event_type', sort=False, dropna=False)],
+            ignore_index=True) if len(b) else b,
+            batch_format='pandas')
+    out = rel.collect_pandas(rel.grouped_map(
+        local.drop_columns(['rnk']), ['event_type'], with_ties))
+    if out.empty:
+        return pd.DataFrame({'event_id': pd.Series(dtype='int64'),
+                             'event_type': pd.Series(dtype=object),
+                             'cents': pd.Series(dtype='int64'),
+                             'rnk': pd.Series(dtype='int64')})
+    out = out.astype({'event_id': 'int64', 'cents': 'int64',
+                      'rnk': 'int64'})
+    return out.sort_values('event_id').reset_index(drop=True)
+
+
+SQL_TOP_WITH_TIES = """
+WITH c AS (SELECT event_id, event_type,
+                  CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+r AS (SELECT *, rank() OVER (PARTITION BY event_type
+                             ORDER BY cents DESC) AS rnk FROM c)
+SELECT event_id, event_type, cents, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3 ORDER BY event_id
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
     'asof_latest_order': q_asof_latest_order,
     'value_quantiles_by_type': q_value_quantiles_by_type,
@@ -4787,6 +4922,9 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'value_outliers_by_type': q_value_outliers_by_type,
     'event_type_salted_join': q_event_type_salted_join,
     'bloom_semi_join_lineitems': q_bloom_semi_join_lineitems,
+    'event_transition_counts': q_event_transition_counts,
+    'decayed_type_scores': q_decayed_type_scores,
+    'top_value_events_with_ties': q_top_value_events_with_ties,
     'user_communities': q_user_communities,
     'alias_counts_docs': q_alias_counts_docs,
     'packed_sequences': q_packed_sequences,
@@ -4923,6 +5061,9 @@ WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
     'value_outliers_by_type': SQL_VALUE_OUTLIERS,
     'event_type_salted_join': SQL_EVENT_TYPE_SALTED_JOIN,
     'bloom_semi_join_lineitems': SQL_BLOOM_SEMI_JOIN,
+    'event_transition_counts': SQL_EVENT_TRANSITIONS,
+    'decayed_type_scores': SQL_DECAYED_SCORES,
+    'top_value_events_with_ties': SQL_TOP_WITH_TIES,
     'user_communities': _sql_label_propagation(),
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     'approx_distinct_users': SQL_APPROX_DISTINCT,

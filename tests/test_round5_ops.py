@@ -239,3 +239,51 @@ def test_bloom_semi_join_null_fact_keys_drop(ray_session):
     out = rel.collect_pandas(rel.bloom_semi_join(
         ray.data.from_pandas(fact), ray.data.from_pandas(dim), 'fk', 'dk'))
     assert sorted(out['v'].astype(int)) == [1, 3]
+
+
+def _write_events(tmpdir, rows):
+    import pyarrow as pa, pyarrow.parquet as pq
+    df = pd.DataFrame(rows, columns=['event_id', 'ts', 'user_id',
+                                     'event_type', 'value'])
+    df['ts'] = pd.to_datetime(df['ts'], unit='s').astype('datetime64[us]')
+    df['props'] = '{}'
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f'{tmpdir}/events.parquet')
+    return str(tmpdir)
+
+
+def test_top_with_ties_keeps_tied_kth_rows(ray_session, tmp_path):
+    from caligraph_ray.pipelines.queries import q_top_value_events_with_ties
+    # type 'a': cents 900, 500, 500, 500, 100 → rank()<=3 keeps FOUR rows
+    # (the three tied 500s all rank 2); type 'b': fewer than k rows
+    sf = _write_events(tmp_path, [
+        (1, 10, 1, 'a', 9.00), (2, 20, 1, 'a', 5.00),
+        (3, 30, 2, 'a', 5.00), (4, 40, 2, 'a', 5.00),
+        (5, 50, 3, 'a', 1.00), (6, 60, 3, 'b', 2.00)])
+    out = q_top_value_events_with_ties(sf)
+    assert out['event_id'].tolist() == [1, 2, 3, 4, 6]
+    assert out['rnk'].tolist() == [1, 2, 2, 2, 1]
+
+
+def test_event_transition_counts_sequences(ray_session, tmp_path):
+    from caligraph_ray.pipelines.queries import q_event_transition_counts
+    # user 1: a→b→a (2 transitions); user 2: single event (none);
+    # user 3: equal timestamps order by event_id: c→c
+    sf = _write_events(tmp_path, [
+        (1, 10, 1, 'a', 1.0), (2, 20, 1, 'b', 1.0), (3, 30, 1, 'a', 1.0),
+        (4, 10, 2, 'z', 1.0),
+        (5, 10, 3, 'c', 1.0), (6, 10, 3, 'c', 1.0)])
+    out = q_event_transition_counts(sf)
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    assert got == {('a', 'b'): 1, ('b', 'a'): 1, ('c', 'c'): 1}
+
+
+def test_decayed_type_scores_integer_halving(ray_session, tmp_path):
+    from caligraph_ray.pipelines.queries import q_decayed_type_scores
+    # anchor = max ts (event 3). ages: 2h → >>2, 1h → >>1, 0h → >>0
+    sf = _write_events(tmp_path, [
+        (1, 0,    1, 'a', 4.00),   # 400 >> 2 = 100
+        (2, 3600, 1, 'a', 4.00),   # 400 >> 1 = 200
+        (3, 7200, 1, 'a', 4.00)])  # 400 >> 0 = 400
+    out = q_decayed_type_scores(sf)
+    assert out['decayed_cents'].tolist() == [700]
