@@ -209,6 +209,35 @@ def run_benchmarks() -> dict:
     timed('doc_snapshot_diff', lambda: Q.q_doc_snapshot_diff(SF_DIR))
     timed('active_user_intersect',
           lambda: Q.q_active_user_intersect(SF_DIR))
+    timed('order_users_except_events',
+          lambda: Q.q_order_users_except_events(SF_DIR))
+    timed('value_band_counts', lambda: Q.q_value_band_counts(SF_DIR))
+    timed('value_percent_rank_by_type',
+          lambda: Q.q_value_percent_rank_by_type(SF_DIR))
+    timed('weighted_sample_docs', lambda: Q.q_weighted_sample_docs(SF_DIR))
+    timed('lexical_diversity_scores',
+          lambda: Q.q_lexical_diversity_scores(SF_DIR))
+    timed('hopping_window_counts',
+          lambda: Q.q_hopping_window_counts(SF_DIR))
+    timed('event_type_jaccard', lambda: Q.q_event_type_jaccard(SF_DIR))
+    timed('debounced_user_events',
+          lambda: Q.q_debounced_user_events(SF_DIR))
+    timed('value_outliers_by_type',
+          lambda: Q.q_value_outliers_by_type(SF_DIR))
+    timed('event_type_salted_join',
+          lambda: Q.q_event_type_salted_join(SF_DIR))
+    timed('bloom_semi_join_lineitems',
+          lambda: Q.q_bloom_semi_join_lineitems(SF_DIR))
+    timed('event_transition_counts',
+          lambda: Q.q_event_transition_counts(SF_DIR))
+    timed('decayed_type_scores', lambda: Q.q_decayed_type_scores(SF_DIR))
+    timed('top_value_events_with_ties',
+          lambda: Q.q_top_value_events_with_ties(SF_DIR))
+    timed('value_histogram_by_type',
+          lambda: Q.q_value_histogram_by_type(SF_DIR))
+    timed('user_first_touch', lambda: Q.q_user_first_touch(SF_DIR))
+    timed('daily_new_users', lambda: Q.q_daily_new_users(SF_DIR))
+    timed('fk_integrity_audit', lambda: Q.q_fk_integrity_audit(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -4818,6 +4818,164 @@ FROM r WHERE rnk <= 3 ORDER BY event_id
 """
 
 
+def q_value_histogram_by_type(sf_dir: str, nbins: int = 10):
+    """Equi-width histogram per group over GLOBAL [min, max] cents bounds —
+    the two-pass profile operator: pass 1 streams the global min/max as
+    broadcast scalars (the decayed-scores anchor shape), pass 2 assigns
+    integer bins with pure integer arithmetic
+    ``(c − lo) · nbins // (hi − lo + 1)`` (no float width division) and
+    counts two-phase. Different from value_band_counts, whose band edges
+    are a FIXED dimension: here the bins adapt to the data."""
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'value'])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'event_type': b['event_type'],
+            'cents': np.floor(b['value'].to_numpy() * 100).astype('int64')})
+
+    cents = ev.map_batches(to_cents, batch_format='pandas')
+
+    def minmax_part(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({'lo': [b['cents'].min()],
+                             'hi': [b['cents'].max()]})
+
+    mm = rel.collect_pandas(cents.map_batches(minmax_part,
+                                              batch_format='pandas'))
+    lo, hi = int(mm['lo'].min()), int(mm['hi'].max())
+    span = hi - lo + 1
+
+    def binify(b: pd.DataFrame) -> pd.DataFrame:
+        c = b['cents'].to_numpy()
+        return pd.DataFrame({'event_type': b['event_type'],
+                             'bin': (c - lo) * nbins // span})
+
+    out = rel.collect_pandas(rel.two_phase_count(
+        cents.map_batches(binify, batch_format='pandas'),
+        ['event_type', 'bin'], alias='n'))
+    out = out.astype({'bin': 'int64', 'n': 'int64'})
+    return out.sort_values(['event_type', 'bin']).reset_index(drop=True)
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH c AS (SELECT event_type,
+                  CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+mm AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c)
+SELECT event_type,
+       CAST((cents - lo) * 10 // (hi - lo + 1) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM c, mm GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_user_first_touch(sf_dir: str):
+    """First-touch attribution: each user's FIRST event type under the
+    (ts, event_id) total order, alongside their lifetime cents — the
+    argmin-per-group + grouped-sum pair fused into ONE user-keyed exchange
+    (grouped_map), the marketing-attribution shape."""
+    ev = rel.read_table(sf_dir, 'events',
+                        ['event_id', 'user_id', 'event_type', 'ts', 'value'])
+
+    def first_touch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['ts', 'event_id'], kind='mergesort')
+        cents = np.floor(g['value'].to_numpy() * 100).astype('int64')
+        return pd.DataFrame({
+            'user_id': [g['user_id'].iloc[0]],
+            'first_type': [g['event_type'].iloc[0]],
+            'total_cents': [int(cents.sum())]})
+
+    out = rel.collect_pandas(rel.grouped_map(ev, ['user_id'], first_touch))
+    out = out.astype({'user_id': 'int64', 'total_cents': 'int64'})
+    return out.sort_values('user_id').reset_index(drop=True)
+
+
+SQL_USER_FIRST_TOUCH = """
+WITH r AS (SELECT user_id, event_type,
+                  CAST(floor(value * 100) AS BIGINT) AS cents,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events)
+SELECT user_id,
+       max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_daily_new_users(sf_dir: str):
+    """Growth analytics: per day, the number of FIRST-SEEN users — a
+    two-phase per-user min(day) (partial min inside every batch, one
+    user-keyed merge) followed by a small per-day count. The first-seen
+    reduction is the cumulative-distinct primitive that a naive
+    count(DISTINCT) over a growing window cannot stream."""
+    ev = rel.read_table(sf_dir, 'events', ['user_id', 'ts'])
+
+    def to_day(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({'user_id': b['user_id'],
+                             'day': b['ts'].dt.floor('D')})
+
+    days = ev.map_batches(to_day, batch_format='pandas')
+    first = rel.two_phase_pandas_agg(days, ['user_id'],
+                                     {'first_day': ('day', 'min')})
+    out = rel.collect_pandas(rel.two_phase_count(
+        first, ['first_day'], alias='new_users'))
+    out['new_users'] = out['new_users'].astype('int64')
+    return out.sort_values('first_day').reset_index(drop=True)
+
+
+SQL_DAILY_NEW_USERS = """
+SELECT first_day, CAST(count(*) AS BIGINT) AS new_users
+FROM (SELECT user_id, min(date_trunc('day', ts)) AS first_day
+      FROM events GROUP BY user_id)
+GROUP BY first_day ORDER BY first_day
+"""
+
+
+def q_fk_integrity_audit(sf_dir: str):
+    """Cross-table data-quality audit: distinct orphan-key counts along
+    the schema's FK edges (child keys with no parent) plus the reverse
+    coverage edge (parents never referenced) — each edge is ONE
+    distinct_except exchange reduced to a count, so the audit costs
+    |edges| streamed passes and returns |edges| rows regardless of data
+    size. The union of results is driver-assembled (constant-size)."""
+    li = rel.read_table(sf_dir, 'lineitem', ['l_orderkey'])
+    orders_k = rel.read_table(sf_dir, 'orders', ['o_orderkey'])
+    orders_c = rel.read_table(sf_dir, 'orders', ['o_custkey'])
+    cust = rel.read_table(sf_dir, 'customer', ['c_custkey'])
+    ev = rel.read_table(sf_dir, 'events', ['user_id'])
+
+    edges = [
+        ('customer_without_events',
+         rel.distinct_except(cust, ev, 'c_custkey', 'user_id')),
+        ('events_user_to_customer',
+         rel.distinct_except(ev, cust, 'user_id', 'c_custkey')),
+        ('lineitem_to_orders',
+         rel.distinct_except(li, orders_k, 'l_orderkey', 'o_orderkey')),
+        ('orders_to_customer',
+         rel.distinct_except(orders_c, cust, 'o_custkey', 'c_custkey')),
+    ]
+    rows = [{'edge': name, 'n_orphans': int(ds.count())}
+            for name, ds in edges]
+    out = pd.DataFrame(rows)
+    out['n_orphans'] = out['n_orphans'].astype('int64')
+    return out.sort_values('edge').reset_index(drop=True)
+
+
+SQL_FK_INTEGRITY = """
+SELECT 'customer_without_events' AS edge, CAST(count(*) AS BIGINT) AS n_orphans
+FROM (SELECT c_custkey FROM customer EXCEPT SELECT user_id FROM events)
+UNION ALL
+SELECT 'events_user_to_customer', CAST(count(*) AS BIGINT)
+FROM (SELECT user_id FROM events EXCEPT SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitem_to_orders', CAST(count(*) AS BIGINT)
+FROM (SELECT l_orderkey FROM lineitem EXCEPT SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'orders_to_customer', CAST(count(*) AS BIGINT)
+FROM (SELECT o_custkey FROM orders EXCEPT SELECT c_custkey FROM customer)
+ORDER BY edge
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
     'asof_latest_order': q_asof_latest_order,
     'value_quantiles_by_type': q_value_quantiles_by_type,
@@ -4925,6 +5083,10 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'event_transition_counts': q_event_transition_counts,
     'decayed_type_scores': q_decayed_type_scores,
     'top_value_events_with_ties': q_top_value_events_with_ties,
+    'value_histogram_by_type': q_value_histogram_by_type,
+    'user_first_touch': q_user_first_touch,
+    'daily_new_users': q_daily_new_users,
+    'fk_integrity_audit': q_fk_integrity_audit,
     'user_communities': q_user_communities,
     'alias_counts_docs': q_alias_counts_docs,
     'packed_sequences': q_packed_sequences,
@@ -5064,6 +5226,10 @@ WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
     'event_transition_counts': SQL_EVENT_TRANSITIONS,
     'decayed_type_scores': SQL_DECAYED_SCORES,
     'top_value_events_with_ties': SQL_TOP_WITH_TIES,
+    'value_histogram_by_type': SQL_VALUE_HISTOGRAM,
+    'user_first_touch': SQL_USER_FIRST_TOUCH,
+    'daily_new_users': SQL_DAILY_NEW_USERS,
+    'fk_integrity_audit': SQL_FK_INTEGRITY,
     'user_communities': _sql_label_propagation(),
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     'approx_distinct_users': SQL_APPROX_DISTINCT,
