@@ -238,6 +238,7 @@ def run_benchmarks() -> dict:
     timed('user_first_touch', lambda: Q.q_user_first_touch(SF_DIR))
     timed('daily_new_users', lambda: Q.q_daily_new_users(SF_DIR))
     timed('fk_integrity_audit', lambda: Q.q_fk_integrity_audit(SF_DIR))
+    timed('hdr_value_quantiles', lambda: Q.q_hdr_value_quantiles(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

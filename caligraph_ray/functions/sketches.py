@@ -355,3 +355,69 @@ def bloom_bits(ds, column: str, m: int = 16384, k: int = 4, hash_fn=None):
                                                      hash_fn))
     nz = np.nonzero(merged.bits)[0]
     return pd.DataFrame({'bit_pos': nz.astype(np.int64)})
+
+
+def _hdr_bucket(cents: np.ndarray) -> np.ndarray:
+    """HDR-histogram bucket id for non-negative int64 values: values < 8
+    are exact buckets 0..7; above, bucket = 8·floor(log2(v)) + the 3 bits
+    after the leading bit (≤ 12.5% relative error per bucket). The
+    exponent comes from ``np.frexp`` on the exact float64 image (ints
+    < 2^53 convert exactly, so the exponent is exact — no log rounding),
+    and the whole assignment replays in SQL as
+    ``(length(bin(v)) − 1)·8 + ((v >> greatest(length(bin(v)) − 4, 0)) & 7)``."""
+    c = np.maximum(cents, 0)
+    exp = np.frexp(c.astype(np.float64))[1].astype(np.int64) - 1  # floor log2
+    sub = (c >> np.maximum(exp - 3, 0)) & 7
+    return np.where(c < 8, c, exp * 8 + sub)
+
+
+def _hdr_lower_bound(bucket: int) -> int:
+    """Inverse of :func:`_hdr_bucket`: the smallest value in the bucket.
+    Ids 8..23 are unreachable (values < 8 land in the exact buckets 0..7,
+    values ≥ 8 have exp ≥ 3 so bucket ≥ 24) but map to 8 to keep the
+    function total and monotone."""
+    if bucket < 8:
+        return int(bucket)
+    if bucket < 24:
+        return 8
+    exp, sub = divmod(int(bucket), 8)
+    return (1 << exp) + sub * (1 << (exp - 3))
+
+
+def hdr_quantiles(ds, value_col: str, qs=((1, 2), (9, 10), (99, 100))):
+    """Mergeable streaming quantile sketch — the HDR-histogram/DDSketch
+    family member this engine can oracle-gate exactly: per-batch integer
+    log-bucket counts (≤ ~512 buckets for any int64 domain — KB-sized
+    mergeable state, the latency-percentile industry standard), summed
+    two-phase on the bucket key, quantiles selected from the merged
+    histogram as the smallest bucket whose cumulative count reaches
+    ``ceil(q·n)`` — evaluated as the INTEGER cross-multiplication
+    ``den·cum ≥ num·n`` (qs are (num, den) rationals), so both engines
+    agree bit-for-bit. Returns one row of bucket lower bounds (the
+    sketch's ≤ 12.5%-relative-error answer) plus n.
+
+    Contrast with relational.grouped_quantiles_exact: that one is EXACT
+    but its shuffle is bounded by the DISTINCT-value dim; this sketch is
+    bounded by ~512 buckets for ANY domain — the 100 TB path when the
+    value domain itself is huge."""
+    import pandas as pd
+    from ..stages.relational import two_phase_sum, collect_pandas
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        buckets = _hdr_bucket(b[value_col].to_numpy())
+        u, n = np.unique(buckets, return_counts=True)
+        return pd.DataFrame({'bucket': u.astype(np.int64),
+                             'n': n.astype(np.int64)})
+
+    hist = collect_pandas(two_phase_sum(
+        ds.map_batches(partial, batch_format='pandas'),
+        ['bucket'], 'n', alias='n')).sort_values('bucket')
+    total = int(hist['n'].sum())
+    cum = hist['n'].cumsum().to_numpy()
+    buckets = hist['bucket'].to_numpy()
+    row = {'n': total}
+    for num, den in qs:
+        idx = int(np.searchsorted(den * cum, num * total))
+        pct = round(100 * num / den)
+        row[f'p{pct}_lb'] = _hdr_lower_bound(buckets[idx])
+    return pd.DataFrame([row])

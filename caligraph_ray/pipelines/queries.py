@@ -4976,6 +4976,57 @@ ORDER BY edge
 """
 
 
+def q_hdr_value_quantiles(sf_dir: str):
+    """Mergeable quantile SKETCH (functions/sketches.hdr_quantiles): HDR-
+    histogram integer log buckets (≤ ~512 for any int64 domain, KB-sized
+    mergeable state — the latency-percentile industry standard), two-phase
+    bucket sums, integer cross-multiplied quantile selection. The
+    100 TB quantile path when the distinct-value dim that bounds
+    grouped_quantiles_exact is itself huge; answers are bucket lower
+    bounds (≤ 12.5% relative error), bit-replayed by the SQL oracle."""
+    from ..functions.sketches import hdr_quantiles
+    ev = rel.read_table(sf_dir, 'events', ['value'])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'cents': np.floor(b['value'].to_numpy() * 100).astype('int64')})
+
+    out = hdr_quantiles(ev.map_batches(to_cents, batch_format='pandas'),
+                        'cents')
+    return out.astype({'n': 'int64', 'p50_lb': 'int64',
+                       'p90_lb': 'int64', 'p99_lb': 'int64'})
+
+
+SQL_HDR_QUANTILES = """
+WITH c AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+b AS (SELECT CASE WHEN v < 8 THEN v
+             ELSE (length(bin(v)) - 1) * 8
+                  + ((v >> greatest(length(bin(v)) - 4, 0)) & 7) END
+        AS bucket
+      FROM c),
+h AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+t AS (SELECT bucket, sum(n) OVER (ORDER BY bucket) AS cum,
+             sum(n) OVER () AS tot FROM h),
+sel AS (SELECT
+  min(CASE WHEN 2 * cum >= 1 * tot THEN bucket END) AS b50,
+  min(CASE WHEN 10 * cum >= 9 * tot THEN bucket END) AS b90,
+  min(CASE WHEN 100 * cum >= 99 * tot THEN bucket END) AS b99,
+  max(tot) AS n
+  FROM t)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(CASE WHEN b50 < 8 THEN b50
+       ELSE (1 << (b50 // 8)) + (b50 % 8) * (1 << (b50 // 8 - 3)) END
+       AS BIGINT) AS p50_lb,
+  CAST(CASE WHEN b90 < 8 THEN b90
+       ELSE (1 << (b90 // 8)) + (b90 % 8) * (1 << (b90 // 8 - 3)) END
+       AS BIGINT) AS p90_lb,
+  CAST(CASE WHEN b99 < 8 THEN b99
+       ELSE (1 << (b99 // 8)) + (b99 % 8) * (1 << (b99 // 8 - 3)) END
+       AS BIGINT) AS p99_lb
+FROM sel
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
     'asof_latest_order': q_asof_latest_order,
     'value_quantiles_by_type': q_value_quantiles_by_type,
@@ -5087,6 +5138,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'user_first_touch': q_user_first_touch,
     'daily_new_users': q_daily_new_users,
     'fk_integrity_audit': q_fk_integrity_audit,
+    'hdr_value_quantiles': q_hdr_value_quantiles,
     'user_communities': q_user_communities,
     'alias_counts_docs': q_alias_counts_docs,
     'packed_sequences': q_packed_sequences,
@@ -5230,6 +5282,7 @@ WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
     'user_first_touch': SQL_USER_FIRST_TOUCH,
     'daily_new_users': SQL_DAILY_NEW_USERS,
     'fk_integrity_audit': SQL_FK_INTEGRITY,
+    'hdr_value_quantiles': SQL_HDR_QUANTILES,
     'user_communities': _sql_label_propagation(),
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     'approx_distinct_users': SQL_APPROX_DISTINCT,

@@ -287,3 +287,37 @@ def test_decayed_type_scores_integer_halving(ray_session, tmp_path):
         (3, 7200, 1, 'a', 4.00)])  # 400 >> 0 = 400
     out = q_decayed_type_scores(sf)
     assert out['decayed_cents'].tolist() == [700]
+
+
+def test_hdr_bucket_monotone_and_bounds():
+    from caligraph_ray.functions.sketches import _hdr_bucket, _hdr_lower_bound
+    v = np.arange(0, 200000, dtype=np.int64)
+    b = _hdr_bucket(v)
+    # monotone non-decreasing in the value
+    assert (np.diff(b) >= 0).all()
+    # every value sits inside its bucket: lb(b) <= v < lb(b+1)
+    lbs = np.array([_hdr_lower_bound(x) for x in range(int(b.max()) + 2)])
+    assert (lbs[b] <= v).all()
+    assert (v < lbs[b + 1]).all()
+    # relative error bound: bucket width / lb <= 1/8 for v >= 8
+    big = v >= 8
+    width = lbs[b[big] + 1] - lbs[b[big]]
+    assert (width * 8 <= lbs[b[big]]).all()
+
+
+def test_hdr_quantiles_partition_invariant_and_near_exact(ray_session):
+    from caligraph_ray.functions.sketches import hdr_quantiles
+    rng = np.random.RandomState(3)
+    vals = rng.randint(1, 50000, 5000).astype(np.int64)
+    a = hdr_quantiles(ray.data.from_pandas(
+        pd.DataFrame({'c': vals})).repartition(1), 'c')
+    b = hdr_quantiles(ray.data.from_pandas(
+        pd.DataFrame({'c': vals})).repartition(13), 'c')
+    # mergeable: the sketch is partition-count-invariant
+    assert a.to_dict('records') == b.to_dict('records')
+    # the reported lower bound brackets the exact quantile within one
+    # bucket (<= 12.5% relative)
+    for q, col in [(0.5, 'p50_lb'), (0.9, 'p90_lb'), (0.99, 'p99_lb')]:
+        exact = int(np.sort(vals)[int(np.ceil(q * len(vals))) - 1])
+        lb = int(a[col].iloc[0])
+        assert lb <= exact <= lb + max(lb // 8, 1)
