@@ -239,6 +239,8 @@ def run_benchmarks() -> dict:
     timed('daily_new_users', lambda: Q.q_daily_new_users(SF_DIR))
     timed('fk_integrity_audit', lambda: Q.q_fk_integrity_audit(SF_DIR))
     timed('hdr_value_quantiles', lambda: Q.q_hdr_value_quantiles(SF_DIR))
+    timed('hdr_quantiles_by_type',
+          lambda: Q.q_hdr_quantiles_by_type(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -421,3 +421,43 @@ def hdr_quantiles(ds, value_col: str, qs=((1, 2), (9, 10), (99, 100))):
         pct = round(100 * num / den)
         row[f'p{pct}_lb'] = _hdr_lower_bound(buckets[idx])
     return pd.DataFrame([row])
+
+
+def hdr_grouped_quantiles(ds, group_col: str, value_col: str,
+                          qs=((1, 2), (9, 10), (99, 100))):
+    """Per-group :func:`hdr_quantiles` — the per-host/per-tenant latency-
+    percentile shape: ONE (group, bucket) two-phase sum (shuffle bounded
+    by groups × ~512 buckets, never rows), then a per-group cumsum
+    selection inside the same bucketed exchange. Same integer
+    cross-multiplied quantile rule, same SQL replay per group."""
+    import pandas as pd
+    from ..stages.relational import two_phase_sum, bucketed_map
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        buckets = _hdr_bucket(b[value_col].to_numpy())
+        out = pd.DataFrame({group_col: b[group_col].to_numpy(),
+                            'bucket': buckets})
+        g = out.groupby([group_col, 'bucket'], sort=False,
+                        dropna=False).size()
+        return g.rename('n').reset_index()
+
+    hist = two_phase_sum(ds.map_batches(partial, batch_format='pandas'),
+                         [group_col, 'bucket'], 'n', alias='n')
+
+    def select(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for key, g in bucket_df.groupby(group_col, sort=False,
+                                        dropna=False):
+            g = g.sort_values('bucket')
+            cum = g['n'].cumsum().to_numpy()
+            total = int(cum[-1])
+            bk = g['bucket'].to_numpy()
+            row = {group_col: key, 'n': total}
+            for num, den in qs:
+                idx = int(np.searchsorted(den * cum, num * total))
+                row[f'p{round(100 * num / den)}_lb'] = \
+                    _hdr_lower_bound(bk[idx])
+            outs.append(row)
+        return pd.DataFrame(outs)
+
+    return bucketed_map(hist, [group_col], select)

@@ -5027,6 +5027,59 @@ FROM sel
 """
 
 
+def q_hdr_quantiles_by_type(sf_dir: str):
+    """Per-group HDR quantile sketch (sketches.hdr_grouped_quantiles) —
+    the per-host/per-tenant latency-percentile shape: one (group, bucket)
+    two-phase sum bounded by groups × ~512 buckets, per-group integer
+    cross-multiplied selection inside the same bucketed exchange."""
+    from ..functions.sketches import hdr_grouped_quantiles
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'value'])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'event_type': b['event_type'],
+            'cents': np.floor(b['value'].to_numpy() * 100).astype('int64')})
+
+    out = rel.collect_pandas(hdr_grouped_quantiles(
+        ev.map_batches(to_cents, batch_format='pandas'),
+        'event_type', 'cents'))
+    out = out.astype({'n': 'int64', 'p50_lb': 'int64',
+                      'p90_lb': 'int64', 'p99_lb': 'int64'})
+    return out.sort_values('event_type').reset_index(drop=True)
+
+
+SQL_HDR_QUANTILES_BY_TYPE = """
+WITH c AS (SELECT event_type,
+                  CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+b AS (SELECT event_type, CASE WHEN v < 8 THEN v
+             ELSE (length(bin(v)) - 1) * 8
+                  + ((v >> greatest(length(bin(v)) - 4, 0)) & 7) END
+        AS bucket
+      FROM c),
+h AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+t AS (SELECT event_type, bucket,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS tot FROM h),
+sel AS (SELECT event_type,
+  min(CASE WHEN 2 * cum >= 1 * tot THEN bucket END) AS b50,
+  min(CASE WHEN 10 * cum >= 9 * tot THEN bucket END) AS b90,
+  min(CASE WHEN 100 * cum >= 99 * tot THEN bucket END) AS b99,
+  max(tot) AS n
+  FROM t GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  CAST(CASE WHEN b50 < 8 THEN b50
+       ELSE (1 << (b50 // 8)) + (b50 % 8) * (1 << (b50 // 8 - 3)) END
+       AS BIGINT) AS p50_lb,
+  CAST(CASE WHEN b90 < 8 THEN b90
+       ELSE (1 << (b90 // 8)) + (b90 % 8) * (1 << (b90 // 8 - 3)) END
+       AS BIGINT) AS p90_lb,
+  CAST(CASE WHEN b99 < 8 THEN b99
+       ELSE (1 << (b99 // 8)) + (b99 % 8) * (1 << (b99 // 8 - 3)) END
+       AS BIGINT) AS p99_lb
+FROM sel ORDER BY event_type
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
     'asof_latest_order': q_asof_latest_order,
     'value_quantiles_by_type': q_value_quantiles_by_type,
@@ -5139,6 +5192,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
     'daily_new_users': q_daily_new_users,
     'fk_integrity_audit': q_fk_integrity_audit,
     'hdr_value_quantiles': q_hdr_value_quantiles,
+    'hdr_quantiles_by_type': q_hdr_quantiles_by_type,
     'user_communities': q_user_communities,
     'alias_counts_docs': q_alias_counts_docs,
     'packed_sequences': q_packed_sequences,
@@ -5283,6 +5337,7 @@ WHERE bl.n_blocked <= 2 AND gf.pass_word_count = 1
     'daily_new_users': SQL_DAILY_NEW_USERS,
     'fk_integrity_audit': SQL_FK_INTEGRITY,
     'hdr_value_quantiles': SQL_HDR_QUANTILES,
+    'hdr_quantiles_by_type': SQL_HDR_QUANTILES_BY_TYPE,
     'user_communities': _sql_label_propagation(),
     'alias_counts_docs': SQL_ALIAS_COUNTS,
     'approx_distinct_users': SQL_APPROX_DISTINCT,

@@ -321,3 +321,19 @@ def test_hdr_quantiles_partition_invariant_and_near_exact(ray_session):
         exact = int(np.sort(vals)[int(np.ceil(q * len(vals))) - 1])
         lb = int(a[col].iloc[0])
         assert lb <= exact <= lb + max(lb // 8, 1)
+
+
+def test_hdr_grouped_quantiles_matches_global_per_group(ray_session):
+    from caligraph_ray.functions.sketches import (hdr_grouped_quantiles,
+                                                  hdr_quantiles)
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({'g': np.where(rng.rand(3000) < 0.5, 'a', 'b'),
+                       'c': rng.randint(1, 100000, 3000).astype(np.int64)})
+    grouped = rel.collect_pandas(hdr_grouped_quantiles(
+        ray.data.from_pandas(df).repartition(6), 'g', 'c')) \
+        .set_index('g')
+    for g in ('a', 'b'):
+        sub = df[df['g'] == g]
+        solo = hdr_quantiles(ray.data.from_pandas(sub[['c']]), 'c').iloc[0]
+        for col in ('n', 'p50_lb', 'p90_lb', 'p99_lb'):
+            assert grouped.loc[g, col] == solo[col]
