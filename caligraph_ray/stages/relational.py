@@ -1260,6 +1260,13 @@ def bloom_semi_join(fact_ds, dim_ds, fact_on: str, dim_on: str,
                                     batch_size=AGG_BATCH_SIZE)
     if not exact_verify:
         return survivors
+    # empty-stream guard: when the prefilter drops EVERY row (e.g. empty
+    # dim → all-zero filter) the survivor dataset loses its schema through
+    # map_batches and shuffle_join cannot derive the union frame
+    if survivors.schema() is None or dkeys.schema() is None:
+        cols = list(fact_ds.schema().names)
+        return ray.data.from_pandas(pd.DataFrame(
+            {c: pd.Series(dtype=object) for c in cols}))
     out = shuffle_join(survivors, dkeys, fact_on, dim_on,
                        right_hint='fact')
     return out.drop_columns([dim_on]) if dim_on != fact_on else out
@@ -1316,6 +1323,24 @@ def salted_join(left_ds, right_ds, left_on: str, right_on: str,
                              batch_size=AGG_BATCH_SIZE)
     r2 = right_ds.map_batches(replicate_right, batch_format='pandas',
                               batch_size=AGG_BATCH_SIZE)
+    # empty-side guard (hypothesis-caught): a ZERO-ROW side loses its
+    # schema through map_batches (Dataset.schema() → None) and
+    # shuffle_join cannot derive the union frame. shuffle_join probes
+    # schemas up front anyway, so these probes add no extra execution.
+    lcols = list(left_ds.schema().names)
+    rcols = list(right_ds.schema().names)
+    if l2.schema() is None or (r2.schema() is None and how == 'inner'):
+        all_cols = lcols + [c for c in rcols if c not in lcols]
+        return ray.data.from_pandas(pd.DataFrame(
+            {c: pd.Series(dtype=object) for c in all_cols}))
+    if r2.schema() is None:   # how == 'left': every left row pads once
+        def pad(b: pd.DataFrame) -> pd.DataFrame:
+            for c in rcols:
+                if c not in b.columns:
+                    b = b.assign(**{c: None})
+            return b
+        return left_ds.map_batches(pad, batch_format='pandas',
+                                   batch_size=AGG_BATCH_SIZE)
     out = shuffle_join(l2, r2, '_saltk', '_saltk', how=how, right_hint='fact')
     return out.drop_columns(['_saltk'])
 

@@ -337,3 +337,31 @@ def test_hdr_grouped_quantiles_matches_global_per_group(ray_session):
         solo = hdr_quantiles(ray.data.from_pandas(sub[['c']]), 'c').iloc[0]
         for col in ('n', 'p50_lb', 'p90_lb', 'p99_lb'):
             assert grouped.loc[g, col] == solo[col]
+
+
+def test_bloom_semi_join_empty_dim_yields_empty(ray_session):
+    fact = ray.data.from_pandas(pd.DataFrame(
+        {'fk': [1, 2, 3], 'v': [1, 2, 3]}))
+    dim = ray.data.from_pandas(pd.DataFrame(
+        {'dk': pd.Series([], dtype='int64')}))
+    out = rel.collect_pandas(rel.bloom_semi_join(fact, dim, 'fk', 'dk'))
+    assert len(out) == 0
+
+
+def test_salted_join_empty_sides(ray_session):
+    empty = ray.data.from_pandas(pd.DataFrame(
+        {'k': pd.Series([], dtype='int64'),
+         'v': pd.Series([], dtype='int64')}))
+    full = ray.data.from_pandas(pd.DataFrame(
+        {'rk': [1], 'p': [9]}))
+    assert len(rel.collect_pandas(
+        rel.salted_join(empty, full, 'k', 'rk'))) == 0
+    nonempty = ray.data.from_pandas(pd.DataFrame({'k': [1], 'v': [5]}))
+    er = ray.data.from_pandas(pd.DataFrame(
+        {'rk': pd.Series([], dtype='int64'),
+         'p': pd.Series([], dtype='int64')}))
+    assert len(rel.collect_pandas(
+        rel.salted_join(nonempty, er, 'k', 'rk'))) == 0
+    padded = rel.collect_pandas(
+        rel.salted_join(nonempty, er, 'k', 'rk', how='left'))
+    assert padded['v'].tolist() == [5] and pd.isna(padded['p']).all()
