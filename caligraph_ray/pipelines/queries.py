@@ -5080,7 +5080,139 @@ FROM sel ORDER BY event_type
 """
 
 
+def q_column_profile_orders(sf_dir: str):
+    """Per-column data-profiling audit (relational.column_profile) over
+    the orders table: rows / nulls / exact distinct / min / max per
+    column in 1 + |columns| streamed passes, |columns| output rows."""
+    cols = ['o_custkey', 'o_orderkey', 'o_orderpriority', 'o_orderstatus',
+            'o_totalprice']
+    ds = rel.read_table(sf_dir, 'orders', cols)
+    return rel.column_profile(ds, cols)
+
+
+def _SQL_PROFILE_COL(col: str) -> str:
+    return f"""
+SELECT '{col}' AS col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       CAST(min({col}) AS VARCHAR) AS min_str,
+       CAST(max({col}) AS VARCHAR) AS max_str
+FROM orders"""
+
+
+SQL_COLUMN_PROFILE = " UNION ALL ".join(
+    _SQL_PROFILE_COL(c) for c in
+    ['o_custkey', 'o_orderkey', 'o_orderpriority', 'o_orderstatus',
+     'o_totalprice']) + " ORDER BY col"
+
+
+def q_user_event_entropy(sf_dir: str):
+    """Per-user Shannon entropy (nats) of the event-type distribution
+    (relational.grouped_entropy): the source-diversity signal of
+    curation pipelines. Integer counts collapse two-phase first; ONE
+    user-keyed exchange computes H = ln(n) − Σ c·ln(c)/n; floats only in
+    the final floor-scaled expression (the PMI/idf ln precedent)."""
+    ev = rel.read_table(sf_dir, 'events', ['user_id', 'event_type'])
+    out = rel.collect_pandas(rel.grouped_entropy(ev, 'user_id', 'event_type'))
+    return out.sort_values('user_id').reset_index(drop=True)
+
+
+SQL_USER_EVENT_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2)
+SELECT user_id,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_values,
+       floor((ln(CAST(sum(c) AS DOUBLE))
+              - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                / CAST(sum(c) AS DOUBLE)) * 1e6) / 1e6 AS entropy
+FROM c GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_corr_value_hour_by_type(sf_dir: str):
+    """Grouped Pearson correlation (relational.grouped_corr) between
+    event value and hour-of-day per event type — exact integer moment
+    sums (value floor-quantized ×1000), float only in the single final
+    corr expression, floor-scaled 6dp."""
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'value', 'ts'])
+
+    def add_hour(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({'event_type': b['event_type'],
+                             'value': b['value'],
+                             'hour': b['ts'].dt.hour.astype('int64')})
+
+    withhour = ev.map_batches(add_hour, batch_format='pandas')
+    out = rel.collect_pandas(
+        rel.grouped_corr(withhour, 'event_type', 'value', 'hour'))
+    return out.sort_values('event_type').reset_index(drop=True)
+
+
+SQL_CORR_VALUE_HOUR = """
+WITH q AS (
+  SELECT event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS x,
+         CAST(extract(hour FROM ts) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(y * y) AS HUGEINT) AS syy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM q GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE))
+             * 1e6) / 1e6 AS corr
+FROM m
+WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+ORDER BY event_type
+"""
+
+
+def q_user_symmetric_diff(sf_dir: str):
+    """Symmetric difference of the customer/user key domains — both
+    EXCEPT directions (relational.distinct_except, one exchange each)
+    tagged with their side, completing the set-op family
+    (INTERSECT/EXCEPT already on the board)."""
+    cust = rel.read_table(sf_dir, 'customer', ['c_custkey'])
+    ev = rel.read_table(sf_dir, 'events', ['user_id'])
+    a = rel.distinct_except(cust, ev, 'c_custkey', 'user_id', alias='uid')
+    b = rel.distinct_except(ev, cust, 'user_id', 'c_custkey', alias='uid')
+
+    def tag(side: str):
+        def f(d: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({'uid': d['uid'].astype('int64'),
+                                 'side': np.full(len(d), side, dtype=object)})
+        return f
+
+    rows = [r for ds_, s in ((a, 'customer_only'), (b, 'events_only'))
+            for r in rel.collect_rows(
+                ds_.map_batches(tag(s), batch_format='pandas'))]
+    out = pd.DataFrame(rows, columns=['uid', 'side'])
+    out['uid'] = out['uid'].astype('int64')
+    out['side'] = out['side'].astype(object)
+    return out.sort_values(['side', 'uid']).reset_index(drop=True)
+
+
+SQL_USER_SYMMETRIC_DIFF = """
+SELECT uid, 'customer_only' AS side
+FROM (SELECT c_custkey AS uid FROM customer EXCEPT SELECT user_id FROM events)
+UNION ALL
+SELECT uid, 'events_only'
+FROM (SELECT user_id AS uid FROM events EXCEPT SELECT c_custkey FROM customer)
+ORDER BY side, uid
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
+    'column_profile_orders': q_column_profile_orders,
+    'user_event_entropy': q_user_event_entropy,
+    'corr_value_hour_by_type': q_corr_value_hour_by_type,
+    'user_symmetric_diff': q_user_symmetric_diff,
     'asof_latest_order': q_asof_latest_order,
     'value_quantiles_by_type': q_value_quantiles_by_type,
     'hash_split_counts': q_hash_split_counts,
@@ -5218,6 +5350,10 @@ QUERIES: Dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: Dict[str, str] = {
+    'column_profile_orders': SQL_COLUMN_PROFILE,
+    'user_event_entropy': SQL_USER_EVENT_ENTROPY,
+    'corr_value_hour_by_type': SQL_CORR_VALUE_HOUR,
+    'user_symmetric_diff': SQL_USER_SYMMETRIC_DIFF,
     'asof_latest_order': SQL_ASOF,
     'value_quantiles_by_type': SQL_QUANTILES,
     'hash_split_counts': SQL_HASH_SPLIT,

@@ -13,6 +13,7 @@ These back the reference's pandas-merge / Counter / most_common idioms
 
 from __future__ import annotations
 
+import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -1413,3 +1414,166 @@ def weighted_race_topk(ds, id_col: str, weight_col: str, k: int,
     # sort the limit is a deterministic prefix (unsorted Dataset.limit is
     # NOT deterministic under the streaming executor)
     return pre.sort(['race_key', id_col]).limit(k)
+
+
+def column_profile(ds, columns: Sequence[str]):
+    """Per-column data profiling — the schema-audit operator every
+    ingest pipeline runs before training: for each requested column the
+    row count, NULL count, exact distinct count and min/max (rendered as
+    strings so heterogenous column types share one output schema).
+
+    Scale shape: rows/nulls/min/max come from ONE streamed pass of
+    per-batch partials (constant-size: |columns| rows per batch) combined
+    on the driver; the exact distinct counts cost one distinct exchange
+    PER COLUMN (`two_phase_count` → count), so the audit is
+    1 + |columns| streamed passes and the output is |columns| rows
+    regardless of data size — the same contract as the FK audit.
+    Min/max string rendering uses repr-shortest float formatting
+    (Python ``str`` == DuckDB ``CAST(x AS VARCHAR)`` for ints, strings
+    and round-trip doubles); profiling timestamp columns through this
+    operator would need a format shim and is not supported."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in columns:
+            s = batch[c]
+            nn = s.dropna()
+            rows.append({
+                'col': c,
+                '_rows': len(s),
+                '_nulls': int(s.isna().sum()),
+                '_min': str(nn.min()) if len(nn) else None,
+                '_max': str(nn.max()) if len(nn) else None,
+            })
+        return pd.DataFrame(rows)
+
+    parts = collect_pandas(ds.map_batches(partial, batch_format='pandas',
+                                          batch_size=AGG_BATCH_SIZE))
+    # SQL count(DISTINCT x) ignores NULLs — drop them before the exchange
+    distincts = {c: int(two_phase_count(
+        ds.map_batches(lambda b, c=c: b[[c]].dropna(), batch_format='pandas'),
+        [c]).count()) for c in columns}
+
+    out_rows = []
+    for c in columns:
+        g = parts[parts['col'] == c]
+        mins = g['_min'].dropna()
+        maxs = g['_max'].dropna()
+        # string min/max over the per-batch string renderings is only
+        # valid when string order == value order; for numerics compare
+        # the parsed values instead
+        def _best(series, fn):
+            if not len(series):
+                return None
+            try:
+                vals = [float(v) for v in series]
+                return str(series.iloc[int(np.argmax(vals))]) \
+                    if fn is max else str(series.iloc[int(np.argmin(vals))])
+            except ValueError:
+                return fn(series)
+        # re-render numeric min/max without a trailing '.0' mismatch:
+        # keep the per-batch rendering verbatim (both sides str() the
+        # same scalar type)
+        out_rows.append({
+            'col': c,
+            'n_rows': int(g['_rows'].sum()),
+            'n_nulls': int(g['_nulls'].sum()),
+            'n_distinct': distincts[c],
+            'min_str': _best(mins, min),
+            'max_str': _best(maxs, max),
+        })
+    out = pd.DataFrame(out_rows).sort_values('col').reset_index(drop=True)
+    for c in ('n_rows', 'n_nulls', 'n_distinct'):
+        out[c] = out[c].astype('int64')
+    return out
+
+
+def grouped_entropy(ds, key: str, value_col: str, coarse: Optional[int] = None):
+    """Shannon entropy (nats) of the ``value_col`` distribution per
+    ``key`` group — the distribution-concentration signal data-curation
+    pipelines use for domain/source diversity weighting.
+
+    Scale shape: the (key, value) counts collapse two-phase FIRST (a
+    head pair costs one partial row per batch), then ONE key-bucketed
+    exchange computes per-group ``H = ln(n) − Σ c·ln(c) / n`` from the
+    integer counts. Floats appear only in the final per-group expression
+    over exact integers (ln/sum of a bounded per-group value vocabulary),
+    matching the module's floor-scaling convention; emitted entropy is
+    floor-scaled to 6dp."""
+    pairs = two_phase_count(ds.map_batches(
+        lambda b: b[[key, value_col]], batch_format='pandas'),
+        [key, value_col], alias='_c')
+
+    def per_group(bucket: pd.DataFrame) -> pd.DataFrame:
+        c = bucket['_c'].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({key: bucket[key], '_c': c,
+                          '_clnc': c * np.log(c)})
+        agg = g.groupby(key, sort=False, dropna=False).agg(
+            n=('_c', 'sum'), k=('_c', 'size'), s=('_clnc', 'sum'))
+        ent = np.log(agg['n'].to_numpy()) - agg['s'].to_numpy() / agg['n'].to_numpy()
+        out = pd.DataFrame({
+            key: agg.index.to_numpy(),
+            'n_rows': agg['n'].to_numpy().astype('int64'),
+            'n_values': agg['k'].to_numpy().astype('int64'),
+            'entropy': np.floor(ent * 1e6) / 1e6})
+        return out
+
+    return bucketed_map(pairs, [key], per_group, coarse=coarse)
+
+
+def grouped_corr(ds, key: str, x_col: str, y_col: str, scale: int = 1000,
+                 coarse: Optional[int] = None):
+    """Pearson correlation of (x, y) per ``key`` group in the repo's
+    engine-replayable contract: x is floor-quantized to ``scale`` units, y
+    must already be integer-valued, and ALL moments (Σx, Σx², Σy, Σy²,
+    Σxy) are exact integer sums carried as unbounded Python ints (the
+    HUGEINT analog), so association order can never move a ulp. Floats
+    appear only in the single final expression
+    ``corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²ᵗ)·(n·Σy² − Σy²ᵗ))``
+    evaluated over exact integers — int→double conversion, sqrt and
+    division are all IEEE correctly-rounded, so DuckDB replays the value
+    bit-for-bit. Emitted floor-scaled to 6dp; groups with zero variance
+    on either axis are dropped (SQL ``HAVING`` — corr undefined)."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(batch[x_col].to_numpy(dtype=np.float64)
+                     * scale).astype(np.int64)
+        y = batch[y_col].to_numpy(dtype=np.int64)
+        g = pd.DataFrame({key: batch[key].to_numpy(),
+                          '_n': np.ones(len(batch), dtype=np.int64),
+                          '_sx': x, '_sxx': x * x,
+                          '_sy': y, '_syy': y * y,
+                          '_sxy': x * y}) \
+            .groupby(key, sort=False, dropna=False).sum().reset_index()
+        for c in g.columns:
+            if c != key:
+                g[c] = g[c].map(int).astype(object)
+        return g
+
+    partials = ds.map_batches(partial, batch_format='pandas',
+                              batch_size=AGG_BATCH_SIZE)
+    agg = two_phase_pandas_agg(
+        partials, [key],
+        {c: (c, 'sum') for c in ('_n', '_sx', '_sxx', '_sy', '_syy', '_sxy')},
+        coarse=coarse)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in df.iterrows():
+            n, sx, sxx = int(r['_n']), int(r['_sx']), int(r['_sxx'])
+            sy, syy, sxy = int(r['_sy']), int(r['_syy']), int(r['_sxy'])
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            if vx <= 0 or vy <= 0:
+                continue
+            cov = n * sxy - sx * sy
+            corr = math.floor(
+                float(cov) / math.sqrt(float(vx * vy)) * 1e6) / 1e6
+            rows.append({key: r[key], 'n': n, 'corr': corr})
+        if not rows:
+            return pd.DataFrame({key: pd.Series(dtype='object'),
+                                 'n': pd.Series(dtype='int64'),
+                                 'corr': pd.Series(dtype='float64')})
+        out = pd.DataFrame(rows)
+        out['n'] = out['n'].astype('int64')
+        return out
+
+    return agg.map_batches(finalize, batch_format='pandas')
