@@ -5208,7 +5208,176 @@ ORDER BY side, uid
 """
 
 
+def q_pareto_orders(sf_dir: str):
+    """Grouped skyline (relational.pareto_front): per order priority the
+    orders not dominated on (maximize totalprice, minimize orderdate).
+    Local per-batch fronts pre-prune (dominance is transitive), ONE
+    priority-keyed exchange computes the exact front."""
+    ds = rel.read_table(sf_dir, 'orders',
+                        ['o_orderkey', 'o_orderpriority', 'o_totalprice',
+                         'o_orderdate'])
+
+    def to_day(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'o_orderpriority': b['o_orderpriority'],
+            'o_orderkey': b['o_orderkey'].astype('int64'),
+            'o_totalprice': b['o_totalprice'],
+            'day': (b['o_orderdate'].astype('int64')
+                    // 86_400_000_000).astype('int64')})
+
+    front = rel.pareto_front(ds.map_batches(to_day, batch_format='pandas'),
+                             'o_orderpriority', 'o_totalprice', 'day')
+    out = rel.collect_pandas(front)
+    out['o_totalprice'] = out['o_totalprice'].round(2)
+    return out.sort_values(['o_orderpriority', 'o_orderkey']) \
+        .reset_index(drop=True)[['o_orderpriority', 'o_orderkey',
+                                 'o_totalprice', 'day']]
+
+
+SQL_PARETO_ORDERS = """
+WITH o AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS pq,
+         CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day
+  FROM orders)
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       day
+FROM o a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o b
+  WHERE b.o_orderpriority = a.o_orderpriority
+    AND b.pq >= a.pq AND b.day <= a.day
+    AND (b.pq > a.pq OR b.day < a.day))
+ORDER BY o_orderpriority, o_orderkey
+"""
+
+
+def q_cdc_chunk_dedup(sf_dir: str):
+    """Content-defined-chunking dedup (dedup.cdc_chunk_dedup): md5
+    boundary test (== DuckDB md5_number_upper, full SQL replay), chunks
+    shared by ≥2 distinct docs with doc/occurrence counts."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+    out = rel.collect_pandas(dd.cdc_chunk_dedup(docs))
+    if out.empty:
+        return pd.DataFrame({'chunk_hash': pd.Series(dtype=object),
+                             'n_docs': pd.Series(dtype='int64'),
+                             'n_occ': pd.Series(dtype='int64')})
+    return out.sort_values('chunk_hash').reset_index(drop=True)
+
+
+SQL_CDC_CHUNK_DEDUP = """
+WITH pos AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0),
+bnd AS (
+  SELECT doc_id, text, n,
+         list_sort(list_filter(range(8, n + 1),
+             i -> md5_number_upper(substr(text, i - 7, 8)) % 64 = 0)) AS bs
+  FROM pos),
+cuts AS (
+  SELECT doc_id, text,
+         list_concat([0], bs) AS starts,
+         list_concat(bs, [n]) AS ends
+  FROM bnd),
+chunks AS (
+  SELECT doc_id,
+         CAST(md5_number_upper(
+             substr(text, starts[u.i] + 1, ends[u.i] - starts[u.i]))
+           AS VARCHAR) AS chunk_hash
+  FROM cuts, unnest(range(1, len(starts) + 1)) AS u(i)
+  WHERE ends[u.i] > starts[u.i])
+SELECT chunk_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM chunks
+GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+ORDER BY chunk_hash
+"""
+
+
+def q_chi2_keywords_by_lang(sf_dir: str):
+    """Per-language chi-squared keyword saliency
+    (textstats.chi2_keyword_saliency): top-5 tokens per lang; exact
+    integer contingency arithmetic, one floor-scaled final division."""
+    docs = rel.read_table(sf_dir, 'documents', ['lang', 'text'])
+    out = rel.collect_pandas(ts.chi2_keyword_saliency(docs, k=5))
+    return out.sort_values(['lang', 'token']).reset_index(drop=True)
+
+
+SQL_CHI2_KEYWORDS = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+tc AS (
+  SELECT lang, token, CAST(count(*) AS HUGEINT) AS a
+  FROM toks WHERE token <> '' GROUP BY 1, 2),
+tt AS (SELECT token, sum(a) AS t FROM tc GROUP BY 1),
+lt AS (SELECT lang, sum(a) AS L FROM tc GROUP BY 1),
+n AS (SELECT sum(a) AS N FROM tc),
+s AS (
+  SELECT tc.lang, tc.token,
+         floor(CAST(n.N * (tc.a * (n.N - tt.t - lt.L + tc.a)
+                           - (tt.t - tc.a) * (lt.L - tc.a))
+                        * (tc.a * (n.N - tt.t - lt.L + tc.a)
+                           - (tt.t - tc.a) * (lt.L - tc.a)) AS DOUBLE)
+               / CAST(tt.t * (n.N - tt.t) * lt.L * (n.N - lt.L) AS DOUBLE)
+               * 1e6) / 1e6 AS chi2
+  FROM tc JOIN tt USING (token) JOIN lt USING (lang) CROSS JOIN n
+  WHERE tt.t < n.N AND lt.L < n.N),
+r AS (
+  SELECT lang, token, chi2,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY chi2 DESC, token) AS rn
+  FROM s)
+SELECT lang, token, chi2 FROM r WHERE rn <= 5 ORDER BY lang, token
+"""
+
+
+def q_shortest_path_costs(sf_dir: str, rounds: int = 4):
+    """Bounded Bellman-Ford (graph.shortest_paths_int) over the weighted
+    event-type transition graph from the lexicographically-first type:
+    min integer path cost (cost = 1e6 // transition count) over paths of
+    ≤4 edges; one frontier⋈edges exchange + node-keyed min per round."""
+    from ray.data.aggregate import Min
+
+    from ..stages.graph import shortest_paths_int, transition_edges
+    ev = rel.read_table(sf_dir, 'events',
+                        ['user_id', 'ts', 'event_id', 'event_type'])
+    edges = transition_edges(ev).materialize()
+    agg = edges.aggregate(Min('src', alias_name='m'))
+    if not agg or agg.get('m') is None:
+        return pd.DataFrame({'node': pd.Series(dtype=object),
+                             'cost': pd.Series(dtype='int64')})
+    out = rel.collect_pandas(
+        shortest_paths_int(edges, agg['m'], rounds=rounds))
+    out['cost'] = out['cost'].astype('int64')
+    return out.sort_values('node').reset_index(drop=True)
+
+
+SQL_SHORTEST_PATHS = """
+WITH RECURSIVE seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events),
+e AS (SELECT src, dst, 1000000 // CAST(count(*) AS BIGINT) AS cost
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst),
+src0 AS (SELECT min(src) AS s FROM e),
+walk(node, cost, hops) AS (
+  SELECT s, CAST(0 AS BIGINT), 0 FROM src0
+  UNION ALL
+  SELECT e.dst, w.cost + e.cost, w.hops + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < 4)
+SELECT node, CAST(min(cost) AS BIGINT) AS cost
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
+    'shortest_path_costs': q_shortest_path_costs,
+    'chi2_keywords_by_lang': q_chi2_keywords_by_lang,
+    'cdc_chunk_dedup': q_cdc_chunk_dedup,
+    'pareto_orders': q_pareto_orders,
     'column_profile_orders': q_column_profile_orders,
     'user_event_entropy': q_user_event_entropy,
     'corr_value_hour_by_type': q_corr_value_hour_by_type,
@@ -5350,6 +5519,10 @@ QUERIES: Dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: Dict[str, str] = {
+    'shortest_path_costs': SQL_SHORTEST_PATHS,
+    'chi2_keywords_by_lang': SQL_CHI2_KEYWORDS,
+    'cdc_chunk_dedup': SQL_CDC_CHUNK_DEDUP,
+    'pareto_orders': SQL_PARETO_ORDERS,
     'column_profile_orders': SQL_COLUMN_PROFILE,
     'user_event_entropy': SQL_USER_EVENT_ENTROPY,
     'corr_value_hour_by_type': SQL_CORR_VALUE_HOUR,

@@ -883,3 +883,80 @@ def semdedup_keep(emb_ds, n_centroids: int = 8, n_iters: int = 2,
 
     big_out = folded.map_batches(finish, batch_format='pandas')
     return small_out.union(big_out)
+
+
+def cdc_chunks(docs_ds, window: int = 8, mask: int = 64,
+               id_col: str = 'doc_id', text_col: str = 'text'):
+    """Content-defined chunking (the FastCDC/rsync dedup primitive): a
+    chunk boundary falls after every position whose trailing ``window``
+    chars hash to ``0 mod mask``, so identical byte runs produce
+    identical chunks REGARDLESS of their offset in the document — the
+    property fixed-size blocking lacks and the reason CDC is the standard
+    sub-document dedup unit for crawl snapshots. Expected chunk length ≈
+    ``mask`` chars. Documents shorter than ``window`` are one chunk.
+
+    The boundary hash here is md5 (functions/hashing.md5_hash64 ==
+    DuckDB ``md5_number_upper``) so the whole operator replays in SQL; a
+    production deployment would swap the boundary test for a Gear/Rabin
+    rolling hash (one table lookup + shift per char instead of one md5
+    per position) — the chunk/count plumbing is identical.
+
+    Emits one row per (doc, chunk): id_col, chunk_hash (md5 of the chunk
+    text, stringified uint64), chunk_len. Stateless one-pass map."""
+    from ..functions.hashing import md5_hash64
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes, lens = [], [], []
+        for did, text in zip(batch[id_col], batch[text_col]):
+            if not text:
+                continue
+            n = len(text)
+            bounds = [0]
+            for i in range(window, n + 1):
+                if md5_hash64(text[i - window:i]) % mask == 0:
+                    bounds.append(i)
+            if bounds[-1] != n:
+                bounds.append(n)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if e > s:
+                    ids.append(did)
+                    hashes.append(str(md5_hash64(text[s:e])))
+                    lens.append(e - s)
+        return pd.DataFrame({id_col: np.array(ids, dtype=np.int64),
+                             'chunk_hash': np.array(hashes, dtype=object),
+                             'chunk_len': np.array(lens, dtype=np.int64)})
+
+    return docs_ds.map_batches(per_batch, batch_format='pandas')
+
+
+def cdc_chunk_dedup(docs_ds, window: int = 8, mask: int = 64,
+                    min_docs: int = 2,
+                    id_col: str = 'doc_id', text_col: str = 'text'):
+    """Cross-document duplicate-chunk detection over :func:`cdc_chunks`:
+    chunks shared by ≥ ``min_docs`` distinct documents, with doc and
+    occurrence counts — the 'which byte runs recur across the crawl'
+    signal feeding sub-document dedup decisions.
+
+    Scale shape: (chunk_hash, doc) pairs collapse two-phase FIRST (a hot
+    boilerplate chunk costs one partial row per batch per doc, not one
+    shuffled row per occurrence), then ONE hash-keyed two-phase aggregate
+    counts distinct docs and total occurrences per chunk."""
+    from .relational import two_phase_count, two_phase_pandas_agg
+
+    chunks = cdc_chunks(docs_ds, window=window, mask=mask,
+                        id_col=id_col, text_col=text_col)
+    pair_occ = two_phase_count(
+        chunks.map_batches(lambda b: b[['chunk_hash', id_col]],
+                           batch_format='pandas'),
+        ['chunk_hash', id_col], alias='_occ')
+    agg = two_phase_pandas_agg(
+        pair_occ, ['chunk_hash'],
+        {'n_docs': (None, 'count'), 'n_occ': ('_occ', 'sum')})
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b['n_docs'] >= min_docs].copy()
+        out['n_docs'] = out['n_docs'].astype('int64')
+        out['n_occ'] = out['n_occ'].astype('int64')
+        return out[['chunk_hash', 'n_docs', 'n_occ']]
+
+    return agg.map_batches(keep, batch_format='pandas')

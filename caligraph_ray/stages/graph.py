@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import AGG_BATCH_SIZE
 
@@ -464,3 +465,86 @@ def label_propagation(und_edges_ds, iters: int = 3):
                                      'lab': t.column('lab')})
 
     return labels.map_batches(out, batch_format='pyarrow')
+
+
+def shortest_paths_int(edges_ds, source, rounds: int = 4,
+                       cost_scale: int = 1_000_000):
+    """Bounded-round distributed Bellman-Ford over a weighted (src, dst,
+    w) edge Dataset: minimum path cost from ``source`` over paths of ≤
+    ``rounds`` edges, with integer edge cost ``cost_scale // w`` (heavily
+    travelled transitions are cheap). Each round is ONE frontier ⋈ edges
+    co-partitioned shuffle_join plus a node-keyed min-combine — the same
+    iterative-frontier shape as :func:`bfs_hops`; only nodes whose
+    distance IMPROVED last round re-relax, so a converged region stops
+    paying for the iteration. Costs are exact integers (min-combine can
+    never diverge by a ulp) and a SQL engine replays the result as a
+    depth-bounded recursive CTE + min() fold.
+
+    Frontier tracking rides inside the min-combine: labels carry the
+    round that set them, encoded losslessly as ``dist·(rounds+2) + r``
+    (r ≤ rounds+1 < the multiplier), so one integer Min aggregate yields
+    both the best distance and whether it is fresh this round."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .relational import arrow_filter, shuffle_join
+
+    enc = rounds + 2
+
+    def with_cost(df: pd.DataFrame) -> pa.Table:
+        cost = (cost_scale // df['w'].to_numpy(dtype=np.int64))
+        return pa.Table.from_pydict(
+            {'src': pa.array(df['src'].astype(str), pa.string()),
+             'dst': pa.array(df['dst'].astype(str), pa.string()),
+             'cost': pa.array(cost.astype('int64'))})
+
+    edges = edges_ds.map_batches(with_cost, batch_format='pandas',
+                                 batch_size=AGG_BATCH_SIZE).materialize()
+    labels = rd.from_arrow(pa.Table.from_pydict(
+        {'node': pa.array([str(source)], pa.string()),
+         'key': pa.array([0], pa.int64())}))   # dist 0, set in round 0
+    for r in range(1, rounds + 1):
+        def _is_fresh(t, _r=r):
+            # no pc.mod kernel: key % enc == key - (key // enc) * enc
+            # (keys are non-negative; pc.divide on int64 truncates)
+            q = pc.divide(t['key'], pa.scalar(enc, pa.int64()))
+            rem = pc.subtract(t['key'],
+                              pc.multiply(q, pa.scalar(enc, pa.int64())))
+            return pc.equal(rem, _r - 1)
+
+        frontier = arrow_filter(labels, _is_fresh)
+        frontier = frontier.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {'node': t['node'],
+                 'dist': pc.divide(t['key'],
+                                   pa.scalar(enc, pa.int64()))}),
+            batch_format='pyarrow')
+        if not frontier.count():
+            break
+        reached = shuffle_join(frontier, edges, left_on='node',
+                               right_on='src', how='inner')
+
+        def step(df: pd.DataFrame, _r=r) -> pa.Table:
+            if df.empty:
+                return pa.Table.from_pydict(
+                    {'node': pa.array([], pa.string()),
+                     'key': pa.array([], pa.int64())})
+            d = df['dist'].to_numpy(dtype=np.int64) \
+                + df['cost'].to_numpy(dtype=np.int64)
+            return pa.Table.from_pydict(
+                {'node': pa.array(df['dst'], pa.string(), from_pandas=True),
+                 'key': pa.array(d * enc + _r)})
+
+        contrib = reached.map_batches(step, batch_format='pandas',
+                                      batch_size=AGG_BATCH_SIZE)
+        labels = _pin(labels.union(contrib).groupby('node')
+                      .aggregate(Min('key', alias_name='key')),
+                      node='str', key='int').materialize()
+
+    def decode(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {'node': t['node'],
+             'cost': pc.divide(t['key'], pa.scalar(enc, pa.int64()))})
+
+    return labels.map_batches(decode, batch_format='pyarrow')

@@ -1577,3 +1577,58 @@ def grouped_corr(ds, key: str, x_col: str, y_col: str, scale: int = 1000,
         return out
 
     return agg.map_batches(finalize, batch_format='pandas')
+
+
+def _skyline_mask_2d(price_q: np.ndarray, day: np.ndarray) -> np.ndarray:
+    """Vectorized 2D skyline membership (maximize ``price_q``, minimize
+    ``day``, both int64): a point is dominated iff another point has
+    price ≥ AND day ≤ with at least one strict. O(n log n): sort by
+    (price desc, day asc); cross-price-group dominance is a prefix-min
+    of day over strictly-greater prices, within-group dominance is a
+    strictly smaller day at equal price. Duplicate points (equal on both
+    axes) all survive — none dominates its twin."""
+    n = len(price_q)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((day, -price_q))
+    p, d = price_q[order], day[order]
+    new_grp = np.r_[True, p[1:] != p[:-1]]
+    grp_start = np.maximum.accumulate(
+        np.where(new_grp, np.arange(n), 0))
+    cm = np.minimum.accumulate(d)
+    prev_min = np.where(grp_start > 0,
+                        cm[np.maximum(grp_start - 1, 0)],
+                        np.iinfo(np.int64).max)
+    dom_cross = prev_min <= d
+    dom_within = d > d[grp_start]
+    keep_sorted = ~(dom_cross | dom_within)
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def pareto_front(ds, group_key: str, max_col: str, min_col: str,
+                 scale: int = 100, coarse: Optional[int] = None):
+    """Grouped skyline (pareto-front) query: per ``group_key`` the rows
+    not dominated on (maximize ``max_col``, minimize ``min_col``).
+    ``max_col`` is floor-quantized to ``scale`` units (both engines run
+    the same double op); ``min_col`` must already be integer.
+
+    Scale shape: dominance is transitive, so a LOCAL skyline inside each
+    batch is a valid pre-prune (anything dominated within a batch cannot
+    be in the global front) — the group-keyed exchange then sees only the
+    per-batch fronts, and ONE ``grouped_map`` computes the exact skyline
+    per group with the same O(n log n) vectorized kernel. Mirrors the
+    partial-combine contract of every aggregate in this module."""
+    def local_front(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in batch.groupby(group_key, sort=False, dropna=False):
+            pq = np.floor(g[max_col].to_numpy(dtype=np.float64)
+                          * scale).astype(np.int64)
+            dy = g[min_col].to_numpy(dtype=np.int64)
+            out.append(g[_skyline_mask_2d(pq, dy)])
+        return pd.concat(out) if out else batch.iloc[:0]
+
+    pre = ds.map_batches(local_front, batch_format='pandas',
+                         batch_size=AGG_BATCH_SIZE)
+    return grouped_map(pre, [group_key], local_front, coarse=coarse)

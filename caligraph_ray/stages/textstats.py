@@ -9,6 +9,7 @@ rows through the shuffle.
 
 from __future__ import annotations
 
+import math
 from collections import Counter
 from typing import Dict, List, Optional
 
@@ -1512,3 +1513,87 @@ def cooccurrence_pmi(docs_ds, text_col: str = 'text', window: int = 5,
 
     return j.map_batches(score, batch_format='pandas',
                          batch_size=AGG_BATCH_SIZE)
+
+
+def chi2_keyword_saliency(docs_ds, k: int = 5, text_col: str = 'text',
+                          lang_col: str = 'lang'):
+    """Per-language salient keywords by chi-squared association — the
+    feature-selection / corpus-drift statistic curation pipelines run to
+    characterize what distinguishes one slice (language, domain, crawl)
+    from the rest. For token w and slice ℓ over the 2×2 contingency
+    (a = count(w, ℓ), t = count(w), L = count(ℓ), N = total):
+    ``χ² = N·(a·d − b·c)² / (t·(N−t)·L·(N−L))`` with b = t−a, c = L−a,
+    d = N−t−L+a — all EXACT integer arithmetic (unbounded Python ints)
+    until the single final floor-scaled division, so any engine replays
+    the value bit-for-bit.
+
+    Scale shape: (lang, token) counts collapse two-phase (arrow-native
+    split + value_counts per batch); token totals come from ONE
+    token-keyed exchange (t is a within-group sum, no extra join); the
+    language totals are a |langs|-row dim collected once and broadcast.
+    Top-k per language ranks on the floored χ² with token tiebreak."""
+    from .relational import (bucketed_map, collect_pandas, grouped_map,
+                             topk_per_group, two_phase_pandas_agg)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs, toks, cnts = [], [], []
+        tbl = batch.select([lang_col, text_col])
+        df = tbl.to_pandas()
+        for lang, sub in df.groupby(lang_col, sort=False, dropna=False):
+            flat, _, _ = _ws_token_arrays(
+                pa.chunked_array([pa.array(sub[text_col], pa.string())]))
+            vc = pc.value_counts(flat)
+            vals = vc.field('values').to_pylist()
+            cs = vc.field('counts').to_pylist()
+            langs.extend([lang] * len(vals))
+            toks.extend(vals)
+            cnts.extend(cs)
+        return pa.Table.from_pydict({
+            lang_col: pa.array(langs, pa.string()),
+            'token': pa.array(toks, pa.string()),
+            '_a': pa.array(cnts, pa.int64())})
+
+    pre = docs_ds.map_batches(partial, batch_format='pyarrow',
+                              batch_size=AGG_BATCH_SIZE)
+    pairs = two_phase_pandas_agg(pre, [lang_col, 'token'],
+                                 {'a': ('_a', 'sum')})
+
+    # language totals: a |langs|-row dim — collect once, broadcast
+    lang_tot = collect_pandas(two_phase_pandas_agg(
+        pairs, [lang_col], {'L': ('a', 'sum')}))
+    L_of = {r[lang_col]: int(r['L']) for _, r in lang_tot.iterrows()}
+    N = sum(L_of.values())
+
+    def with_token_total(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, sub in g.groupby('token', sort=False):
+            t = int(sub['a'].sum())
+            s = sub.copy()
+            s['t'] = t
+            out.append(s)
+        return pd.concat(out) if out else g.assign(t=pd.Series(dtype='int64'))
+
+    with_t = grouped_map(pairs, ['token'], with_token_total)
+
+    def chi2(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in b.iterrows():
+            a, t = int(r['a']), int(r['t'])
+            L = L_of[r[lang_col]]
+            if t >= N or L >= N:
+                continue
+            adbc = a * (N - t - L + a) - (t - a) * (L - a)
+            num = N * adbc * adbc
+            den = t * (N - t) * L * (N - L)
+            chi = math.floor(float(num) / float(den) * 1e6) / 1e6
+            rows.append({lang_col: r[lang_col], 'token': r['token'],
+                         'chi2': chi})
+        if not rows:
+            return pd.DataFrame({lang_col: pd.Series(dtype=object),
+                                 'token': pd.Series(dtype=object),
+                                 'chi2': pd.Series(dtype='float64')})
+        return pd.DataFrame(rows)
+
+    scored = with_t.map_batches(chi2, batch_format='pandas')
+    return topk_per_group(scored, lang_col, ['chi2', 'token'],
+                          [False, True], k)
