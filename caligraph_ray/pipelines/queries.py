@@ -5373,7 +5373,128 @@ FROM walk GROUP BY node ORDER BY node
 """
 
 
+def q_event_type_lift(sf_dir: str):
+    """Association rules (relational.association_lift) over user baskets
+    of event types: per ordered pair the basket co-count plus
+    support / confidence / lift from exact integer counts."""
+    ev = rel.read_table(sf_dir, 'events', ['user_id', 'event_type'])
+    out = rel.collect_pandas(
+        rel.association_lift(ev, 'user_id', 'event_type'))
+    return out.sort_values(['item_a', 'item_b']).reset_index(drop=True)
+
+
+SQL_EVENT_TYPE_LIFT = """
+WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nb FROM b),
+ic AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ni FROM b GROUP BY 1),
+co AS (
+  SELECT a.event_type AS item_a, c.event_type AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM b a JOIN b c ON a.user_id = c.user_id
+  WHERE a.event_type <> c.event_type
+  GROUP BY 1, 2)
+SELECT co.item_a, co.item_b, co.n_ab,
+       floor(CAST(co.n_ab AS DOUBLE) / n.nb * 1e6) / 1e6 AS support,
+       floor(CAST(co.n_ab AS DOUBLE) / ia.ni * 1e6) / 1e6 AS confidence,
+       floor(CAST(co.n_ab * n.nb AS DOUBLE)
+             / CAST(ia.ni * ib.ni AS DOUBLE) * 1e6) / 1e6 AS lift
+FROM co
+JOIN ic ia ON ia.event_type = co.item_a
+JOIN ic ib ON ib.event_type = co.item_b
+CROSS JOIN n
+ORDER BY item_a, item_b
+"""
+
+
+def q_transition_gap_stats(sf_dir: str):
+    """Time-to-next-event stats per transition pair
+    (temporal.transition_gap_stats): count and min/max/truncated-mean
+    gap in microseconds — all-integer arithmetic."""
+    from ..stages.temporal import transition_gap_stats
+    ev = rel.read_table(sf_dir, 'events',
+                        ['user_id', 'ts', 'event_id', 'event_type'])
+    out = rel.collect_pandas(transition_gap_stats(ev))
+    return out.sort_values(['from_type', 'to_type']).reset_index(drop=True)
+
+
+SQL_TRANSITION_GAPS = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER w AS to_type,
+         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT from_type, to_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(gap) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_gap_us,
+       CAST(min(gap) AS BIGINT) AS min_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type ORDER BY from_type, to_type
+"""
+
+
+def q_token_postings(sf_dir: str):
+    """Inverted-index postings sink: tokens with document frequency ≥ 2
+    and their CAPPED comma-joined doc-id postings (first 10 in
+    lexicographic order — relational.string_agg_per_group cap=10,
+    posting-list truncation), the search-index build composed from the
+    board's distinct + string-agg exchanges."""
+    docs = rel.read_table(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, toks = [], []
+        for did, text in zip(b['doc_id'], b['text']):
+            for t in set(ts._split_tokens(text)):
+                ids.append(did)
+                toks.append(t)
+        return pd.DataFrame({'doc_id': np.array(ids, dtype=np.int64),
+                             'token': np.array(toks, dtype=object)})
+
+    pairs = docs.map_batches(explode, batch_format='pandas').materialize()
+    agg = rel.string_agg_per_group(pairs, 'token', 'doc_id',
+                                   alias='postings', cap=10)
+    df_counts = rel.two_phase_count(
+        pairs.map_batches(lambda b: b.drop_duplicates(), batch_format='pandas'),
+        ['token'], alias='df').map_batches(
+        lambda b: b.astype({'df': 'int64'}), batch_format='pandas')
+    joined = rel.shuffle_join(agg, df_counts, left_on='token',
+                              right_on='token', how='inner')
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b['df'] >= 2].copy()
+        out['df'] = out['df'].astype('int64')
+        return out[['token', 'df', 'postings']]
+
+    out = rel.collect_pandas(joined.map_batches(keep, batch_format='pandas'))
+    if out.empty:
+        return pd.DataFrame({'token': pd.Series(dtype=object),
+                             'df': pd.Series(dtype='int64'),
+                             'postings': pd.Series(dtype=object)})
+    return out.sort_values('token').reset_index(drop=True)
+
+
+SQL_TOKEN_POSTINGS = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+p AS (SELECT doc_id, token FROM pairs WHERE token <> '')
+SELECT token,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       array_to_string(
+         list_sort(list(DISTINCT CAST(doc_id AS VARCHAR)))[1:10],
+         ',') AS postings
+FROM p
+GROUP BY token
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY token
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
+    'event_type_lift': q_event_type_lift,
+    'transition_gap_stats': q_transition_gap_stats,
+    'token_postings': q_token_postings,
     'shortest_path_costs': q_shortest_path_costs,
     'chi2_keywords_by_lang': q_chi2_keywords_by_lang,
     'cdc_chunk_dedup': q_cdc_chunk_dedup,
@@ -5519,6 +5640,9 @@ QUERIES: Dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: Dict[str, str] = {
+    'event_type_lift': SQL_EVENT_TYPE_LIFT,
+    'transition_gap_stats': SQL_TRANSITION_GAPS,
+    'token_postings': SQL_TOKEN_POSTINGS,
     'shortest_path_costs': SQL_SHORTEST_PATHS,
     'chi2_keywords_by_lang': SQL_CHI2_KEYWORDS,
     'cdc_chunk_dedup': SQL_CDC_CHUNK_DEDUP,

@@ -867,21 +867,25 @@ def two_phase_sum(ds, keys: Sequence[str], value_col: str, alias: str = 'total',
 
 
 def string_agg_per_group(ds, key: str, value_col: str, sep: str = ',',
-                         alias: str = 'agg', coarse: Optional[int] = None):
+                         alias: str = 'agg', cap: Optional[int] = None,
+                         coarse: Optional[int] = None):
     """Deterministic SQL ``string_agg(DISTINCT v, sep ORDER BY v)`` per
     group: distinct (key, value) pairs collapse two-phase FIRST (a head
     value costs one partial row per batch, never one shuffled row per
     occurrence), then one key-bucketed exchange joins each group's sorted
-    values. Output rows are group-sized, so the aggregate only makes sense
-    where the per-group distinct-value dim is bounded (type vocabularies,
-    tag sets) — same contract as any wide string aggregate."""
+    values. Output rows are group-sized, so the uncapped aggregate only
+    makes sense where the per-group distinct-value dim is bounded (type
+    vocabularies, tag sets); pass ``cap`` to keep only the first ``cap``
+    sorted values per group (posting-list truncation — the bounded-output
+    variant for head keys with corpus-sized value sets; SQL replays it as
+    ``list_sort(list(DISTINCT v))[1:cap]``)."""
     pairs = two_phase_count(ds.map_batches(
         lambda df: df[[key, value_col]], batch_format='pandas'),
         [key, value_col], alias='_c').drop_columns(['_c'])
 
     def join_group(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby(key, sort=False, dropna=False)[value_col] \
-            .agg(lambda s: sep.join(sorted(s.astype(str))))
+            .agg(lambda s: sep.join(sorted(s.astype(str))[:cap]))
         return g.rename(alias).reset_index()
 
     return bucketed_map(pairs, [key], join_group, coarse=coarse)
@@ -1632,3 +1636,67 @@ def pareto_front(ds, group_key: str, max_col: str, min_col: str,
     pre = ds.map_batches(local_front, batch_format='pandas',
                          batch_size=AGG_BATCH_SIZE)
     return grouped_map(pre, [group_key], local_front, coarse=coarse)
+
+
+def association_lift(ds, basket_key: str, item_col: str,
+                     coarse: Optional[int] = None):
+    """Market-basket association rules over (basket, item) events — the
+    recsys/co-engagement primitive: for every ordered item pair (a, b)
+    the basket co-occurrence count plus support / confidence / lift.
+
+    Scale shape: (basket, item) pairs dedupe two-phase FIRST, then ONE
+    basket-keyed exchange emits the within-basket ordered pairs (each
+    basket's distinct-item set is the bounded dim — type vocabularies,
+    not corpus rows), and the pair counts collapse two-phase. Per-item
+    basket counts are a |items|-row dim collected once. All statistics
+    are single floor-scaled expressions over exact integer counts."""
+    pairs = two_phase_count(ds.map_batches(
+        lambda b: b[[basket_key, item_col]], batch_format='pandas'),
+        [basket_key, item_col], alias='_c').drop_columns(['_c'])
+    pairs = pairs.materialize()
+
+    n_baskets = int(two_phase_count(pairs, [basket_key]).count())
+    item_counts = collect_pandas(two_phase_count(pairs, [item_col],
+                                                 alias='n'))
+    n_of = dict(zip(item_counts[item_col], item_counts['n'].map(int)))
+
+    def within_basket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in bucket.groupby(basket_key, sort=False, dropna=False):
+            items = sorted(g[item_col])
+            for a in items:
+                for b in items:
+                    if a != b:
+                        out_a.append(a)
+                        out_b.append(b)
+        return pd.DataFrame({'item_a': np.array(out_a, dtype=object),
+                             'item_b': np.array(out_b, dtype=object)})
+
+    co = two_phase_count(grouped_map(pairs, [basket_key], within_basket),
+                         ['item_a', 'item_b'], alias='n_ab', coarse=coarse)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in df.iterrows():
+            n_ab = int(r['n_ab'])
+            n_a, n_b = n_of[r['item_a']], n_of[r['item_b']]
+            rows.append({
+                'item_a': r['item_a'], 'item_b': r['item_b'],
+                'n_ab': n_ab,
+                'support': math.floor(n_ab / n_baskets * 1e6) / 1e6,
+                'confidence': math.floor(n_ab / n_a * 1e6) / 1e6,
+                'lift': math.floor(
+                    float(n_ab * n_baskets) / float(n_a * n_b) * 1e6) / 1e6})
+        if not rows:
+            return pd.DataFrame({
+                'item_a': pd.Series(dtype=object),
+                'item_b': pd.Series(dtype=object),
+                'n_ab': pd.Series(dtype='int64'),
+                'support': pd.Series(dtype='float64'),
+                'confidence': pd.Series(dtype='float64'),
+                'lift': pd.Series(dtype='float64')})
+        out = pd.DataFrame(rows)
+        out['n_ab'] = out['n_ab'].astype('int64')
+        return out
+
+    return co.map_batches(finalize, batch_format='pandas')

@@ -643,3 +643,51 @@ def debounce_filter(events_ds, key_cols=('user_id', 'event_type'),
         return g[mask]
 
     return grouped_map(events_ds, list(key_cols), keep)
+
+
+def transition_gap_stats(events_ds, user_col: str = 'user_id',
+                         ts_col: str = 'ts', id_col: str = 'event_id',
+                         type_col: str = 'event_type'):
+    """Time-to-next-event statistics per transition pair: for every
+    (from_type → to_type) edge of the per-user sequence (the (ts, id)
+    total order — the lead() contract), the count and the min / max /
+    truncated-mean gap in MICROSECONDS. All-integer arithmetic: gaps are
+    int64 timestamp differences, sums carried as exact Python ints, the
+    mean is a truncating division (DuckDB ``//``) — no float anywhere.
+
+    Scale shape: ONE user-keyed exchange emits (pair, gap) vectorized
+    (groupby shift), then a two-phase integer aggregate per pair."""
+    from .relational import (bucketed_map, two_phase_pandas_agg)
+
+    def lag_gaps(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values([user_col, ts_col, id_col], kind='mergesort')
+        t = _ts_to_int(b[ts_col])
+        nxt_t = t.groupby(b[user_col], sort=False).shift(-1)
+        nxt_ty = b.groupby(user_col, sort=False)[type_col].shift(-1)
+        keep = nxt_ty.notna() & nxt_t.notna() & t.notna()
+        gap = (nxt_t[keep] - t[keep]).astype('int64')
+        return pd.DataFrame({'from_type': b[type_col][keep].to_numpy(),
+                             'to_type': nxt_ty[keep].to_numpy(),
+                             '_gap': gap.to_numpy(),
+                             '_one': np.ones(int(keep.sum()), dtype='int64')})
+
+    gaps = bucketed_map(events_ds, [user_col], lag_gaps)
+    agg = two_phase_pandas_agg(
+        gaps, ['from_type', 'to_type'],
+        {'n': (None, 'count'), '_sum': ('_gap', 'sum'),
+         'min_gap_us': ('_gap', 'min'), 'max_gap_us': ('_gap', 'max')})
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        from .relational import _trunc_div
+        out = pd.DataFrame({
+            'from_type': df['from_type'], 'to_type': df['to_type'],
+            'n': df['n'].map(int).astype('int64'),
+            'mean_gap_us': pd.Series(
+                [_trunc_div(int(s), int(n))
+                 for s, n in zip(df['_sum'], df['n'])],
+                index=df.index, dtype='int64'),
+            'min_gap_us': df['min_gap_us'].map(int).astype('int64'),
+            'max_gap_us': df['max_gap_us'].map(int).astype('int64')})
+        return out
+
+    return agg.map_batches(finalize, batch_format='pandas')

@@ -1,0 +1,82 @@
+"""Unit tests for association_lift / transition_gap_stats /
+string_agg_per_group cap — brute-force equality on synthetic inputs."""
+
+import math
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+from caligraph_ray.stages import relational as rel
+from caligraph_ray.stages.temporal import transition_gap_stats
+
+
+def test_association_lift_brute_force(ray_session):
+    df = pd.DataFrame({
+        'u': [1, 1, 1, 2, 2, 3, 3, 3, 4],
+        'it': ['a', 'b', 'a', 'a', 'c', 'b', 'c', 'b', 'a'],
+    })
+    out = rel.collect_pandas(
+        rel.association_lift(ray.data.from_pandas(df).repartition(3),
+                             'u', 'it'))
+    baskets = df.drop_duplicates().groupby('u')['it'].apply(set)
+    N = len(baskets)
+    n_of = {}
+    for s in baskets:
+        for i in s:
+            n_of[i] = n_of.get(i, 0) + 1
+    got = {(r['item_a'], r['item_b']): r for _, r in out.iterrows()}
+    for a in n_of:
+        for b in n_of:
+            if a == b:
+                continue
+            n_ab = sum(1 for s in baskets if a in s and b in s)
+            if n_ab == 0:
+                assert (a, b) not in got
+                continue
+            r = got[(a, b)]
+            assert r['n_ab'] == n_ab
+            assert r['support'] == math.floor(n_ab / N * 1e6) / 1e6
+            assert r['confidence'] == \
+                math.floor(n_ab / n_of[a] * 1e6) / 1e6
+            assert r['lift'] == math.floor(
+                float(n_ab * N) / float(n_of[a] * n_of[b]) * 1e6) / 1e6
+
+
+def test_transition_gap_stats_exact(ray_session):
+    base = pd.Timestamp('2024-01-01')
+    df = pd.DataFrame({
+        'user_id': [1, 1, 1, 2, 2],
+        'event_id': [1, 2, 3, 4, 5],
+        'ts': [base, base + pd.Timedelta(seconds=10),
+               base + pd.Timedelta(seconds=25),
+               base, base + pd.Timedelta(seconds=7)],
+        'event_type': ['x', 'y', 'x', 'x', 'y'],
+    })
+    out = rel.collect_pandas(
+        transition_gap_stats(ray.data.from_pandas(df).repartition(2)))
+    out = out.set_index(['from_type', 'to_type'])
+    xy = out.loc[('x', 'y')]
+    # x->y gaps: 10s (user 1) and 7s (user 2)
+    assert xy['n'] == 2
+    assert xy['min_gap_us'] == 7_000_000
+    assert xy['max_gap_us'] == 10_000_000
+    assert xy['mean_gap_us'] == 8_500_000
+    yx = out.loc[('y', 'x')]
+    assert yx['n'] == 1 and yx['mean_gap_us'] == 15_000_000
+
+
+def test_string_agg_cap_truncates_sorted(ray_session):
+    df = pd.DataFrame({'k': ['g'] * 30,
+                       'v': [str(i) for i in range(30)]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = rel.collect_pandas(
+        rel.string_agg_per_group(ds, 'k', 'v', alias='agg', cap=5))
+    # lexicographic order of '0'..'29', first 5
+    expected = ','.join(sorted(str(i) for i in range(30))[:5])
+    assert out['agg'].iloc[0] == expected
+    # uncapped still returns everything
+    full = rel.collect_pandas(
+        rel.string_agg_per_group(ds, 'k', 'v', alias='agg'))
+    assert full['agg'].iloc[0] == ','.join(sorted(str(i) for i in range(30)))
