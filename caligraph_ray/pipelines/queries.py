@@ -5491,7 +5491,60 @@ ORDER BY token
 """
 
 
+def q_hits_event_types(sf_dir: str, iters: int = 2):
+    """Integer fixed-point HITS hubs/authorities (graph.hits_int) over
+    the distinct event-type transition edges; max-normalized exact
+    integer chain, SQL-replayed as materialized CTE rounds."""
+    from ..stages.graph import hits_int, transition_edges
+    ev = rel.read_table(sf_dir, 'events',
+                        ['user_id', 'ts', 'event_id', 'event_type'])
+    edges = transition_edges(ev)
+    out = rel.collect_pandas(hits_int(edges, iters=iters))
+    out['hub_q'] = out['hub_q'].astype('int64')
+    out['auth_q'] = out['auth_q'].astype('int64')
+    return out.sort_values('node').reset_index(drop=True)
+
+
+def _sql_hits(iters: int = 2, scale: int = 1_000_000) -> str:
+    parts = ["""
+WITH seq AS MATERIALIZED (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM seq WHERE dst IS NOT NULL),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS MATERIALIZED (SELECT node, CAST({s} AS HUGEINT) AS s FROM nodes)"""
+             .format(s=scale)]
+    prev_hub = 'h0'
+    for i in range(1, iters + 1):
+        for tag, join_col, emit_col, src_cte in (
+                (f'a{i}', 'src', 'dst', prev_hub),
+                (f'h{i}', 'dst', 'src', f'a{i}')):
+            parts.append("""
+{t}r AS MATERIALIZED (
+  SELECT e.{emit} AS node, sum({src}.s) AS r
+  FROM e JOIN {src} ON {src}.node = e.{join} GROUP BY 1),
+{t}m AS MATERIALIZED (SELECT max(r) AS m FROM {t}r),
+{t} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(COALESCE({t}r.r * {s} // {t}m.m, 0) AS HUGEINT) AS s
+  FROM nodes n LEFT JOIN {t}r USING (node) CROSS JOIN {t}m)""".format(
+                t=tag, emit=emit_col, join=join_col, src=src_cte, s=scale))
+        prev_hub = f'h{i}'
+    parts.append("""
+SELECT n.node, CAST(h{i}.s AS BIGINT) AS hub_q,
+       CAST(a{i}.s AS BIGINT) AS auth_q
+FROM nodes n JOIN h{i} USING (node) JOIN a{i} USING (node)
+ORDER BY node""".format(i=iters))
+    return ','.join(parts[:1]) + ',' + ','.join(parts[1:-1]) + parts[-1]
+
+
+SQL_HITS = _sql_hits()
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
+    'hits_event_types': q_hits_event_types,
     'event_type_lift': q_event_type_lift,
     'transition_gap_stats': q_transition_gap_stats,
     'token_postings': q_token_postings,
@@ -5640,6 +5693,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: Dict[str, str] = {
+    'hits_event_types': SQL_HITS,
     'event_type_lift': SQL_EVENT_TYPE_LIFT,
     'transition_gap_stats': SQL_TRANSITION_GAPS,
     'token_postings': SQL_TOKEN_POSTINGS,

@@ -548,3 +548,109 @@ def shortest_paths_int(edges_ds, source, rounds: int = 4,
              'cost': pc.divide(t['key'], pa.scalar(enc, pa.int64()))})
 
     return labels.map_batches(decode, batch_format='pyarrow')
+
+
+def hits_int(edges_ds, iters: int = 2, scale: int = 1_000_000):
+    """Integer fixed-point HITS (hubs & authorities) over a (src, dst)
+    edge Dataset — the link-analysis complement of PageRank: authorities
+    collect hub mass along in-edges, hubs collect authority mass along
+    out-edges, alternating for ``iters`` rounds. Each half-round is ONE
+    edges ⋈ scores co-partitioned shuffle_join plus a node-keyed
+    two-phase sum — the same join-shaped iteration contract as
+    :func:`pagerank_int`, so the exchange volume is |edges| per round
+    regardless of node count.
+
+    Exactness contract: normalization is by the round's MAX (not L2) —
+    ``s' = s_raw · scale // max(s_raw)`` in unbounded-int arithmetic
+    (raw · scale can pass 2^63 at web-scale in-degrees before the floor
+    division) — so every score is an exact integer and a SQL engine
+    replays the chain bit-for-bit. Returns (node, hub_q, auth_q) with 0
+    for nodes the mass never reaches."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from .relational import shuffle_join, two_phase_count
+
+    e = _pin(two_phase_count(
+        edges_ds.map_batches(lambda t: t.select(['src', 'dst']),
+                             batch_format='pyarrow'),
+        ['src', 'dst'], alias='_c').drop_columns(['_c']),
+        src='str', dst='str').materialize()
+
+    def node_union(batch: pa.Table) -> pa.Table:
+        vals = (batch.column('src').to_pylist()
+                + batch.column('dst').to_pylist())
+        return pa.Table.from_pydict({'node': pa.array(vals, pa.string())})
+
+    nodes = _pin(two_phase_count(
+        e.map_batches(node_union, batch_format='pyarrow'),
+        ['node'], alias='_c').drop_columns(['_c']), node='str').materialize()
+    if nodes.count() == 0:
+        return rd.from_arrow(pa.Table.from_pydict(
+            {'node': pa.array([], pa.string()),
+             'hub_q': pa.array([], pa.int64()),
+             'auth_q': pa.array([], pa.int64())}))
+
+    def const_scores(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {'node': t.column('node'),
+             's': pa.array([scale] * t.num_rows, pa.int64())})
+
+    def propagate(scores, from_col: str, to_col: str):
+        """One half-round: sum scores along (from → to), re-key to the
+        node dim with 0 fill, normalize by the round max."""
+        joined = shuffle_join(e, scores, left_on=from_col, right_on='node',
+                              how='inner')
+        raw = _pin(joined.map_batches(
+            lambda df, _t=to_col: pa.Table.from_pydict(
+                {'node': pa.array(df[_t], pa.string(), from_pandas=True),
+                 '_r': pa.array(df['s'].map(int), pa.int64())})
+            if not df.empty else pa.Table.from_pydict(
+                {'node': pa.array([], pa.string()),
+                 '_r': pa.array([], pa.int64())}),
+            batch_format='pandas')
+            .groupby('node').aggregate(Sum('_r', alias_name='raw')),
+            node='str', raw='int').materialize()
+        agg = raw.aggregate(Max('raw', alias_name='m'))
+        m = int(agg['m']) if agg and agg.get('m') is not None else 0
+        merged = shuffle_join(nodes, raw, left_on='node', right_on='node',
+                              how='left')
+
+        def norm(df: pd.DataFrame) -> pa.Table:
+            if df.empty:
+                return pa.Table.from_pydict(
+                    {'node': pa.array([], pa.string()),
+                     's': pa.array([], pa.int64())})
+            vals = [0 if (pd.isna(v) or m == 0)
+                    else (int(v) * scale) // m for v in df['raw']]
+            return pa.Table.from_pydict(
+                {'node': pa.array(df['node'], pa.string(), from_pandas=True),
+                 's': pa.array(vals, pa.int64())})
+
+        return _pin(merged.map_batches(norm, batch_format='pandas'),
+                    node='str', s='int').materialize()
+
+    hub = _pin(nodes.map_batches(const_scores, batch_format='pyarrow'),
+               node='str', s='int').materialize()
+    auth = None
+    for _ in range(iters):
+        auth = propagate(hub, 'src', 'dst')
+        hub = propagate(auth, 'dst', 'src')
+
+    merged = shuffle_join(hub.map_batches(
+        lambda t: t.rename_columns(['node', 'hub_q']),
+        batch_format='pyarrow'),
+        auth.map_batches(
+            lambda t: t.rename_columns(['node', 'auth_q']),
+            batch_format='pyarrow'),
+        left_on='node', right_on='node', how='inner')
+    return merged.map_batches(
+        lambda df: pa.Table.from_pydict(
+            {'node': pa.array(df['node'], pa.string(), from_pandas=True),
+             'hub_q': pa.array(df['hub_q'].map(int), pa.int64()),
+             'auth_q': pa.array(df['auth_q'].map(int), pa.int64())})
+        if not df.empty else pa.Table.from_pydict(
+            {'node': pa.array([], pa.string()),
+             'hub_q': pa.array([], pa.int64()),
+             'auth_q': pa.array([], pa.int64())}),
+        batch_format='pandas')

@@ -122,3 +122,32 @@ def test_shortest_paths_round_bound(ray_session):
         shortest_paths_int(ray.data.from_pandas(edges), 'A', rounds=2))
     nodes = set(out['node'])
     assert nodes == {'A', 'B', 'C'}
+
+
+def test_hits_star_graph_hubs_vs_authorities(ray_session):
+    from caligraph_ray.stages.graph import hits_int
+    # star: H points at A1..A3; A's point at nothing else.
+    edges = pd.DataFrame({'src': ['H', 'H', 'H', 'X'],
+                          'dst': ['A1', 'A2', 'A3', 'A1'],
+                          'w': [1, 1, 1, 1]})
+    out = rel.collect_pandas(
+        hits_int(ray.data.from_pandas(edges), iters=2))
+    s = out.set_index('node')
+    # H is the best hub; A1 (two in-edges) the best authority
+    assert s['hub_q'].idxmax() == 'H'
+    assert s['auth_q'].idxmax() == 'A1'
+    assert s.loc['H', 'hub_q'] == 1_000_000          # max-normalized
+    assert s.loc['A1', 'auth_q'] == 1_000_000
+    # pure authorities have zero hub score
+    assert s.loc['A2', 'hub_q'] == 0 and s.loc['A3', 'hub_q'] == 0
+    # H has no in-edges: zero authority
+    assert s.loc['H', 'auth_q'] == 0
+
+
+def test_hits_empty_graph(ray_session):
+    from caligraph_ray.stages.graph import hits_int
+    edges = pd.DataFrame({'src': pd.Series(dtype=object),
+                          'dst': pd.Series(dtype=object),
+                          'w': pd.Series(dtype='int64')})
+    out = rel.collect_pandas(hits_int(ray.data.from_pandas(edges)))
+    assert len(out) == 0
