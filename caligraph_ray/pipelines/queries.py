@@ -5543,7 +5543,99 @@ ORDER BY node""".format(i=iters))
 SQL_HITS = _sql_hits()
 
 
+def _sql_hll_regs(src_select: str) -> str:
+    """Registers CTE body for an arbitrary distinct-VARCHAR source —
+    the SQL_HLL_REGISTERS chain parametrized on its value source."""
+    return f"""
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(max(65 - length(bin(CAST(rest AS UBIGINT)))) AS BIGINT) AS rank
+FROM (
+  SELECT h >> 52 AS bucket, ((h % 4503599627370496) * 4096 + 2048) AS rest
+  FROM (
+    SELECT xor(h, h >> 27) AS h FROM (
+      SELECT (((((h) >> 32) * CAST(13787848793156543929 AS HUGEINT)) % 4294967296) * 4294967296 + ((h) % 4294967296) * CAST(13787848793156543929 AS HUGEINT)) % 18446744073709551616 AS h
+      FROM (
+        SELECT xor(h, h >> 31) AS h FROM (
+          SELECT (((((h) >> 32) * CAST(11400714819323198485 AS HUGEINT)) % 4294967296) * 4294967296 + ((h) % 4294967296) * CAST(11400714819323198485 AS HUGEINT)) % 18446744073709551616 AS h
+          FROM (SELECT md5_number_upper(v) AS h FROM ({src_select})) t0
+        ) t1
+      ) t2
+    ) t3
+  ) t4
+) fin GROUP BY bucket"""
+
+
+def _sql_hll_est_ctes(tag: str, regs_cte: str) -> str:
+    """Estimate chain (exact HUGEINT register sum → fixed-order DOUBLE
+    formula, the hll_estimate_deterministic contract) named ``est_{tag}``
+    over an existing registers CTE."""
+    return f"""
+agg_{tag} AS (SELECT count(*) AS nonzero,
+                     sum(CAST(1 AS BIGINT) << (63 - rank)) AS s_nz
+              FROM {regs_cte}),
+calc_{tag} AS (SELECT (4096 - nonzero) AS zeros,
+                      CAST(coalesce(s_nz, 0) AS HUGEINT)
+                        + CAST(4096 - nonzero AS HUGEINT)
+                          * 9223372036854775808 AS s
+               FROM agg_{tag}),
+est_{tag} AS (SELECT CASE WHEN (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0
+                               * 4096.0 * 9223372036854775808.0
+                               / CAST(s AS DOUBLE) <= 2.5 * 4096.0
+                              AND zeros > 0
+                          THEN 4096.0 * ln(4096.0 / zeros)
+                          ELSE (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0
+                               * 4096.0 * 9223372036854775808.0
+                               / CAST(s AS DOUBLE) END AS e
+              FROM calc_{tag})"""
+
+
+def q_hll_overlap_users(sf_dir: str):
+    """HLL set-operation estimates (sketches.hll_registers + the
+    deterministic estimator): distinct-count estimates for order
+    customers (A), event users (B), their UNION (per-bucket register
+    max — the mergeable-sketch union law) and the inclusion–exclusion
+    OVERLAP estimate |A∩B| ≈ |A|+|B|−|A∪B| — the cross-crawl audience-
+    overlap primitive, computed without ever co-shuffling the two key
+    sets. Register state is md5-exact on both engines; estimates use the
+    fixed-order float formula (float-bit parity, SQL_APPROX_DISTINCT
+    precedent)."""
+    from ..functions.hashing import md5_hash64
+    from ..functions.sketches import hll_estimate_deterministic, hll_registers
+    orders = rel.read_table(sf_dir, 'orders', ['o_custkey'])
+    events = rel.read_table(sf_dir, 'events', ['user_id'])
+    ra = hll_registers(orders, 'o_custkey', p=12, hash_fn=md5_hash64)
+    rb = hll_registers(events, 'user_id', p=12, hash_fn=md5_hash64)
+    # union = per-bucket max over the two register tables (4096-row dim)
+    both = pd.concat([ra, rb])
+    ru = both.groupby('bucket', sort=False)['rank'].max().reset_index()
+    ea = hll_estimate_deterministic(ra['rank'].tolist(), p=12)
+    eb = hll_estimate_deterministic(rb['rank'].tolist(), p=12)
+    eu = hll_estimate_deterministic(ru['rank'].tolist(), p=12)
+    return pd.DataFrame({'est_a': [round(ea, 6)], 'est_b': [round(eb, 6)],
+                         'est_union': [round(eu, 6)],
+                         'est_overlap': [round(ea + eb - eu, 6)]})
+
+
+SQL_HLL_OVERLAP = f"""
+WITH regs_a AS ({_sql_hll_regs(
+    "SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders")}),
+regs_b AS ({_sql_hll_regs(
+    "SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events")}),
+regs_u AS (SELECT bucket, max(rank) AS rank
+           FROM (SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b)
+           GROUP BY bucket),
+{_sql_hll_est_ctes('a', 'regs_a')},
+{_sql_hll_est_ctes('b', 'regs_b')},
+{_sql_hll_est_ctes('u', 'regs_u')}
+SELECT round(est_a.e, 6) AS est_a, round(est_b.e, 6) AS est_b,
+       round(est_u.e, 6) AS est_union,
+       round(est_a.e + est_b.e - est_u.e, 6) AS est_overlap
+FROM est_a CROSS JOIN est_b CROSS JOIN est_u
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
+    'hll_overlap_users': q_hll_overlap_users,
     'hits_event_types': q_hits_event_types,
     'event_type_lift': q_event_type_lift,
     'transition_gap_stats': q_transition_gap_stats,
@@ -5693,6 +5785,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: Dict[str, str] = {
+    'hll_overlap_users': SQL_HLL_OVERLAP,
     'hits_event_types': SQL_HITS,
     'event_type_lift': SQL_EVENT_TYPE_LIFT,
     'transition_gap_stats': SQL_TRANSITION_GAPS,

@@ -94,3 +94,27 @@ def test_grouped_corr_drops_zero_variance_groups(ray_session):
         rel.grouped_corr(ray.data.from_pandas(df), 'g', 'x', 'y'))
     # group 'c' has zero x-variance -> dropped (corr undefined)
     assert list(out['g']) == ['v']
+
+
+def test_hll_overlap_estimate_accuracy(ray_session):
+    from caligraph_ray.functions.hashing import md5_hash64
+    from caligraph_ray.functions.sketches import (
+        hll_estimate_deterministic, hll_registers)
+    # A = 0..5999, B = 4000..9999 -> |A∩B| = 2000, |A∪B| = 10000
+    a = ray.data.from_pandas(pd.DataFrame({'k': np.arange(0, 6000)}))
+    b = ray.data.from_pandas(pd.DataFrame({'k': np.arange(4000, 10000)}))
+    ra = hll_registers(a, 'k', p=12, hash_fn=md5_hash64)
+    rb = hll_registers(b, 'k', p=12, hash_fn=md5_hash64)
+    ru = pd.concat([ra, rb]).groupby('bucket')['rank'].max().reset_index()
+    ea = hll_estimate_deterministic(ra['rank'].tolist(), p=12)
+    eb = hll_estimate_deterministic(rb['rank'].tolist(), p=12)
+    eu = hll_estimate_deterministic(ru['rank'].tolist(), p=12)
+    overlap = ea + eb - eu
+    # p=12 gives ~1.6% σ per estimate, but this is ONE deterministic
+    # draw (md5 of these exact keys): the observed errors are −1.7% /
+    # −2.4% / −5.9%, overlap +17%. Bound at ~4σ per estimate and 25%
+    # for the inclusion–exclusion difference (errors compound).
+    assert abs(ea - 6_000) / 6_000 < 0.08
+    assert abs(eb - 6_000) / 6_000 < 0.08
+    assert abs(eu - 10_000) / 10_000 < 0.08
+    assert abs(overlap - 2_000) / 2_000 < 0.25
