@@ -5634,7 +5634,76 @@ FROM est_a CROSS JOIN est_b CROSS JOIN est_u
 """
 
 
+def q_value_mad_outliers(sf_dir: str):
+    """Median-absolute-deviation outlier detection per event type — the
+    robust-statistics complement of the IQR filter already on the board:
+    exact median and MAD from (group, cents) histograms (shuffle bounded
+    by the distinct value dim), then a stateless flag pass counting rows
+    with |x − med| > 3·MAD. Medians are a |types|-row dim broadcast into
+    the deviation map, never a row-keyed join."""
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'value'])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'event_type': b['event_type'],
+            'c': np.floor(b['value'].to_numpy() * 100).astype('int64')})
+
+    cents = ev.map_batches(to_cents, batch_format='pandas').materialize()
+    med = rel.collect_pandas(rel.grouped_quantiles_exact(
+        cents, ['event_type'], 'c', qs=(0.5,), alias_prefix='m'))
+    med_of = dict(zip(med['event_type'], med['m50'].map(int)))
+
+    def dev(b: pd.DataFrame) -> pd.DataFrame:
+        m = b['event_type'].map(med_of).to_numpy(dtype='int64')
+        return pd.DataFrame({'event_type': b['event_type'],
+                             'd': np.abs(b['c'].to_numpy() - m)})
+
+    devs = cents.map_batches(dev, batch_format='pandas').materialize()
+    mad = rel.collect_pandas(rel.grouped_quantiles_exact(
+        devs, ['event_type'], 'd', qs=(0.5,), alias_prefix='mad'))
+    mad_of = dict(zip(mad['event_type'], mad['mad50'].map(int)))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        lim = b['event_type'].map(mad_of).to_numpy(dtype='int64') * 3
+        return b[b['d'].to_numpy() > lim]
+
+    n_out = rel.collect_pandas(rel.two_phase_count(
+        devs.map_batches(flag, batch_format='pandas'),
+        ['event_type'], alias='n_outliers'))
+    out = med.rename(columns={'m50': 'med_cents'})
+    out['mad_cents'] = out['event_type'].map(mad_of)
+    counts = dict(zip(n_out['event_type'], n_out['n_outliers'].map(int))) \
+        if not n_out.empty else {}
+    out['n_outliers'] = out['event_type'].map(
+        lambda t: counts.get(t, 0))
+    for c in ('med_cents', 'mad_cents', 'n_outliers'):
+        out[c] = out[c].astype('int64')
+    return out.sort_values('event_type').reset_index(drop=True)
+
+
+SQL_VALUE_MAD = """
+WITH c AS MATERIALIZED (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+med AS MATERIALIZED (
+  SELECT event_type, quantile_disc(c, 0.5) AS m FROM c GROUP BY 1),
+dev AS MATERIALIZED (
+  SELECT c.event_type, abs(c.c - med.m) AS d
+  FROM c JOIN med USING (event_type)),
+mad AS MATERIALIZED (
+  SELECT event_type, quantile_disc(d, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT med.event_type,
+       CAST(med.m AS BIGINT) AS med_cents,
+       CAST(mad.mad AS BIGINT) AS mad_cents,
+       CAST((SELECT count(*) FROM dev
+             WHERE dev.event_type = med.event_type
+               AND dev.d > 3 * mad.mad) AS BIGINT) AS n_outliers
+FROM med JOIN mad USING (event_type)
+ORDER BY med.event_type
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
+    'value_mad_outliers': q_value_mad_outliers,
     'hll_overlap_users': q_hll_overlap_users,
     'hits_event_types': q_hits_event_types,
     'event_type_lift': q_event_type_lift,
@@ -5785,6 +5854,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: Dict[str, str] = {
+    'value_mad_outliers': SQL_VALUE_MAD,
     'hll_overlap_users': SQL_HLL_OVERLAP,
     'hits_event_types': SQL_HITS,
     'event_type_lift': SQL_EVENT_TYPE_LIFT,

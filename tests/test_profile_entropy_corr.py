@@ -118,3 +118,24 @@ def test_hll_overlap_estimate_accuracy(ray_session):
     assert abs(eb - 6_000) / 6_000 < 0.08
     assert abs(eu - 10_000) / 10_000 < 0.08
     assert abs(overlap - 2_000) / 2_000 < 0.25
+
+
+def test_value_mad_outliers_brute_force(ray_session):
+    from caligraph_ray.pipelines.queries import q_value_mad_outliers
+    import os, tempfile
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([rng.uniform(10, 20, 200), [500.0, 999.0]])
+    df = pd.DataFrame({'event_type': ['t'] * len(vals), 'value': vals})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(d, 'events.parquet'))
+        out = q_value_mad_outliers(d)
+    c = np.floor(vals * 100).astype('int64')
+    med = int(np.sort(c)[int(np.ceil(0.5 * len(c))) - 1])
+    dev = np.abs(c - med)
+    mad = int(np.sort(dev)[int(np.ceil(0.5 * len(dev))) - 1])
+    assert out['med_cents'].iloc[0] == med
+    assert out['mad_cents'].iloc[0] == mad
+    assert out['n_outliers'].iloc[0] == int((dev > 3 * mad).sum())
+    assert out['n_outliers'].iloc[0] >= 2      # the planted spikes
