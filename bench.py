@@ -241,6 +241,22 @@ def run_benchmarks() -> dict:
     timed('hdr_value_quantiles', lambda: Q.q_hdr_value_quantiles(SF_DIR))
     timed('hdr_quantiles_by_type',
           lambda: Q.q_hdr_quantiles_by_type(SF_DIR))
+    # round-5 second-wave additions
+    timed('column_profile_orders',
+          lambda: Q.q_column_profile_orders(SF_DIR))
+    timed('user_event_entropy', lambda: Q.q_user_event_entropy(SF_DIR))
+    timed('pareto_orders', lambda: Q.q_pareto_orders(SF_DIR))
+    timed('cdc_chunk_dedup', lambda: Q.q_cdc_chunk_dedup(SF_DIR))
+    timed('chi2_keywords_by_lang',
+          lambda: Q.q_chi2_keywords_by_lang(SF_DIR))
+    timed('shortest_path_costs', lambda: Q.q_shortest_path_costs(SF_DIR))
+    timed('event_type_lift', lambda: Q.q_event_type_lift(SF_DIR))
+    timed('transition_gap_stats',
+          lambda: Q.q_transition_gap_stats(SF_DIR))
+    timed('token_postings', lambda: Q.q_token_postings(SF_DIR))
+    timed('hits_event_types', lambda: Q.q_hits_event_types(SF_DIR))
+    timed('hll_overlap_users', lambda: Q.q_hll_overlap_users(SF_DIR))
+    timed('value_mad_outliers', lambda: Q.q_value_mad_outliers(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -5702,7 +5702,71 @@ ORDER BY med.event_type
 """
 
 
+def q_weekly_active_users(sf_dir: str):
+    """Rolling 7-day distinct users per active day
+    (temporal.rolling_distinct_count): the WAU engagement metric replayed
+    as the window fan-out — distinct (day, user) pairs replicate to their
+    ≤7 windows and dedupe two-phase; a sliding count(DISTINCT) that
+    streams."""
+    from ..stages.temporal import rolling_distinct_count
+    ev = rel.read_table(sf_dir, 'events', ['ts', 'user_id'])
+    out = rel.collect_pandas(rolling_distinct_count(ev, window_days=7))
+    if out.empty:
+        return pd.DataFrame({'day': pd.Series(dtype='int64'),
+                             'n_distinct': pd.Series(dtype='int64')})
+    return out.sort_values('day').reset_index(drop=True)
+
+
+SQL_WEEKLY_ACTIVE = """
+WITH dp AS (
+  SELECT DISTINCT CAST(epoch(ts) AS BIGINT) // 86400 AS day, user_id
+  FROM events),
+anchors AS (SELECT DISTINCT day FROM dp)
+SELECT a.day, CAST(count(DISTINCT dp.user_id) AS BIGINT) AS n_distinct
+FROM anchors a JOIN dp ON dp.day BETWEEN a.day - 6 AND a.day
+GROUP BY a.day ORDER BY a.day
+"""
+
+
+def q_weighted_sample_by_lang(sf_dir: str, k: int = 10):
+    """Per-group deterministic weighted sampling
+    (relational.weighted_race_topk_per_group): top-10 docs per language
+    by the length-weighted race key — the stratified variant of
+    weighted_sample_docs, per-batch per-group bottom-k combiners before
+    ONE lang-keyed exchange."""
+    docs = rel.read_table(sf_dir, 'documents',
+                          ['lang', 'doc_id', 'n_chars'])
+    out = rel.collect_pandas(rel.weighted_race_topk_per_group(
+        docs, 'lang', 'doc_id', 'n_chars', k, salt='wrs:42'))
+    if out.empty:
+        return pd.DataFrame({'lang': pd.Series(dtype=object),
+                             'doc_id': pd.Series(dtype='int64'),
+                             'n_chars': pd.Series(dtype='int64'),
+                             'race_key': pd.Series(dtype='float64')})
+    out = out.astype({'doc_id': 'int64', 'n_chars': 'int64'})
+    return out.sort_values(['lang', 'race_key', 'doc_id']) \
+        .reset_index(drop=True)
+
+
+SQL_WEIGHTED_SAMPLE_BY_LANG = """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(md5_number_upper('wrs:42:' || CAST(doc_id AS VARCHAR))
+              AS DOUBLE) / CAST(n_chars AS DOUBLE) AS race_key,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY CAST(md5_number_upper(
+                                'wrs:42:' || CAST(doc_id AS VARCHAR))
+                                AS DOUBLE) / CAST(n_chars AS DOUBLE),
+                              doc_id) AS rn
+  FROM documents WHERE n_chars > 0)
+SELECT lang, doc_id, n_chars, race_key
+FROM r WHERE rn <= 10 ORDER BY lang, race_key, doc_id
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
+    'weekly_active_users': q_weekly_active_users,
+    'weighted_sample_by_lang': q_weighted_sample_by_lang,
     'value_mad_outliers': q_value_mad_outliers,
     'hll_overlap_users': q_hll_overlap_users,
     'hits_event_types': q_hits_event_types,
@@ -5854,6 +5918,8 @@ QUERIES: Dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: Dict[str, str] = {
+    'weekly_active_users': SQL_WEEKLY_ACTIVE,
+    'weighted_sample_by_lang': SQL_WEIGHTED_SAMPLE_BY_LANG,
     'value_mad_outliers': SQL_VALUE_MAD,
     'hll_overlap_users': SQL_HLL_OVERLAP,
     'hits_event_types': SQL_HITS,

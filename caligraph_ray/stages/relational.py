@@ -1700,3 +1700,42 @@ def association_lift(ds, basket_key: str, item_col: str,
         return out
 
     return co.map_batches(finalize, batch_format='pandas')
+
+
+def weighted_race_topk_per_group(ds, group_key: str, id_col: str,
+                                 weight_col: str, k: int,
+                                 salt: str = 'wrs:42',
+                                 coarse: Optional[int] = None):
+    """Per-group deterministic weighted top-k race sample — the grouped
+    variant of :func:`weighted_race_topk` (same division-only
+    Efraimidis–Spirakis race key ``md5(salt:id) / w``, same exactness
+    contract): each group's k smallest race keys win. Per-batch
+    PER-GROUP bottom-k combiners prune before the ONE group-keyed
+    exchange, so the exchange sees ≤ k × batches rows per group, never
+    the corpus. Rows with weight ≤ 0 or NULL never win; ties break on
+    id."""
+    from ..functions.hashing import md5_hash64_batch
+
+    def local_bottomk(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[weight_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        ok = w > 0
+        b = batch[ok]
+        if not len(b):
+            return pd.DataFrame({group_key: batch[group_key].iloc[:0],
+                                 id_col: batch[id_col].iloc[:0],
+                                 weight_col: batch[weight_col].iloc[:0],
+                                 'race_key': pd.Series(dtype='float64')})
+        u = md5_hash64_batch(b[id_col], f'{salt}:').astype(np.float64)
+        b = b[[group_key, id_col, weight_col]].assign(
+            race_key=pd.Series(u / w[ok], index=b.index, dtype='float64'))
+        b = b.sort_values(['race_key', id_col], kind='mergesort')
+        return b.groupby(group_key, sort=False, dropna=False).head(k)
+
+    pre = ds.map_batches(local_bottomk, batch_format='pandas',
+                         batch_size=AGG_BATCH_SIZE)
+
+    def head(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.sort_values(['race_key', id_col], kind='mergesort')
+        return s.groupby(group_key, sort=False, dropna=False).head(k)
+
+    return bucketed_map(pre, [group_key], head, coarse=coarse)

@@ -691,3 +691,60 @@ def transition_gap_stats(events_ds, user_col: str = 'user_id',
         return out
 
     return agg.map_batches(finalize, batch_format='pandas')
+
+
+def rolling_distinct_count(events_ds, window_days: int = 7,
+                           ts_col: str = 'ts', id_col: str = 'user_id'):
+    """Rolling distinct count — the WAU/MAU engagement metric: for every
+    day D, the number of distinct ids seen in [D − window + 1, D]. A
+    count(DISTINCT) over a sliding window cannot stream; this replays it
+    as the window FAN-OUT: each (day, id) distinct pair replicates to the
+    ≤ ``window_days`` windows it falls into, the (window_day, id) pairs
+    dedupe two-phase, and a small per-day count finishes — the same
+    fan-out law as the hopping windows, with shuffle volume bounded by
+    distinct (day, id) pairs × window, never raw events. Only windows
+    whose anchor day actually has events are emitted (stream semantics:
+    a day with no activity produces no row)."""
+    from .relational import two_phase_count
+
+    def to_day_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        days = (_ts_to_int(b[ts_col]) // 86_400_000_000).astype('int64')
+        return pd.DataFrame({'day': days,
+                             id_col: b[id_col]}).drop_duplicates()
+
+    day_pairs = two_phase_count(
+        events_ds.map_batches(to_day_pairs, batch_format='pandas'),
+        ['day', id_col], alias='_c').drop_columns(['_c'])
+
+    # anchor-day dim: distinct active days (bounded — the time dim)
+    def fan_out(b: pd.DataFrame) -> pd.DataFrame:
+        reps = []
+        for d, uid in zip(b['day'], b[id_col]):
+            for w in range(int(window_days)):
+                reps.append((int(d) + w, uid))
+        if not reps:
+            return pd.DataFrame({'wday': pd.Series(dtype='int64'),
+                                 id_col: b[id_col].iloc[:0]})
+        out = pd.DataFrame(reps, columns=['wday', id_col])
+        out['wday'] = out['wday'].astype('int64')
+        return out
+
+    fanned = day_pairs.map_batches(fan_out, batch_format='pandas')
+    dedup = two_phase_count(fanned, ['wday', id_col],
+                            alias='_c').drop_columns(['_c'])
+    counts = two_phase_count(dedup, ['wday'], alias='n_distinct')
+
+    active_days = two_phase_count(day_pairs, ['day'],
+                                  alias='_c').drop_columns(['_c'])
+    from .relational import shuffle_join
+
+    joined = shuffle_join(counts, active_days, left_on='wday',
+                          right_on='day', how='inner')
+    return joined.map_batches(
+        lambda df: pd.DataFrame(
+            {'day': df['wday'].map(int),
+             'n_distinct': df['n_distinct'].map(int)}).astype('int64')
+        if not df.empty else pd.DataFrame(
+            {'day': pd.Series(dtype='int64'),
+             'n_distinct': pd.Series(dtype='int64')}),
+        batch_format='pandas')

@@ -80,3 +80,46 @@ def test_string_agg_cap_truncates_sorted(ray_session):
     full = rel.collect_pandas(
         rel.string_agg_per_group(ds, 'k', 'v', alias='agg'))
     assert full['agg'].iloc[0] == ','.join(sorted(str(i) for i in range(30)))
+
+
+def test_rolling_distinct_count_brute_force(ray_session):
+    from caligraph_ray.stages.temporal import rolling_distinct_count
+    rng = np.random.RandomState(9)
+    days = rng.randint(0, 20, 300)
+    users = rng.randint(0, 30, 300)
+    df = pd.DataFrame({
+        'ts': pd.to_datetime(days * 86400, unit='s'),
+        'user_id': users,
+    })
+    out = rel.collect_pandas(
+        rolling_distinct_count(ray.data.from_pandas(df).repartition(4),
+                               window_days=7))
+    got = dict(zip(out['day'], out['n_distinct']))
+    active = sorted(set(days))
+    assert set(got) == set(active)      # only active anchor days emitted
+    for d in active:
+        exp = len({u for dd, u in zip(days, users) if d - 6 <= dd <= d})
+        assert got[d] == exp, d
+
+
+def test_weighted_race_per_group_matches_global_within_group(ray_session):
+    from caligraph_ray.functions.hashing import md5_hash64
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({
+        'g': rng.choice(['a', 'b', 'c'], 200),
+        'id': np.arange(200),
+        'w': rng.randint(1, 100, 200).astype('float64'),
+    })
+    df.loc[5, 'w'] = 0.0        # never wins
+    out = rel.collect_pandas(rel.weighted_race_topk_per_group(
+        ray.data.from_pandas(df).repartition(5), 'g', 'id', 'w', 4))
+    for g, sub in df.groupby('g'):
+        sub = sub[sub['w'] > 0]
+        keys = np.array([md5_hash64(f'wrs:42:{i}') for i in sub['id']],
+                        dtype=np.float64) / sub['w'].to_numpy()
+        order = np.lexsort((sub['id'].to_numpy(), keys))
+        exp_ids = sub['id'].to_numpy()[order][:4]
+        got_ids = out[out['g'] == g].sort_values(
+            ['race_key', 'id'])['id'].to_numpy()
+        assert list(got_ids) == list(exp_ids), g
+    assert 5 not in set(out['id'])
