@@ -5764,7 +5764,55 @@ FROM r WHERE rn <= 10 ORDER BY lang, race_key, doc_id
 """
 
 
+def q_value_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS (relational.grouping_sets_sum): sum of
+    value cents at (type, hour), (type), (hour) and () granularities in
+    ONE streamed pass — partial sums for every set fan out per batch,
+    one (gid, keys)-keyed exchange combines; gid is the standard
+    GROUPING_ID bitmask."""
+    ev = rel.read_table(sf_dir, 'events', ['event_type', 'ts', 'value'])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'event_type': b['event_type'],
+            'hour': b['ts'].dt.hour.astype('int64'),
+            'cents': np.floor(b['value'].to_numpy() * 100).astype('int64')})
+
+    prepped = ev.map_batches(prep, batch_format='pandas')
+    out = rel.collect_pandas(rel.grouping_sets_sum(
+        prepped,
+        [('event_type', 'hour'), ('event_type',), ('hour',), ()],
+        'cents', alias='total_cents'))
+    out['gid'] = out['gid'].astype('int64')
+    out['total_cents'] = out['total_cents'].astype('int64')
+    # grouping padding as SENTINELS, not NULLs: the hash gate's row
+    # canonicalization has no stable NULL ordering; gid already
+    # disambiguates a real value from padding (the SQL COALESCEs match)
+    out['event_type'] = out['event_type'].map(
+        lambda v: '(all)' if pd.isna(v) else v)
+    out['hour'] = out['hour'].map(
+        lambda v: -1 if pd.isna(v) else int(v)).astype('int64')
+    return out.sort_values(['gid', 'event_type', 'hour']) \
+        .reset_index(drop=True)
+
+
+SQL_VALUE_GROUPING_SETS = """
+WITH c AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT CAST(GROUPING_ID(event_type, hour) AS BIGINT) AS gid,
+       COALESCE(event_type, '(all)') AS event_type,
+       CAST(COALESCE(hour, -1) AS BIGINT) AS hour,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM c
+GROUP BY GROUPING SETS ((event_type, hour), (event_type), (hour), ())
+ORDER BY gid, 2, 3
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
+    'value_grouping_sets': q_value_grouping_sets,
     'weekly_active_users': q_weekly_active_users,
     'weighted_sample_by_lang': q_weighted_sample_by_lang,
     'value_mad_outliers': q_value_mad_outliers,
@@ -5918,6 +5966,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: Dict[str, str] = {
+    'value_grouping_sets': SQL_VALUE_GROUPING_SETS,
     'weekly_active_users': SQL_WEEKLY_ACTIVE,
     'weighted_sample_by_lang': SQL_WEIGHTED_SAMPLE_BY_LANG,
     'value_mad_outliers': SQL_VALUE_MAD,

@@ -1739,3 +1739,49 @@ def weighted_race_topk_per_group(ds, group_key: str, id_col: str,
         return s.groupby(group_key, sort=False, dropna=False).head(k)
 
     return bucketed_map(pre, [group_key], head, coarse=coarse)
+
+
+def grouping_sets_sum(ds, sets: Sequence[Sequence[str]], value_col: str,
+                      alias: str = 'total', coarse: Optional[int] = None):
+    """SQL ``GROUP BY GROUPING SETS`` in ONE streamed pass: every batch
+    emits partial sums for EVERY grouping set (fan-out of pre-aggregated
+    partials only — ``|sets| × groups-per-batch`` rows, never ``|sets| ×``
+    input rows), tagged with the standard ``GROUPING_ID`` bitmask (bit i
+    set ⇔ the i-th key column is aggregated away), then one exchange
+    keyed on (gid, keys) combines. Aggregated-away key columns travel as
+    NULL — the gid disambiguates a genuine NULL group value from grouping
+    padding, exactly the SQL contract. Subsumes ROLLUP/CUBE (they are
+    grouping-set families)."""
+    all_keys = []
+    for s in sets:
+        for k in s:
+            if k not in all_keys:
+                all_keys.append(k)
+    set_info = []
+    for s in sets:
+        gid = 0
+        for i, k in enumerate(all_keys):
+            if k not in s:
+                gid |= 1 << (len(all_keys) - 1 - i)
+        set_info.append((gid, list(s)))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for gid, keys in set_info:
+            if keys:
+                g = batch.groupby(keys, sort=False, dropna=False)[
+                    value_col].sum().reset_index().rename(
+                    columns={value_col: '_s'})
+            else:
+                g = pd.DataFrame({'_s': [batch[value_col].sum()]})
+            for k in all_keys:
+                if k not in keys:
+                    g[k] = None
+            g['gid'] = np.int64(gid)
+            frames.append(g[['gid'] + all_keys + ['_s']])
+        return pd.concat(frames, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format='pandas',
+                              batch_size=AGG_BATCH_SIZE)
+    return two_phase_pandas_agg(partials, ['gid'] + all_keys,
+                                {alias: ('_s', 'sum')}, coarse=coarse)

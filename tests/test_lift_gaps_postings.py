@@ -123,3 +123,39 @@ def test_weighted_race_per_group_matches_global_within_group(ray_session):
             ['race_key', 'id'])['id'].to_numpy()
         assert list(got_ids) == list(exp_ids), g
     assert 5 not in set(out['id'])
+
+
+def test_grouping_sets_matches_pandas(ray_session):
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({'a': rng.choice(['x', 'y'], 500),
+                       'b': rng.randint(0, 3, 500),
+                       'v': rng.randint(1, 10, 500).astype('int64')})
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = rel.collect_pandas(rel.grouping_sets_sum(
+        ds, [('a', 'b'), ('a',), ('b',), ()], 'v'))
+    # gid bitmask: MSB = first key aggregated away
+    full = out[out['gid'] == 0]
+    assert len(full) == df.groupby(['a', 'b']).ngroups
+    by_a = out[out['gid'] == 1].set_index('a')['total']
+    for a, sub in df.groupby('a'):
+        assert int(by_a.loc[a]) == int(sub['v'].sum())
+    by_b = out[out['gid'] == 2]
+    assert {int(r['b']) for _, r in by_b.iterrows()} == set(df['b'])
+    grand = out[out['gid'] == 3]
+    assert len(grand) == 1 and int(grand['total'].iloc[0]) == int(df['v'].sum())
+
+
+def test_grouping_sets_null_group_vs_padding(ray_session):
+    # a REAL NULL key value must stay distinct from grouping padding
+    df = pd.DataFrame({'a': ['x', None, 'x'],
+                       'b': [1, 1, 2],
+                       'v': [10, 20, 30]})
+    out = rel.collect_pandas(rel.grouping_sets_sum(
+        ds := ray.data.from_pandas(df), [('a',), ()], 'v'))
+    # one key column: ('a',) -> gid 0, () -> gid 1
+    by_a = out[out['gid'] == 0]
+    vals = {(None if pd.isna(r['a']) else r['a']): int(r['total'])
+            for _, r in by_a.iterrows()}
+    assert vals == {'x': 40, None: 20}
+    grand = out[out['gid'] == 1]
+    assert int(grand['total'].iloc[0]) == 60
