@@ -5811,7 +5811,66 @@ ORDER BY gid, 2, 3
 """
 
 
+def q_union_schema_evolution(sf_dir: str):
+    """UNION ALL BY NAME across evolving crawl-snapshot schemas: an old
+    snapshot (doc_id, n_chars — no lang column yet) unions with a new one
+    (doc_id, n_chars, lang) through the typed-null padding every exchange
+    uses (relational.pad_to_union — int64 stays int64, missing lang
+    becomes a typed NULL, surfaced as the '(missing)' sentinel), then one
+    two-phase rollup per lang proves the padded stream aggregates
+    correctly."""
+    docs_old = rel.read_table(sf_dir, 'documents', ['doc_id', 'n_chars'])
+    docs_new = rel.read_table(sf_dir, 'documents',
+                              ['doc_id', 'n_chars', 'lang'])
+
+    def old_side(b: pd.DataFrame) -> pa.Table:
+        b = b[b['doc_id'] % 2 == 0]
+        names, cols = rel.pad_to_union(
+            b, ['doc_id', 'n_chars', 'lang'],
+            {'doc_id': pa.int64(), 'n_chars': pa.int64(),
+             'lang': pa.string()}, own={'doc_id', 'n_chars'})
+        return pa.Table.from_arrays(cols, names)
+
+    def new_side(b: pd.DataFrame) -> pa.Table:
+        b = b[b['doc_id'] % 2 == 1]
+        names, cols = rel.pad_to_union(
+            b, ['doc_id', 'n_chars', 'lang'],
+            {'doc_id': pa.int64(), 'n_chars': pa.int64(),
+             'lang': pa.string()}, own={'doc_id', 'n_chars', 'lang'})
+        return pa.Table.from_arrays(cols, names)
+
+    unioned = docs_old.map_batches(old_side, batch_format='pandas').union(
+        docs_new.map_batches(new_side, batch_format='pandas'))
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'lang': b['lang'].map(
+                lambda v: '(missing)' if pd.isna(v) else v),
+            'n_chars': b['n_chars'].astype('int64')})
+
+    agg = rel.two_phase_pandas_agg(
+        unioned.map_batches(fill, batch_format='pandas'), ['lang'],
+        {'n_docs': (None, 'count'), 'sum_chars': ('n_chars', 'sum')})
+    out = rel.collect_pandas(agg)
+    out['n_docs'] = out['n_docs'].astype('int64')
+    out['sum_chars'] = out['sum_chars'].astype('int64')
+    return out.sort_values('lang').reset_index(drop=True)
+
+
+SQL_UNION_SCHEMA_EVOLUTION = """
+WITH u AS (
+  SELECT doc_id, n_chars, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+  UNION ALL BY NAME
+  SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 = 1)
+SELECT COALESCE(lang, '(missing)') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
+    'union_schema_evolution': q_union_schema_evolution,
     'value_grouping_sets': q_value_grouping_sets,
     'weekly_active_users': q_weekly_active_users,
     'weighted_sample_by_lang': q_weighted_sample_by_lang,
@@ -5966,6 +6025,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: Dict[str, str] = {
+    'union_schema_evolution': SQL_UNION_SCHEMA_EVOLUTION,
     'value_grouping_sets': SQL_VALUE_GROUPING_SETS,
     'weekly_active_users': SQL_WEEKLY_ACTIVE,
     'weighted_sample_by_lang': SQL_WEIGHTED_SAMPLE_BY_LANG,
