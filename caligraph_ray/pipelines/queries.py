@@ -5869,7 +5869,89 @@ FROM u GROUP BY 1 ORDER BY 1
 """
 
 
+def q_clustering_coefficients(sf_dir: str):
+    """Local clustering coefficient per node — the triad-closure metric
+    composed from the board's distributed triangle enumeration
+    (graph.triangles, O(m^1.5) wedge join) and a two-phase degree count:
+    cc = 2·T(v) / (deg·(deg−1)), floor-scaled single division over exact
+    integers; degree-1 nodes dropped (cc undefined)."""
+    from ..stages.graph import transition_edges, triangles, undirected_edges
+    ev = rel.read_table(sf_dir, 'events',
+                        ['user_id', 'ts', 'event_id', 'event_type'])
+    und = undirected_edges(transition_edges(ev)).materialize()
+    tri = triangles(und)
+
+    def explode_tri(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({'node': pd.concat(
+            [b['x'], b['y'], b['z']], ignore_index=True)})
+
+    tri_counts = rel.collect_pandas(rel.two_phase_count(
+        tri.map_batches(explode_tri, batch_format='pandas'),
+        ['node'], alias='t'))
+    t_of = dict(zip(tri_counts['node'], tri_counts['t'].map(int))) \
+        if not tri_counts.empty else {}
+
+    def explode_deg(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({'node': pd.concat(
+            [b['a'], b['b']], ignore_index=True)})
+
+    deg = rel.collect_pandas(rel.two_phase_count(
+        und.map_batches(explode_deg, batch_format='pandas'),
+        ['node'], alias='deg'))
+    rows = []
+    for _, r in deg.iterrows():
+        d = int(r['deg'])
+        if d < 2:
+            continue
+        t = t_of.get(r['node'], 0)
+        rows.append({'node': r['node'], 'deg': d, 'n_triangles': t,
+                     'cc': math.floor(
+                         float(2 * t) / float(d * (d - 1)) * 1e6) / 1e6})
+    if not rows:
+        return pd.DataFrame({'node': pd.Series(dtype=object),
+                             'deg': pd.Series(dtype='int64'),
+                             'n_triangles': pd.Series(dtype='int64'),
+                             'cc': pd.Series(dtype='float64')})
+    out = pd.DataFrame(rows)
+    out['deg'] = out['deg'].astype('int64')
+    out['n_triangles'] = out['n_triangles'].astype('int64')
+    return out.sort_values('node').reset_index(drop=True)
+
+
+SQL_CLUSTERING_COEFF = """
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM seq WHERE dst IS NOT NULL AND src <> dst),
+tri AS (
+  SELECT t1.a AS x, t1.b AS y, t2.b AS z
+  FROM und t1
+  JOIN und t2 ON t2.a = t1.b
+  JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b),
+tn AS (
+  SELECT node, count(*) AS t
+  FROM (SELECT x AS node FROM tri UNION ALL
+        SELECT y FROM tri UNION ALL SELECT z FROM tri)
+  GROUP BY 1),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY 1)
+SELECT deg.node, CAST(deg.d AS BIGINT) AS deg,
+       CAST(COALESCE(tn.t, 0) AS BIGINT) AS n_triangles,
+       floor(CAST(2 * COALESCE(tn.t, 0) AS DOUBLE)
+             / CAST(deg.d * (deg.d - 1) AS DOUBLE) * 1e6) / 1e6 AS cc
+FROM deg LEFT JOIN tn USING (node)
+WHERE deg.d >= 2 ORDER BY deg.node
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
+    'clustering_coefficients': q_clustering_coefficients,
     'union_schema_evolution': q_union_schema_evolution,
     'value_grouping_sets': q_value_grouping_sets,
     'weekly_active_users': q_weekly_active_users,
@@ -6025,6 +6107,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: Dict[str, str] = {
+    'clustering_coefficients': SQL_CLUSTERING_COEFF,
     'union_schema_evolution': SQL_UNION_SCHEMA_EVOLUTION,
     'value_grouping_sets': SQL_VALUE_GROUPING_SETS,
     'weekly_active_users': SQL_WEEKLY_ACTIVE,
