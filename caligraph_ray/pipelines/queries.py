@@ -5950,7 +5950,52 @@ WHERE deg.d >= 2 ORDER BY deg.node
 """
 
 
+def q_source_gini(sf_dir: str):
+    """Domain-concentration Gini coefficient over per-source doc counts —
+    the one-number skew audit curation dashboards track (a crawl where
+    one host dominates needs domain capping). Two-phase source counts
+    (the bounded host dim), then the exact rank formula
+    G = (2·Σ i·c₍ᵢ₎)/(n·Σc) − (n+1)/n over counts sorted (count, source)
+    — integer sums, one floor-scaled final expression."""
+    docs = rel.read_table(sf_dir, 'documents', ['source'])
+    counts = rel.collect_pandas(rel.two_phase_count(
+        docs, ['source'], alias='c'))
+    if counts.empty:
+        return pd.DataFrame({'n_sources': pd.Series(dtype='int64'),
+                             'n_docs': pd.Series(dtype='int64'),
+                             'gini': pd.Series(dtype='float64')})
+    counts = counts.sort_values(['c', 'source']).reset_index(drop=True)
+    c = counts['c'].map(int).tolist()
+    n = len(c)
+    total = sum(c)
+    weighted = sum((i + 1) * ci for i, ci in enumerate(c))
+    gini = math.floor((float(2 * weighted) / float(n * total)
+                       - float(n + 1) / float(n)) * 1e6) / 1e6
+    return pd.DataFrame({'n_sources': pd.Series([n], dtype='int64'),
+                         'n_docs': pd.Series([total], dtype='int64'),
+                         'gini': [gini]})
+
+
+SQL_SOURCE_GINI = """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c, source) AS i FROM c),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(i * c) AS BIGINT) AS weighted
+  FROM r)
+SELECT n AS n_sources, total AS n_docs,
+       floor((CAST(2 * weighted AS DOUBLE) / CAST(n * total AS DOUBLE)
+              - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) / 1e6
+       AS gini
+FROM s
+"""
+
+
 QUERIES: Dict[str, Callable[[str], object]] = {
+    'source_gini': q_source_gini,
     'clustering_coefficients': q_clustering_coefficients,
     'union_schema_evolution': q_union_schema_evolution,
     'value_grouping_sets': q_value_grouping_sets,
@@ -6107,6 +6152,7 @@ QUERIES: Dict[str, Callable[[str], object]] = {
 }
 
 ORACLES: Dict[str, str] = {
+    'source_gini': SQL_SOURCE_GINI,
     'clustering_coefficients': SQL_CLUSTERING_COEFF,
     'union_schema_evolution': SQL_UNION_SCHEMA_EVOLUTION,
     'value_grouping_sets': SQL_VALUE_GROUPING_SETS,
