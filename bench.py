@@ -257,6 +257,15 @@ def run_benchmarks() -> dict:
     timed('hits_event_types', lambda: Q.q_hits_event_types(SF_DIR))
     timed('hll_overlap_users', lambda: Q.q_hll_overlap_users(SF_DIR))
     timed('value_mad_outliers', lambda: Q.q_value_mad_outliers(SF_DIR))
+    timed('weekly_active_users', lambda: Q.q_weekly_active_users(SF_DIR))
+    timed('weighted_sample_by_lang',
+          lambda: Q.q_weighted_sample_by_lang(SF_DIR))
+    timed('value_grouping_sets', lambda: Q.q_value_grouping_sets(SF_DIR))
+    timed('union_schema_evolution',
+          lambda: Q.q_union_schema_evolution(SF_DIR))
+    timed('clustering_coefficients',
+          lambda: Q.q_clustering_coefficients(SF_DIR))
+    timed('source_gini', lambda: Q.q_source_gini(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {
